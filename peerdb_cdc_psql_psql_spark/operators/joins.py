@@ -1,0 +1,229 @@
+"""Join operators (SURVEY.md §2.4: J1-J4 + the star-schema surface).
+
+Scale strategy: the fixture star schema has fixed-size dims (region=5,
+nation=25) and SF-proportional dims (customer/supplier/part) vs facts
+(orders/lineitem). Fixed-size dims get an explicit ``broadcast()``
+hint — correct at any SF. SF-proportional joins are left to Catalyst/
+AQE: at 100 TB they become shuffled hash / sort-merge joins on the
+join key, which is exactly right; hinting broadcast there would OOM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "cross_join_agg",
+    oracle="""
+SELECT r_name, COUNT(*) AS n_active
+FROM events, region
+WHERE r_name = 'ASIA'
+GROUP BY r_name
+""",
+    tags=("J1",),
+)
+def cross_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only in-SQL join: implicit cross join + filter +
+    group (`FROM pg_stat_activity, pg_settings WHERE name=... GROUP BY
+    setting`, monitoring.ps1:887). The filtered side is 1 row →
+    BroadcastNestedLoopJoin, no shuffle of the big side."""
+    ev = load(spark, sf_dir, "events")
+    asia = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        ev.crossJoin(F.broadcast(asia))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "fk_semi_join",
+    oracle="""
+SELECT COUNT(*) AS n_valid_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer)
+""",
+    tags=("J3",),
+)
+def fk_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-membership semi-join (insert.ps1:272-273 samples new orders
+    from existing customer ids — the validity check is a semi-join).
+    left_semi keeps no payload from the build side; AQE picks broadcast
+    when customer fits, shuffled hash otherwise."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_valid_orders"))
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("J4",),
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-membership (monitoring.ps1:392,771 `-notcontains` — skip
+    already-processed items): customers with no orders via left_anti.
+    Also the referential-integrity check shape from SURVEY.md §1.2."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "star_join_revenue",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+""",
+    tags=("J2", "star", "bench"),
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join (orders⋈customers⋈nation⋈region — the
+    reference ER at images/table_relation.png, exercised per SURVEY.md
+    §2.4): revenue per nation in EUROPE.
+
+    Scale: region/nation broadcast (fixed 5/25 rows at any SF) — zero
+    shuffle for them; orders⋈customer shuffles on the key once. The
+    region filter reaches nation *before* the fact join via the
+    broadcast, pruning 4/5 of customers early.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = cust.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", "n_name")
+    return (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "full_outer_reconcile",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS src_orders FROM orders GROUP BY o_custkey
+), tgt AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS tgt_orders FROM orders
+  WHERE o_orderkey % 97 <> 0 GROUP BY o_custkey
+)
+SELECT COALESCE(src.custkey, tgt.custkey) AS custkey,
+       COALESCE(src_orders, 0) AS src_orders,
+       COALESCE(tgt_orders, 0) AS tgt_orders,
+       COALESCE(src_orders, 0) - COALESCE(tgt_orders, 0) AS lag_rows
+FROM src FULL OUTER JOIN tgt ON src.custkey = tgt.custkey
+""",
+    tags=("J2", "U4"),
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key source↔target reconciliation as a FULL OUTER join
+    (monitoring.ps1:576-614 pairs per-table source/target counts; here
+    per-customer, with a deterministic simulated gap o_orderkey%97=0).
+    At scale both sides pre-aggregate before the join → the join input
+    is |keys|, not |rows|."""
+    orders = load(spark, sf_dir, "orders")
+    src = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("src_orders")
+    )
+    tgt = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("tgt_orders"))
+    )
+    j = src.join(tgt, "custkey", "full_outer")
+    return j.select(
+        "custkey",
+        F.coalesce("src_orders", F.lit(0)).alias("src_orders"),
+        F.coalesce("tgt_orders", F.lit(0)).alias("tgt_orders"),
+        (F.coalesce("src_orders", F.lit(0)) - F.coalesce("tgt_orders", F.lit(0))).alias(
+            "lag_rows"
+        ),
+    )
+
+
+@register(
+    "multiway_star_lineitem",
+    oracle="""
+SELECT p_type, r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type IN ('PROMO', 'ECONOMY')
+GROUP BY p_type, r_name
+""",
+    tags=("J2", "star", "bench"),
+)
+def multiway_star_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join over the fact table (lineitem⋈part⋈supplier⋈
+    nation⋈region) with a selective dim filter — the widest join shape
+    the engine's query surface needs (SURVEY.md §2.4 star surface).
+
+    Scale: p_type filter prunes part *before* the fact join (Catalyst
+    pushes it into the part scan); supplier⋈nation⋈region collapses to
+    a broadcast chain; the only big shuffle is lineitem⋈part, on the
+    join key, with partial aggregation after.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region")
+    sup_geo = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "s_suppkey", "r_name"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_geo), li.l_suppkey == sup_geo.s_suppkey)
+        .groupBy("p_type", "r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

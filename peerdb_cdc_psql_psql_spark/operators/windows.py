@@ -1,0 +1,208 @@
+"""Sorts / limits / top-k / window operators (SURVEY.md §2.6: W1-W7).
+
+Determinism: the reference's Sort-Object/Select-First idioms rely on
+stable PowerShell ordering; every query here adds a unique tie-breaker
+so Spark and the oracle agree row-for-row.
+
+Scale: top-k uses TakeOrderedAndProject (per-partition heap, k rows to
+the driver — never a full sort); windows partition by a key so state
+is bounded per group. The only global-ordering window (ntile over
+batches) runs on an already-aggregated input of |batches| rows, which
+is tiny by construction at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# "Batch" granularity for per-batch analyses: 100 events per batch,
+# mirroring the reference's INSERT-BATCH-k log grouping
+# (monitoring.ps1:1073 parses 'INSERT-BATCH-(\d+)').
+_BATCH = 100
+
+
+def _batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch resource aggregation (monitoring.ps1:1071-1115 shape):
+    batch id ← event_id div 100; per-batch avg value + row count."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("batch", F.expr(f"event_id div {_BATCH}"))
+        .groupBy("batch")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_BATCHES_SQL = f"""
+SELECT event_id // {_BATCH} AS batch,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_id // {_BATCH}
+"""
+
+
+@register(
+    "top1_by_measure",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 1
+""",
+    tags=("W2", "W3"),
+)
+def top1_by_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 by measure (peak-CPU batch, monitoring.ps1:1121-1122
+    `Sort-Object AvgCPU -Descending | Select-Object -First 1`).
+    Physical plan: TakeOrderedAndProject — no global sort."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(1)
+    )
+
+
+@register(
+    "first_last_n",
+    oracle=f"""
+WITH batches AS ({_BATCHES_SQL}),
+ranked AS (
+  SELECT batch, avg_value, n_events,
+         ROW_NUMBER() OVER (ORDER BY batch) AS rn_asc,
+         ROW_NUMBER() OVER (ORDER BY batch DESC) AS rn_desc
+  FROM batches
+)
+SELECT batch, avg_value, n_events,
+       CASE WHEN rn_asc <= 5 THEN 'FIRST' ELSE 'LAST' END AS slice
+FROM ranked WHERE rn_asc <= 5 OR rn_desc <= 5
+""",
+    tags=("W4",),
+)
+def first_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-5 + last-5 batch slice with middle elision
+    (monitoring.ps1:278-282). Two row_number windows over the tiny
+    per-batch aggregate (|batches| rows), not over raw events."""
+    b = _batches(spark, sf_dir)
+    w_asc = Window.orderBy("batch")
+    w_desc = Window.orderBy(F.desc("batch"))
+    ranked = b.withColumn("rn_asc", F.row_number().over(w_asc)).withColumn(
+        "rn_desc", F.row_number().over(w_desc)
+    )
+    return ranked.filter((F.col("rn_asc") <= 5) | (F.col("rn_desc") <= 5)).select(
+        "batch",
+        "avg_value",
+        "n_events",
+        F.when(F.col("rn_asc") <= 5, "FIRST").otherwise("LAST").alias("slice"),
+    )
+
+
+@register(
+    "ntile_trend",
+    oracle=f"""
+WITH batches AS ({_BATCHES_SQL}),
+terciles AS (
+  SELECT avg_value, NTILE(3) OVER (ORDER BY batch) AS tercile FROM batches
+),
+per_tercile AS (
+  SELECT tercile,
+         CAST(SUM(CAST(avg_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS tercile_avg
+  FROM terciles GROUP BY tercile
+)
+SELECT
+  MAX(CASE WHEN tercile = 1 THEN tercile_avg END) AS early_avg,
+  MAX(CASE WHEN tercile = 3 THEN tercile_avg END) AS late_avg,
+  ROUND(ABS(MAX(CASE WHEN tercile = 3 THEN tercile_avg END)
+          - MAX(CASE WHEN tercile = 1 THEN tercile_avg END)), 4) AS trend_delta
+FROM per_tercile
+""",
+    tags=("W5",),
+)
+def ntile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tercile trend analysis (monitoring.ps1:1133-1142: avg CPU of
+    first ⅓ of batches vs last ⅓, report |delta|) — the reference's one
+    genuine window-function use case, via ntile(3)."""
+    b = _batches(spark, sf_dir)
+    terc = b.withColumn("tercile", F.ntile(3).over(Window.orderBy("batch")))
+    per = terc.groupBy("tercile").agg(
+        (
+            F.sum(F.col("avg_value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tercile_avg")
+    )
+    early = F.max(F.when(F.col("tercile") == 1, F.col("tercile_avg")))
+    late = F.max(F.when(F.col("tercile") == 3, F.col("tercile_avg")))
+    return per.agg(
+        early.alias("early_avg"),
+        late.alias("late_avg"),
+        F.round(F.abs(late - early), 4).alias("trend_delta"),
+    )
+
+
+@register(
+    "every_nth_sample",
+    oracle=f"""
+WITH batches AS ({_BATCHES_SQL})
+SELECT batch, avg_value, n_events FROM batches WHERE batch % 5 = 0
+""",
+    tags=("W7",),
+)
+def every_nth_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-Nth progress sampling (report every 5th batch,
+    insert.ps1:319-325)."""
+    return _batches(spark, sf_dir).filter(F.col("batch") % 5 == 0)
+
+
+@register(
+    "first_match_scan",
+    oracle="""
+SELECT event_id, props FROM events
+WHERE regexp_matches(props, '"k": 42}')
+ORDER BY event_id LIMIT 1
+""",
+    tags=("W6", "P5"),
+)
+def first_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First line matching a marker (monitoring.ps1:309-314,
+    insert.ps1:150 `Select-Object -First 1`): filter → order by
+    position → limit 1."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").rlike(r'"k": 42\}'))
+        .select("event_id", "props")
+        .orderBy("event_id")
+        .limit(1)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    tags=("W3", "window"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the distributed generalization of the
+    reference's top-1 (monitoring.ps1:1121). row_number window
+    partitioned by group: state bounded per key, Spark inserts a
+    WindowGroupLimit (rank-limit pushdown) so each partition keeps
+    only k rows pre-shuffle."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )

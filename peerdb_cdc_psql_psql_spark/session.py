@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (100 TB target, tested on local[N]):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting
+  replaces any hand-tuned partition counts.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location-independent.
+- Arrow enabled for the (rare) Pandas-UDF paths — vectorized batch
+  transfer instead of row-at-a-time pickling.
+- Broadcast threshold left at default (10 MB); dimension tables in the
+  star schema (region/nation/supplier/part at any SF we join them) are
+  broadcast explicitly with hints where we *know* they are small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+
+
+def get_spark(
+    app_name: str = "peerdb-cdc-psql-psql-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count: correct for
+    local test scale; on a real cluster AQE coalescing makes the
+    initial number mostly irrelevant as long as it is not tiny.
+    """
+    n = cpus or default_parallelism()
+    sp = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+    )
+    return builder.getOrCreate()
