@@ -1,0 +1,148 @@
+"""Batch-expressible CDC merge semantics (SURVEY.md §2.9), oracle-
+checked: the ``events`` fixture acts as a change log — key=user_id,
+lsn=event_id, op derived from event_type ('signup'→I, 'error'→D,
+else U). The merge rule is exactly the mirror's compact-on-read
+(row_number over lsn desc per key), so the DuckDB oracle validates the
+same semantics the streaming path applies (streaming/cdc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_OP = """CASE WHEN event_type = 'signup' THEN 'I'
+          WHEN event_type = 'error' THEN 'D'
+          ELSE 'U' END"""
+
+
+def _op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+
+
+@register(
+    "cdc_merged_state",
+    oracle=f"""
+SELECT user_id, last_value, is_deleted, last_lsn FROM (
+  SELECT user_id,
+         value AS last_value,
+         ({_OP}) = 'D' AS is_deleted,
+         event_id AS last_lsn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("C1", "C4", "cdc"),
+)
+def cdc_merged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-write-wins merge with soft-delete tombstones (C1/C4:
+    per-PK latest change by LSN wins; DELETE flags, not removes —
+    README.md:231-238 workflow, images/cdc_orders.png target shape).
+    One hash shuffle on the key; rank-limit pushdown keeps per-key
+    state at 1 row pre-shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            (_op_col() == "D").alias("is_deleted"),
+            F.col("event_id").alias("last_lsn"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "cdc_sync_report",
+    oracle=f"""
+WITH merged AS (
+  SELECT user_id, ({_OP}) = 'D' AS is_deleted,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT COUNT(DISTINCT user_id) AS src_keys,
+       COUNT(*) FILTER (WHERE NOT is_deleted) AS live_keys,
+       COUNT(*) FILTER (WHERE is_deleted) AS tombstones,
+       ROUND(100.0 * COUNT(*) FILTER (WHERE NOT is_deleted) / COUNT(*), 1) AS live_pct
+FROM merged WHERE rn = 1
+""",
+    tags=("C6", "cdc"),
+)
+def cdc_sync_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication accounting over merged state: distinct source keys,
+    live rows, tombstones, live % (the lag/efficiency computation of
+    monitoring.ps1:594-627 applied to a post-delete world — counts
+    exclude tombstones, SURVEY.md §7 risk 3)."""
+    merged = cdc_merged_state(spark, sf_dir)
+    live = F.count(F.when(~F.col("is_deleted"), 1))
+    dead = F.count(F.when(F.col("is_deleted"), 1))
+    return merged.agg(
+        F.count_distinct(F.col("user_id")).alias("src_keys"),
+        live.alias("live_keys"),
+        dead.alias("tombstones"),
+        F.round(100.0 * live / F.count(F.lit(1)), 1).alias("live_pct"),
+    )
+
+
+@register(
+    "cdc_changes_per_batch",
+    oracle=f"""
+SELECT event_id // 100 AS batch_id,
+       COUNT(*) AS n_changes,
+       COUNT(*) FILTER (WHERE ({_OP}) = 'I') AS n_inserts,
+       COUNT(*) FILTER (WHERE ({_OP}) = 'U') AS n_updates,
+       COUNT(*) FILTER (WHERE ({_OP}) = 'D') AS n_deletes
+FROM events
+GROUP BY event_id // 100
+""",
+    tags=("C3", "C6", "cdc"),
+)
+def cdc_changes_per_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch change accounting (the StreamingQueryProgress
+    numbers the reference reads off PeerDB's UI / insert.ps1:306-311
+    timers): batch = lsn div 100 stands in for the 10 s sync window."""
+    ev = load(spark, sf_dir, "events")
+    op = _op_col()
+    return ev.groupBy(F.expr("event_id div 100").alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.count(F.when(op == "I", 1)).alias("n_inserts"),
+        F.count(F.when(op == "U", 1)).alias("n_updates"),
+        F.count(F.when(op == "D", 1)).alias("n_deletes"),
+    )
+
+
+@register(
+    "xmin_incremental",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_new_events,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY user_id
+""",
+    tags=("C8", "cdc"),
+)
+def xmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMin / watermark-column incremental load (C8: PeerDB's third
+    mirror mode, images/cdc.png): read only rows past the last
+    watermark — a pushed-down range predicate, so parquet min/max
+    statistics skip whole row groups of history at scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_events"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+    )

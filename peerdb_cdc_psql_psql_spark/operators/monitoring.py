@@ -1,0 +1,166 @@
+"""Monitoring-parity pack (SURVEY.md §3.2 / §7 M4): the reference's
+10-pass monitoring.ps1 analyses as typed DataFrame programs. The
+PowerShell versions parse psql/docker text output line-by-line in
+interpreted loops; here every pass is one declarative plan.
+
+Log-line analytics run over synthesized log text built from the
+events fixture (format_string → the exact line shapes insert.ps1:
+175-176 writes), then parsed back with regexp_extract — exercising
+the full S9→F1→A7 chain (read text → regex extract → grouped agg)
+with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# The synthesized log line: "[INSERT-BATCH-<k>] container=<type> cpu=<v>%"
+# (shape of insert.ps1:175-176 log lines + docker-stats blocks consumed
+# at monitoring.ps1:1068-1115). Built lazily — column exprs need an
+# active SparkContext.
+def _line_spark() -> F.Column:
+    return F.format_string(
+        "[INSERT-BATCH-%d] container=%s cpu=%.4f%%",
+        F.expr("event_id div 100"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+_LINE_SQL = "printf('[INSERT-BATCH-%d] container=%s cpu=%.4f%%', event_id // 100, event_type, value)"
+
+
+@register(
+    "log_batch_resource_agg",
+    oracle=f"""
+WITH lines AS (SELECT {_LINE_SQL} AS line FROM events),
+parsed AS (
+  SELECT CAST(regexp_extract(line, 'INSERT-BATCH-(\\d+)', 1) AS BIGINT) AS batch,
+         regexp_extract(line, 'container=(\\w+)', 1) AS container,
+         CAST(regexp_extract(line, 'cpu=([0-9.]+)%', 1) AS DOUBLE) AS cpu
+  FROM lines
+  WHERE regexp_matches(line, 'INSERT-BATCH-\\d+')
+)
+SELECT batch,
+       COUNT(*) AS n_containers,
+       CAST(SUM(CAST(cpu AS DECIMAL(38,6))) AS DOUBLE) AS total_cpu,
+       CAST(SUM(CAST(cpu AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_cpu
+FROM parsed
+GROUP BY batch
+""",
+    tags=("S9", "F1", "A7", "A8"),
+)
+def log_batch_resource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's biggest client-side dataflow (monitoring.ps1:
+    1071-1115): per INSERT-BATCH-k, parse container stats lines, sum
+    CPU, count containers, average — 45 lines of interpreted loop
+    there; one grouped aggregation here. The regex extraction stays
+    JVM-side (codegen), the agg partial-combines map-side."""
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(_line_spark().alias("line")).filter(
+        F.col("line").rlike(r"INSERT-BATCH-\d+")
+    )
+    parsed = lines.select(
+        F.regexp_extract("line", r"INSERT-BATCH-(\d+)", 1).cast("bigint").alias("batch"),
+        F.regexp_extract("line", r"container=(\w+)", 1).alias("container"),
+        F.regexp_extract("line", r"cpu=([0-9.]+)%", 1).cast("double").alias("cpu"),
+    )
+    total = F.sum(F.col("cpu").cast("decimal(38,6)")).cast("double")
+    return parsed.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        total.alias("total_cpu"),
+        (total / F.count(F.lit(1))).alias("avg_cpu"),
+    )
+
+
+@register(
+    "fleet_summary",
+    oracle=f"""
+WITH lines AS (SELECT {_LINE_SQL} AS line FROM events),
+parsed AS (
+  SELECT CAST(regexp_extract(line, 'INSERT-BATCH-(\\d+)', 1) AS BIGINT) AS batch,
+         CAST(regexp_extract(line, 'cpu=([0-9.]+)%', 1) AS DOUBLE) AS cpu
+  FROM lines
+),
+per_batch AS (
+  SELECT batch, CAST(SUM(CAST(cpu AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_cpu
+  FROM parsed GROUP BY batch
+)
+SELECT COUNT(*) AS n_batches,
+       ROUND(CAST(SUM(CAST(avg_cpu AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS fleet_avg_cpu,
+       ROUND(MAX(avg_cpu), 4) AS peak_avg_cpu,
+       ROUND(MIN(avg_cpu), 4) AS low_avg_cpu
+FROM per_batch
+""",
+    tags=("A8", "W3"),
+)
+def fleet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-wide second-level aggregation (monitoring.ps1:1121-1124:
+    avg across batch averages + peak/lowest batch) — agg over agg, both
+    levels through the exact-decimal route."""
+    per_batch = log_batch_resource_agg(spark, sf_dir).select("batch", "avg_cpu")
+    s = F.sum(F.col("avg_cpu").cast("decimal(38,6)")).cast("double")
+    return per_batch.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.round(s / F.count(F.lit(1)), 4).alias("fleet_avg_cpu"),
+        F.round(F.max("avg_cpu"), 4).alias("peak_avg_cpu"),
+        F.round(F.min("avg_cpu"), 4).alias("low_avg_cpu"),
+    )
+
+
+@register(
+    "table_stats_rollup",
+    oracle="""
+SELECT COALESCE(source, 'TOTAL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) / 1024.0, 2) AS total_kib
+FROM documents
+GROUP BY ROLLUP (source)
+""",
+    tags=("A4", "A5", "F18"),
+)
+def table_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-database table stats + TOTAL row (monitoring.ps1:492-555:
+    count+size per table, grand totals at :544-552) — rollup over the
+    documents sources with byte sizes, replacing pg_total_relation_size
+    with column-length accounting."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("n_chars") / 1024.0, 2).alias("total_kib"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("TOTAL")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "total_kib",
+        )
+    )
+
+
+@register(
+    "health_probe",
+    oracle="""
+SELECT 1 AS probe_ok,
+       (SELECT COUNT(*) FROM events) > 0 AS has_events,
+       (SELECT COUNT(DISTINCT event_type) FROM events) AS n_event_types
+""",
+    tags=("F6", "A11"),
+)
+def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT 1 / version() health probes + existence checks
+    (insert.ps1:63-87, monitoring.ps1:825-831,969-1018)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        (F.count(F.lit(1)) > 0).alias("has_events"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+    return agg.select(F.lit(1).alias("probe_ok"), "has_events", "n_event_types")

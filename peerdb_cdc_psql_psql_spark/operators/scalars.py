@@ -1,0 +1,201 @@
+"""Scalar-function pack (SURVEY.md §2.8: F1-F17) — regex extraction,
+string ops, date/time arithmetic, math, unit conversion, all as
+built-in JVM expressions inside whole-stage codegen (zero Python UDFs,
+per the §4 goal). Each query bundles a related function family so the
+inventory stays reviewable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "regex_extract_stats",
+    oracle=r"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE) AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("F1", "F17", "A7"),
+)
+def regex_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction → typed column → grouped aggregation —
+    the reference's log-parsing backbone (insert.ps1:99,150,164;
+    monitoring.ps1:1073,1085 extract counters from text then
+    aggregate). regexp_extract runs JVM-side in codegen."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(k.cast("decimal(38,6)")).cast("double").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       string_split_regex(p_name, ' ')[1] AS first_word,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       printf('%-12s|%6d', p_type, p_size) AS fixed_width,
+       trim(' ' || p_name || ' ') AS trimmed,
+       length(p_name) AS name_len
+FROM part
+WHERE p_partkey <= 100
+""",
+    tags=("F3", "F4", "F5"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String split/trim/concat/fixed-width formatting
+    (monitoring.ps1:524,892 pipe-split + trim; :23,29 fixed-width table
+    rows; insert.ps1:175-176 concatenated log lines)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.format_string("%-12s|%6d", F.col("p_type"), F.col("p_size")).alias(
+            "fixed_width"
+        ),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_ref,
+       epoch_us(o_orderdate) AS order_epoch_us
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("F7", "F9", "F10"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date formatting / field extraction / day arithmetic / epoch
+    durations (insert.ps1:43,173,275 yyyy-MM-dd formatting;
+    monitoring.ps1:734 timestamp parse; insert.ps1:306-307 ms
+    durations)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(
+            F.lit("2002-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_ref"),
+        # o_orderdate is TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+        # with session tz pinned to UTC the cast is value-preserving
+        # and matches DuckDB's epoch_us on the naive value.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_epoch_us"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+SELECT event_id,
+       round(value, 2) AS value_2dp,
+       abs(value - 50.0) AS dist_from_mid,
+       CAST(ceil(value) AS BIGINT) AS value_ceil,
+       CAST(floor(value) AS BIGINT) AS value_floor,
+       least(value, 50.0) AS clamped_low,
+       greatest(value, 50.0) AS clamped_high
+FROM events
+WHERE event_id <= 200
+""",
+    tags=("F12", "F13", "F14"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/least/greatest (insert.ps1:256,261,307;
+    monitoring.ps1:599,627,1134-1135). ceil/floor cast to BIGINT on
+    both sides — Spark returns LONG, DuckDB DOUBLE by default."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    return ev.select(
+        "event_id",
+        F.round("value", 2).alias("value_2dp"),
+        F.abs(F.col("value") - 50.0).alias("dist_from_mid"),
+        F.ceil("value").alias("value_ceil"),
+        F.floor("value").alias("value_floor"),
+        F.least(F.col("value"), F.lit(50.0)).alias("clamped_low"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("clamped_high"),
+    )
+
+
+@register(
+    "unit_conversion_bands",
+    oracle="""
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars >= 1024 THEN round(n_chars / 1024.0, 2)
+            ELSE CAST(n_chars AS DOUBLE) END AS display_size,
+       CASE WHEN n_chars >= 1024 THEN 'KiB' ELSE 'B' END AS display_unit,
+       round(n_chars / 1024.0, 4) AS size_kib
+FROM documents
+WHERE doc_id < 300
+""",
+    tags=("F2", "F15", "F18"),
+)
+def unit_conversion_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-size tiering + unit conversion (monitoring.ps1:32-47
+    pg_size_pretty-style kB→KiB renaming; :544-549,1093-1098 K/M/G
+    CASE normalization) as pure expressions."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("n_chars") >= 1024, F.round(F.col("n_chars") / 1024.0, 2)
+        )
+        .otherwise(F.col("n_chars").cast("double"))
+        .alias("display_size"),
+        F.when(F.col("n_chars") >= 1024, "KiB").otherwise("B").alias("display_unit"),
+        F.round(F.col("n_chars") / 1024.0, 4).alias("size_kib"),
+    )
+
+
+@register(
+    "case_classification",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_totalprice >= 300000) AS n_large,
+       CASE WHEN COUNT(*) FILTER (WHERE o_totalprice >= 300000) = 0 THEN 'NONE'
+            WHEN 100.0 * COUNT(*) FILTER (WHERE o_totalprice >= 300000) / COUNT(*) >= 25.0 THEN 'HEAVY'
+            ELSE 'MIXED' END AS size_profile
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("F16", "A9"),
+)
+def case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold CASE classification over grouped ratios — the
+    efficiency/health banding idiom (monitoring.ps1:596-606,626-637,
+    807-808) on order-size mix per priority."""
+    orders = load(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    n_large = F.count(F.when(F.col("o_totalprice") >= 300000, 1))
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        n_large.alias("n_large"),
+        F.when(n_large == 0, "NONE")
+        .when(100.0 * n_large / n >= 25.0, "HEAVY")
+        .otherwise("MIXED")
+        .alias("size_profile"),
+    )

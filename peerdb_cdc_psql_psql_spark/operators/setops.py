@@ -1,0 +1,133 @@
+"""Set operations / dedup (SURVEY.md §2.7: U1-U4) + the A5 rollup.
+
+Scale: exact dedup shapes are hash-partition-by-key (`row_number`
+window or groupBy) — the shuffle is on the dedup key, AQE handles
+skew. EXCEPT ALL is a shuffled anti-multiset; both inputs here are
+pre-filtered projections so only the compared columns move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "dedup_first_seen",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("U2",),
+)
+def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-first-seen (monitoring.ps1:353,392-393 skips duplicate
+    container rows, first-wins). The reference keeps the first row it
+    streams past; distributed equivalent pins "first" with an explicit
+    order (event_id) — dropDuplicates alone would be nondeterministic."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "union_entities",
+    oracle="""
+SELECT 'customer' AS entity_kind, c_custkey AS entity_id, c_name AS entity_name FROM customer
+UNION ALL
+SELECT 'supplier', s_suppkey, s_name FROM supplier
+""",
+    tags=("U3",),
+)
+def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous lists under one schema
+    (monitoring.ps1:64-69 unions timestamped + legacy log file lists).
+    unionByName: position-independent, schema-checked."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity_kind"),
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity_kind"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "except_all_diff",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderkey % 97 <> 0
+""",
+    tags=("U4",),
+)
+def except_all_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level difference (monitoring.ps1:594,691 computes sync diff
+    as count subtraction; the set-level integrity check is
+    src EXCEPT ALL tgt — SURVEY.md §2.7 U4). Multiset semantics keep
+    per-key multiplicity, matching count-based lag exactly."""
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select("o_custkey")
+    tgt = orders.filter(F.col("o_orderkey") % 97 != 0).select("o_custkey")
+    return src.exceptAll(tgt)
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+SELECT c_custkey AS active_custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+""",
+    tags=("U1", "U4"),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct customers that actually ordered) —
+    completes the set-op surface next to union/except."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("active_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("active_custkey")
+    )
+    return cust.intersect(orders)
+
+
+@register(
+    "rollup_totals",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("A5",),
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group + subtotal + grand-total in one pass — the reference
+    renders per-table rows then a TOTAL row by hand
+    (monitoring.ps1:507-552, accumulators :530-531, totals :544-552);
+    ROLLUP is the engine-native form. Spark expands rollup into
+    partial aggs per grouping set — still one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_qty"),
+    )

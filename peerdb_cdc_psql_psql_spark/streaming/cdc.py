@@ -1,0 +1,322 @@
+"""CDC mirror: snapshot + continuous log-tail + keyed merge.
+
+Spark-first re-expression of the reference's PeerDB mirror
+(README.md:99-106, images/cdc.png: Initial Copy, Sync Interval 10 s,
+Parallelism 4, Soft Delete; workflow narrative README.md:231-238):
+
+- **Change stream** — an append-only event log (parquet dir) stands in
+  for Postgres WAL logical decoding (volumes/postgresql.conf:3-5).
+  Event = (lsn, commit_ts, op∈{I,U,D}, table, key, after_json).
+- **Initial snapshot** (C2/C9) — batch read of the source table,
+  `repartitionByRange(parallelism, key)` (the reference's
+  "Parallelism for Initial Load = 4" + custom partitioning key,
+  images/cdc_2.png), written as the target base with the snapshot LSN
+  recorded; the stream then applies only `lsn > snapshot_lsn` — no
+  gap, no double-apply.
+- **Keyed merge** (C1) — `foreachBatch` dedups to the latest change
+  per key (`row_number() over (partition by key order by lsn desc)`)
+  and appends it to the target's delta log. The visible target is
+  *base ∪ deltas compacted on read* by the same rule — the
+  log+compact-on-read strategy chosen in SURVEY.md §4 (OSS parquet has
+  no MERGE INTO; copy-on-write rewrite is the alternative and loses
+  the reference's visible soft-delete model).
+- **Soft delete** (C4/C5) — op='D' flags `_is_deleted` instead of
+  removing the row; every merged row carries `_synced_at`
+  (`_PEERDB_IS_DELETED` / `_PEERDB_SYNCED_AT`, images/cdc_orders.png).
+- **Exactly-once effect** (C7) — Structured Streaming checkpoint gives
+  at-least-once batch replay; the merge is content-idempotent because
+  compaction picks one row per (key, max lsn) regardless of how many
+  times a delta batch was appended.
+
+Scale posture: the delta log grows unbounded without maintenance, so
+`compact_target` periodically folds deltas into a new base (the
+100 TB version runs it on a schedule; reads stay O(base + recent
+deltas)). All merge work is hash-partitioned by key — no driver-side
+state, no collects.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# WAL-equivalent change-event schema (FIXTURES.md §C). `after_json`
+# keeps the log schema-generic across tables; per-table schemas are
+# applied with from_json at merge time.
+CDC_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("key", T.LongType(), False),
+        T.StructField("after_json", T.StringType(), True),
+    ]
+)
+
+META_COLS = ("_is_deleted", "_synced_at", "_lsn")
+
+
+@dataclass
+class TableMapping:
+    """Per-table mirror config (images/cdc_2.png: target-table rename,
+    per-column selection, custom partitioning key)."""
+
+    source_table: str
+    target_table: str
+    schema: T.StructType  # full source schema (keyed by `key_column`)
+    key_column: str = "id"
+    columns: list[str] | None = None  # None = all columns
+    partition_key: str | None = None  # snapshot range-partitioning key
+
+    def selected(self) -> list[str]:
+        cols = self.columns or [f.name for f in self.schema.fields]
+        if self.key_column not in cols:
+            cols = [self.key_column, *cols]
+        return cols
+
+
+@dataclass
+class Mirror:
+    """Named replication job (README.md:99-106): source peer → target
+    peer, table list, options."""
+
+    name: str
+    tables: dict[str, TableMapping]
+    soft_delete: bool = True  # images/cdc.png: Soft Delete ✓
+    sync_interval: str = "10 seconds"  # images/cdc.png: Sync Interval
+    snapshot_parallelism: int = 4  # images/cdc.png: Parallelism
+
+
+def _target_dirs(target_root: str, tm: TableMapping) -> tuple[str, str]:
+    base = f"{target_root}/{tm.target_table}/base"
+    delta = f"{target_root}/{tm.target_table}/delta"
+    return base, delta
+
+
+def _with_meta(df: DataFrame, tm: TableMapping) -> DataFrame:
+    """Project a change batch into target shape: selected columns from
+    the after-image + merge metadata."""
+    parsed = df.withColumn("after", F.from_json(F.col("after_json"), tm.schema))
+    cols = []
+    for c in tm.selected():
+        if c == tm.key_column:
+            cols.append(F.col("key").cast(dict(
+                (f.name, f.dataType) for f in tm.schema.fields
+            )[tm.key_column]).alias(c))
+        else:
+            cols.append(F.col(f"after.{c}").alias(c))
+    return parsed.select(
+        *cols,
+        (F.col("op") == F.lit("D")).alias("_is_deleted"),
+        F.current_timestamp().alias("_synced_at"),
+        F.col("lsn").alias("_lsn"),
+    )
+
+
+def snapshot_load(
+    spark: SparkSession,
+    source_df: DataFrame,
+    tm: TableMapping,
+    target_root: str,
+    snapshot_lsn: int,
+    parallelism: int = 4,
+) -> None:
+    """Initial Copy (C2): write the source table as the target base,
+    range-partitioned on the configured key (C9) so the parallel load
+    splits evenly — the Spark form of PeerDB's flow-snapshot-worker
+    with Parallelism for Initial Load (docker-compose.yml:133-141,
+    images/cdc.png)."""
+    base, _ = _target_dirs(target_root, tm)
+    pk = tm.partition_key or tm.key_column
+    out = (
+        source_df.select(*tm.selected())
+        .withColumn("_is_deleted", F.lit(False))
+        .withColumn("_synced_at", F.current_timestamp())
+        .withColumn("_lsn", F.lit(snapshot_lsn).cast("long"))
+        .repartitionByRange(parallelism, pk)
+    )
+    out.write.mode("overwrite").parquet(base)
+
+
+def _merge_batch(
+    batch_df: DataFrame, mirror: Mirror, target_root: str
+) -> None:
+    """foreachBatch body: per table, collapse to latest-change-per-key
+    within the micro-batch (C1 last-write-wins by lsn) and append to
+    the delta log. Replays append identical content, which compaction
+    collapses — idempotent (C7)."""
+    batch_df = batch_df.persist()
+    try:
+        for tm in mirror.tables.values():
+            tdf = batch_df.filter(F.col("table") == tm.source_table)
+            w = Window.partitionBy("key").orderBy(F.desc("lsn"))
+            latest = (
+                tdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            _, delta = _target_dirs(target_root, tm)
+            _with_meta(latest, tm).write.mode("append").parquet(delta)
+    finally:
+        batch_df.unpersist()
+
+
+def start_mirror(
+    spark: SparkSession,
+    mirror: Mirror,
+    event_dir: str,
+    target_root: str,
+    checkpoint_dir: str,
+    snapshot_lsn: int = -1,
+    trigger: dict | None = None,
+):
+    """Start the CDC stream for a mirror and return the StreamingQuery
+    (the reference's Temporal-durable workflow state is played by the
+    streaming checkpoint — SURVEY.md §3.3).
+
+    ``trigger`` defaults to the mirror's sync interval (C3); pass
+    ``{"availableNow": True}`` to drain-and-stop (tests, backfills).
+    """
+    stream = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .parquet(event_dir)
+        .filter(F.col("lsn") > F.lit(snapshot_lsn))  # C2 cutover
+        .filter(F.col("table").isin([t for t in mirror.tables]))  # S7 subsetting
+    )
+    writer = (
+        stream.writeStream.queryName(f"mirror-{mirror.name}")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, _id: _merge_batch(df, mirror, target_root))
+    )
+    trig = trigger or {"processingTime": mirror.sync_interval}
+    writer = writer.trigger(**trig)
+    return writer.start()
+
+
+def read_target(
+    spark: SparkSession,
+    mirror: Mirror,
+    source_table: str,
+    target_root: str,
+    include_deleted: bool = True,
+) -> DataFrame:
+    """Compact-on-read view of a mirrored target table: base ∪ deltas,
+    one row per key at max LSN, soft-deleted rows flagged (visible, as
+    in images/cdc_orders.png) or dropped when ``include_deleted=False``
+    (hard-delete mode, Soft Delete toggle off)."""
+    tm = mirror.tables[source_table]
+    base_dir, delta_dir = _target_dirs(target_root, tm)
+    parts = []
+    for d in (base_dir, delta_dir):
+        try:
+            parts.append(spark.read.parquet(d))
+        except Exception:
+            continue  # missing side (no snapshot, or no changes yet)
+    if not parts:
+        raise FileNotFoundError(f"no target data under {target_root}")
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    w = Window.partitionBy(tm.key_column).orderBy(F.desc("_lsn"))
+    state = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .drop("_lsn")
+    )
+    if not (mirror.soft_delete and include_deleted):
+        state = state.filter(~F.col("_is_deleted"))
+        if not mirror.soft_delete:
+            state = state.drop("_is_deleted")
+    return state
+
+
+def compact_target(
+    spark: SparkSession, mirror: Mirror, source_table: str, target_root: str
+) -> None:
+    """Fold deltas into a fresh base so reads stay O(base). The 100 TB
+    deployment schedules this per table; it is the only full rewrite in
+    the pipeline and it is range-partitioned like the snapshot."""
+    import shutil
+
+    tm = mirror.tables[source_table]
+    base_dir, delta_dir = _target_dirs(target_root, tm)
+    # Recompute max lsn BEFORE rewriting so concurrent appends that
+    # arrive mid-compaction survive in the delta dir (they sort above
+    # the base rows on the next read).
+    state = read_target(spark, mirror, source_table, target_root)
+    max_lsn = (
+        spark.read.parquet(delta_dir).agg(F.max("_lsn")).collect()[0][0]
+        if _exists(delta_dir)
+        else 0
+    )
+    out = state.withColumn("_lsn", F.lit(max_lsn).cast("long")).repartitionByRange(
+        mirror.snapshot_parallelism, tm.partition_key or tm.key_column
+    )
+    tmp = f"{base_dir}__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.move(tmp, base_dir)
+
+
+def _exists(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag report over live mirror state (monitoring.ps1:576-627 on real targets)
+# ---------------------------------------------------------------------------
+
+
+def mirror_lag_report(
+    spark: SparkSession,
+    mirror: Mirror,
+    sources: dict[str, DataFrame],
+    target_root: str,
+) -> DataFrame:
+    """Per-table source↔target lag with SYNCED/NEAR_SYNC/LAG bands —
+    the flagship reconciliation (monitoring.ps1:576-627) computed over
+    the *actual* mirror targets. Counts exclude tombstones so lag==0
+    holds after deletes (SURVEY.md §7 risk 3: the reference counts raw
+    rows only because its demo never deletes)."""
+    parts = []
+    for src_name, df in sources.items():
+        tgt = read_target(spark, mirror, src_name, target_root).filter(
+            ~F.col("_is_deleted")
+        )
+        src_cnt = df.agg(F.count(F.lit(1)).alias("src_rows")).select(
+            F.lit(src_name).alias("table_name"), "src_rows"
+        )
+        tgt_cnt = tgt.agg(F.count(F.lit(1)).alias("tgt_rows"))
+        parts.append(src_cnt.crossJoin(tgt_cnt))
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    lag = F.col("src_rows") - F.col("tgt_rows")
+    return report.select(
+        "table_name",
+        "src_rows",
+        "tgt_rows",
+        lag.alias("lag_rows"),
+        F.when(lag == 0, "SYNCED")
+        .when(F.abs(lag) <= 5, "NEAR_SYNC")
+        .otherwise("LAG")
+        .alias("sync_status"),
+    )
+
+
+def event_row(
+    lsn: int, commit_ts, op: str, table: str, key: int, after: dict | None
+) -> tuple:
+    """Helper to build one CDC event tuple (generator/test use)."""
+    return (lsn, commit_ts, op, table, key, json.dumps(after) if after else None)

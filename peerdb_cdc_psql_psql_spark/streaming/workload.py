@@ -1,0 +1,153 @@
+"""Workload generator — the Spark-side equivalent of the reference's
+stress-test driver (insert.ps1:250-334): seeded batched multi-row
+INSERTs with randomized FKs/quantities/dates, plus per-batch metrics.
+
+Rows are synthesized with a seeded ``random.Random`` on the driver and
+parallelized as DataFrames (batch sizes here mirror insert.ps1's
+100-5000 records — driver-side generation is fine at that scale; the
+100 TB variant generates distributed via ``spark.range`` + column
+expressions, provided by ``synthesize_orders_distributed``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import DEMO_SCHEMAS
+from .cdc import CDC_EVENT_SCHEMA, event_row
+
+# Seed rows from quickstart_prepare_peers.sh:54-77 (4 customers,
+# 9 products, 5 orders — values synthesized, shapes preserved).
+_BASE_DATE = dt.datetime(2024, 1, 1)
+
+
+@dataclass
+class WorkloadMetrics:
+    """METRICS hashtable parity (insert.ps1:21-32)."""
+
+    total_operations: int = 0
+    successful_operations: int = 0
+    failed_operations: int = 0
+    batches: int = 0
+
+
+def seed_customers(n: int = 4) -> list[tuple]:
+    return [
+        (i, f"first_{i}", f"last_{i}", f"user{i}@example.com")
+        for i in range(1, n + 1)
+    ]
+
+
+def seed_products(n: int = 9) -> list[tuple]:
+    from decimal import Decimal
+
+    return [
+        (i, f"product_{i}", f"description of product {i}", Decimal(f"{i}.25"))
+        for i in range(1, n + 1)
+    ]
+
+
+def generate_order_events(
+    rng: random.Random,
+    start_id: int,
+    start_lsn: int,
+    count: int,
+    customer_ids: list[int],
+    product_ids: list[int],
+    update_fraction: float = 0.0,
+    delete_fraction: float = 0.0,
+) -> list[tuple]:
+    """Synthesize a batch of order CDC events with insert.ps1's
+    distributions (:271-278): purchaser/product uniform from the id
+    pools, quantity uniform 1-99, order_date = base − uniform(0..30)
+    days, id monotonic from MAX(id)+1 (:147-158). Optionally follow up
+    with updates/deletes on keys from this batch (FIXTURES.md §C
+    scenarios 2-3)."""
+    events = []
+    lsn = start_lsn
+    ids = []
+    for i in range(count):
+        oid = start_id + i
+        ids.append(oid)
+        after = {
+            "id": oid,
+            "order_date": (
+                _BASE_DATE - dt.timedelta(days=rng.randint(0, 30))
+            ).strftime("%Y-%m-%d"),
+            "purchaser": rng.choice(customer_ids),
+            "quantity": rng.randint(1, 99),
+            "product_id": rng.choice(product_ids),
+        }
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "I", "orders", oid, after)
+        )
+        lsn += 1
+    n_upd = int(count * update_fraction)
+    for oid in rng.sample(ids, n_upd):
+        after = {
+            "id": oid,
+            "order_date": _BASE_DATE.strftime("%Y-%m-%d"),
+            "purchaser": rng.choice(customer_ids),
+            "quantity": rng.randint(1, 99),
+            "product_id": rng.choice(product_ids),
+        }
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "U", "orders", oid, after)
+        )
+        lsn += 1
+    n_del = int(count * delete_fraction)
+    for oid in rng.sample(ids, n_del):
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "D", "orders", oid, None)
+        )
+        lsn += 1
+    return events
+
+
+def events_df(spark: SparkSession, events: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(events, CDC_EVENT_SCHEMA)
+
+
+def append_events(spark: SparkSession, events: list[tuple], event_dir: str) -> None:
+    """Append a batch of change events to the WAL-equivalent log dir
+    (one multi-row INSERT statement per batch, insert.ps1:280-283)."""
+    events_df(spark, events).coalesce(1).write.mode("append").parquet(event_dir)
+
+
+def synthesize_orders_distributed(
+    spark: SparkSession,
+    count: int,
+    n_customers: int,
+    n_products: int,
+    start_id: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """100 TB-posture generator: fully distributed synthesis via
+    spark.range + seeded rand() column expressions (no driver loop) —
+    the shape the reference's generator would need at scale."""
+    return (
+        spark.range(start_id, start_id + count)
+        .withColumnRenamed("id", "id")
+        .select(
+            F.col("id"),
+            F.date_sub(
+                F.lit(_BASE_DATE.date()), (F.rand(seed) * 30).cast("int")
+            ).alias("order_date"),
+            (F.floor(F.rand(seed + 1) * n_customers) + 1).alias("purchaser"),
+            (F.floor(F.rand(seed + 2) * 99) + 1).alias("quantity"),
+            (F.floor(F.rand(seed + 3) * n_products) + 1).alias("product_id"),
+        )
+    )
+
+
+def demo_customers_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(seed_customers(), DEMO_SCHEMAS["customers"])
+
+
+def demo_products_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(seed_products(), DEMO_SCHEMAS["products"])

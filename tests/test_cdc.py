@@ -1,0 +1,212 @@
+"""CDC invariant tests (SURVEY.md §5): apply a generated event log
+through the mirror, then assert the reference's invariants —
+
+(a) target == replaying events in LSN order per key (oracle: the same
+    row_number-over-lsn rule computed as a batch query),
+(b) lag == 0 after drain (SYNCED, monitoring.ps1:594-606),
+(c) soft-deleted rows present with the flag set (images/cdc_orders.png),
+(d) replayed/extended runs stay exactly-once via checkpoint (C7).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+    Mirror,
+    TableMapping,
+    compact_target,
+    mirror_lag_report,
+    read_target,
+    start_mirror,
+)
+from peerdb_cdc_psql_psql_spark.streaming import workload
+
+
+@pytest.fixture()
+def mirror():
+    return Mirror(
+        name="demo",
+        tables={
+            "orders": TableMapping(
+                source_table="orders",
+                target_table="orders_cdc",
+                schema=DEMO_SCHEMAS["orders"],
+                key_column="id",
+            )
+        },
+    )
+
+
+def _run_drain(spark, mirror, event_dir, target_root, ckpt):
+    q = start_mirror(
+        spark,
+        mirror,
+        event_dir=event_dir,
+        target_root=target_root,
+        checkpoint_dir=ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+
+
+def _expected_state(spark, all_events):
+    """Batch oracle: replay the full event log with the LSN rule."""
+    df = workload.events_df(spark, all_events).filter(F.col("table") == "orders")
+    w = Window.partitionBy("key").orderBy(F.desc("lsn"))
+    latest = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    parsed = latest.withColumn(
+        "after", F.from_json("after_json", DEMO_SCHEMAS["orders"])
+    )
+    return parsed.select(
+        F.col("key").alias("id"),
+        F.col("after.order_date").alias("order_date"),
+        F.col("after.purchaser").alias("purchaser"),
+        F.col("after.quantity").alias("quantity"),
+        F.col("after.product_id").alias("product_id"),
+        (F.col("op") == "D").alias("_is_deleted"),
+    )
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+DATA_COLS = ["id", "order_date", "purchaser", "quantity", "product_id", "_is_deleted"]
+
+
+def test_insert_update_delete_merge(spark, tmp_path, mirror):
+    """Scenarios 1-3 in one run: inserts + same-key updates within one
+    micro-batch (last-write-wins) + deletes (soft-delete flag)."""
+    rng = random.Random(7)
+    events = workload.generate_order_events(
+        rng, start_id=1, start_lsn=1, count=200,
+        customer_ids=[1, 2, 3, 4], product_ids=list(range(1, 10)),
+        update_fraction=0.2, delete_fraction=0.1,
+    )
+    event_dir, target_root, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, events, event_dir)
+    _run_drain(spark, mirror, event_dir, target_root, ckpt)
+
+    got = read_target(spark, mirror, "orders", target_root)
+    exp = _expected_state(spark, events)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+    # (c) soft-deleted rows are visible with flag set
+    n_del = got.filter(F.col("_is_deleted")).count()
+    assert n_del == 20
+    # audit column present
+    assert "_synced_at" in got.columns
+
+
+def test_multi_batch_and_lag_synced(spark, tmp_path, mirror):
+    """Multiple micro-batches drain to lag==0 (SYNCED) against the
+    live source state; compaction preserves the state."""
+    rng = random.Random(11)
+    event_dir, target_root, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    all_events = []
+    next_id, next_lsn = 1, 1
+    for _ in range(3):
+        batch = workload.generate_order_events(
+            rng, start_id=next_id, start_lsn=next_lsn, count=100,
+            customer_ids=[1, 2, 3, 4], product_ids=list(range(1, 10)),
+            update_fraction=0.1,
+        )
+        workload.append_events(spark, batch, event_dir)
+        all_events.extend(batch)
+        next_id += 100
+        next_lsn = max(e[0] for e in batch) + 1
+        _run_drain(spark, mirror, event_dir, target_root, ckpt)
+
+    # (b) lag == 0 ⇒ SYNCED: source = expected live (non-deleted) state
+    source = _expected_state(spark, all_events).filter(~F.col("_is_deleted"))
+    report = mirror_lag_report(
+        spark, mirror, {"orders": source}, target_root
+    ).collect()
+    assert report[0]["sync_status"] == "SYNCED", report
+
+    before = _collect_sorted(
+        read_target(spark, mirror, "orders", target_root), DATA_COLS
+    )
+    compact_target(spark, mirror, "orders", target_root)
+    after = _collect_sorted(
+        read_target(spark, mirror, "orders", target_root), DATA_COLS
+    )
+    assert before == after
+
+
+def test_restart_resume_exactly_once(spark, tmp_path, mirror):
+    """(d) Stop the stream, append more events, restart with the same
+    checkpoint: previously applied batches are not re-applied (no
+    duplicate keys), new events land (C7)."""
+    rng = random.Random(13)
+    event_dir, target_root, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    b1 = workload.generate_order_events(
+        rng, start_id=1, start_lsn=1, count=50,
+        customer_ids=[1, 2], product_ids=[1, 2, 3],
+    )
+    workload.append_events(spark, b1, event_dir)
+    _run_drain(spark, mirror, event_dir, target_root, ckpt)
+
+    b2 = workload.generate_order_events(
+        rng, start_id=51, start_lsn=51, count=50,
+        customer_ids=[1, 2], product_ids=[1, 2, 3], delete_fraction=0.1,
+    )
+    workload.append_events(spark, b2, event_dir)
+    _run_drain(spark, mirror, event_dir, target_root, ckpt)
+
+    got = read_target(spark, mirror, "orders", target_root)
+    assert got.count() == 100  # one row per key, no dup application
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    exp = _expected_state(spark, b1 + b2)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+
+
+def test_snapshot_then_stream_cutover(spark, tmp_path, mirror):
+    """C2: initial snapshot at LSN s, then stream applies only
+    lsn > s — no gaps, no double-apply."""
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import snapshot_load
+
+    rng = random.Random(17)
+    event_dir, target_root, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    # Pre-snapshot history: 80 inserts (lsn 1..80)
+    pre = workload.generate_order_events(
+        rng, start_id=1, start_lsn=1, count=80,
+        customer_ids=[1, 2, 3], product_ids=[1, 2],
+    )
+    snapshot_lsn = 80
+    source_at_snapshot = _expected_state(spark, pre).filter(~F.col("_is_deleted")).drop(
+        "_is_deleted"
+    )
+    tm = mirror.tables["orders"]
+    snapshot_load(spark, source_at_snapshot, tm, target_root, snapshot_lsn)
+
+    # Full WAL (pre + post); stream must skip lsn <= 80
+    post = workload.generate_order_events(
+        rng, start_id=81, start_lsn=81, count=40,
+        customer_ids=[1, 2, 3], product_ids=[1, 2], update_fraction=0.25,
+    )
+    workload.append_events(spark, pre + post, event_dir)
+    q = start_mirror(
+        spark, mirror, event_dir, target_root, ckpt,
+        snapshot_lsn=snapshot_lsn, trigger={"availableNow": True},
+    )
+    q.awaitTermination(timeout=120)
+
+    got = read_target(spark, mirror, "orders", target_root)
+    exp = _expected_state(spark, pre + post)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+    assert got.count() == 120
