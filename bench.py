@@ -1,0 +1,114 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON
+line with per-query wall seconds plus a CDC-apply throughput figure
+comparable to the reference's insert.ps1 stress test (BASELINE.md:
+1.04 records/s throttled demo; effective claim = 500-row batch
+replicated within a 10 s sync interval).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from peerdb_cdc_psql_psql_spark.session import get_spark  # noqa: E402
+from peerdb_cdc_psql_psql_spark import operators  # noqa: E402,F401
+from peerdb_cdc_psql_psql_spark.registry import REGISTRY  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per capability family (SURVEY.md §7 M6).
+HEADLINE = [
+    "pricing_summary",          # grouped aggregation over the fact table
+    "star_join_revenue",        # broadcast star join
+    "multiway_star_lineitem",   # 5-way join
+    "reconciliation_lag",       # flagship CDC lag report
+    "cdc_merged_state",         # keyed last-write-wins merge semantics
+    "log_batch_resource_agg",   # regex log parsing + grouped agg
+    "topk_per_group",           # window rank-limit
+    "dedup_ngram_jaccard",      # near-dup blocking join
+    "dedup_minhash_lsh",        # MinHash-LSH scale path
+    "similarity_topk_cosine",   # brute-force ANN baseline
+    "quality_score",            # text quality expressions
+    "multimodal_decode_stats",  # mapInPandas Arrow path
+]
+
+
+def bench_cdc_apply(spark) -> tuple[float, int]:
+    """Mirror-apply throughput: N change events through the streaming
+    merge (availableNow drain), returns (seconds, events)."""
+    from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+    from peerdb_cdc_psql_psql_spark.streaming import workload
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        Mirror,
+        TableMapping,
+        read_target,
+        start_mirror,
+    )
+
+    n = 20000
+    rng = random.Random(42)
+    events = workload.generate_order_events(
+        rng, start_id=1, start_lsn=1, count=n,
+        customer_ids=list(range(1, 101)), product_ids=list(range(1, 101)),
+        update_fraction=0.2, delete_fraction=0.05,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        workload.append_events(spark, events, f"{tmp}/wal")
+        mirror = Mirror(
+            name="bench",
+            tables={
+                "orders": TableMapping(
+                    "orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id"
+                )
+            },
+        )
+        t0 = time.perf_counter()
+        q = start_mirror(
+            spark, mirror, f"{tmp}/wal", f"{tmp}/tgt", f"{tmp}/ckpt",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(timeout=600)
+        read_target(spark, mirror, "orders", f"{tmp}/tgt").count()
+        dt = time.perf_counter() - t0
+    return dt, len(events)
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/codegen paths outside timed region.
+    REGISTRY["count_per_table"].fn(spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    cdc_sec, cdc_events = bench_cdc_apply(spark)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cdc_apply_events": cdc_events,
+        "cdc_apply_seconds": round(cdc_sec, 3),
+        "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,20 +3,30 @@
 
 from . import (  # noqa: F401
     cdc_semantics,
+    dedup,
+    event_time,
     joins,
     monitoring,
+    multimodal,
     relational,
     scalars,
     setops,
+    similarity,
+    text_analysis,
     windows,
 )
 
 __all__ = [
     "cdc_semantics",
+    "dedup",
+    "event_time",
     "joins",
     "monitoring",
+    "multimodal",
     "relational",
     "scalars",
     "setops",
+    "similarity",
+    "text_analysis",
     "windows",
 ]

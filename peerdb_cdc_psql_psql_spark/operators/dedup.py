@@ -1,0 +1,286 @@
+"""Deduplication pack (SURVEY.md §2.10 X1/X2 + north-star): exact,
+hash-keyed, n-gram Jaccard near-dup, MinHash-LSH, SimHash — the
+operators a 100 TB training-data pipeline runs over `documents`.
+
+Scale design:
+- Exact dedup = hash shuffle on the dedup key (or its sha256 — always
+  group on the 32-byte digest at scale, never on megabyte texts).
+- Near-dup avoids the O(n²) pair space with *blocking*: candidate
+  pairs must share a shingle (inverted-index self-join). Frequent
+  shingles are capped (DF cut) so one stop-shingle can't produce a
+  quadratic bucket — the classic skew guard.
+- MinHash-LSH (Spark ML) gives the sub-quadratic scale path; the
+  exact Jaccard op is its oracle-checkable ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Near-dup parameters: word-3-gram shingles, Jaccard >= 0.8 (the
+# fixtures plant pairs at ~0.99), shingle document-frequency cap to
+# block stop-shingle blowup.
+_SHINGLE_N = 3
+_JACCARD_T = 0.8
+_MAX_SHINGLE_DF = 100
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs for docs with >= N tokens."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - _SHINGLE_N),
+        lambda i: F.concat_ws(
+            " ", F.get(tok, i), F.get(tok, i + 1), F.get(tok, i + 2)
+        ),
+    )
+    return (
+        docs.filter(F.size(tok) >= _SHINGLE_N)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                 for i in range(1, len(tok) - 1)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+  WHERE len(tok) >= 3
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+HAVING COUNT(*) > 1
+""",
+    tags=("X1", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: keep the lowest doc_id per identical
+    text (X1). Returns only groups with >1 copy (the dedup report);
+    survivors = anti-join against this set."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id", "text", "n_copies")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT text) AS n_dropped
+FROM documents
+""",
+    tags=("X1", "dedup"),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting: total vs unique vs dropped. At 100 TB this is
+    the same one-pass agg — COUNT(DISTINCT) shuffles digests, so the
+    scale variant groups sha2(text) (see dedup_hash_keys)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).alias("n_dropped"),
+    )
+
+
+@register(
+    "dedup_hash_keys",
+    oracle="""
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+WHERE doc_id < 100
+GROUP BY sha256(text)
+""",
+    tags=("X1", "dedup"),
+)
+def dedup_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed exact dedup (the 100 TB form): group on the sha256
+    digest so the shuffle moves 32-byte keys, not document bodies.
+    Keeper = min doc_id per digest."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared * 1.0 / (s1.n + s2.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE shared * 1.0 / (s1.n + s2.n - shared) >= {_JACCARD_T}
+""",
+    tags=("X2", "dedup", "bench"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.8 (X2
+    ground truth; the fixtures plant ~0.99 pairs).
+
+    Plan: shingle inverted index → DF-cap frequent shingles (skew
+    guard: a shingle shared by k docs creates k² candidate rows) →
+    self-equi-join on shingle (hash shuffle on shingle, NOT a cross
+    join) → count shared per pair → Jaccard filter. This is the
+    standard sub-quadratic blocking shape; at 100 TB the DF cap and
+    AQE skew-split keep the join balanced.
+    """
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh2 = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate — verified against dedup_ngram_jaccard in tests
+    tags=("X2", "dedup", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (X2 scale path): shingle →
+    HashingTF sparse vector → MinHashLSH approxSimilarityJoin at
+    Jaccard distance <= 0.2. Sub-quadratic: candidates only form
+    within LSH band buckets. Verified in tests to recover every exact-
+    Jaccard pair (tests/test_llm_pack.py)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-mixing hash — determinism + planted-pair recall in tests
+    tags=("X2", "dedup", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup buckets: per token, xxhash64 → 64 bit votes
+    weighted ±1, sign-aggregated into a 64-bit signature; docs are
+    bucketed by 16-bit bands (hamming-adjacent docs collide in >= 1
+    band). Pure built-in expressions — no UDF: the bit loop is a
+    transform over sequence(0,63) with shiftright/bitwise ops.
+
+    Output: candidate pairs sharing a band with identical signature
+    band value. At 100 TB: 4 band-joins on 16-bit keys, each a hash
+    shuffle of (band_key, doc_id) only."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.col("text"), " ")).alias("token")
+    toks = docs.select("doc_id", tok).filter(F.col("token") != "")
+    toks = toks.withColumn("h", F.xxhash64("token"))
+    # vote per bit: +1 if bit set else -1; sum over tokens; bit = sign
+    bits = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+                    0
+                )
+                for b in range(63)  # bit 63 left clear: keep sign positive
+            ]
+        ).alias("simhash"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )

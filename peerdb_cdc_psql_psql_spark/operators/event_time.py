@@ -1,0 +1,119 @@
+"""Event-time windowing (SURVEY.md §2.9 C10 + idiomatic-Spark
+extension): tumbling/sliding window aggregates over `events.ts`.
+
+The reference's only event-time notions are the 10 s sync interval and
+the NEAR_SYNC lag band (monitoring.ps1:599-601); the Spark-native
+generalization is `window()` aggregation, and on streams the same
+expression runs under `withWatermark` (streaming/windows.py) — batch
+and stream share the plan, which is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "tumbling_window_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    tags=("C10", "window", "streaming-equivalent"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the 10 s sync-interval
+    accounting generalized): same `window()` expression a stream runs
+    under withWatermark. Window assignment is a pure projection — the
+    only shuffle is the grouped agg on (window), partial-combined
+    map-side."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_errors", "total_value")
+    )
+
+
+@register(
+    "sliding_window_rate",
+    oracle="""
+WITH buckets AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+slid AS (
+  SELECT b AS window_start, n
+       + COALESCE(LEAD(n, 1) OVER (ORDER BY b), 0) AS n_events_1h
+  FROM buckets
+)
+SELECT window_start, n_events_1h FROM slid
+""",
+    tags=("C10", "window"),
+)
+def sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 30 min. Expressed as 30-min buckets
+    + a LEAD self-combination rather than Spark's window(slide) —
+    deliberately: window(slide=30min) emits one row per *event* per
+    overlapping window (2× the rows through the shuffle); bucketing
+    then combining adjacent buckets shuffles each event once. Same
+    result, half the shuffle — the scale-aware formulation."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    buckets = ev.groupBy(F.window("ts", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.col("w.start").alias("window_start"), "n")
+    lead = F.lead("n", 1).over(W.orderBy("window_start"))
+    return buckets.select(
+        "window_start",
+        (F.col("n") + F.coalesce(lead, F.lit(0))).alias("n_events_1h"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch — engine-specific estimate; exact twin below
+    tags=("A3", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB form of A3
+    (COUNT(DISTINCT) shuffles every key; the sketch shuffles ~1.5 KB
+    per partition). Estimate is engine-specific → rows-only check; the
+    exact twin (distinct_users_exact) carries the value oracle, and
+    tests assert the estimate is within 5% of it."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "distinct_users_exact",
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events
+""",
+    tags=("A3",),
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) twin of approx_distinct_users."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

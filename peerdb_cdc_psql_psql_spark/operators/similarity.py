@@ -1,0 +1,216 @@
+"""Similarity-search pack (SURVEY.md §2.10 X3 + north-star): cosine
+top-k over the `embeddings` array<float> column — exact brute-force as
+the verifiable baseline, LSH-bucketed and IVF variants as the scale
+paths.
+
+Engine parity note: Spark's sequential double fold
+(aggregate(zip_with(a,b,*), 0.0, +)) is bit-identical to DuckDB's
+list_cosine_similarity on DOUBLE[] (verified: 0.4927657135003488 both
+engines), so the exact variants are value-hash oracle-checkable.
+
+Scale design: brute-force top-k is O(n·q) but embarrassingly parallel
+— queries broadcast, corpus partition-local scoring, per-partition
+heap via rank-limit pushdown. The LSH/IVF variants cut the scored
+candidate set per query to a bucket (~n/buckets), which is the 100 TB
+path; both are recall-tested against the exact baseline in
+tests/test_llm_pack.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_N_QUERIES = 5  # fixed query set: vec_id < 5
+_TOP_K = 3
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Exact cosine in double precision, sequential fold (bit-matches
+    the DuckDB oracle — see module docstring)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS_SQL.format(a="e.embedding", b="q.qv")} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, ROUND(cosine, 6) AS cosine
+FROM scored WHERE rn <= {_TOP_K}
+""",
+    tags=("X3", "similarity", "bench"),
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (X3 baseline): 5 query vectors ×
+    full corpus, top-3 neighbors each.
+
+    Plan: queries broadcast (5 rows at any SF) → corpus-partition-local
+    scoring (no shuffle of the corpus) → row_number window per query
+    with rank-limit pushdown → only k·q rows cross the final shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = _cosine(F.col("embedding"), F.col("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_blocked_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.35
+""",
+    tags=("X2", "X3", "similarity"),
+)
+def similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates with label blocking
+    (north-star "embedding-cosine near-dup"): pairs are only formed
+    within a block (here the label; at 100 TB a coarse quantizer
+    cell), turning O(n²) into Σ|block|². The equi-join on the block
+    key is a plain hash shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.35)
+        .select("vec_a", "vec_b", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_lsh_bucketed",
+    oracle=None,  # approximate — recall-tested vs exact top-k in tests
+    tags=("X3", "similarity", "approx"),
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate neighbor candidates (X3 scale path):
+    normalize vectors (cosine ≡ euclidean on the unit sphere), random-
+    hyperplane-project into buckets via BucketedRandomProjectionLSH,
+    score only within-bucket candidates. Sub-quadratic: candidate
+    count ≈ n²/buckets instead of n²."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    norm = Normalizer(inputCol="vec", outputCol="unit", p=2.0)
+    unit = norm.transform(emb)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit", outputCol="hashes", bucketLength=0.9, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    # euclidean distance d on unit vectors ⇒ cosine = 1 - d²/2
+    pairs = model.approxSimilarityJoin(unit, unit, 1.2, distCol="euclid")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1 - F.col("euclid") * F.col("euclid") / 2, 6).alias("cosine_est"),
+        )
+        .filter(F.col("cosine_est") >= 0.2)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate — recall-tested vs exact top-k in tests
+    tags=("X3", "similarity", "approx"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k (X3 scale path): KMeans
+    coarse quantizer partitions the corpus into cells; each query
+    probes its nprobe=3 nearest cells and scores exact cosine only
+    there. The cell assignment is the partition key at 100 TB —
+    queries route to cells, so a top-k touches ~nprobe/k_cells of the
+    data. Centroids are tiny and broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k_cells, nprobe = 8, 3
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    km = KMeans(k=k_cells, seed=42, featuresCol="vec", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = F.broadcast(
+        assigned.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+    )
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # route each query to its nprobe nearest centroids
+    qcells = (
+        queries.crossJoin(cdf)
+        .withColumn("cdist", _cosine(F.col("qv"), F.col("centroid").cast("array<float>")))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("crn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.select("vec_id", "label", "embedding", "cell")
+        .join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine(F.col("embedding"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,248 @@
+"""Text-analysis pack (SURVEY.md §2.10 X4 + north-star): language-ID,
+quality scoring, token counting, fingerprinting over `documents` —
+all built-in expressions (regexp/split/aggregate), zero Python UDFs,
+so the whole pack stays inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Tiny marker lexicons for the n-gram/stopword language heuristic.
+# (A real pipeline ships per-language frequency tables; the heuristic
+# *shape* — per-language token-hit scoring + argmax — is identical.)
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "small"],
+    "es": ["el", "la", "que", "de"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "que"],
+    "zh": ["de", "shi", "bu", "le"],
+}
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _hit_count(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(tokens, arr))
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY lang
+""",
+    tags=("X4", "text"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc counts, characters, token
+    lengths) — the groupBy(lang) shape of SURVEY.md §2.10 X4."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.sum(ntok.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+WHERE doc_id < 200
+""",
+    tags=("X4", "text"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (north-star "token counting"):
+    whitespace tokens, a BPE-ish regex segmentation (letter runs /
+    digit runs / single punctuation — the GPT-2 pre-tokenizer shape),
+    and the chars/4 LLM heuristic. regexp_count is JVM codegen."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','to','in'], t))) AS stop_hits,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_chars
+  FROM documents
+)
+-- scores reported in floor'd basis points: floor is rounding-rule
+-- independent across engines, round-half is not (0.86875 case)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(stop_hits * 10000.0 / n_tokens) AS BIGINT) AS stopword_bp,
+       CAST(FLOOR(punct_chars * 10000.0 / n_chars) AS BIGINT) AS punct_bp,
+       CAST(FLOOR((LEAST(n_tokens / 50.0, 1.0) * 0.5
+           + LEAST(stop_hits * 1.0 / n_tokens * 5.0, 1.0) * 0.3
+           + (1.0 - LEAST(punct_chars * 1.0 / n_chars * 10.0, 1.0)) * 0.2) * 10000.0) AS BIGINT)
+         AS quality_bp,
+       CASE WHEN LEAST(n_tokens / 50.0, 1.0) * 0.5
+             + LEAST(stop_hits * 1.0 / n_tokens * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(punct_chars * 1.0 / n_chars * 10.0, 1.0)) * 0.2 >= 0.7
+            THEN 'KEEP' ELSE 'REVIEW' END AS quality_band
+FROM feats
+WHERE doc_id < 200
+""",
+    tags=("X4", "text", "bench"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (north-star): length, stopword ratio,
+    punctuation density → weighted composite + KEEP/REVIEW band (the
+    Gopher/C4-style filter-rule shape as one expression tree)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: F.array_contains(F.array(*[F.lit(w) for w in _STOPWORDS]), t))
+    )
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]"))
+    stop_ratio = stop_hits * 1.0 / n_tokens
+    punct_ratio = punct * 1.0 / F.col("n_chars")
+    quality = (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        # op order mirrors the oracle exactly: s*10000.0/n, NOT
+        # (s/n)*10000 — fp results differ and floor amplifies it
+        F.floor(stop_hits * 10000.0 / n_tokens).cast("bigint").alias("stopword_bp"),
+        F.floor(punct * 10000.0 / F.col("n_chars")).cast("bigint").alias("punct_bp"),
+        F.floor(quality * 10000.0).cast("bigint").alias("quality_bp"),
+        F.when(quality >= 0.7, "KEEP").otherwise("REVIEW").alias("quality_band"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','small'], t))) AS s_en,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','que','de'], t))) AS s_es,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','und','nicht'], t))) AS s_de,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','et','que'], t))) AS s_fr,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['de','shi','bu','le'], t))) AS s_zh
+  FROM documents
+)
+SELECT predicted_lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE predicted_lang = labeled_lang) AS n_label_agree
+FROM (
+  SELECT labeled_lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM scored
+)
+GROUP BY predicted_lang
+""",
+    tags=("X4", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token scoring + argmax (north-star
+    "language-ID (n-gram heuristic)"). The fixture corpus is synthetic
+    English-ish for every label, so the heuristic (correctly) predicts
+    'en' — the value verified is the scoring/argmax machinery, and
+    n_label_agree quantifies heuristic-vs-label agreement."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    scores = {
+        lang: _hit_count(tokens, words) for lang, words in _LANG_MARKERS.items()
+    }
+    # deterministic argmax with fixed precedence en > es > de > fr > zh
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["zh"]),
+            "es",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    scored = docs.select(F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+    return scored.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1)).alias(
+            "n_label_agree"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS fp_md5,
+       list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(text[i]) AS BIGINT)),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS fp_rolling
+FROM documents
+WHERE doc_id < 200
+""",
+    tags=("X4", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star "rolling hash"): a stable
+    md5 prefix plus a polynomial rolling hash (h·31+c mod 1e9+7) folded
+    over the character stream with `aggregate` — both pure expressions,
+    both engine-portable (the oracle computes the identical fold)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # substr with a *column* start index needs the SQL expr form
+    codes = F.expr(
+        "transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint))"
+    )
+    rolling = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )

@@ -1,0 +1,82 @@
+"""Streaming event-time aggregation with watermarks (SURVEY.md §2.9
+C10): the idiomatic `withWatermark + window` form of the engine's
+interval accounting, plus a stateful running counter via
+``applyInPandasWithState`` for semantics windows can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_change_counts(
+    stream: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Per-sync-interval change counts over the CDC event stream
+    (C3/C6/C10): event-time tumbling windows with late-data tolerance.
+    The 30 s watermark is the reference's NEAR_SYNC allowance
+    (monitoring.ps1:599-601) expressed as event-time slack: changes
+    later than that are dropped from the closed window instead of
+    blocking state forever (bounded state at 100 TB)."""
+    return (
+        stream.withWatermark("commit_ts", watermark)
+        .groupBy(F.window("commit_ts", window).alias("w"), F.col("table"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.count(F.when(F.col("op") == "I", 1)).alias("n_inserts"),
+            F.count(F.when(F.col("op") == "U", 1)).alias("n_updates"),
+            F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"),
+        )
+        .select(F.col("w.start").alias("window_start"), "table",
+                "n_changes", "n_inserts", "n_updates", "n_deletes")
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+_COUNTER_OUT = T.StructType(
+    [
+        T.StructField("table", T.StringType()),
+        T.StructField("running_total", T.LongType()),
+        T.StructField("batch_rows", T.LongType()),
+    ]
+)
+
+
+def running_change_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (the SURVEY.md §2.9 'custom stateful
+    streaming' slot): a per-table running change counter maintained in
+    ``applyInPandasWithState`` — cumulative totals can't be expressed
+    as a window aggregate. State is one long per key: bounded, keyed,
+    executor-resident."""
+
+    def update(
+        key: tuple, pdfs: Iterator[Any], state: GroupState
+    ) -> Iterator[Any]:
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"table": [key[0]], "running_total": [total], "batch_rows": [n]}
+        )
+
+    return (
+        stream.groupBy("table")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_COUNTER_OUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,123 @@
+"""Property tests for the approximate LLM-pack operators: each
+approximation is checked against its exact, oracle-verified baseline
+(SURVEY.md §5 model — approximations get recall gates, not hashes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_psql_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from peerdb_cdc_psql_psql_spark.operators.multimodal import (
+    decode_media,
+    media_manifest,
+)
+from peerdb_cdc_psql_psql_spark.operators.similarity import (
+    ann_ivf_topk,
+    similarity_lsh_bucketed,
+    similarity_topk_cosine,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+def test_minhash_recovers_exact_jaccard_pairs(spark):
+    """Every exact-Jaccard>=0.8 pair must be found by MinHash-LSH
+    (8 tables at t=0.2 distance ⇒ near-certain recall at j≈0.99)."""
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    assert exact, "fixtures should contain planted near-dup pairs"
+    approx = _pairs(dedup_minhash_lsh(spark, SF))
+    missed = exact - approx
+    assert len(missed) / len(exact) <= 0.1, f"minhash recall too low: missed {missed}"
+
+
+def test_simhash_recovers_planted_pairs(spark):
+    """SimHash band-bucketing should catch most ~0.99-Jaccard pairs
+    (near-identical token sets ⇒ hamming distance ~0)."""
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    sim = _pairs(dedup_simhash(spark, SF))
+    found = exact & sim
+    assert len(found) / len(exact) >= 0.8, (
+        f"simhash recall {len(found)}/{len(exact)}"
+    )
+
+
+def test_lsh_bucketed_similarity_recall(spark):
+    """LSH candidate set must contain the exact top-1 neighbor for
+    most queries (4 tables, generous radius)."""
+    exact = similarity_topk_cosine(spark, SF).filter("cosine >= 0.2")
+    top1 = {
+        (r["query_id"], r["vec_id"])
+        for r in exact.filter(
+            F.col("vec_id").isNotNull()
+        ).collect()
+        if r["cosine"] == exact.filter(F.col("query_id") == r["query_id"]).agg(F.max("cosine")).collect()[0][0]
+    }
+    cand = {
+        (min(r["vec_a"], r["vec_b"]), max(r["vec_a"], r["vec_b"]))
+        for r in similarity_lsh_bucketed(spark, SF).collect()
+    }
+    cand_sym = cand | {(b, a) for a, b in cand}
+    if top1:
+        hit = sum(1 for p in top1 if p in cand_sym or (p[1], p[0]) in cand_sym)
+        assert hit / len(top1) >= 0.4, f"lsh recall {hit}/{len(top1)}"
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=3/8 cells must recover >=1/3 of the exact top-3
+    per query on average (random embeddings are the worst case for
+    coarse quantization — real clustered data does far better)."""
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in similarity_topk_cosine(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in ann_ivf_topk(spark, SF).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 1 / 3, (
+        f"ivf recall {len(exact & approx)}/{len(exact)}"
+    )
+
+
+def test_decode_media_fake_stats_exact(spark):
+    """The fake decoder's byte stats must equal expression-computed
+    truth (validates mapInPandas batch plumbing end to end)."""
+    m = media_manifest(spark, SF).filter(F.col("media_id") < 50)
+    decoded = decode_media(m, fake=True)
+    got = {r["media_id"]: (r["payload_bytes"], r["byte_sum"]) for r in decoded.collect()}
+    truth = {
+        r["media_id"]: (r["len"], r["s"])
+        for r in m.select(
+            "media_id",
+            F.length("payload").cast("long").alias("len"),
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("payload")),
+                    lambda i: F.expr("payload").substr(i, F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda s, b: s
+                + F.coalesce(F.ascii(b.cast("string")).cast("long"), F.lit(0)),
+            ).alias("s"),
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for k in got:
+        assert got[k][0] == truth[k][0], f"len mismatch for {k}"
+        assert got[k][1] == truth[k][1], f"sum mismatch for {k}"
+
+
+def test_decode_media_real_path_is_stubbed(spark):
+    m = media_manifest(spark, SF).filter(F.col("media_id") < 5)
+    with pytest.raises(Exception) as ei:
+        decode_media(m, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -1,0 +1,107 @@
+"""Physical-plan shape tests (SURVEY.md §4 / the 100 TB posture):
+pin the optimizations each operator's docstring claims. These fail if
+a refactor silently loses a pushdown, broadcast, or rank-limit — the
+regressions that don't change results but melt at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+import peerdb_cdc_psql_psql_spark.operators  # noqa: F401  (registers queries)
+from peerdb_cdc_psql_psql_spark.plans import (
+    assert_plan_contains,
+    assert_plan_lacks,
+    plan_string,
+)
+from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2 equality predicate must appear in PushedFilters, not as a
+    post-scan Filter only."""
+    plan = assert_plan_contains(
+        _df(spark, "filter_equality"), "PushedFilters:", "EqualTo(p_brand,Brand#7)"
+    )
+    assert "Brand#7" in plan
+
+
+def test_column_pruning_single_column_scan(spark):
+    """S1/P1: the scan must read exactly one column."""
+    plan = assert_plan_contains(
+        _df(spark, "scan_projection"), "ReadSchema: struct<c_custkey:bigint>"
+    )
+    assert "c_name" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    """Fixed-size dims (region/nation) must broadcast — no shuffle of
+    the dimension side at any SF."""
+    assert_plan_contains(_df(spark, "star_join_revenue"), "BroadcastHashJoin")
+
+
+def test_topk_uses_rank_limit_pushdown(spark):
+    """W3 top-k per group: WindowGroupLimit keeps k rows per partition
+    pre-shuffle instead of ranking everything."""
+    assert_plan_contains(_df(spark, "topk_per_group"), "WindowGroupLimit")
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """W2/W3 global top-1: TakeOrderedAndProject, not a global Sort."""
+    plan = plan_string(_df(spark, "top1_by_measure"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """A-pack: grouped agg must partial-combine map-side (two
+    HashAggregate stages around the exchange)."""
+    plan = plan_string(_df(spark, "pricing_summary"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_in_reconciliation(spark):
+    """Flagship lag report: tiny agg unions — no cartesian blowup, no
+    sort-merge join of full tables."""
+    assert_plan_lacks(_df(spark, "reconciliation_lag"), "CartesianProduct")
+
+
+def test_semi_join_no_payload_duplication(spark):
+    """J3: left_semi keeps the probe side only."""
+    plan = plan_string(_df(spark, "fk_semi_join"))
+    assert "LeftSemi" in plan
+
+
+def test_dedup_blocking_is_equi_join(spark):
+    """X2: the near-dup candidate join must be a hash/sort-merge EQUI
+    join on shingle — never a nested-loop cross join."""
+    plan = plan_string(_df(spark, "dedup_ngram_jaccard"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_broadcast_queries(spark):
+    """X3 brute-force top-k: the 5-row query set broadcasts; the
+    corpus is never shuffled for scoring."""
+    plan = plan_string(_df(spark, "similarity_topk_cosine"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None],
+)
+def test_no_python_udf_in_oracle_checked_plans(spark, name):
+    """§4 goal: zero Python UDFs on the relational hot path — every
+    oracle-checked operator compiles to pure JVM expressions.
+    (mapInPandas appears only in multimodal_decode_stats, which is the
+    designed Arrow path.)"""
+    if name == "multimodal_decode_stats":
+        pytest.skip("designed Arrow/Pandas path")
+    plan = plan_string(_df(spark, name), mode="simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

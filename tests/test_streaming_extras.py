@@ -1,0 +1,222 @@
+"""Tests for streaming windowed aggregation + stateful counter +
+incremental mirror modes (C8/C10) + source/DDL surfaces."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_psql_spark.sources import (
+    append_rows,
+    parse_stats_lines,
+    read_log_dir,
+    verify_insert,
+    write_log_lines,
+)
+from peerdb_cdc_psql_psql_spark.sources.ddl import (
+    foreign_key_violations,
+    primary_key_violations,
+)
+from peerdb_cdc_psql_psql_spark.streaming import workload
+from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+from peerdb_cdc_psql_psql_spark.streaming.incremental import (
+    query_replication_sync,
+    read_incremental_target,
+    read_watermark,
+    xmin_sync,
+)
+from peerdb_cdc_psql_psql_spark.streaming.windows import (
+    running_change_totals,
+    windowed_change_counts,
+)
+
+
+def _event_stream(spark, event_dir):
+    return spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(event_dir)
+
+
+def _drain(q):
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+
+
+def test_windowed_change_counts_with_watermark(spark, tmp_path):
+    """C10: watermarked tumbling windows over the change stream match
+    the batch computation of the same expression."""
+    rng = random.Random(5)
+    events = workload.generate_order_events(
+        rng, 1, 1, 300, [1, 2, 3], [1, 2, 3], update_fraction=0.2,
+        delete_fraction=0.1,
+    )
+    event_dir = str(tmp_path / "wal")
+    workload.append_events(spark, events, event_dir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        windowed_change_counts(_event_stream(spark, event_dir), window="60 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    got = spark.read.parquet(out_dir)
+    batch = (
+        workload.events_df(spark, events)
+        .groupBy(F.window("commit_ts", "60 seconds").alias("w"), "table")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(F.col("w.start").alias("window_start"), "table", "n_changes")
+    )
+    g = sorted((r["window_start"], r["table"], r["n_changes"]) for r in got.collect())
+    b = sorted((r["window_start"], r["table"], r["n_changes"]) for r in batch.collect())
+    # append-mode emits only watermark-closed windows: got ⊆ batch,
+    # and every emitted window matches the batch truth exactly
+    assert set(g) <= set(b)
+    assert len(g) >= len(b) - 1  # at most the last open window withheld
+
+
+def test_running_change_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: running totals accumulate across
+    micro-batches and survive via the state store."""
+    rng = random.Random(9)
+    event_dir = str(tmp_path / "wal")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i in range(2):
+        batch = workload.generate_order_events(
+            rng, 1 + 100 * i, 1 + 100 * i, 100, [1], [1]
+        )
+        workload.append_events(spark, batch, event_dir)
+        q = (
+            running_change_totals(_event_stream(spark, event_dir))
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    rows = spark.read.parquet(out_dir).collect()
+    totals = sorted(r["running_total"] for r in rows)
+    assert totals[-1] == 200  # cumulative across restarts
+    assert all(r["table"] == "orders" for r in rows)
+
+
+def test_xmin_incremental_sync(spark, tmp_path):
+    """C8 XMin mode: only rows past the watermark sync each round."""
+    tgt = str(tmp_path / "xmin_tgt")
+    src1 = spark.range(1, 101).select(
+        F.col("id"), (F.col("id") * 10).alias("payload")
+    )
+    assert xmin_sync(spark, src1, tgt, "id") == 100
+    assert read_watermark(tgt) == 100
+    # second round: 20 new rows
+    src2 = spark.range(1, 121).select(
+        F.col("id"), (F.col("id") * 10).alias("payload")
+    )
+    assert xmin_sync(spark, src2, tgt, "id") == 20
+    assert read_incremental_target(spark, tgt).count() == 120
+    # idempotent when nothing new
+    assert xmin_sync(spark, src2, tgt, "id") == 0
+
+
+def test_query_replication_sync(spark, tmp_path):
+    """C8 Query Replication: full overwrite re-materialization."""
+    tgt = str(tmp_path / "qr_tgt")
+    assert query_replication_sync(spark, spark.range(50), tgt) == 50
+    assert query_replication_sync(spark, spark.range(30), tgt) == 30
+    assert read_incremental_target(spark, tgt).count() == 30
+
+
+def test_log_source_roundtrip(spark, tmp_path):
+    """S9: text log → typed frame via regex parse."""
+    lines = [
+        "[INSERT-BATCH-1] container=flow cpu=12.5000%",
+        "noise line without marker",
+        "[INSERT-BATCH-1] container=catalog cpu=3.2500%",
+        "[INSERT-BATCH-2] container=flow cpu=20.0000%",
+    ]
+    d = str(tmp_path / "logs")
+    write_log_lines(lines, d)
+    parsed = parse_stats_lines(read_log_dir(spark, d))
+    rows = sorted(tuple(r) for r in parsed.collect())
+    assert rows == [(1, "catalog", 3.25), (1, "flow", 12.5), (2, "flow", 20.0)]
+
+
+def test_ddl_append_verify_and_integrity(spark, tmp_path):
+    """D3-D5 + PK/FK check queries."""
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(1, 11).select(F.col("id"), (F.col("id") % 3).alias("grp"))
+    n = append_rows(df1, path)
+    assert n == 10
+    assert verify_insert(spark, path, expected_delta=10, before=0)
+    df2 = spark.range(11, 16).select(F.col("id"), (F.col("id") % 3).alias("grp"))
+    append_rows(df2, path)
+    assert verify_insert(spark, path, expected_delta=5, before=10)
+
+    tbl = spark.read.parquet(path)
+    assert primary_key_violations(tbl, "id").count() == 0
+    parents = spark.range(0, 3).select(F.col("id").alias("grp_id"))
+    assert foreign_key_violations(tbl, "grp", parents, "grp_id").count() == 0
+    bad_parents = spark.range(0, 2).select(F.col("id").alias("grp_id"))
+    assert foreign_key_violations(tbl, "grp", bad_parents, "grp_id").count() > 0
+
+
+def test_progress_listener_metrics(spark, tmp_path):
+    """_meta.progress surface: listener lands one row per micro-batch
+    with input-row counts (SURVEY.md §4 metrics item)."""
+    import time
+
+    from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        Mirror,
+        TableMapping,
+        start_mirror,
+    )
+    from peerdb_cdc_psql_psql_spark.streaming.metrics import (
+        attach_progress_listener,
+        detach_progress_listener,
+        progress_report,
+    )
+
+    rng = random.Random(21)
+    event_dir = str(tmp_path / "wal")
+    meta = str(tmp_path / "meta")
+    workload.append_events(
+        spark, workload.generate_order_events(rng, 1, 1, 150, [1], [1]), event_dir
+    )
+    listener = attach_progress_listener(spark, meta)
+    try:
+        mirror = Mirror(
+            name="metrics-test",
+            tables={
+                "orders": TableMapping(
+                    "orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id"
+                )
+            },
+        )
+        q = start_mirror(
+            spark, mirror, event_dir, str(tmp_path / "tgt"),
+            str(tmp_path / "ckpt"), trigger={"availableNow": True},
+        )
+        q.awaitTermination(timeout=120)
+        # listener events are delivered asynchronously
+        for _ in range(20):
+            try:
+                if progress_report(spark, meta).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        detach_progress_listener(spark, listener)
+    rep = progress_report(spark, meta)
+    rows = rep.collect()
+    assert rows, "listener produced no progress rows"
+    assert sum(r["num_input_rows"] for r in rows) == 150
+    assert {r["query_name"] for r in rows} == {"mirror-metrics-test"}
