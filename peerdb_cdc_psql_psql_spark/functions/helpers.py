@@ -1,0 +1,59 @@
+"""Expression-level helpers shared by operator packs.
+
+All pure Column expressions (JVM codegen) — the engine's rule is that
+helpers compose expressions, they never wrap Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def format_bytes(col: Column) -> Column:
+    """pg_size_pretty-equivalent with the reference's IEC renaming
+    quirk (monitoring.ps1:32-47 maps kB→KiB, MB→MiB, …): tiered CASE
+    producing e.g. '1.5 MiB'. Tiers are 1024-based like pg."""
+    b = col.cast("double")
+    return (
+        F.when(b >= 1024.0**4, F.concat(F.round(b / 1024.0**4, 1), F.lit(" TiB")))
+        .when(b >= 1024.0**3, F.concat(F.round(b / 1024.0**3, 1), F.lit(" GiB")))
+        .when(b >= 1024.0**2, F.concat(F.round(b / 1024.0**2, 1), F.lit(" MiB")))
+        .when(b >= 1024.0, F.concat(F.round(b / 1024.0, 1), F.lit(" KiB")))
+        .otherwise(F.concat(b.cast("long"), F.lit(" B")))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Exact cosine over array columns (double fold) — the canonical
+    form used by the similarity pack; see operators/similarity.py for
+    the engine-parity notes."""
+    ad, bd = a.cast("array<double>"), b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: salt the big side's key with a random
+    bucket, replicate the small side across all buckets, join on
+    (key, salt). Use when ONE key dominates (power-law FKs at 100 TB)
+    and AQE's skew split isn't enough — e.g. a single customer holding
+    10% of orders. Replication factor = salt_buckets on the small side
+    only; the big side's skewed key now spreads over salt_buckets
+    tasks."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(42) * salt_buckets).cast("int")
+    )
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(exploded_small, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    sql_frontend,
     text_analysis,
     windows,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "scalars",
     "setops",
     "similarity",
+    "sql_frontend",
     "text_analysis",
     "windows",
 ]

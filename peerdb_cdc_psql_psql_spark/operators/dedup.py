@@ -39,11 +39,17 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.get(tok, i), F.get(tok, i + 1), F.get(tok, i + 2)
         ),
     )
-    return (
+    out = (
         docs.filter(F.size(tok) >= _SHINGLE_N)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
+    # The inverted index feeds FOUR plan branches (self-join a/b, DF
+    # cap, set sizes); without materialization Spark re-explodes and
+    # re-distincts per branch. Cache it — it is |docs|·|shingles| small
+    # keys, and at 100 TB this is exactly the intermediate you'd
+    # persist (or pre-bucket) between dedup stages.
+    return out.persist()
 
 
 _SHINGLES_SQL = """

@@ -194,9 +194,11 @@ def multiway_star_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's query surface needs (SURVEY.md §2.4 star surface).
 
     Scale: p_type filter prunes part *before* the fact join (Catalyst
-    pushes it into the part scan); supplier⋈nation⋈region collapses to
-    a broadcast chain; the only big shuffle is lineitem⋈part, on the
-    join key, with partial aggregation after.
+    pushes it into the part scan); nation/region broadcast into
+    supplier (fixed-size dims). supplier itself is SF-proportional, so
+    it gets NO broadcast hint — AQE broadcasts it while it fits and
+    falls back to a shuffled join at scale. The only guaranteed big
+    shuffle is lineitem⋈part, on the join key, partial-agg after.
     """
     li = load(spark, sf_dir, "lineitem")
     part = (
@@ -214,7 +216,7 @@ def multiway_star_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup_geo), li.l_suppkey == sup_geo.s_suppkey)
+        .join(sup_geo, li.l_suppkey == sup_geo.s_suppkey)
         .groupBy("p_type", "r_name")
         .agg(
             F.sum(

@@ -1,0 +1,76 @@
+"""SQL entry point (SURVEY.md §2.1 S10): the reference exposes a
+Postgres-wire SQL frontend (peerdb-server :9900,
+docker-compose.yml:155-170); the engine-native equivalent is
+`spark.sql` over registered temp views — same queries, no network
+server. One representative query runs fully as SQL text to pin the
+surface; a catalog-introspection query covers F19.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import FIXTURE_TABLES, load
+from ..registry import register
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog to SQL (CREATE MIRROR-style DDL consumers):
+    one temp view per fixture table."""
+    for t in FIXTURE_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "sql_entrypoint",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    tags=("S10", "sql"),
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query submitted as pure SQL text through spark.sql — the S10
+    frontend surface. Catalyst compiles it to the identical plan the
+    DataFrame form produces (same pushdown, same partial aggs)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "catalog_introspection",
+    oracle=None,  # engine-catalog contents — no DuckDB equivalent
+    tags=("F19", "catalog"),
+)
+def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema/pg_settings-style introspection (F19:
+    monitoring.ps1:887,966,991 queries pg catalogs): the engine's
+    registered tables with row counts — built from spark.catalog +
+    per-table metadata-only counts."""
+    register_views(spark, sf_dir)
+    rows = [
+        (t.name, t.tableType, bool(t.isTemporary)) for t in spark.catalog.listTables()
+        if t.name in FIXTURE_TABLES
+    ]
+    tables = spark.createDataFrame(rows, ["table_name", "table_type", "is_temporary"])
+    counts = None
+    for t in FIXTURE_TABLES:
+        c = (
+            load(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return tables.join(counts, "table_name").orderBy("table_name")

@@ -210,3 +210,51 @@ def test_snapshot_then_stream_cutover(spark, tmp_path, mirror):
     exp = _expected_state(spark, pre + post)
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
     assert got.count() == 120
+
+
+def test_multi_table_mirror_routing(spark, tmp_path):
+    """S7 table subsetting: one mirror, two tables — changes route to
+    the right target; unmirrored tables are ignored."""
+    import datetime as dt
+    import json as _json
+
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import event_row
+
+    base = dt.datetime(2024, 1, 1)
+    m = Mirror(
+        name="multi",
+        tables={
+            "orders": TableMapping(
+                "orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id"
+            ),
+            "customers": TableMapping(
+                "customers", "customers_cdc", DEMO_SCHEMAS["customers"], "id"
+            ),
+        },
+    )
+    events = [
+        event_row(1, base, "I", "customers", 1,
+                  {"id": 1, "first_name": "a", "last_name": "b", "email": "e"}),
+        event_row(2, base, "I", "orders", 10,
+                  {"id": 10, "order_date": "2024-01-02", "purchaser": 1,
+                   "quantity": 5, "product_id": 1}),
+        event_row(3, base, "I", "products", 99,
+                  {"id": 99}),  # NOT mirrored — must be dropped
+        event_row(4, base, "U", "customers", 1,
+                  {"id": 1, "first_name": "a2", "last_name": "b", "email": "e"}),
+    ]
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, events, event_dir)
+    q = start_mirror(spark, m, event_dir, tgt, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(timeout=120)
+
+    cust = read_target(spark, m, "customers", tgt)
+    orders = read_target(spark, m, "orders", tgt)
+    assert cust.count() == 1
+    assert cust.collect()[0]["first_name"] == "a2"  # last-write-wins
+    assert orders.count() == 1
+    assert orders.collect()[0]["quantity"] == 5
+    import os
+    assert not os.path.exists(f"{tgt}/products")  # unmirrored ignored
