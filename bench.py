@@ -111,6 +111,16 @@ def main() -> None:
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
     )
+
+    # insert.ps1's own benchmark at its default scenario (5000 records,
+    # batch 500 — README.md:124-126), unthrottled: directly comparable
+    # to BASELINE.md's 1.04 ops/s sample run.
+    from peerdb_cdc_psql_psql_spark.streaming.workload import run_insert_stress
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stress = run_insert_stress(
+            spark, f"{tmp}/wal", record_count=5000, batch_size=500
+        )
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -121,6 +131,9 @@ def main() -> None:
         "cdc_apply_events": cdc_events,
         "cdc_apply_seconds": round(cdc_sec, 3),
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1),
+        "insert_stress_ops_per_sec": stress["ops_per_sec"],
+        "insert_stress_success_rate_pct": stress["success_rate_pct"],
+        "insert_stress_avg_batch_ms": stress["avg_batch_ms"],
         "cpus": CPUS,
     }
     print(json.dumps(out))

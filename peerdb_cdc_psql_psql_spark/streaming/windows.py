@@ -80,3 +80,13 @@ def running_change_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_event_stream(stream: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+    """Streaming exactly-once event dedup (U1/U2 on streams): drop
+    re-delivered change events by lsn within the watermark horizon —
+    the idempotence guard an at-least-once transport (Kafka, retried
+    file lists) needs in front of the merge. State = seen lsn set,
+    bounded by the watermark (expired state is evicted), so memory is
+    O(events per 30 s), not O(stream)."""
+    return stream.withWatermark("commit_ts", watermark).dropDuplicates(["lsn"])

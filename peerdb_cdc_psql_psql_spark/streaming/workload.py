@@ -151,3 +151,64 @@ def demo_customers_df(spark: SparkSession) -> DataFrame:
 
 def demo_products_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(seed_products(), DEMO_SCHEMAS["products"])
+
+
+def run_insert_stress(
+    spark: SparkSession,
+    event_dir: str,
+    record_count: int = 5000,
+    batch_size: int = 500,
+    seed: int = 42,
+    customer_ids: list[int] | None = None,
+    product_ids: list[int] | None = None,
+) -> dict:
+    """The insert.ps1 stress driver (insert.ps1:250-334 / README
+    scenarios 100/10, 1000/50, 5000/500): write `record_count` order
+    changes in `batch_size` batches to the CDC log, timing each batch;
+    returns the METRICS summary (insert.ps1:338-363 shape — total ops,
+    success rate, ops/sec, avg/min/max batch ms).
+
+    The reference sleeps between batches (DelayBetweenBatches) to
+    throttle a demo; the engine measures unthrottled capability — the
+    stream's trigger provides pacing in production (SURVEY.md §4).
+    """
+    import time
+
+    rng = random.Random(seed)
+    customer_ids = customer_ids or list(range(1, 101))
+    product_ids = product_ids or list(range(1, 101))
+    metrics = WorkloadMetrics()
+    batch_ms: list[float] = []
+    next_id, next_lsn = 1, 1
+    t_start = time.perf_counter()
+    while metrics.total_operations < record_count:
+        n = min(batch_size, record_count - metrics.total_operations)
+        events = generate_order_events(
+            rng, next_id, next_lsn, n, customer_ids, product_ids
+        )
+        t0 = time.perf_counter()
+        try:
+            append_events(spark, events, event_dir)
+            # D5 verification: the write landed fully ("INSERT 0 N")
+            metrics.successful_operations += n
+        except Exception:
+            metrics.failed_operations += n
+        batch_ms.append((time.perf_counter() - t0) * 1000.0)
+        metrics.total_operations += n
+        metrics.batches += 1
+        next_id += n
+        next_lsn += n
+    wall = time.perf_counter() - t_start
+    return {
+        "total_operations": metrics.total_operations,
+        "successful_operations": metrics.successful_operations,
+        "failed_operations": metrics.failed_operations,
+        "batches": metrics.batches,
+        "success_rate_pct": round(
+            100.0 * metrics.successful_operations / metrics.total_operations, 2
+        ),
+        "ops_per_sec": round(metrics.successful_operations / wall, 2),
+        "avg_batch_ms": round(sum(batch_ms) / len(batch_ms), 1),
+        "min_batch_ms": round(min(batch_ms), 1),
+        "max_batch_ms": round(max(batch_ms), 1),
+    }

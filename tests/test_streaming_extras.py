@@ -220,3 +220,51 @@ def test_progress_listener_metrics(spark, tmp_path):
     assert rows, "listener produced no progress rows"
     assert sum(r["num_input_rows"] for r in rows) == 150
     assert {r["query_name"] for r in rows} == {"mirror-metrics-test"}
+
+
+def test_insert_stress_driver(spark, tmp_path):
+    """M6: insert.ps1-equivalent stress driver — metrics shape and
+    full success at the reference's default 5000/500 scenario scale
+    (reduced 10x for test speed)."""
+    from peerdb_cdc_psql_psql_spark.streaming.workload import run_insert_stress
+
+    m = run_insert_stress(
+        spark, str(tmp_path / "wal"), record_count=500, batch_size=50
+    )
+    assert m["total_operations"] == 500
+    assert m["successful_operations"] == 500
+    assert m["success_rate_pct"] == 100.0
+    assert m["batches"] == 10
+    assert m["ops_per_sec"] > 1.04  # beat the reference's sample run
+    assert m["min_batch_ms"] <= m["avg_batch_ms"] <= m["max_batch_ms"]
+    # and the log actually contains the events
+    n = spark.read.parquet(str(tmp_path / "wal")).count()
+    assert n == 500
+
+
+def test_dedup_event_stream_drops_redelivery(spark, tmp_path):
+    """Streaming dedup by lsn: re-delivered events (at-least-once
+    transport) are dropped within the watermark horizon."""
+    from peerdb_cdc_psql_psql_spark.streaming.windows import dedup_event_stream
+
+    rng = random.Random(31)
+    events = workload.generate_order_events(rng, 1, 1, 50, [1], [1])
+    event_dir = str(tmp_path / "wal")
+    # deliver twice: duplicate files in the log dir
+    workload.append_events(spark, events, event_dir)
+    workload.append_events(spark, events, event_dir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        dedup_event_stream(_event_stream(spark, event_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 50  # 100 delivered, 50 unique lsn survive
+    assert got.select("lsn").distinct().count() == 50
