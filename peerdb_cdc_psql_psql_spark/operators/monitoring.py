@@ -164,3 +164,36 @@ def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("n_event_types"),
     )
     return agg.select(F.lit(1).alias("probe_ok"), "has_events", "n_event_types")
+
+
+def monitoring_report(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The full monitoring run (monitoring.ps1:1172-1257 main: 10
+    sequential passes) as one driver returning typed result tables.
+
+    The reference re-issues identical COUNT(*) queries across passes
+    (monitoring.ps1:578,675,844 — three times, no caching); here the
+    shared scan-heavy inputs are computed once and reused via cache
+    (SURVEY.md §3.2 'compute once, reuse'), then released."""
+    from ..registry import REGISTRY
+
+    passes = {
+        "system_phases": "log_batch_resource_agg",     # pass 1
+        "server_health": "health_probe",               # pass 2
+        "table_stats": "table_stats_rollup",           # pass 3
+        "flow_lag": "reconciliation_lag",              # pass 4
+        "cdc_operations": "cdc_changes_per_batch",     # pass 5
+        "container_health": "threshold_classify",      # pass 6
+        "performance_summary": "ratio_percentage",     # pass 7
+        "database_metrics": "count_per_table",         # pass 8
+        "flow_health": "cdc_sync_report",              # pass 9
+        "trend_analysis": "ntile_trend",               # pass 10
+    }
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events").cache()
+    try:
+        ev.count()  # materialize once; passes 1,5,6,7,9,10 reuse it
+        return {name: REGISTRY[q].fn(spark, sf_dir) for name, q in passes.items()}
+    finally:
+        # results that still need ev hold lineage; unpersist is lazy
+        ev.unpersist()

@@ -258,3 +258,30 @@ def test_multi_table_mirror_routing(spark, tmp_path):
     assert orders.collect()[0]["quantity"] == 5
     import os
     assert not os.path.exists(f"{tgt}/products")  # unmirrored ignored
+
+
+def test_mirror_column_subsetting(spark, tmp_path):
+    """S7 per-column selection (images/cdc_2.png checkboxes): a mirror
+    that selects only (id, quantity) must land exactly those columns
+    plus replica metadata."""
+    m = Mirror(
+        name="colsub",
+        tables={
+            "orders": TableMapping(
+                "orders", "orders_slim", DEMO_SCHEMAS["orders"], "id",
+                columns=["id", "quantity"],
+            )
+        },
+    )
+    rng = random.Random(23)
+    events = workload.generate_order_events(rng, 1, 1, 30, [1], [1])
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, events, event_dir)
+    q = start_mirror(spark, m, event_dir, tgt, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(timeout=120)
+    got = read_target(spark, m, "orders", tgt)
+    assert got.columns == ["id", "quantity", "_is_deleted", "_synced_at"]
+    assert got.count() == 30
+    assert got.filter(F.col("quantity").isNull()).count() == 0

@@ -268,3 +268,59 @@ def test_dedup_event_stream_drops_redelivery(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 50  # 100 delivered, 50 unique lsn survive
     assert got.select("lsn").distinct().count() == 50
+
+
+def test_batch_stream_parity_windowed_agg(spark, tmp_path):
+    """Structured Streaming contract: the SAME window expression over
+    the events fixture produces identical results in batch and stream
+    (complete mode) — the engine's batch operators are stream-ready."""
+    from peerdb_cdc_psql_psql_spark.catalog import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    # stream the same parquet through the same expression (readStream
+    # needs a directory — stage the file into one)
+    import shutil
+
+    stream_dir = str(tmp_path / "events_stream")
+    import os
+
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(
+        spark.read.parquet(stream_dir).schema
+    ).parquet(stream_dir)
+    # ts is nanos->long under the pinned conf; same conversion as load()
+    stream_in = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out_ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_in.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .writeStream.format("memory")
+        .queryName("bs_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", out_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM bs_parity").collect())
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert got == exp
+
+
+def test_monitoring_report_all_passes(spark):
+    """§3.2: the 10-pass monitoring driver returns a typed table per
+    pass, each non-empty."""
+    from peerdb_cdc_psql_psql_spark.operators.monitoring import monitoring_report
+
+    report = monitoring_report(spark, "/root/testdata/sf0.001")
+    assert len(report) == 10
+    for name, df in report.items():
+        assert df.count() > 0, name
