@@ -38,6 +38,7 @@ HEADLINE = [
     "similarity_topk_cosine",   # brute-force ANN baseline
     "quality_score",            # text quality expressions
     "multimodal_decode_stats",  # mapInPandas Arrow path
+    "training_data_pipeline",   # composed dedup→near-dup→quality chain
 ]
 
 

@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     event_time,
     joins,
     monitoring,
+    pipeline,
     multimodal,
     relational,
     scalars,
@@ -23,6 +24,7 @@ __all__ = [
     "event_time",
     "joins",
     "monitoring",
+    "pipeline",
     "multimodal",
     "relational",
     "scalars",

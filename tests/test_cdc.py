@@ -285,3 +285,26 @@ def test_mirror_column_subsetting(spark, tmp_path):
     assert got.columns == ["id", "quantity", "_is_deleted", "_synced_at"]
     assert got.count() == 30
     assert got.filter(F.col("quantity").isNull()).count() == 0
+
+
+def test_compact_then_more_changes(spark, tmp_path, mirror):
+    """Compaction must not disturb ordering for changes that arrive
+    AFTER it: post-compaction deltas (higher lsn) still win."""
+    rng = random.Random(29)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    b1 = workload.generate_order_events(rng, 1, 1, 60, [1], [1])
+    workload.append_events(spark, b1, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    compact_target(spark, mirror, "orders", tgt)
+
+    b2 = workload.generate_order_events(
+        rng, 1, 1000, 60, [1], [1], update_fraction=0.5, delete_fraction=0.2
+    )  # updates/deletes to ALREADY-COMPACTED keys (same id range)
+    workload.append_events(spark, b2, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+
+    got = read_target(spark, mirror, "orders", tgt)
+    exp = _expected_state(spark, b1 + b2)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
