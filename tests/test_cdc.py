@@ -308,3 +308,42 @@ def test_compact_then_more_changes(spark, tmp_path, mirror):
     got = read_target(spark, mirror, "orders", tgt)
     exp = _expected_state(spark, b1 + b2)
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+
+
+def test_corrupt_payload_does_not_crash_mirror(spark, tmp_path, mirror):
+    """Robustness: a change event with malformed after_json must not
+    kill the stream — from_json is PERMISSIVE, the row lands with null
+    payload columns and the key/tombstone machinery intact."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (1, base, "I", "orders", 1,
+         '{"id": 1, "order_date": "2024-01-02", "purchaser": 1, '
+         '"quantity": 5, "product_id": 1}'),
+        (2, base, "I", "orders", 2, '{not valid json !!!'),
+        (3, base, "I", "orders", 3, None),  # null payload on insert
+    ]
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, events, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    got = read_target(spark, mirror, "orders", tgt)
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["quantity"] == 5
+    assert rows[2]["quantity"] is None  # corrupt payload -> null fields
+    assert rows[2]["_is_deleted"] is False
+
+
+def test_catalog_schema_assertions(spark):
+    """M0: every fixture table matches its declared StructType."""
+    from peerdb_cdc_psql_psql_spark.catalog import (
+        FIXTURE_TABLES,
+        assert_schema,
+        load,
+    )
+
+    for t in FIXTURE_TABLES:
+        assert_schema(load(spark, "/root/testdata/sf0.001", t), t)
