@@ -199,3 +199,34 @@ def case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("MIXED")
         .alias("size_profile"),
     )
+
+
+@register(
+    "pretty_sizes",
+    oracle="""
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars >= 1048576 THEN CAST(round(n_chars / 1048576.0, 1) AS VARCHAR) || ' MiB'
+            WHEN n_chars >= 1024 THEN CAST(round(n_chars / 1024.0, 1) AS VARCHAR) || ' KiB'
+            ELSE CAST(n_chars AS VARCHAR) || ' B' END AS pretty_size
+FROM documents
+WHERE doc_id < 100
+""",
+    tags=("F2", "F18"),
+)
+def pretty_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_size_pretty with the reference's IEC units
+    (monitoring.ps1:32-47 kB→KiB renaming; F18 size introspection) as
+    a pure string expression — functions/helpers.format_bytes is the
+    reusable form."""
+    from ..catalog import load as _load
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    b = F.col("n_chars")
+    pretty = (
+        F.when(b >= 1048576,
+               F.concat(F.round(b / 1048576.0, 1).cast("string"), F.lit(" MiB")))
+        .when(b >= 1024,
+              F.concat(F.round(b / 1024.0, 1).cast("string"), F.lit(" KiB")))
+        .otherwise(F.concat(b.cast("string"), F.lit(" B")))
+    )
+    return docs.select("doc_id", "n_chars", pretty.alias("pretty_size"))

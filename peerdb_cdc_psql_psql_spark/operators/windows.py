@@ -206,3 +206,33 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("event_type", "event_id", "value")
     )
+
+
+@register(
+    "running_total_batches",
+    oracle=f"""
+WITH batches AS ({_BATCHES_SQL})
+SELECT batch, n_events,
+       CAST(SUM(n_events) OVER (ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_events
+FROM batches
+""",
+    tags=("window", "frame-spec"),
+)
+def running_total_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total with an explicit frame spec
+    (rowsBetween unboundedPreceding/currentRow) — the frame-window
+    form the reference's batch-progress accounting (insert.ps1:319-325)
+    generalizes to. Runs over the tiny per-batch aggregate, so the
+    unpartitioned window is bounded by |batches|, not |events|."""
+    b = _batches(spark, sf_dir)
+    w = (
+        Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "batch",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("cumulative_events"),
+    )
