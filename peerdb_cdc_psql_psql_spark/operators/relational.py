@@ -401,3 +401,55 @@ def threshold_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("volume_band"),
         F.when(n > 0, 1).otherwise(0).alias("has_activity"),
     )
+
+
+@register(
+    "latency_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("A6", "percentile"),
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 latency percentiles per operation type — the
+    richer form of the reference's avg/min/max batch-latency metrics
+    (insert.ps1:321-323,361-363). Spark's exact `percentile` and
+    DuckDB's quantile_cont share linear interpolation → bit-identical.
+    At 100 TB swap to approx_percentile (t-digest sketch, mergeable
+    map-side) — exact percentile shuffles every value per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "grouped_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+""",
+    tags=("F5", "A1", "string-agg"),
+)
+def grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the reference builds comma lists
+    for report rows by hand, monitoring.ps1:23-29): collect → sort →
+    join guarantees deterministic order across partitionings, matching
+    string_agg(... ORDER BY)."""
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
