@@ -230,3 +230,31 @@ def pretty_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(b.cast("string"), F.lit(" B")))
     )
     return docs.select("doc_id", "n_chars", pretty.alias("pretty_size"))
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'HIGH' ELSE 'LOW' END AS k_band
+FROM events
+WHERE event_id < 300
+""",
+    tags=("json", "F1"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON field extraction from the props payload column —
+    the schema-on-read path for semi-structured event attributes
+    (idiomatic-Spark extension; the reference regex-scrapes instead,
+    monitoring.ps1:1085). get_json_object is JVM codegen; for wide
+    extraction prefer from_json with an explicit schema (one parse,
+    many fields)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "HIGH").otherwise("LOW").alias("k_band"),
+    )
