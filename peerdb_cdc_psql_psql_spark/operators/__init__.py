@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     pipeline,
     multimodal,
     relational,
+    sampling,
     scalars,
     setops,
     similarity,
@@ -27,6 +28,7 @@ __all__ = [
     "pipeline",
     "multimodal",
     "relational",
+    "sampling",
     "scalars",
     "setops",
     "similarity",

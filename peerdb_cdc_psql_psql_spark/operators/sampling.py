@@ -1,0 +1,159 @@
+"""Sampling / splitting / chunking pack (north-star training-data
+operators beyond the reference): deterministic train-val splits,
+weighted corpus mixtures, and context-window chunking over
+`documents`. All hash-deterministic — reruns, retries, and different
+partitionings produce the SAME split, which is the property a
+reproducible data pipeline needs (and what makes these
+oracle-checkable, unlike rand()-based sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Deterministic per-document hash in [0, 1e9+7): the polynomial
+# rolling hash from text_analysis (engine-portable, verified there).
+_HASH_SQL = """list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(text[i]) AS BIGINT)),
+              (h, c) -> (h * 31 + c) % 1000000007)"""
+
+
+def _doc_hash() -> Column:
+    return F.aggregate(
+        F.expr(
+            "transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint))"
+        ),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, lang, n_chars, {_HASH_SQL} AS h FROM documents
+)
+SELECT lang,
+       CASE WHEN h % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM hashed
+GROUP BY lang, CASE WHEN h % 10 < 9 THEN 'train' ELSE 'val' END
+""",
+    tags=("sampling", "X4"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train-val split by content hash: the split
+    follows the DOCUMENT (not the row position or partition), so
+    re-ingestion, shuffling, or dedup reordering never leaks a doc
+    across splits — the reproducibility property rand() sampling
+    lacks. Pure expression; no shuffle beyond the final tiny agg."""
+    docs = load(spark, sf_dir, "documents")
+    h = _doc_hash()
+    split = F.when(h % 10 < 9, "train").otherwise("val")
+    return docs.select("lang", "n_chars", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# Per-source mixture weights (percent kept): the corpus-mixing knob of
+# a pretraining pipeline (e.g. upsample curated sources).
+_MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+_MIX_SQL = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+)
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, source, n_chars, {_HASH_SQL} AS h FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_candidates,
+       COUNT(*) FILTER (WHERE h % 100 < CASE {_MIX_SQL} ELSE 0 END) AS n_sampled,
+       CAST(SUM(n_chars) FILTER (WHERE h % 100 < CASE {_MIX_SQL} ELSE 0 END) AS BIGINT)
+         AS sampled_chars
+FROM hashed
+GROUP BY source
+""",
+    tags=("sampling", "X4"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture by deterministic hash thresholding
+    (keep doc iff hash%100 < weight[source]): the per-source
+    up/down-sampling step of pretraining-data assembly, reproducible
+    across runs and partitionings. One scan, no shuffle before the
+    accounting agg."""
+    docs = load(spark, sf_dir, "documents")
+    h = _doc_hash()
+    w = F.lit(0)
+    expr = None
+    for s, pct in _MIX_WEIGHTS.items():
+        expr = (
+            F.when(F.col("source") == s, pct)
+            if expr is None
+            else expr.when(F.col("source") == s, pct)
+        )
+    keep = h % 100 < expr.otherwise(0)
+    return docs.select("source", "n_chars", keep.alias("keep")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars"))).cast("bigint").alias(
+            "sampled_chars"
+        ),
+    )
+
+
+_CHUNK = 100  # characters per chunk
+_OVERLAP = 20  # characters of overlap between consecutive chunks
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+SELECT doc_id, chunk_idx,
+       substr(text, chunk_idx * ({_CHUNK} - {_OVERLAP}) + 1, {_CHUNK}) AS chunk_text,
+       length(substr(text, chunk_idx * ({_CHUNK} - {_OVERLAP}) + 1, {_CHUNK})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, GREATEST(CAST(ceil((length(text) - {_OVERLAP}) * 1.0 / ({_CHUNK} - {_OVERLAP})) AS BIGINT), 1))) AS chunk_idx
+  FROM documents
+  WHERE doc_id < 100 AND length(text) > 0
+)
+""",
+    tags=("sampling", "chunking", "X4"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (100-char windows, 20-char
+    stride overlap): the fan-out that turns documents into
+    model-ingestible sequences. Executor-side explode of a computed
+    index range — the chunk count per doc is derived, not stored, and
+    the explode never touches the driver."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    stride = _CHUNK - _OVERLAP
+    # clamp to >=1: a doc shorter than the overlap still yields one
+    # chunk (and Spark's sequence(0,-1) would DESCEND, not be empty)
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - _OVERLAP) * 1.0 / stride).cast("long"), F.lit(1)
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    chunked = docs.select("doc_id", "text", idx.alias("chunk_idx"))
+    chunk = F.expr(f"substr(text, chunk_idx * {stride} + 1, {_CHUNK})")
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
