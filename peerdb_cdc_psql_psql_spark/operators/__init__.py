@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     setops,
     similarity,
     sql_frontend,
+    temporal,
     text_analysis,
     windows,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "setops",
     "similarity",
     "sql_frontend",
+    "temporal",
     "text_analysis",
     "windows",
 ]

@@ -121,3 +121,32 @@ def test_decode_media_real_path_is_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_session_window_native_matches_manual(spark):
+    """The native session_window must agree with the manual gap-based
+    sessionization on session count and event totals per user."""
+    from peerdb_cdc_psql_psql_spark.operators.temporal import (
+        session_window_native,
+        sessionization,
+    )
+
+    manual = sessionization(spark, SF)
+    native = session_window_native(spark, SF)
+    m = {
+        (r["user_id"],): r["n"]
+        for r in manual.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = {
+        (r["user_id"],): r["n"]
+        for r in native.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert m == n  # same number of sessions per user
+    assert (
+        manual.agg(F.sum("n_events")).collect()[0][0]
+        == native.agg(F.sum("n_events")).collect()[0][0]
+    )
