@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     joins,
     monitoring,
     pipeline,
+    profiling,
     multimodal,
     relational,
     sampling,
@@ -27,6 +28,7 @@ __all__ = [
     "joins",
     "monitoring",
     "pipeline",
+    "profiling",
     "multimodal",
     "relational",
     "sampling",

@@ -1,0 +1,125 @@
+"""Data-profiling operators: pivoted layouts, histogram binning,
+per-column quality profiles — the dataset-auditing surface a
+training-data pipeline runs before ingestion (and the engine-native
+form of the reference's fixed-width report tables,
+monitoring.ps1:23-29,507-552).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+SELECT event_id // 200 AS block,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY event_id // 200
+""",
+    tags=("pivot", "A7"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot layout (rows=blocks, columns=event types) — the
+    report-table shape the reference renders by hand. Pivot values are
+    EXPLICIT (no value-discovery scan), which is also the scale rule:
+    an unbounded pivot on a high-cardinality column is a driver OOM."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("block", F.expr("event_id div 200"))
+        .groupBy("block")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+-- DuckDB 1.0 has no width_bucket; this is its exact definition for
+-- bounds [0,100) with 10 buckets (width = 10.0, exactly representable)
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 11
+            ELSE CAST(FLOOR(value / 10.0) + 1 AS INT) END AS bucket,
+       COUNT(*) AS n_values,
+       ROUND(MIN(value), 4) AS bucket_min,
+       ROUND(MAX(value), 4) AS bucket_max
+FROM events
+GROUP BY 1
+""",
+    tags=("histogram", "profiling"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value column (10 buckets over
+    [0,100)) via width_bucket — one pass, partial-agg'd; the profiling
+    primitive behind skew detection and bound checks."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.min("value"), 4).alias("bucket_min"),
+        F.round(F.max("value"), 4).alias("bucket_max"),
+    )
+
+
+@register(
+    "column_profile",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       COUNT(o_custkey) AS n_non_null,
+       COUNT(*) - COUNT(o_custkey) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_value,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+""",
+    tags=("profiling",),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (null/distinct/min/max) — the
+    audit a pipeline runs on every new drop. Spark computes all three
+    column profiles in ONE scan (the union of aggregates collapses;
+    compare the reference re-scanning per metric)."""
+    orders = load(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+
+    def profile(col: str, numeric: bool):
+        return orders.agg(
+            F.count(col).alias("n_non_null"),
+            (total - F.count(col)).alias("n_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "min_value"
+            ),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "max_value"
+            ),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    out = profile("o_custkey", True)
+    for c, num in [("o_totalprice", True), ("o_orderstatus", False)]:
+        out = out.unionByName(profile(c, num))
+    return out
