@@ -90,6 +90,10 @@ class Mirror:
     soft_delete: bool = True  # images/cdc.png: Soft Delete ✓
     sync_interval: str = "10 seconds"  # images/cdc.png: Sync Interval
     snapshot_parallelism: int = 4  # images/cdc.png: Parallelism
+    # Quarantine unparseable payloads into <target>/dlq instead of
+    # merging null rows (off by default: the reference lands whatever
+    # the decoder produced).
+    dead_letter: bool = False
 
 
 def _target_dirs(target_root: str, tm: TableMapping) -> tuple[str, str]:
@@ -154,6 +158,30 @@ def _merge_batch(
     try:
         for tm in mirror.tables.values():
             tdf = batch_df.filter(F.col("table") == tm.source_table)
+            if mirror.dead_letter:
+                # Quarantine unparseable after-images (non-delete events
+                # whose payload fails from_json) instead of landing null
+                # rows: the DLQ keeps the raw event for replay/repair and
+                # the merge stays clean. Deletes carry no payload → exempt.
+                # PERMISSIVE from_json yields a null-FIELDED struct for
+                # malformed input, so detection uses the corrupt-record
+                # column, which is non-null exactly on parse failure.
+                probe_schema = T.StructType(
+                    [*tm.schema.fields, T.StructField("_corrupt", T.StringType())]
+                )
+                parsed_probe = F.from_json(
+                    F.col("after_json"),
+                    probe_schema,
+                    {"columnNameOfCorruptRecord": "_corrupt"},
+                )
+                corrupt = (F.col("op") != "D") & parsed_probe.getField(
+                    "_corrupt"
+                ).isNotNull()
+                dlq = tdf.filter(corrupt)
+                dlq.write.mode("append").parquet(
+                    f"{target_root}/{tm.target_table}/dlq"
+                )
+                tdf = tdf.filter(~corrupt)
             w = Window.partitionBy("key").orderBy(F.desc("lsn"))
             latest = (
                 tdf.withColumn("_rn", F.row_number().over(w))
@@ -320,3 +348,14 @@ def event_row(
 ) -> tuple:
     """Helper to build one CDC event tuple (generator/test use)."""
     return (lsn, commit_ts, op, table, key, json.dumps(after) if after else None)
+
+
+def read_dead_letters(
+    spark: SparkSession, mirror: Mirror, source_table: str, target_root: str
+) -> DataFrame:
+    """Raw quarantined events for a mirrored table (dead_letter=True):
+    original CDC_EVENT_SCHEMA rows, replayable after repair."""
+    tm = mirror.tables[source_table]
+    return spark.read.schema(CDC_EVENT_SCHEMA).parquet(
+        f"{target_root}/{tm.target_table}/dlq"
+    )

@@ -347,3 +347,39 @@ def test_catalog_schema_assertions(spark):
 
     for t in FIXTURE_TABLES:
         assert_schema(load(spark, "/root/testdata/sf0.001", t), t)
+
+
+def test_dead_letter_queue_quarantines_corrupt(spark, tmp_path):
+    """dead_letter=True: unparseable payloads go to the DLQ (raw,
+    replayable), clean rows merge normally, nothing lands null."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import read_dead_letters
+
+    base = dt.datetime(2024, 1, 1)
+    m = Mirror(
+        name="dlq",
+        tables={
+            "orders": TableMapping("orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id")
+        },
+        dead_letter=True,
+    )
+    events = [
+        (1, base, "I", "orders", 1,
+         '{"id": 1, "order_date": "2024-01-02", "purchaser": 1, '
+         '"quantity": 5, "product_id": 1}'),
+        (2, base, "I", "orders", 2, '{broken'),
+        (3, base, "D", "orders", 1, None),  # delete: no payload, NOT corrupt
+    ]
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, events, event_dir)
+    _run_drain(spark, m, event_dir, tgt, ckpt)
+
+    got = read_target(spark, m, "orders", tgt)
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(rows) == {1}  # corrupt key 2 never landed
+    assert rows[1]["_is_deleted"] is True  # delete applied (LWW over insert)
+    dlq = read_dead_letters(spark, m, "orders", tgt).collect()
+    assert len(dlq) == 1 and dlq[0]["lsn"] == 2 and dlq[0]["after_json"] == '{broken'
