@@ -117,3 +117,73 @@ def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+         epoch_us(date_trunc('day', ts)) AS day_us,
+         event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sum_dec
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT 'hour' AS grain, bucket_us, event_type, n_events,
+       CAST(sum_dec AS DOUBLE) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, day_us AS bucket_us, event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+FROM hourly
+GROUP BY day_us, event_type
+""",
+    tags=("rollup", "hypertable", "window"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup (continuous-aggregate
+    pattern): hourly buckets aggregated from raw events, daily buckets
+    derived FROM the hourly aggregate — never from raw — exactly how a
+    100 TB deployment maintains multi-granularity rollups (persist the
+    hourly layer; coarser grains re-aggregate ~24× fewer rows).
+
+    Both grains are emitted with a `grain` discriminator. Sums stay in
+    DECIMAL(38,6) through BOTH levels (exact, associative — so
+    hour→day re-aggregation is bit-identical to a day-from-raw pass)
+    and only cast to double at the edge. The two union branches share
+    the hourly subplan; Spark's ReuseExchange serves the daily branch
+    from the hourly shuffle rather than re-scanning."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+    )
+    hour_level = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket_us",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+    day_level = (
+        hourly.groupBy("day_us", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec2"),
+        )
+        .select(
+            F.lit("day").alias("grain"),
+            F.col("day_us").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            F.col("sum_dec2").cast("double").alias("sum_value"),
+        )
+    )
+    return hour_level.unionByName(day_level)

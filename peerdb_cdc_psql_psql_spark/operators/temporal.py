@@ -136,3 +136,79 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_INCIDENT_US = 10 * 60 * 1_000_000  # incident window length: 10 minutes
+
+
+@register(
+    "range_join_incident_windows",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id AS incident_id, user_id, epoch_us(ts) AS start_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.incident_id, iv.user_id, e.event_id, e.event_type,
+       epoch_us(e.ts) - iv.start_us AS us_after_start
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id
+ AND epoch_us(e.ts) >= iv.start_us
+ AND epoch_us(e.ts) < iv.start_us + {_INCIDENT_US}
+""",
+    tags=("range-join", "temporal", "join"),
+)
+def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, bucketed: every 'error' event
+    opens a 10-minute incident window; all of that user's events whose
+    ts falls in [start, start+10min) attach to the incident.
+
+    The naive plan for `a.ts BETWEEN b.start AND b.end` is a
+    BroadcastNestedLoopJoin (O(n·m), non-starter at 100 TB). Binning
+    re-expresses it as an EQUI join: both sides are assigned
+    window-width time buckets — an interval of exactly one bucket
+    width spans at most 2 buckets, so the interval side explodes to
+    ≤2 rows — then join on (user_id, bucket) and re-apply the exact
+    containment predicate. Shuffle is a plain hash partition on
+    (user_id, bucket); each point lands in exactly one bucket so no
+    pair can duplicate. Plan shape pinned by
+    tests/test_plans.py::test_range_join_is_equi_join."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withColumn("bucket", F.expr(f"ts_us div {_INCIDENT_US}"))
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("user_id"),
+            F.unix_micros(F.col("ts")).alias("start_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"start_us div {_INCIDENT_US}"),
+                        F.expr(f"(start_us + {_INCIDENT_US} - 1) div {_INCIDENT_US}"),
+                    )
+                )
+            ),
+        )
+    )
+    return (
+        iv.join(pts, ["user_id", "bucket"])
+        .filter(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") < F.col("start_us") + _INCIDENT_US)
+        )
+        .select(
+            "incident_id",
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.col("ts_us") - F.col("start_us")).alias("us_after_start"),
+        )
+    )

@@ -91,6 +91,32 @@ def test_similarity_broadcast_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_range_join_is_equi_join(spark):
+    """Bucketed range join must compile to an equi hash/sort-merge
+    join on (user_id, bucket) — the naive BETWEEN formulation is a
+    BroadcastNestedLoopJoin, O(points × intervals), a non-starter at
+    100 TB."""
+    plan = assert_plan_lacks(
+        _df(spark, "range_join_incident_windows"),
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_hypertable_rollup_reuses_hourly_exchange(spark):
+    """The daily grain must derive from the hourly aggregate's
+    shuffle, not re-scan raw events: AQE finalizes the second union
+    branch as a ReusedExchange of the hourly shuffle, so the check
+    runs against the executed (final adaptive) plan."""
+    df = _df(spark, "hypertable_rollup")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None],
