@@ -242,14 +242,19 @@ def read_target(
     parts = []
     for d in (base_dir, delta_dir):
         try:
-            parts.append(spark.read.parquet(d))
+            # mergeSchema: after additive schema evolution a single
+            # delta dir legitimately holds files with and without the
+            # new column; footer-merge unifies them (footers only — no
+            # data read). Rows from pre-evolution files surface the
+            # added column as null.
+            parts.append(spark.read.option("mergeSchema", "true").parquet(d))
         except Exception:
             continue  # missing side (no snapshot, or no changes yet)
     if not parts:
         raise FileNotFoundError(f"no target data under {target_root}")
     allrows = parts[0]
     for p in parts[1:]:
-        allrows = allrows.unionByName(p)
+        allrows = allrows.unionByName(p, allowMissingColumns=True)
     w = Window.partitionBy(tm.key_column).orderBy(F.desc("_lsn"))
     state = (
         allrows.withColumn("_rn", F.row_number().over(w))
@@ -348,6 +353,31 @@ def event_row(
 ) -> tuple:
     """Helper to build one CDC event tuple (generator/test use)."""
     return (lsn, commit_ts, op, table, key, json.dumps(after) if after else None)
+
+
+def evolve_table_schema(
+    mirror: Mirror, source_table: str, new_field: T.StructField
+) -> None:
+    """Additive schema evolution mid-stream: PeerDB propagates source
+    `ALTER TABLE ADD COLUMN` onto the target without restarting the
+    mirror (CDC workflow README.md:231-238); here the mirror spec is
+    widened in place, so every subsequent micro-batch parses and lands
+    the new column. Existing target files are untouched — the
+    compact-on-read view surfaces the column as null for pre-evolution
+    rows (parquet mergeSchema in `read_target`), and the next
+    `compact_target` rewrites the base in the evolved schema.
+
+    Additive + nullable only: dropping or retyping a column would
+    silently corrupt last-write-wins history, so it is rejected.
+    """
+    tm = mirror.tables[source_table]
+    if any(f.name == new_field.name for f in tm.schema.fields):
+        raise ValueError(f"column already exists: {new_field.name}")
+    if not new_field.nullable:
+        raise ValueError("added columns must be nullable (pre-evolution rows have no value)")
+    tm.schema = T.StructType([*tm.schema.fields, new_field])
+    if tm.columns is not None:
+        tm.columns = [*tm.columns, new_field.name]
 
 
 def read_dead_letters(

@@ -383,3 +383,61 @@ def test_dead_letter_queue_quarantines_corrupt(spark, tmp_path):
     assert rows[1]["_is_deleted"] is True  # delete applied (LWW over insert)
     dlq = read_dead_letters(spark, m, "orders", tgt).collect()
     assert len(dlq) == 1 and dlq[0]["lsn"] == 2 and dlq[0]["after_json"] == '{broken'
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """evolve_table_schema mid-stream: post-evolution events land the
+    new column, pre-evolution rows surface it as null, and compaction
+    rewrites the base in the evolved schema. Non-additive changes are
+    rejected."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import evolve_table_schema
+
+    base = dt.datetime(2024, 1, 1)
+    m = Mirror(
+        name="evolve",
+        tables={
+            "orders": TableMapping("orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id")
+        },
+    )
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(
+        spark,
+        [(1, base, "I", "orders", 1,
+          '{"id": 1, "order_date": "2024-01-02", "purchaser": 1, '
+          '"quantity": 5, "product_id": 1}')],
+        event_dir,
+    )
+    _run_drain(spark, m, event_dir, tgt, ckpt)
+
+    evolve_table_schema(m, "orders", T.StructField("discount", T.DoubleType(), True))
+    workload.append_events(
+        spark,
+        [(2, base, "I", "orders", 2,
+          '{"id": 2, "order_date": "2024-01-03", "purchaser": 2, '
+          '"quantity": 1, "product_id": 3, "discount": 0.15}')],
+        event_dir,
+    )
+    _run_drain(spark, m, event_dir, tgt, ckpt)
+
+    def state():
+        return {r["id"]: r for r in read_target(spark, m, "orders", tgt).collect()}
+
+    rows = state()
+    assert set(rows) == {1, 2}
+    assert rows[1]["discount"] is None  # pre-evolution row: null-filled
+    assert rows[2]["discount"] == 0.15
+
+    compact_target(spark, m, "orders", tgt)
+    rows = state()
+    assert rows[1]["discount"] is None and rows[2]["discount"] == 0.15
+
+    with pytest.raises(ValueError):  # duplicate column
+        evolve_table_schema(m, "orders", T.StructField("discount", T.DoubleType(), True))
+    with pytest.raises(ValueError):  # non-nullable add
+        evolve_table_schema(m, "orders", T.StructField("region", T.StringType(), False))
