@@ -39,6 +39,8 @@ HEADLINE = [
     "quality_score",            # text quality expressions
     "multimodal_decode_stats",  # mapInPandas Arrow path
     "training_data_pipeline",   # composed dedup→near-dup→quality chain
+    "range_join_incident_windows",  # bucketed point-in-interval join
+    "hypertable_rollup",        # multi-grain time rollup, exchange reuse
 ]
 
 
