@@ -123,3 +123,35 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, num in [("o_totalprice", True), ("o_orderstatus", False)]:
         out = out.unionByName(profile(c, num))
     return out
+
+
+@register(
+    "unpivot_event_matrix",
+    oracle="""
+WITH wide AS (
+  SELECT event_id // 200 AS block,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS view
+  FROM events
+  GROUP BY event_id // 200
+)
+SELECT block, 'click' AS event_type, click AS n_events FROM wide
+UNION ALL SELECT block, 'error', error FROM wide
+UNION ALL SELECT block, 'purchase', purchase FROM wide
+UNION ALL SELECT block, 'signup', signup FROM wide
+UNION ALL SELECT block, 'view', view FROM wide
+""",
+    tags=("unpivot", "reshape"),
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide block×type count matrix back to long
+    (block, event_type, n_events) — the inverse reshape of
+    pivot_event_counts, densified (zero cells present). Unpivot is a
+    per-row explode, no shuffle beyond the wide aggregate's own; the
+    long form is the join-able/aggregate-able shape downstream
+    pipelines want."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return wide.unpivot("block", _EVENT_TYPES, "event_type", "n_events")

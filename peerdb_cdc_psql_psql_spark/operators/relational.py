@@ -453,3 +453,24 @@ def grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "approx_latency_percentiles",
+    oracle=None,  # t-digest sketch — engine-specific estimate; the
+    # exact twin (latency_percentiles) carries the value oracle and
+    # tests/test_llm_pack.py gates this one against it
+    tags=("A6", "percentile", "approx"),
+)
+def approx_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of latency_percentiles — the 100 TB
+    form: the sketch is mergeable map-side (partial aggregation), so
+    only fixed-size digests cross the shuffle instead of every value
+    per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

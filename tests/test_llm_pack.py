@@ -150,3 +150,36 @@ def test_session_window_native_matches_manual(spark):
         manual.agg(F.sum("n_events")).collect()[0][0]
         == native.agg(F.sum("n_events")).collect()[0][0]
     )
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """approx_percentile (t-digest) must land within 2% relative error
+    of the exact per-group percentiles at accuracy=10000."""
+    from peerdb_cdc_psql_psql_spark.operators.relational import (
+        approx_latency_percentiles,
+        latency_percentiles,
+    )
+
+    exact = {r["event_type"]: r for r in latency_percentiles(spark, SF).collect()}
+    approx = {r["event_type"]: r for r in approx_latency_percentiles(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for et in exact:
+        for p in ("p50", "p95", "p99"):
+            e, a = exact[et][p], approx[et][p]
+            assert abs(a - e) <= 0.02 * max(abs(e), 1e-9), (et, p, e, a)
+        assert exact[et]["n"] == approx[et]["n"]
+
+
+def test_approx_distinct_close_to_exact(spark):
+    """approx_count_distinct (HLL++, rsd=0.02) must land within 5% of
+    the exact user count — the gate approx_distinct_users' docstring
+    promises."""
+    from peerdb_cdc_psql_psql_spark.operators.event_time import (
+        approx_distinct_users,
+        distinct_users_exact,
+    )
+
+    exact = distinct_users_exact(spark, SF).collect()[0]
+    approx = approx_distinct_users(spark, SF).collect()[0]
+    assert exact["n_events"] == approx["n_events"]
+    assert abs(approx["approx_users"] - exact["n_users"]) <= 0.05 * exact["n_users"]
