@@ -90,3 +90,48 @@ def dedup_event_stream(stream: DataFrame, watermark: str = "30 seconds") -> Data
     bounded by the watermark (expired state is evicted), so memory is
     O(events per 30 s), not O(stream)."""
     return stream.withWatermark("commit_ts", watermark).dropDuplicates(["lsn"])
+
+
+def stream_interval_join(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Watermarked stream-stream interval join (early-churn detection):
+    every insert opens a [commit_ts, commit_ts + window) horizon on its
+    (table, key); later updates/deletes to the same key inside that
+    horizon join to the opening insert. The streaming twin of the batch
+    range join (operators/temporal.py range_join_incident_windows).
+
+    Scale posture: Spark keeps join state only until the watermark
+    passes open_ts + window — state is O(inserts per window+watermark),
+    not O(stream). Equality on (table, key) makes it a keyed
+    stream-stream join (hash-partitioned both sides); the time bound is
+    the state-eviction contract, not a nested-loop predicate.
+    """
+    opens = (
+        stream.filter(F.col("op") == "I")
+        .select(
+            F.col("table").alias("o_table"),
+            F.col("key").alias("o_key"),
+            F.col("commit_ts").alias("open_ts"),
+            F.col("lsn").alias("open_lsn"),
+        )
+        .withWatermark("open_ts", watermark)
+    )
+    changes = stream.filter(F.col("op") != "I").withWatermark("commit_ts", watermark)
+    joined = changes.join(
+        opens,
+        F.expr(
+            f"table = o_table AND key = o_key AND "
+            f"commit_ts >= open_ts AND commit_ts < open_ts + INTERVAL {window}"
+        ),
+    )
+    return joined.select(
+        "table",
+        "key",
+        "open_lsn",
+        F.col("lsn").alias("change_lsn"),
+        "op",
+        (F.unix_micros(F.col("commit_ts")) - F.unix_micros(F.col("open_ts"))).alias(
+            "us_after_insert"
+        ),
+    )

@@ -324,3 +324,41 @@ def test_monitoring_report_all_passes(spark):
     assert len(report) == 10
     for name, df in report.items():
         assert df.count() > 0, name
+
+
+def test_stream_interval_join_early_churn(spark, tmp_path):
+    """Stream-stream interval join: changes within 10 minutes of their
+    key's insert join to it; later changes and orphan keys don't."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.windows import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    events = [
+        (1, t0, "I", "orders", 1, '{"id": 1}'),
+        (2, mins(5), "U", "orders", 1, '{"id": 1}'),   # within -> joins
+        (3, mins(20), "U", "orders", 1, '{"id": 1}'),  # outside window
+        (4, mins(1), "I", "orders", 2, '{"id": 2}'),
+        (5, mins(9), "D", "orders", 2, None),          # within -> joins
+        (6, t0, "U", "orders", 99, '{"id": 99}'),      # no opening insert
+    ]
+    event_dir = str(tmp_path / "wal")
+    workload.append_events(spark, events, event_dir)
+    q = (
+        stream_interval_join(_event_stream(spark, event_dir))
+        .writeStream.format("memory")
+        .queryName("churn")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("churn").collect()
+    assert {(r["open_lsn"], r["change_lsn"]) for r in got} == {(1, 2), (4, 5)}
+    by_change = {r["change_lsn"]: r for r in got}
+    assert by_change[2]["us_after_insert"] == 5 * 60 * 1_000_000
+    assert by_change[5]["op"] == "D"
