@@ -14,3 +14,4 @@ __all__ = [
     "read_log_dir",
     "write_log_lines",
 ]
+from .layout import write_zordered, zorder_value  # noqa: F401

@@ -42,3 +42,61 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         drop_table(spark, "b_orders")
         drop_table(spark, "b_cust")
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must carry tight min/max footer stats on BOTH
+    clustering columns, while a linear sort on one column leaves the
+    other column's per-file span at ~full range (unprunable)."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.sources.layout import write_zordered
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    # 16 files = 4 leading z-bits = 2 bits per dimension: every file
+    # should span ~1/4 of EACH dimension's range.
+    write_zordered(ev, zpath, "user_id", "ts_us", n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def avg_span(path, col):
+        spans = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        assert spans
+        return sum(spans) / len(spans)
+
+    lin_ts = avg_span(lpath, "ts_us")  # linear layout: ts unclustered
+    z_ts = avg_span(zpath, "ts_us")
+    z_user = avg_span(zpath, "user_id")
+    lin_user = avg_span(lpath, "user_id")
+
+    # z-order: the time dimension must cluster far better than in the
+    # user-sorted layout, while user clustering stays useful (not as
+    # tight as a pure user sort, but a fraction of the full range).
+    assert z_ts < 0.6 * lin_ts, (z_ts, lin_ts)
+    assert z_user < 0.6 * 149, (z_user,)  # user_id domain is [0, 149]
+    assert lin_user <= z_user  # sanity: pure sort is tightest on its own key
