@@ -58,7 +58,8 @@ WITH buckets AS (
 ),
 slid AS (
   SELECT b AS window_start, n
-       + COALESCE(LEAD(n, 1) OVER (ORDER BY b), 0) AS n_events_1h
+       + CASE WHEN LEAD(b, 1) OVER (ORDER BY b) = b + INTERVAL '30 minutes'
+              THEN LEAD(n, 1) OVER (ORDER BY b) ELSE 0 END AS n_events_1h
   FROM buckets
 )
 SELECT window_start, n_events_1h FROM slid
@@ -71,17 +72,28 @@ def sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately: window(slide=30min) emits one row per *event* per
     overlapping window (2× the rows through the shuffle); bucketing
     then combining adjacent buckets shuffles each event once. Same
-    result, half the shuffle — the scale-aware formulation."""
+    result, half the shuffle — the scale-aware formulation.
+
+    The LEAD combine is gated on bucket adjacency: on sparse data the
+    next row may be a non-adjacent bucket (an empty 30-min gap), and
+    unconditionally adding it would count events outside the 1-hour
+    window. Both sides of the parity gate carry the same guard."""
     ev = load(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
     buckets = ev.groupBy(F.window("ts", "30 minutes").alias("w")).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.col("w.start").alias("window_start"), "n")
-    lead = F.lead("n", 1).over(W.orderBy("window_start"))
+    w = W.orderBy("window_start")
+    lead_n = F.lead("n", 1).over(w)
+    adjacent = F.lead("window_start", 1).over(w) == F.col("window_start") + F.expr(
+        "INTERVAL 30 MINUTES"
+    )
     return buckets.select(
         "window_start",
-        (F.col("n") + F.coalesce(lead, F.lit(0))).alias("n_events_1h"),
+        (F.col("n") + F.when(adjacent, lead_n).otherwise(F.lit(0))).alias(
+            "n_events_1h"
+        ),
     )
 
 

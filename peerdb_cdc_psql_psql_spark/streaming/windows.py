@@ -86,10 +86,17 @@ def dedup_event_stream(stream: DataFrame, watermark: str = "30 seconds") -> Data
     """Streaming exactly-once event dedup (U1/U2 on streams): drop
     re-delivered change events by lsn within the watermark horizon —
     the idempotence guard an at-least-once transport (Kafka, retried
-    file lists) needs in front of the merge. State = seen lsn set,
-    bounded by the watermark (expired state is evicted), so memory is
-    O(events per 30 s), not O(stream)."""
-    return stream.withWatermark("commit_ts", watermark).dropDuplicates(["lsn"])
+    file lists) needs in front of the merge.
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates``
+    only evicts dedup state when the event-time column is part of the
+    dedup key, so keying on lsn alone would grow the seen-lsn set
+    unboundedly. The WithinWatermark variant expires each key once the
+    watermark passes its first-seen event time — state is genuinely
+    O(events per watermark horizon), not O(stream)."""
+    return stream.withWatermark("commit_ts", watermark).dropDuplicatesWithinWatermark(
+        ["lsn"]
+    )
 
 
 def stream_interval_join(
