@@ -182,14 +182,14 @@ def _merge_batch(
                     f"{target_root}/{tm.target_table}/dlq"
                 )
                 tdf = tdf.filter(~corrupt)
-            w = Window.partitionBy("key").orderBy(F.desc("lsn"))
-            latest = (
-                tdf.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            # Collapse to latest-change-per-key within the micro-batch
+            # via the same merged-state rule reads use: a delete that
+            # follows an insert/update IN THE SAME batch must carry the
+            # victim's last-known values into the delta (the insert row
+            # itself never lands), or the visible soft-delete loses them.
+            latest = _merged_state(_with_meta(tdf, tm), tm, drop_lsn=False)
             _, delta = _target_dirs(target_root, tm)
-            _with_meta(latest, tm).write.mode("append").parquet(delta)
+            latest.write.mode("append").parquet(delta)
     finally:
         batch_df.unpersist()
 
@@ -226,6 +226,46 @@ def start_mirror(
     return writer.start()
 
 
+def _merged_state(
+    allrows: DataFrame, tm: TableMapping, drop_lsn: bool = True
+) -> DataFrame:
+    """Compact-on-read merge rule: one row per key at max LSN.
+
+    Soft-deleted winners keep their last-known data values: a delete
+    event carries no after-image (all data columns null), so tombstone
+    rows coalesce each data column from the latest non-null change per
+    key — matching the reference's visible soft-delete model, where a
+    `_PEERDB_IS_DELETED` row retains the final column values
+    (images/cdc_orders.png) instead of surfacing as an all-null husk.
+    Both windows share the key partitioning — one shuffle, two sorts.
+    """
+    w = Window.partitionBy(tm.key_column).orderBy(F.desc("_lsn"))
+    w_fill = (
+        Window.partitionBy(tm.key_column)
+        .orderBy(F.asc("_lsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sel = []
+    for c in allrows.columns:
+        if c == tm.key_column or c in META_COLS:
+            sel.append(F.col(c))
+        else:
+            sel.append(
+                F.when(
+                    F.col("_is_deleted"),
+                    F.last(F.col(c), ignorenulls=True).over(w_fill),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+    out = (
+        allrows.select(*sel, F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return out.drop("_lsn") if drop_lsn else out
+
+
 def read_target(
     spark: SparkSession,
     mirror: Mirror,
@@ -255,13 +295,7 @@ def read_target(
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p, allowMissingColumns=True)
-    w = Window.partitionBy(tm.key_column).orderBy(F.desc("_lsn"))
-    state = (
-        allrows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .drop("_lsn")
-    )
+    state = _merged_state(allrows, tm)
     if not (mirror.soft_delete and include_deleted):
         state = state.filter(~F.col("_is_deleted"))
         if not mirror.soft_delete:

@@ -57,20 +57,39 @@ def _run_drain(spark, mirror, event_dir, target_root, ckpt):
 
 
 def _expected_state(spark, all_events):
-    """Batch oracle: replay the full event log with the LSN rule."""
+    """Batch oracle: replay the full event log with the LSN rule.
+    Tombstone winners keep last-known values (delete events carry no
+    after-image; the visible soft-delete coalesces data columns from
+    the latest non-delete change per key)."""
     df = workload.events_df(spark, all_events).filter(F.col("table") == "orders")
+    parsed = df.withColumn("after", F.from_json("after_json", DEMO_SCHEMAS["orders"]))
     w = Window.partitionBy("key").orderBy(F.desc("lsn"))
-    latest = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-    parsed = latest.withColumn(
-        "after", F.from_json("after_json", DEMO_SCHEMAS["orders"])
+    w_fill = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("lsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return parsed.select(
-        F.col("key").alias("id"),
-        F.col("after.order_date").alias("order_date"),
-        F.col("after.purchaser").alias("purchaser"),
-        F.col("after.quantity").alias("quantity"),
-        F.col("after.product_id").alias("product_id"),
-        (F.col("op") == "D").alias("_is_deleted"),
+
+    def filled(c):
+        raw = F.col(f"after.{c}")
+        return (
+            F.when(F.col("op") == "D", F.last(raw, ignorenulls=True).over(w_fill))
+            .otherwise(raw)
+            .alias(c)
+        )
+
+    return (
+        parsed.select(
+            F.col("key").alias("id"),
+            filled("order_date"),
+            filled("purchaser"),
+            filled("quantity"),
+            filled("product_id"),
+            (F.col("op") == "D").alias("_is_deleted"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter("rn = 1")
+        .drop("rn")
     )
 
 
