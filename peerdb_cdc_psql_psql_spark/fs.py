@@ -1,0 +1,102 @@
+"""Hadoop FileSystem helpers — the cluster-safe replacement for
+driver-local ``os``/``shutil`` calls in maintenance paths.
+
+Every mutation of mirror target layout (compaction, watermark state,
+mirror drop) must go through the same filesystem abstraction Spark's
+readers/writers use, or it silently breaks the moment ``target_root``
+is an object store / HDFS URI instead of a driver-local directory
+(the reference's durability invariant: slot/state survives process
+death, monitoring.ps1:976-988). These wrappers call the JVM-side
+``org.apache.hadoop.fs.FileSystem`` resolved per-path, so ``file:``,
+``hdfs:`` and ``s3a:`` URIs all behave identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, _, jpath = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, _, jpath = _fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, _, jpath = _fs(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, jvm, jsrc = _fs(spark, src)
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
+    """Data files directly under ``path`` (commit markers like _SUCCESS
+    and hidden files excluded). Empty list if the dir doesn't exist."""
+    fs, _, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        p = st.getPath()
+        name = p.getName()
+        if st.isFile() and not name.startswith(("_", ".")) and name.endswith(suffix):
+            out.append(p.toString())
+    return out
+
+
+def list_dirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Subdirectory names (not full paths) under ``path``."""
+    fs, _, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    fs, jvm, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(
+                stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+            )
+        )
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write-tmp-then-rename: readers see either the old or the new
+    content, never a torn write. HDFS rename won't clobber, so the old
+    file is deleted first — the instant where the path is absent is
+    covered by callers' fallback resolution (e.g. highest base_v*)."""
+    fs, jvm, jpath = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    fs.rename(tmp, jpath)

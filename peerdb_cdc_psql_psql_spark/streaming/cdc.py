@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import fs
+
 # WAL-equivalent change-event schema (FIXTURES.md §C). `after_json`
 # keeps the log schema-generic across tables; per-table schemas are
 # applied with from_json at merge time.
@@ -96,10 +98,38 @@ class Mirror:
     dead_letter: bool = False
 
 
-def _target_dirs(target_root: str, tm: TableMapping) -> tuple[str, str]:
-    base = f"{target_root}/{tm.target_table}/base"
-    delta = f"{target_root}/{tm.target_table}/delta"
-    return base, delta
+_BASE_PTR = "_base_version"
+
+
+def _table_dir(target_root: str, tm: TableMapping) -> str:
+    return f"{target_root}/{tm.target_table}"
+
+
+def _delta_dir(target_root: str, tm: TableMapping) -> str:
+    return f"{_table_dir(target_root, tm)}/delta"
+
+
+def _resolve_base_dir(spark: SparkSession, table_dir: str) -> str | None:
+    """Current base = the dir named by the `_base_version` pointer
+    file; fall back to the highest `base_v*` dir (covers the instant
+    of a pointer swap and a crash between base write and pointer
+    write), then the legacy fixed `base` dir."""
+    ptr = fs.read_text(spark, f"{table_dir}/{_BASE_PTR}")
+    if ptr:
+        cand = f"{table_dir}/{ptr.strip()}"
+        if fs.exists(spark, cand):
+            return cand
+    versions = fs.list_dirs(spark, table_dir, prefix="base_v")
+    if versions:
+        return f"{table_dir}/{versions[-1]}"
+    legacy = f"{table_dir}/base"
+    return legacy if fs.exists(spark, legacy) else None
+
+
+def _next_base_version(spark: SparkSession, table_dir: str) -> str:
+    versions = fs.list_dirs(spark, table_dir, prefix="base_v")
+    n = int(versions[-1][len("base_v"):]) + 1 if versions else 1
+    return f"base_v{n:06d}"
 
 
 def _with_meta(df: DataFrame, tm: TableMapping) -> DataFrame:
@@ -135,7 +165,8 @@ def snapshot_load(
     splits evenly — the Spark form of PeerDB's flow-snapshot-worker
     with Parallelism for Initial Load (docker-compose.yml:133-141,
     images/cdc.png)."""
-    base, _ = _target_dirs(target_root, tm)
+    tdir = _table_dir(target_root, tm)
+    ver = _next_base_version(spark, tdir)
     pk = tm.partition_key or tm.key_column
     out = (
         source_df.select(*tm.selected())
@@ -144,7 +175,8 @@ def snapshot_load(
         .withColumn("_lsn", F.lit(snapshot_lsn).cast("long"))
         .repartitionByRange(parallelism, pk)
     )
-    out.write.mode("overwrite").parquet(base)
+    out.write.mode("overwrite").parquet(f"{tdir}/{ver}")
+    fs.write_text_atomic(spark, f"{tdir}/{_BASE_PTR}", ver)
 
 
 def _merge_batch(
@@ -188,8 +220,7 @@ def _merge_batch(
             # victim's last-known values into the delta (the insert row
             # itself never lands), or the visible soft-delete loses them.
             latest = _merged_state(_with_meta(tdf, tm), tm, drop_lsn=False)
-            _, delta = _target_dirs(target_root, tm)
-            latest.write.mode("append").parquet(delta)
+            latest.write.mode("append").parquet(_delta_dir(target_root, tm))
     finally:
         batch_df.unpersist()
 
@@ -278,9 +309,12 @@ def read_target(
     in images/cdc_orders.png) or dropped when ``include_deleted=False``
     (hard-delete mode, Soft Delete toggle off)."""
     tm = mirror.tables[source_table]
-    base_dir, delta_dir = _target_dirs(target_root, tm)
+    base_dir = _resolve_base_dir(spark, _table_dir(target_root, tm))
+    delta_dir = _delta_dir(target_root, tm)
     parts = []
     for d in (base_dir, delta_dir):
+        if d is None:
+            continue
         try:
             # mergeSchema: after additive schema evolution a single
             # delta dir legitimately holds files with and without the
@@ -304,40 +338,69 @@ def read_target(
 
 
 def compact_target(
-    spark: SparkSession, mirror: Mirror, source_table: str, target_root: str
+    spark: SparkSession,
+    mirror: Mirror,
+    source_table: str,
+    target_root: str,
+    _delta_files: list[str] | None = None,
 ) -> None:
     """Fold deltas into a fresh base so reads stay O(base). The 100 TB
     deployment schedules this per table; it is the only full rewrite in
-    the pipeline and it is range-partitioned like the snapshot."""
-    import shutil
+    the pipeline and it is range-partitioned like the snapshot.
 
+    Cluster-safe, concurrent-append-safe protocol (every step through
+    the Hadoop FileSystem API, so `file:`/`hdfs:`/`s3a:` targets all
+    work):
+
+    1. SNAPSHOT the delta file list. Only these files are read and,
+       later, deleted — delta files appended by a live mirror while
+       compaction runs are untouched and stay visible (they hold
+       higher LSNs, which win on the next read/compaction).
+    2. Write the merged state to a NEW versioned base dir
+       (`base_vNNNNNN`), keeping each row's own `_lsn` so ordering
+       truth is preserved against the surviving deltas.
+    3. Atomically swap the `_base_version` pointer file; readers
+       resolve either the old or the new base, never a half-written
+       one.
+    4. Delete the old base dir and exactly the snapshotted delta
+       files.
+
+    A crash at any point leaves a readable target: before (3) readers
+    still resolve the old base + all deltas; after (3) the new base
+    subsumes the snapshotted deltas. (``_delta_files`` lets tests
+    inject a stale snapshot to exercise the concurrent-append race.)
+    """
     tm = mirror.tables[source_table]
-    base_dir, delta_dir = _target_dirs(target_root, tm)
-    # Recompute max lsn BEFORE rewriting so concurrent appends that
-    # arrive mid-compaction survive in the delta dir (they sort above
-    # the base rows on the next read).
-    state = read_target(spark, mirror, source_table, target_root)
-    max_lsn = (
-        spark.read.parquet(delta_dir).agg(F.max("_lsn")).collect()[0][0]
-        if _exists(delta_dir)
-        else 0
+    tdir = _table_dir(target_root, tm)
+    delta_dir = _delta_dir(target_root, tm)
+    old_base = _resolve_base_dir(spark, tdir)
+    delta_files = (
+        _delta_files
+        if _delta_files is not None
+        else fs.list_files(spark, delta_dir, suffix=".parquet")
     )
-    out = state.withColumn("_lsn", F.lit(max_lsn).cast("long")).repartitionByRange(
+    parts = []
+    if old_base is not None:
+        parts.append(spark.read.option("mergeSchema", "true").parquet(old_base))
+    if delta_files:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(*delta_files)
+        )
+    if not parts:
+        return
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p, allowMissingColumns=True)
+    out = _merged_state(allrows, tm, drop_lsn=False).repartitionByRange(
         mirror.snapshot_parallelism, tm.partition_key or tm.key_column
     )
-    tmp = f"{base_dir}__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(base_dir, ignore_errors=True)
-    shutil.rmtree(delta_dir, ignore_errors=True)
-    shutil.move(tmp, base_dir)
-
-
-def _exists(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    ver = _next_base_version(spark, tdir)
+    out.write.mode("overwrite").parquet(f"{tdir}/{ver}")
+    fs.write_text_atomic(spark, f"{tdir}/{_BASE_PTR}", ver)
+    if old_base is not None:
+        fs.delete(spark, old_base, recursive=True)
+    for f_path in delta_files:
+        fs.delete(spark, f_path, recursive=False)
 
 
 # ---------------------------------------------------------------------------

@@ -356,6 +356,74 @@ def test_corrupt_payload_does_not_crash_mirror(spark, tmp_path, mirror):
     assert rows[2]["_is_deleted"] is False
 
 
+def test_compact_file_scheme_uri(spark, tmp_path, mirror):
+    """Cluster posture: the whole snapshot→mirror→compact cycle works
+    when target_root is an explicit `file:`-scheme Hadoop URI (all
+    maintenance goes through the FileSystem API, never local shutil)."""
+    rng = random.Random(41)
+    event_dir = str(tmp_path / "wal")
+    tgt = f"file:{tmp_path}/tgt"  # Hadoop URI, not a bare local path
+    ckpt = str(tmp_path / "ckpt")
+    b1 = workload.generate_order_events(rng, 1, 1, 40, [1], [1])
+    workload.append_events(spark, b1, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    compact_target(spark, mirror, "orders", tgt)
+    b2 = workload.generate_order_events(
+        rng, 1, 1000, 40, [1], [1], update_fraction=0.5, delete_fraction=0.1
+    )
+    workload.append_events(spark, b2, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    compact_target(spark, mirror, "orders", tgt)
+
+    got = read_target(spark, mirror, "orders", tgt)
+    exp = _expected_state(spark, b1 + b2)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+    # versioned base + pointer exist; snapshotted deltas were removed
+    from peerdb_cdc_psql_psql_spark import fs
+
+    assert fs.read_text(spark, f"{tgt}/orders_cdc/_base_version").startswith("base_v")
+    assert fs.list_files(spark, f"{tgt}/orders_cdc/delta", suffix=".parquet") == []
+
+
+def test_compact_preserves_concurrent_appends(spark, tmp_path, mirror):
+    """The ADVICE race: delta files appended AFTER compaction snapshots
+    its file list (i.e. by a live mirror mid-compaction) must survive
+    the delta cleanup and stay visible on the next read."""
+    from peerdb_cdc_psql_psql_spark import fs
+
+    rng = random.Random(43)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    b1 = workload.generate_order_events(rng, 1, 1, 30, [1], [1])
+    workload.append_events(spark, b1, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+
+    delta_dir = f"{tgt}/orders_cdc/delta"
+    stale_snapshot = fs.list_files(spark, delta_dir, suffix=".parquet")
+    assert stale_snapshot
+    # concurrent appends land between the snapshot and the cleanup
+    b2 = workload.generate_order_events(
+        rng, 1, 500, 30, [1], [1], update_fraction=0.5, delete_fraction=0.2
+    )
+    workload.append_events(spark, b2, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    late_files = set(fs.list_files(spark, delta_dir, suffix=".parquet")) - set(
+        stale_snapshot
+    )
+    assert late_files
+
+    compact_target(spark, mirror, "orders", tgt, _delta_files=stale_snapshot)
+
+    # late delta files still on disk, their changes still visible
+    remaining = set(fs.list_files(spark, delta_dir, suffix=".parquet"))
+    assert late_files <= remaining
+    assert not (set(stale_snapshot) & remaining)
+    got = read_target(spark, mirror, "orders", tgt)
+    exp = _expected_state(spark, b1 + b2)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+
+
 def test_catalog_schema_assertions(spark):
     """M0: every fixture table matches its declared StructType."""
     from peerdb_cdc_psql_psql_spark.catalog import (
