@@ -3,41 +3,60 @@ cards on images/cdc.png):
 
 - **XMin sync**: incremental batch load by a monotonically increasing
   watermark column (Postgres xmin stand-in) — read only rows past the
-  last high-water mark, append/merge, advance the mark.
+  last high-water mark, append, advance the mark.
 - **Query Replication**: periodic full SELECT re-materialization for
   tables without a usable PK or watermark.
 
-Both are thin batch jobs around the same target layout the CDC mirror
-writes, so `read_target`-style consumers see one format. Watermark
-state is a tiny JSON file next to the target (the durable resume token
-— Temporal's role in the reference, SURVEY.md §3.3).
+Durability design (the reference's slot-resume invariant,
+monitoring.ps1:976-988, played here by a manifest file):
+
+- Each sync round writes to its own ``rounds/<round-id>`` dir, then
+  COMMITS by atomically rewriting ``_sync_state.json`` — the manifest
+  naming the high-water mark and the committed round dirs. Readers
+  resolve the manifest, so an uncommitted round is invisible.
+- Exactly-once effect without a transaction log: the source is
+  evaluated exactly once (the write job); row count and the new
+  watermark are derived from the files just written, so the mark can
+  never advance past rows that didn't land. A crash before commit
+  leaves an orphan round dir that the next round — deterministically
+  named from the committed count — clobbers with overwrite.
+- All state I/O goes through the Hadoop FileSystem API (fs.py), so a
+  ``hdfs:``/``s3a:`` target keeps its resume token across process
+  death — a driver-local JSON file would not.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs
 
-def _state_path(target_dir: str) -> str:
-    return os.path.join(target_dir, "_watermark.json")
+_STATE_FILE = "_sync_state.json"
 
 
-def read_watermark(target_dir: str) -> int | None:
+def read_sync_state(spark: SparkSession, target_dir: str) -> dict:
+    raw = fs.read_text(spark, f"{target_dir}/{_STATE_FILE}")
+    if raw is None:
+        return {"high_water_mark": None, "committed": []}
     try:
-        with open(_state_path(target_dir)) as f:
-            return json.load(f)["high_water_mark"]
-    except (OSError, KeyError, ValueError):
-        return None
+        state = json.loads(raw)
+        return {
+            "high_water_mark": state.get("high_water_mark"),
+            "committed": list(state.get("committed", [])),
+        }
+    except (ValueError, TypeError):
+        return {"high_water_mark": None, "committed": []}
 
 
-def write_watermark(target_dir: str, value: int) -> None:
-    os.makedirs(target_dir, exist_ok=True)
-    with open(_state_path(target_dir), "w") as f:
-        json.dump({"high_water_mark": value}, f)
+def read_watermark(spark: SparkSession, target_dir: str) -> int | None:
+    return read_sync_state(spark, target_dir)["high_water_mark"]
+
+
+def _commit_state(spark: SparkSession, target_dir: str, state: dict) -> None:
+    fs.write_text_atomic(spark, f"{target_dir}/{_STATE_FILE}", json.dumps(state))
 
 
 def xmin_sync(
@@ -46,34 +65,69 @@ def xmin_sync(
     target_dir: str,
     watermark_col: str,
 ) -> int:
-    """One XMin-mode sync round: append rows with watermark_col past
-    the stored mark, then advance it. Returns rows synced.
+    """One XMin-mode sync round: land rows with watermark_col past the
+    stored mark into a new round dir, then commit the manifest.
+    Returns rows synced.
 
     Scale: the `>` predicate pushes into the parquet scan (row-group
     min/max skip), so each round reads only the tail — the whole point
     of xmin mode on a 100 TB table. The watermark column must be
     monotone (xmin/serial/ingest-ts)."""
-    mark = read_watermark(target_dir)
+    state = read_sync_state(spark, target_dir)
+    mark = state["high_water_mark"]
     fresh = source if mark is None else source.filter(F.col(watermark_col) > mark)
-    n = fresh.count()
+    round_id = f"round-{len(state['committed']) + 1:06d}"
+    round_dir = f"{target_dir}/rounds/{round_id}"
+    # Single evaluation of the source; overwrite clobbers an orphan
+    # left by a crashed earlier attempt at this same round id.
+    fresh.write.mode("overwrite").parquet(round_dir)
+    written = spark.read.parquet(round_dir)
+    row = written.agg(
+        F.count(F.lit(1)).alias("n"), F.max(watermark_col).alias("mx")
+    ).collect()[0]
+    n = row["n"]
     if n:
-        fresh.write.mode("append").parquet(os.path.join(target_dir, "data"))
-        new_mark = fresh.agg(F.max(watermark_col)).collect()[0][0]
-        write_watermark(target_dir, int(new_mark))
+        _commit_state(
+            spark,
+            target_dir,
+            {
+                "high_water_mark": int(row["mx"]),
+                "committed": [*state["committed"], round_id],
+            },
+        )
+    else:
+        fs.delete(spark, round_dir, recursive=True)
     return n
 
 
 def query_replication_sync(
     spark: SparkSession, source: DataFrame, target_dir: str
 ) -> int:
-    """One Query-Replication round: full overwrite re-materialization
-    (for PK-less tables — the reference's fallback mirror mode).
-    Overwrite is atomic per Spark's commit protocol (staging dir +
-    rename), so readers never see a half-written target."""
-    n = source.count()
-    source.write.mode("overwrite").parquet(os.path.join(target_dir, "data"))
+    """One Query-Replication round: full re-materialization (for
+    PK-less tables — the reference's fallback mirror mode). The new
+    round REPLACES the committed set in one atomic manifest write, so
+    readers flip from the old materialization to the new one with no
+    half-visible state; superseded round dirs are deleted after."""
+    state = read_sync_state(spark, target_dir)
+    round_id = f"full-{len(state['committed']) + 1:06d}"
+    round_dir = f"{target_dir}/rounds/{round_id}"
+    source.write.mode("overwrite").parquet(round_dir)
+    n = spark.read.parquet(round_dir).count()
+    old = state["committed"]
+    _commit_state(
+        spark, target_dir, {"high_water_mark": None, "committed": [round_id]}
+    )
+    for r in old:
+        if r != round_id:
+            fs.delete(spark, f"{target_dir}/rounds/{r}", recursive=True)
     return n
 
 
 def read_incremental_target(spark: SparkSession, target_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(target_dir, "data"))
+    """Manifest-resolved view of the synced target: exactly the
+    committed round dirs, nothing half-written."""
+    state = read_sync_state(spark, target_dir)
+    if not state["committed"]:
+        raise FileNotFoundError(f"no committed sync rounds under {target_dir}")
+    paths = [f"{target_dir}/rounds/{r}" for r in state["committed"]]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -114,7 +114,7 @@ def test_xmin_incremental_sync(spark, tmp_path):
         F.col("id"), (F.col("id") * 10).alias("payload")
     )
     assert xmin_sync(spark, src1, tgt, "id") == 100
-    assert read_watermark(tgt) == 100
+    assert read_watermark(spark, tgt) == 100
     # second round: 20 new rows
     src2 = spark.range(1, 121).select(
         F.col("id"), (F.col("id") * 10).alias("payload")
@@ -123,6 +123,34 @@ def test_xmin_incremental_sync(spark, tmp_path):
     assert read_incremental_target(spark, tgt).count() == 120
     # idempotent when nothing new
     assert xmin_sync(spark, src2, tgt, "id") == 0
+
+
+def test_xmin_crash_recovery_no_duplicates(spark, tmp_path):
+    """Durable resume (the reference's slot-persistence invariant):
+    a round dir written by a crashed sync — data landed, manifest never
+    committed — is invisible to readers, never double-counts, and is
+    clobbered by the restart's retry of the same round. The watermark
+    survives on disk across 'process death' (fresh state read)."""
+    tgt = f"file:{tmp_path}/xmin_tgt"  # Hadoop URI: cluster posture
+    src1 = spark.range(1, 51).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert xmin_sync(spark, src1, tgt, "id") == 50
+
+    # crashed second round: files written, commit never happened
+    orphan = f"{tgt}/rounds/round-000002"
+    spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(orphan)
+    assert read_incremental_target(spark, tgt).count() == 50  # invisible
+    assert read_watermark(spark, tgt) == 50  # mark never advanced
+
+    # restart: retry syncs the real tail; orphan is clobbered, not
+    # double-applied — target holds exactly the committed rows
+    src2 = spark.range(1, 71).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert xmin_sync(spark, src2, tgt, "id") == 20
+    got = read_incremental_target(spark, tgt)
+    assert got.count() == 70
+    assert got.select("id").distinct().count() == 70  # no re-applied rows
+    assert read_watermark(spark, tgt) == 70
 
 
 def test_query_replication_sync(spark, tmp_path):
