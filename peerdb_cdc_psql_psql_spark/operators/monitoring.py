@@ -166,6 +166,81 @@ def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.lit(1).alias("probe_ok"), "has_events", "n_event_types")
 
 
+@register(
+    "infra_health_bands",
+    oracle="""
+WITH comp AS (
+  SELECT event_type AS container,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_cpu
+  FROM events GROUP BY event_type
+),
+flags AS (SELECT container, avg_cpu < 50.0 AS healthy FROM comp)
+SELECT COUNT(*) AS n_containers,
+       COUNT(*) FILTER (WHERE healthy) AS n_healthy,
+       ROUND(100.0 * COUNT(*) FILTER (WHERE healthy) / COUNT(*), 1) AS health_pct,
+       CASE WHEN 100.0 * COUNT(*) FILTER (WHERE healthy) / COUNT(*) >= 80 THEN 'GREEN'
+            WHEN 100.0 * COUNT(*) FILTER (WHERE healthy) / COUNT(*) >= 50 THEN 'YELLOW'
+            ELSE 'RED' END AS health_band
+FROM flags
+""",
+    tags=("F6", "A11", "monitoring"),
+)
+def infra_health_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infra health banding — the reference's container-health pass 6
+    (monitoring.ps1:704-814: count healthy containers, band the fleet
+    ≥80% GREEN / ≥50% YELLOW / else RED at :807-808) over the synthetic
+    fleet: each event_type is a 'container', healthy = avg load below
+    threshold. Two-level agg, both partial-combined; one summary row
+    crosses the final shuffle."""
+    ev = load(spark, sf_dir, "events")
+    comp = ev.groupBy(F.col("event_type").alias("container")).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_cpu"
+        )
+    )
+    flags = comp.select((F.col("avg_cpu") < 50.0).alias("healthy"))
+    healthy = F.count(F.when(F.col("healthy"), 1))
+    pct = 100.0 * healthy / F.count(F.lit(1))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        healthy.alias("n_healthy"),
+        F.round(pct, 1).alias("health_pct"),
+        F.when(pct >= 80, "GREEN")
+        .when(pct >= 50, "YELLOW")
+        .otherwise("RED")
+        .alias("health_band"),
+    )
+
+
+def container_health_report(spark: SparkSession, meta_dir: str) -> DataFrame:
+    """The same ≥80%/≥50% banding computed over the LIVE `_meta`
+    progress table (streaming/metrics.py listener) — per mirror query,
+    a batch is healthy when it processed within the sync-interval
+    budget; the fleet band is what the reference's pass-6 console
+    banner shows (monitoring.ps1:807-814)."""
+    from ..streaming.metrics import progress_report
+
+    budget_ms = 10_000  # the reference's 10 s sync interval
+    rep = progress_report(spark, meta_dir)
+    per_q = rep.groupBy("query_name").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.count(F.when(F.col("batch_duration_ms") <= budget_ms, 1)).alias(
+            "n_healthy"
+        ),
+    )
+    pct = 100.0 * F.col("n_healthy") / F.col("n_batches")
+    return per_q.select(
+        "query_name",
+        "n_batches",
+        "n_healthy",
+        F.round(pct, 1).alias("health_pct"),
+        F.when(pct >= 80, "GREEN")
+        .when(pct >= 50, "YELLOW")
+        .otherwise("RED")
+        .alias("health_band"),
+    )
+
+
 def monitoring_report(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The full monitoring run (monitoring.ps1:1172-1257 main: 10
     sequential passes) as one driver returning typed result tables.
@@ -182,7 +257,7 @@ def monitoring_report(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "table_stats": "table_stats_rollup",           # pass 3
         "flow_lag": "reconciliation_lag",              # pass 4
         "cdc_operations": "cdc_changes_per_batch",     # pass 5
-        "container_health": "threshold_classify",      # pass 6
+        "container_health": "infra_health_bands",      # pass 6
         "performance_summary": "ratio_percentage",     # pass 7
         "database_metrics": "count_per_table",         # pass 8
         "flow_health": "cdc_sync_report",              # pass 9

@@ -74,3 +74,18 @@ def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = c if counts is None else counts.unionByName(c)
     return tables.join(counts, "table_name").orderBy("table_name")
+
+
+@register(
+    "active_mirrors",
+    oracle=None,  # live streams catalog — no DuckDB equivalent
+    tags=("F19", "catalog", "lifecycle"),
+)
+def active_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-catalog introspection (mirror-name-search.sh:6-9,
+    README.md:99-106 mirror listing): the currently running mirrors as
+    a table. Empty (stable schema, ≥0 rows) when no mirror is live —
+    the driver context starts none."""
+    from ..streaming.cdc import list_mirrors
+
+    return list_mirrors(spark)

@@ -404,6 +404,70 @@ def compact_target(
 
 
 # ---------------------------------------------------------------------------
+# Mirror lifecycle (README.md:99-106 mirror CRUD via UI/SQL;
+# scripts/mirror-name-search.sh:6-9 name search)
+# ---------------------------------------------------------------------------
+
+_MIRROR_PREFIX = "mirror-"
+
+_MIRROR_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("mirror_name", T.StringType(), False),
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("is_active", T.BooleanType(), False),
+    ]
+)
+
+
+def list_mirrors(spark: SparkSession, name_filter: str | None = None) -> DataFrame:
+    """Active mirrors as a queryable table — the engine-native form of
+    the reference's mirror-name search (mirror-name-search.sh:6-9 greps
+    flow state by name; here it's a substring filter over the streams
+    catalog). Driver-side metadata only — no Spark job."""
+    rows = []
+    for q in spark.streams.active:
+        name = q.name or ""
+        if not name.startswith(_MIRROR_PREFIX):
+            continue
+        mirror_name = name[len(_MIRROR_PREFIX):]
+        if name_filter and name_filter.lower() not in mirror_name.lower():
+            continue
+        rows.append((mirror_name, str(q.id), str(q.runId), bool(q.isActive)))
+    return spark.createDataFrame(rows, _MIRROR_LIST_SCHEMA)
+
+
+def stop_mirror(spark: SparkSession, name: str) -> bool:
+    """Pause a mirror: stop its StreamingQuery. The checkpoint stays,
+    so a subsequent start_mirror with the same checkpoint dir resumes
+    exactly where it left off (the reference's pause/resume toggle).
+    Returns False if no active mirror has the name."""
+    for q in spark.streams.active:
+        if q.name == f"{_MIRROR_PREFIX}{name}":
+            q.stop()
+            q.awaitTermination(timeout=60)
+            return True
+    return False
+
+
+def drop_mirror(
+    spark: SparkSession,
+    mirror: Mirror,
+    target_root: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """DROP MIRROR: stop the stream if running, then remove the
+    checkpoint (the replication-slot analog — dropping it is what
+    makes the drop irreversible) and every target table dir. All
+    deletes go through the Hadoop FS API (cluster-safe)."""
+    stop_mirror(spark, mirror.name)
+    if checkpoint_dir is not None:
+        fs.delete(spark, checkpoint_dir, recursive=True)
+    for tm in mirror.tables.values():
+        fs.delete(spark, _table_dir(target_root, tm), recursive=True)
+
+
+# ---------------------------------------------------------------------------
 # Lag report over live mirror state (monitoring.ps1:576-627 on real targets)
 # ---------------------------------------------------------------------------
 

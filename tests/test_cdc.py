@@ -424,6 +424,93 @@ def test_compact_preserves_concurrent_appends(spark, tmp_path, mirror):
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
 
 
+def test_mirror_lifecycle(spark, tmp_path, mirror):
+    """Mirror CRUD (README.md:99-106, mirror-name-search.sh analog):
+    a started mirror appears in list_mirrors (with name filtering),
+    stop_mirror pauses it with the checkpoint intact (restart resumes),
+    drop_mirror removes checkpoint + targets."""
+    from peerdb_cdc_psql_psql_spark import fs
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        drop_mirror,
+        list_mirrors,
+        stop_mirror,
+    )
+
+    rng = random.Random(37)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(
+        spark, workload.generate_order_events(rng, 1, 1, 50, [1], [1]), event_dir
+    )
+    q = start_mirror(
+        spark, mirror, event_dir, tgt, ckpt,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        q.processAllAvailable()
+        listed = {r["mirror_name"] for r in list_mirrors(spark).collect()}
+        assert "demo" in listed
+        assert list_mirrors(spark, name_filter="dem").count() >= 1
+        assert list_mirrors(spark, name_filter="nomatch").count() == 0
+
+        # pause: query stops, checkpoint survives
+        assert stop_mirror(spark, "demo") is True
+        assert not q.isActive
+        assert stop_mirror(spark, "demo") is False  # already stopped
+        assert fs.exists(spark, ckpt)
+
+        # resume from the same checkpoint: no duplicate application
+        workload.append_events(
+            spark,
+            workload.generate_order_events(rng, 51, 51, 25, [1], [1]),
+            event_dir,
+        )
+        _run_drain(spark, mirror, event_dir, tgt, ckpt)
+        assert read_target(spark, mirror, "orders", tgt).count() == 75
+
+        # drop: checkpoint + target gone
+        drop_mirror(spark, mirror, tgt, checkpoint_dir=ckpt)
+        assert not fs.exists(spark, ckpt)
+        assert not fs.exists(spark, f"{tgt}/orders_cdc")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_container_health_report_banding(spark, tmp_path):
+    """Pass-6 banding over the _meta progress table: ≥80% GREEN,
+    ≥50% YELLOW, else RED (monitoring.ps1:807-808)."""
+    import json as _json
+    import os
+
+    from peerdb_cdc_psql_psql_spark.operators.monitoring import (
+        container_health_report,
+    )
+
+    meta = str(tmp_path / "meta")
+    os.makedirs(meta)
+    rows = (
+        # 5 batches, 5 healthy -> GREEN
+        [("m-green", i, 100 + i, 500) for i in range(5)]
+        # 4 batches, 2 healthy -> YELLOW
+        + [("m-yellow", i, 50, 2_000 if i < 2 else 60_000) for i in range(4)]
+        # 5 batches, 1 healthy -> RED
+        + [("m-red", i, 10, 1_000 if i == 0 else 99_000) for i in range(5)]
+    )
+    with open(f"{meta}/progress.jsonl", "w") as f:
+        for name, bid, n, ms in rows:
+            f.write(_json.dumps({
+                "query_name": name, "batch_id": bid, "timestamp": "t",
+                "num_input_rows": n, "batch_duration_ms": ms,
+            }) + "\n")
+    got = {r["query_name"]: r for r in container_health_report(spark, meta).collect()}
+    assert got["m-green"]["health_band"] == "GREEN"
+    assert got["m-green"]["health_pct"] == 100.0
+    assert got["m-yellow"]["health_band"] == "YELLOW"
+    assert got["m-red"]["health_band"] == "RED"
+
+
 def test_catalog_schema_assertions(spark):
     """M0: every fixture table matches its declared StructType."""
     from peerdb_cdc_psql_psql_spark.catalog import (
