@@ -84,6 +84,58 @@ def bench_cdc_apply(spark) -> tuple[float, int]:
     return dt, len(events)
 
 
+def bench_cdc_apply_multi(spark, n_tables: int = 3) -> tuple[float, int]:
+    """Multi-table mirror-apply throughput: the same drain with the
+    change stream striped across orders+customers+products, exercising
+    the concurrent per-table merge (one mirror, N delta logs). The
+    per-event cost should stay within ~2x the single-table figure —
+    the merge jobs overlap instead of serializing."""
+    from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+    from peerdb_cdc_psql_psql_spark.streaming import workload
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        Mirror,
+        TableMapping,
+        read_target,
+        start_mirror,
+    )
+
+    n_per = 20000 // n_tables
+    rng = random.Random(7)
+    orders = workload.generate_order_events(
+        rng, start_id=1, start_lsn=1, count=n_per,
+        customer_ids=list(range(1, 101)), product_ids=list(range(1, 101)),
+        update_fraction=0.2, delete_fraction=0.05,
+    )
+    lsn = max(e[0] for e in orders) + 1
+    customers = workload.generate_customer_events(
+        rng, 1, lsn, n_per, update_fraction=0.2, delete_fraction=0.05
+    )
+    lsn = max(e[0] for e in customers) + 1
+    products = workload.generate_product_events(
+        rng, 1, lsn, n_per, update_fraction=0.2, delete_fraction=0.05
+    )
+    events = orders + customers + products
+    with tempfile.TemporaryDirectory() as tmp:
+        workload.append_events(spark, events, f"{tmp}/wal")
+        mirror = Mirror(
+            name="bench-multi",
+            tables={
+                t: TableMapping(t, f"{t}_cdc", DEMO_SCHEMAS[t], "id")
+                for t in ("orders", "customers", "products")
+            },
+        )
+        t0 = time.perf_counter()
+        q = start_mirror(
+            spark, mirror, f"{tmp}/wal", f"{tmp}/tgt", f"{tmp}/ckpt",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(timeout=600)
+        for t in ("orders", "customers", "products"):
+            read_target(spark, mirror, t, f"{tmp}/tgt").count()
+        dt = time.perf_counter() - t0
+    return dt, len(events)
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,6 +166,9 @@ def main() -> None:
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
     )
+    cdc_multi_sec, cdc_multi_events = min(
+        (bench_cdc_apply_multi(spark) for _ in range(2)), key=lambda t: t[0]
+    )
 
     # insert.ps1's own benchmark at its default scenario (5000 records,
     # batch 500 — README.md:124-126), unthrottled: directly comparable
@@ -134,6 +189,10 @@ def main() -> None:
         "cdc_apply_events": cdc_events,
         "cdc_apply_seconds": round(cdc_sec, 3),
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1),
+        "cdc_apply_multi_tables": 3,
+        "cdc_apply_multi_events": cdc_multi_events,
+        "cdc_apply_multi_seconds": round(cdc_multi_sec, 3),
+        "cdc_apply_multi_events_per_sec": round(cdc_multi_events / cdc_multi_sec, 1),
         "insert_stress_ops_per_sec": stress["ops_per_sec"],
         "insert_stress_success_rate_pct": stress["success_rate_pct"],
         "insert_stress_avg_batch_ms": stress["avg_batch_ms"],

@@ -29,7 +29,7 @@ _JACCARD_T = 0.8
 _MAX_SHINGLE_DF = 100
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     """(doc_id, shingle) distinct pairs for docs with >= N tokens."""
     docs = load(spark, sf_dir, "documents")
     tok = F.split(F.col("text"), " ")
@@ -47,9 +47,70 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The inverted index feeds FOUR plan branches (self-join a/b, DF
     # cap, set sizes); without materialization Spark re-explodes and
     # re-distincts per branch. Cache it — it is |docs|·|shingles| small
-    # keys, and at 100 TB this is exactly the intermediate you'd
-    # persist (or pre-bucket) between dedup stages.
-    return out.persist()
+    # keys. The 100 TB form is materialize_shingle_index below: the
+    # same index written as an on-disk table BUCKETED BY shingle, so
+    # the DF-cap agg and the self-equi-join run co-located with no
+    # Exchange, and the index is reused across dedup stages/runs
+    # instead of re-derived from raw text.
+    return out.persist() if persist else out
+
+
+def materialize_shingle_index(
+    spark: SparkSession, sf_dir: str, table: str = "shingle_index", n_buckets: int = 32
+) -> DataFrame:
+    """Write the shingle inverted index as a parquet table bucketed by
+    `shingle` (the join/agg key) and return the bucketed read. Size
+    n_buckets so one bucket ≈ one task at the target SF; every
+    downstream shingle-keyed op — document-frequency cap, self-join —
+    then plans with zero Exchange on the index side."""
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        _shingles(spark, sf_dir, persist=False),
+        table,
+        "shingle",
+        n_buckets=n_buckets,
+        sorted_by="shingle",
+    )
+    return spark.table(table)
+
+
+def jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold
+    from a (doc_id, shingle) inverted index — cached DataFrame or
+    materialized bucketed table alike (the bucketed form joins without
+    shuffling the index).
+
+    Plan: DF-cap frequent shingles (skew guard: a shingle shared by k
+    docs creates k² candidate rows) → self-equi-join on shingle (hash
+    shuffle on shingle, NOT a cross join) → count shared per pair →
+    Jaccard filter. Standard sub-quadratic blocking; at 100 TB the DF
+    cap and AQE skew-split keep the join balanced."""
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh2 = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 _SHINGLES_SQL = """
@@ -153,39 +214,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.8 (X2
     ground truth; the fixtures plant ~0.99 pairs).
 
-    Plan: shingle inverted index → DF-cap frequent shingles (skew
-    guard: a shingle shared by k docs creates k² candidate rows) →
-    self-equi-join on shingle (hash shuffle on shingle, NOT a cross
-    join) → count shared per pair → Jaccard filter. This is the
-    standard sub-quadratic blocking shape; at 100 TB the DF cap and
-    AQE skew-split keep the join balanced.
+    Plan: shingle inverted index → jaccard_pairs (DF-cap skew guard,
+    self-equi-join blocking, Jaccard filter — see its docstring). The
+    index is session-cached here; the materialized-bucketed form is
+    materialize_shingle_index + jaccard_pairs.
     """
-    sh = _shingles(spark, sf_dir)
-    df_ok = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    sh2 = sh.join(df_ok, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return jaccard_pairs(_shingles(spark, sf_dir))
 
 
 @register(

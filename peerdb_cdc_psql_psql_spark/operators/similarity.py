@@ -157,42 +157,99 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # approximate — recall-tested vs exact top-k in tests
-    tags=("X3", "similarity", "approx"),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k (X3 scale path): KMeans
-    coarse quantizer partitions the corpus into cells; each query
-    probes its nprobe=3 nearest cells and scores exact cosine only
-    there. The cell assignment is the partition key at 100 TB —
-    queries route to cells, so a top-k touches ~nprobe/k_cells of the
-    data. Centroids are tiny and broadcast."""
+# ---------------------------------------------------------------------------
+# IVF: fit/query split. At 100 TB the coarse quantizer is trained ONCE
+# (on a sample), persisted, and every ingest/search run loads it —
+# query-time does no KMeans fit, and cell assignment is a pure column
+# expression against literal centroids (no ML model, no shuffle).
+# ---------------------------------------------------------------------------
+
+
+def fit_ivf_quantizer(corpus: DataFrame, k_cells: int = 8, seed: int = 42) -> DataFrame:
+    """Train the IVF coarse quantizer (the ONLY fitting step): KMeans
+    over the corpus embeddings → a tiny (cell, centroid) table. Run
+    once, persist with save_ivf_quantizer, reuse across every search
+    and ingest run."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    k_cells, nprobe = 8, 3
-    emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "label", "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
-    )
-    km = KMeans(k=k_cells, seed=42, featuresCol="vec", predictionCol="cell")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs)
+    from pyspark.ml.functions import array_to_vector
 
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cdf = F.broadcast(
-        assigned.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+    vecs = corpus.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
     )
-    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    model = KMeans(k=k_cells, seed=seed, featuresCol="vec", predictionCol="cell").fit(
+        vecs
     )
-    # route each query to its nprobe nearest centroids
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    )
+
+
+def save_ivf_quantizer(centroids: DataFrame, path: str) -> None:
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_quantizer(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _assign_cell(centroid_rows: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a single column expression: fold
+    over literal centroids tracking (best_dist², best_cell). Runs
+    inside whole-stage codegen against each corpus partition — zero
+    shuffle, zero ML dependency at assignment time. This expression is
+    the 100 TB partition key: write the corpus partitioned by it and a
+    query touches only its nprobe cells' files."""
+    emb = F.col("embedding").cast("array<double>")
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("c"),
+            )
+            for cell, vec in centroid_rows
+        ]
+    )
+    dist = lambda c: F.aggregate(  # noqa: E731 — squared euclidean
+        F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    best = F.aggregate(
+        cents,
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")
+        ),
+        lambda acc, x: F.when(dist(x["c"]) < acc["d"], F.struct(
+            dist(x["c"]).alias("d"), x["cell"].alias("cell")
+        )).otherwise(acc),
+    )
+    return best["cell"]
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Fit-free IVF search: assign corpus rows to cells via the literal
+    centroid expression, route each query to its nprobe nearest cells
+    (cosine, tiny crossJoin against the broadcast centroid table), and
+    score exact cosine only within probed cells. ``queries`` needs
+    (query_id, qv) columns."""
+    centroid_rows = [
+        (r["cell"], list(r["centroid"])) for r in centroids.collect()
+    ]  # k rows of metadata — the broadcast-literal form of the quantizer
+    assigned = corpus.select(
+        "vec_id", "label", "embedding", _assign_cell(centroid_rows).alias("cell")
+    )
+    cdf = F.broadcast(centroids)
     qcells = (
         queries.crossJoin(cdf)
-        .withColumn("cdist", _cosine(F.col("qv"), F.col("centroid").cast("array<float>")))
+        .withColumn("cdist", _cosine(F.col("qv"), F.col("centroid")))
         .withColumn(
             "crn",
             F.row_number().over(
@@ -203,14 +260,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", "cell")
     )
     scored = (
-        assigned.select("vec_id", "label", "embedding", "cell")
-        .join(F.broadcast(qcells), "cell")
+        assigned.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", _cosine(F.col("embedding"), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate — recall-tested vs exact top-k in tests
+    tags=("X3", "similarity", "approx"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k (X3 scale path): KMeans
+    coarse quantizer partitions the corpus into cells; each query
+    probes its nprobe=3 nearest cells and scores exact cosine only
+    there — a top-k touches ~nprobe/k_cells of the data.
+
+    Composed from the fit/query split: fit_ivf_quantizer (one-time at
+    scale; re-fit here because the bench fixture is self-contained) +
+    ivf_search (no fitting, pure-expression cell assignment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = fit_ivf_quantizer(emb, k_cells=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_search(emb, queries, centroids, nprobe=3, top_k=_TOP_K)

@@ -185,10 +185,19 @@ def _merge_batch(
     """foreachBatch body: per table, collapse to latest-change-per-key
     within the micro-batch (C1 last-write-wins by lsn) and append to
     the delta log. Replays append identical content, which compaction
-    collapses — idempotent (C7)."""
+    collapses — idempotent (C7).
+
+    Multi-table mirrors submit the per-table merge jobs CONCURRENTLY
+    (thread pool — Spark job submission is thread-safe): a 50-table
+    mirror would otherwise serialize 50 small write jobs per
+    micro-batch, leaving most executors idle. Each table writes to its
+    own delta dir, so the jobs share nothing but the persisted batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
     batch_df = batch_df.persist()
     try:
-        for tm in mirror.tables.values():
+
+        def merge_one(tm: TableMapping) -> None:
             tdf = batch_df.filter(F.col("table") == tm.source_table)
             if mirror.dead_letter:
                 # Quarantine unparseable after-images (non-delete events
@@ -221,6 +230,14 @@ def _merge_batch(
             # itself never lands), or the visible soft-delete loses them.
             latest = _merged_state(_with_meta(tdf, tm), tm, drop_lsn=False)
             latest.write.mode("append").parquet(_delta_dir(target_root, tm))
+
+        tms = list(mirror.tables.values())
+        if len(tms) == 1:
+            merge_one(tms[0])
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(tms))) as pool:
+                for f in [pool.submit(merge_one, tm) for tm in tms]:
+                    f.result()  # propagate the first failure
     finally:
         batch_df.unpersist()
 

@@ -109,6 +109,94 @@ def generate_order_events(
     return events
 
 
+def _generate_keyed_events(
+    rng: random.Random,
+    table: str,
+    make_after,
+    start_id: int,
+    start_lsn: int,
+    count: int,
+    update_fraction: float = 0.0,
+    delete_fraction: float = 0.0,
+) -> list[tuple]:
+    """Generic I/U/D event synthesis for any keyed demo table —
+    inserts for ids [start_id, start_id+count), then updates/deletes
+    sampled from this batch's keys (FIXTURES.md §C scenarios 2-3)."""
+    events, lsn, ids = [], start_lsn, []
+    for i in range(count):
+        kid = start_id + i
+        ids.append(kid)
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "I", table,
+                      kid, make_after(kid, rng))
+        )
+        lsn += 1
+    for kid in rng.sample(ids, int(count * update_fraction)):
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "U", table,
+                      kid, make_after(kid, rng))
+        )
+        lsn += 1
+    for kid in rng.sample(ids, int(count * delete_fraction)):
+        events.append(
+            event_row(lsn, _BASE_DATE + dt.timedelta(seconds=lsn), "D", table,
+                      kid, None)
+        )
+        lsn += 1
+    return events
+
+
+def generate_customer_events(
+    rng: random.Random,
+    start_id: int,
+    start_lsn: int,
+    count: int,
+    update_fraction: float = 0.0,
+    delete_fraction: float = 0.0,
+) -> list[tuple]:
+    """Customer-table CDC events (quickstart seed shape,
+    quickstart_prepare_peers.sh:54-60)."""
+
+    def after(cid: int, r: random.Random) -> dict:
+        return {
+            "id": cid,
+            "first_name": f"first_{cid}_{r.randint(0, 9)}",
+            "last_name": f"last_{cid}",
+            "email": f"user{cid}@example.com",
+        }
+
+    return _generate_keyed_events(
+        rng, "customers", after, start_id, start_lsn, count,
+        update_fraction, delete_fraction,
+    )
+
+
+def generate_product_events(
+    rng: random.Random,
+    start_id: int,
+    start_lsn: int,
+    count: int,
+    update_fraction: float = 0.0,
+    delete_fraction: float = 0.0,
+) -> list[tuple]:
+    """Product-table CDC events (quickstart seed shape,
+    quickstart_prepare_peers.sh:62-71; weight lands as decimal text
+    for from_json → DECIMAL(10,2))."""
+
+    def after(pid: int, r: random.Random) -> dict:
+        return {
+            "id": pid,
+            "name": f"product_{pid}",
+            "description": f"description of product {pid}",
+            "weight": f"{r.randint(1, 9999) / 100:.2f}",
+        }
+
+    return _generate_keyed_events(
+        rng, "products", after, start_id, start_lsn, count,
+        update_fraction, delete_fraction,
+    )
+
+
 def events_df(spark: SparkSession, events: list[tuple]) -> DataFrame:
     return spark.createDataFrame(events, CDC_EVENT_SCHEMA)
 

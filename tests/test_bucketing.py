@@ -44,6 +44,37 @@ def test_bucketed_join_is_shuffle_free(spark):
         drop_table(spark, "b_cust")
 
 
+def test_shingle_index_materialization(spark):
+    """The dedup-stage reuse knob: the shingle inverted index written
+    as a bucketed table (a) reproduces dedup_ngram_jaccard exactly and
+    (b) plans its shingle self-equi-join with no Exchange on either
+    side (co-located buckets) — the pre-bucketed on-disk intermediate
+    the 100 TB pipeline keeps between dedup stages."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        jaccard_pairs,
+        materialize_shingle_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    try:
+        sh = materialize_shingle_index(spark, sf, table="shingle_idx", n_buckets=8)
+        got = sorted(tuple(r) for r in jaccard_pairs(sh).collect())
+        exp = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, sf).collect())
+        assert got == exp and got
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+            b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+            plan = plan_string(a.join(b, "shingle"))
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        drop_table(spark, "shingle_idx")
+
+
 def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     """Z-ordered files must carry tight min/max footer stats on BOTH
     clustering columns, while a linear sort on one column leaves the

@@ -279,6 +279,46 @@ def test_multi_table_mirror_routing(spark, tmp_path):
     assert not os.path.exists(f"{tgt}/products")  # unmirrored ignored
 
 
+def test_three_table_mirror_concurrent_merge(spark, tmp_path):
+    """3-table mirror through the concurrent per-table merge path:
+    each table's target holds exactly its own merged state (I/U/D
+    applied per key), nothing leaks across delta logs."""
+    m = Mirror(
+        name="tri",
+        tables={
+            t: TableMapping(t, f"{t}_cdc", DEMO_SCHEMAS[t], "id")
+            for t in ("orders", "customers", "products")
+        },
+    )
+    rng = random.Random(47)
+    orders = workload.generate_order_events(
+        rng, 1, 1, 40, [1, 2], [1, 2], update_fraction=0.2, delete_fraction=0.1
+    )
+    lsn = max(e[0] for e in orders) + 1
+    customers = workload.generate_customer_events(
+        rng, 1, lsn, 30, update_fraction=0.2, delete_fraction=0.1
+    )
+    lsn = max(e[0] for e in customers) + 1
+    products = workload.generate_product_events(
+        rng, 1, lsn, 20, update_fraction=0.2, delete_fraction=0.1
+    )
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(spark, orders + customers + products, event_dir)
+    _run_drain(spark, m, event_dir, tgt, ckpt)
+
+    for t, n in (("orders", 40), ("customers", 30), ("products", 20)):
+        got = read_target(spark, m, t, tgt)
+        assert got.count() == n, t  # one row per key incl. tombstones
+        assert got.filter(F.col("_is_deleted")).count() == n // 10, t
+    # spot-check a product row parsed the decimal weight
+    import decimal
+
+    p = read_target(spark, m, "products", tgt).filter(~F.col("_is_deleted"))
+    assert isinstance(p.collect()[0]["weight"], decimal.Decimal)
+
+
 def test_mirror_column_subsetting(spark, tmp_path):
     """S7 per-column selection (images/cdc_2.png checkboxes): a mirror
     that selects only (id, quantity) must land exactly those columns

@@ -90,13 +90,27 @@ def test_merge_matches_lsn_replay_oracle(spark, tmp_path_factory, ops, split):
     got = read_target(spark, mirror, "orders", tgt)
     df = workload.events_df(spark, events)
     w = Window.partitionBy("key").orderBy(F.desc("lsn"))
-    latest = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-    exp = latest.withColumn(
-        "after", F.from_json("after_json", DEMO_SCHEMAS["orders"])
-    ).select(
-        F.col("key").alias("id"),
-        F.col("after.quantity").alias("quantity"),
-        (F.col("op") == "D").alias("_is_deleted"),
+    w_fill = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("lsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    parsed = df.withColumn("after", F.from_json("after_json", DEMO_SCHEMAS["orders"]))
+    qty_raw = F.col("after.quantity")
+    # tombstone winners keep last-known values (visible soft-delete)
+    qty = (
+        F.when(F.col("op") == "D", F.last(qty_raw, ignorenulls=True).over(w_fill))
+        .otherwise(qty_raw)
+    )
+    exp = (
+        parsed.select(
+            F.col("key").alias("id"),
+            qty.alias("quantity"),
+            (F.col("op") == "D").alias("_is_deleted"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter("rn = 1")
+        .drop("rn")
     )
     cols = ["id", "quantity", "_is_deleted"]
     assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(

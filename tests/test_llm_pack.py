@@ -86,6 +86,38 @@ def test_ivf_topk_recall(spark):
     )
 
 
+def test_ivf_query_time_does_no_kmeans_fit(spark, tmp_path, monkeypatch):
+    """The fit/query split: a persisted quantizer makes search a pure
+    expression pipeline — KMeans.fit poisoned to prove query-time never
+    trains. Results must match the fit-inline registered query."""
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.operators.similarity import (
+        fit_ivf_quantizer,
+        ivf_search,
+        load_ivf_quantizer,
+        save_ivf_quantizer,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    cents = fit_ivf_quantizer(emb, k_cells=8, seed=42)
+    save_ivf_quantizer(cents, str(tmp_path / "ivf_quantizer"))
+
+    import pyspark.ml.clustering as _km
+
+    def _no_fit(*a, **k):
+        raise AssertionError("KMeans.fit called at query time")
+
+    monkeypatch.setattr(_km.KMeans, "fit", _no_fit)
+
+    loaded = load_ivf_quantizer(spark, str(tmp_path / "ivf_quantizer"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = ivf_search(emb, queries, loaded, nprobe=3, top_k=3)
+    rows = got.collect()
+    assert len(rows) == 15  # 5 queries x top-3
+
+
 def test_decode_media_fake_stats_exact(spark):
     """The fake decoder's byte stats must equal expression-computed
     truth (validates mapInPandas batch plumbing end to end)."""
