@@ -222,6 +222,102 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_shingles(spark, sf_dir))
 
 
+_JACCARD_PAIRS_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM cand
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE shared * 1.0 / (s1.n + s2.n - shared) >= {_JACCARD_T}
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_JACCARD_PAIRS_SQL})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, cc.label
+  FROM cc JOIN edges e ON e.src = cc.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id
+""",
+    tags=("X2", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact-
+    Jaccard pair graph, cluster id = min doc_id in the component — the
+    step a real dedup pipeline runs after pair generation (transitive
+    closure: if A≈B and B≈C, all three dedup together even when A-C
+    alone misses the threshold). The keeper per cluster is the
+    cluster_id row; everything else drops.
+
+    Spark-first iterative algorithm (the driver's non-SQL-expressible
+    class, yet oracle-checked — the DuckDB twin is a recursive CTE):
+    min-label propagation. labels(doc)=doc; each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components are tiny (dedup
+    graphs are unions of small cliques), so 2-3 rounds suffice; the
+    loop is capped and convergence-checked. Each round is one hash
+    join + one grouped min — all distributed; the driver sees only the
+    changed-label count. At web scale swap in the large-star/small-star
+    variant (same join shape, O(log n) rounds); localCheckpoint every
+    few rounds truncates lineage."""
+    pairs = jaccard_pairs(_shingles(spark, sf_dir)).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(20):  # cap >> any real component diameter here
+            neighbor_min = (
+                edges.join(labels, edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "label")
+            )
+            new_labels = (
+                labels.unionByName(neighbor_min)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # approximate — verified against dedup_ngram_jaccard in tests

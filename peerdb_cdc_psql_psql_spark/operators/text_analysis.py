@@ -213,6 +213,58 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ["vector", "merge", "scan"]
+
+
+@register(
+    "keyword_search",
+    oracle=f"""
+WITH terms(term) AS (VALUES {", ".join(f"('{t}')" for t in _SEARCH_TERMS)}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks JOIN terms USING (term) GROUP BY 1, 2
+),
+idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       COUNT(*) AS n_terms_matched,
+       CAST(SUM(tf * ((n_docs * 1000000) // df)) AS BIGINT) AS score_micro
+FROM tf JOIN idf USING (term) CROSS JOIN n
+GROUP BY doc_id
+""",
+    tags=("X4", "text", "search"),
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with tf-idf-style ranking over the corpus — the
+    retrieval primitive of a training-data pipeline (find documents
+    about X at 100 TB), scored in EXACT integer arithmetic:
+    score_micro = Σ tf(term, doc) · (N·10⁶ div df(term)). Integer
+    rarity weights make the score order-independent and bit-identical
+    across engines — no transcendental idf, no float-sum ambiguity.
+
+    Plan shape is an inverted-index probe: the term filter applies
+    BEFORE the shuffle, so only matching postings move; the per-term
+    document frequencies are a k-row broadcast; the final agg shuffles
+    one row per (doc, matched term)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", F.expr("tf * ((n_docs * 1000000) div df)"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("w").cast("bigint").alias("score_micro"),
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle="""
