@@ -30,20 +30,24 @@ _MAX_SHINGLE_DF = 100
 
 
 def _shingles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
-    """(doc_id, shingle) distinct pairs for docs with >= N tokens."""
+    """(doc_id, shingle) distinct pairs for docs with >= N tokens.
+
+    The token array is materialized as a NAMED column before the
+    shingle transform: referencing the raw `split(text)` expression
+    inside the lambda defeats common-subexpression elimination — every
+    `get(tok, i)` re-splits the document, turning an O(tokens) explode
+    into O(tokens²) per doc (measured 5× slower at sf0.1)."""
     docs = load(spark, sf_dir, "documents")
-    tok = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= _SHINGLE_N
+    )
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - _SHINGLE_N),
+        F.sequence(F.lit(0), F.size("tok") - _SHINGLE_N),
         lambda i: F.concat_ws(
-            " ", F.get(tok, i), F.get(tok, i + 1), F.get(tok, i + 2)
+            " ", F.get("tok", i), F.get("tok", i + 1), F.get("tok", i + 2)
         ),
     )
-    out = (
-        docs.filter(F.size(tok) >= _SHINGLE_N)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
     # The inverted index feeds FOUR plan branches (self-join a/b, DF
     # cap, set sizes); without materialization Spark re-explodes and
     # re-distincts per branch. Cache it — it is |docs|·|shingles| small
