@@ -420,6 +420,27 @@ def compact_target(
         fs.delete(spark, f_path, recursive=False)
 
 
+def maybe_compact(
+    spark: SparkSession,
+    mirror: Mirror,
+    source_table: str,
+    target_root: str,
+    max_delta_files: int = 16,
+) -> bool:
+    """Threshold-triggered compaction — the maintenance policy a 100 TB
+    deployment schedules beside each mirror (reads degrade as O(delta
+    files); compacting on a file-count trigger bounds read amplification
+    without rewriting the base on every micro-batch). Returns True if a
+    compaction ran. Safe to call while the mirror streams: the
+    snapshot-listed protocol preserves concurrent appends."""
+    tm = mirror.tables[source_table]
+    n = len(fs.list_files(spark, _delta_dir(target_root, tm), suffix=".parquet"))
+    if n <= max_delta_files:
+        return False
+    compact_target(spark, mirror, source_table, target_root)
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Mirror lifecycle (README.md:99-106 mirror CRUD via UI/SQL;
 # scripts/mirror-name-search.sh:6-9 name search)

@@ -464,6 +464,36 @@ def test_compact_preserves_concurrent_appends(spark, tmp_path, mirror):
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
 
 
+def test_maybe_compact_threshold(spark, tmp_path, mirror):
+    """Threshold-triggered compaction: no-op under the file-count
+    limit, compacts (and preserves state) above it."""
+    from peerdb_cdc_psql_psql_spark import fs
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import maybe_compact
+
+    rng = random.Random(53)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    all_events = []
+    for i in range(4):  # 4 drains -> 4 delta files
+        batch = workload.generate_order_events(
+            rng, 1 + 20 * i, 1 + 100 * i, 20, [1], [1], update_fraction=0.3
+        )
+        workload.append_events(spark, batch, event_dir)
+        all_events.extend(batch)
+        _run_drain(spark, mirror, event_dir, tgt, ckpt)
+
+    delta = f"{tgt}/orders_cdc/delta"
+    n_files = len(fs.list_files(spark, delta, suffix=".parquet"))
+    assert n_files >= 4
+    assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=n_files) is False
+    before = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
+    assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=2) is True
+    assert fs.list_files(spark, delta, suffix=".parquet") == []
+    after = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
+    assert before == after
+
+
 def test_mirror_lifecycle(spark, tmp_path, mirror):
     """Mirror CRUD (README.md:99-106, mirror-name-search.sh analog):
     a started mirror appears in list_mirrors (with name filtering),
