@@ -330,17 +330,19 @@ def read_target(
     delta_dir = _delta_dir(target_root, tm)
     parts = []
     for d in (base_dir, delta_dir):
-        if d is None:
+        # A missing side is normal (no snapshot taken, or no changes
+        # yet); anything else — corrupt files, permissions — must
+        # surface, not silently drop a side of the merge.
+        if d is None or not fs.exists(spark, d):
             continue
-        try:
-            # mergeSchema: after additive schema evolution a single
-            # delta dir legitimately holds files with and without the
-            # new column; footer-merge unifies them (footers only — no
-            # data read). Rows from pre-evolution files surface the
-            # added column as null.
-            parts.append(spark.read.option("mergeSchema", "true").parquet(d))
-        except Exception:
-            continue  # missing side (no snapshot, or no changes yet)
+        # mergeSchema: after additive schema evolution a single delta
+        # dir legitimately holds files with and without the new
+        # column; footer-merge unifies them (footers only — no data
+        # read). Rows from pre-evolution files surface the added
+        # column as null.
+        if not fs.list_files(spark, d, suffix=".parquet"):
+            continue  # dir exists but holds no data files yet
+        parts.append(spark.read.option("mergeSchema", "true").parquet(d))
     if not parts:
         raise FileNotFoundError(f"no target data under {target_root}")
     allrows = parts[0]

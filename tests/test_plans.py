@@ -117,6 +117,25 @@ def test_hypertable_rollup_reuses_hourly_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_keyword_search_broadcasts_idf(spark):
+    """X4 search: the per-term document frequencies and the corpus
+    count are broadcast (tiny); the only shuffles move matching
+    postings and the final per-doc agg — never the full token
+    stream unfiltered."""
+    plan = plan_string(_df(spark, "keyword_search"))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_equi_joins_only(spark):
+    """X2b connected components: every propagation round is an equi
+    join + grouped min — no nested-loop joins anywhere in the final
+    iteration's plan."""
+    plan = plan_string(_df(spark, "dedup_clusters"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None],
