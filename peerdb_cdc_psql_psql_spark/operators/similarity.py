@@ -157,6 +157,52 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_norm_stats",
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         len(embedding) AS dim,
+         sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                          (s, v) -> s + v)) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors, MIN(dim) AS dim,
+       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+FROM norms GROUP BY label
+""",
+    tags=("X3", "similarity", "profiling"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column profiling (the sanity pass before any
+    similarity/ANN run at scale: catch zero vectors, dimension drift,
+    norm explosions): per label — vector count, dimensionality, and
+    min/max/avg L2 norm. Norms fold sequentially in double (bit-matches
+    the DuckDB reduce); the norm SUM routes through decimal so the
+    average is partition-order-independent. One scan, one tiny agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(ed, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return (
+        emb.select("label", F.size("embedding").alias("dim"), norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").alias("dim"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF: fit/query split. At 100 TB the coarse quantizer is trained ONCE
 # (on a sample), persisted, and every ingest/search run loads it —

@@ -65,8 +65,12 @@ def _to_events(ops):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=_ops, split=_split)
-def test_merge_matches_lsn_replay_oracle(spark, tmp_path_factory, ops, split):
+@given(ops=_ops, split=_split, compact_between=st.booleans())
+def test_merge_matches_lsn_replay_oracle(
+    spark, tmp_path_factory, ops, split, compact_between
+):
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import compact_target
+
     tmp = tmp_path_factory.mktemp("prop")
     events = _to_events(ops)
     split = min(split, len(events))
@@ -77,8 +81,10 @@ def test_merge_matches_lsn_replay_oracle(spark, tmp_path_factory, ops, split):
         },
     )
     event_dir, tgt, ckpt = str(tmp / "wal"), str(tmp / "tgt"), str(tmp / "ckpt")
-    # two micro-batch generations at an arbitrary split point
-    for chunk in (events[:split], events[split:]):
+    # two micro-batch generations at an arbitrary split point; when
+    # hypothesis says so, a compaction runs between them — the merged
+    # state must be invariant to WHEN compaction happens
+    for i, chunk in enumerate((events[:split], events[split:])):
         if not chunk:
             continue
         workload.append_events(spark, chunk, event_dir)
@@ -86,6 +92,8 @@ def test_merge_matches_lsn_replay_oracle(spark, tmp_path_factory, ops, split):
             spark, mirror, event_dir, tgt, ckpt, trigger={"availableNow": True}
         )
         q.awaitTermination(timeout=120)
+        if compact_between and i == 0:
+            compact_target(spark, mirror, "orders", tgt)
 
     got = read_target(spark, mirror, "orders", tgt)
     df = workload.events_df(spark, events)
