@@ -422,6 +422,29 @@ def compact_target(
         fs.delete(spark, f_path, recursive=False)
 
 
+def vacuum_target(
+    spark: SparkSession, mirror: Mirror, source_table: str, target_root: str
+) -> list[str]:
+    """Garbage-collect base versions other than the current one. A
+    crash mid-compaction can strand a base dir (e.g. after the pointer
+    swap but before the old-base delete, or a written-but-never-pointed
+    new version); they are invisible to readers but hold storage
+    forever. Returns the deleted dir names. Only runs when the pointer
+    file exists — without it the highest base_v* IS the live base."""
+    tm = mirror.tables[source_table]
+    tdir = _table_dir(target_root, tm)
+    ptr = fs.read_text(spark, f"{tdir}/{_BASE_PTR}")
+    if not ptr:
+        return []
+    current = ptr.strip()
+    removed = []
+    for v in fs.list_dirs(spark, tdir, prefix="base_v"):
+        if v != current:
+            fs.delete(spark, f"{tdir}/{v}", recursive=True)
+            removed.append(v)
+    return removed
+
+
 def maybe_compact(
     spark: SparkSession,
     mirror: Mirror,

@@ -229,6 +229,13 @@ def test_snapshot_then_stream_cutover(spark, tmp_path, mirror):
     exp = _expected_state(spark, pre + post)
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
     assert got.count() == 120
+    # C9: the parallel snapshot wrote `parallelism` range partitions
+    from peerdb_cdc_psql_psql_spark import fs
+
+    base_files = fs.list_files(
+        spark, f"{target_root}/orders_cdc/base_v000001", suffix=".parquet"
+    )
+    assert len(base_files) == 4  # default snapshot parallelism
 
 
 def test_multi_table_mirror_routing(spark, tmp_path):
@@ -490,6 +497,34 @@ def test_maybe_compact_threshold(spark, tmp_path, mirror):
     before = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
     assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=2) is True
     assert fs.list_files(spark, delta, suffix=".parquet") == []
+    after = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
+    assert before == after
+
+
+def test_vacuum_removes_orphan_base_versions(spark, tmp_path, mirror):
+    """A crash mid-compaction can strand base_v* dirs; vacuum_target
+    removes every version except the pointer's, and the visible state
+    is untouched."""
+    from peerdb_cdc_psql_psql_spark import fs
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import vacuum_target
+
+    rng = random.Random(59)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    b1 = workload.generate_order_events(rng, 1, 1, 30, [1], [1])
+    workload.append_events(spark, b1, event_dir)
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+    compact_target(spark, mirror, "orders", tgt)  # -> base_v000001 + pointer
+
+    # strand an orphan version (crash between base write and pointer swap)
+    orphan = f"{tgt}/orders_cdc/base_v000099"
+    spark.read.parquet(f"{tgt}/orders_cdc/base_v000001").write.parquet(orphan)
+    before = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
+
+    removed = vacuum_target(spark, mirror, "orders", tgt)
+    assert removed == ["base_v000099"]
+    assert not fs.exists(spark, orphan)
     after = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
     assert before == after
 
