@@ -74,10 +74,32 @@ def detach_progress_listener(spark: SparkSession, listener: ProgressListener) ->
 def progress_report(spark: SparkSession, meta_dir: str) -> DataFrame:
     """The `_meta.progress` table: per-batch rows + derived rates —
     the engine-native replacement for the reference's per-batch
-    ops/sec accounting (insert.ps1:355-357, A10)."""
-    df = spark.read.schema(PROGRESS_SCHEMA).json(
-        os.path.join(meta_dir, "progress.jsonl")
-    )
+    ops/sec accounting (insert.ps1:355-357, A10).
+
+    The listener file lives on the DRIVER's disk (listener events fire
+    there; appending a line must never launch a job), so the report
+    parses it driver-side and lifts the rows into a DataFrame —
+    `spark.read.json` on that path would make EXECUTORS open a
+    driver-local file, which breaks on any multi-node cluster. One row
+    per micro-batch: metadata scale, safe to parse on the driver."""
+    rows = []
+    path = os.path.join(meta_dir, "progress.jsonl")
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            rows.append(
+                (
+                    r.get("query_name", ""),
+                    r.get("batch_id"),
+                    r.get("timestamp", ""),
+                    r.get("num_input_rows"),
+                    r.get("batch_duration_ms"),
+                )
+            )
+    df = spark.createDataFrame(rows, PROGRESS_SCHEMA)
     return df.withColumn(
         "rows_per_sec",
         F.when(
