@@ -153,6 +153,74 @@ def test_xmin_crash_recovery_no_duplicates(spark, tmp_path):
     assert read_watermark(spark, tgt) == 70
 
 
+def test_hourly_rollup_incremental_refresh(spark, tmp_path):
+    """Continuous-aggregate refresh: after each incremental refresh the
+    on-disk rollup equals a from-scratch recompute, only touched hour
+    partitions are rewritten, and an untouched historical bucket's
+    files are left alone."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from peerdb_cdc_psql_psql_spark import fs
+    from peerdb_cdc_psql_psql_spark.streaming.incremental import (
+        hourly_rollup_refresh,
+        read_hourly_rollup,
+    )
+
+    rollup = f"file:{tmp_path}/rollup"
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def rows(lo, hi):
+        return [
+            (base + dt.timedelta(minutes=7 * i), ["a", "b"][i % 2], float(i) / 3)
+            for i in range(lo, hi)
+        ]
+
+    def check(source):
+        got = sorted(
+            (r["bucket_us"], r["key"], r["n_rows"], str(r["sum_value"]))
+            for r in read_hourly_rollup(spark, rollup).collect()
+        )
+        exp = sorted(
+            (r["bucket_us"], r["key"], r["n_rows"], str(r["sum_value"]))
+            for r in source.groupBy(
+                F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+                F.col("event_type").alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            )
+            .collect()
+        )
+        assert got == exp
+
+    src1 = spark.createDataFrame(rows(0, 60), schema)  # hours 0..6
+    n1 = hourly_rollup_refresh(spark, src1, rollup)
+    assert n1 == 7
+    check(src1)
+
+    first_hour_dir = f"{rollup}/data/bucket_us={int(base.timestamp()) * 1_000_000}"
+    files_before = set(fs.list_files(spark, first_hour_dir, suffix=".parquet"))
+    assert files_before
+
+    # new rows land in hours 7-9 — hour 0 (and all of 0-6) untouched
+    src2 = spark.createDataFrame(rows(0, 80), schema)
+    n2 = hourly_rollup_refresh(spark, src2, rollup)
+    assert n2 == 3  # hours 7, 8, 9 refreshed
+    check(src2)
+    assert set(fs.list_files(spark, first_hour_dir, suffix=".parquet")) == files_before
+
+    # idempotent when nothing new
+    assert hourly_rollup_refresh(spark, src2, rollup) == 0
+
+
 def test_query_replication_sync(spark, tmp_path):
     """C8 Query Replication: full overwrite re-materialization."""
     tgt = str(tmp_path / "qr_tgt")
