@@ -146,6 +146,36 @@ def test_decode_media_fake_stats_exact(spark):
         assert got[k][1] == truth[k][1], f"sum mismatch for {k}"
 
 
+def test_decode_media_streams(spark, tmp_path):
+    """X5 batch/stream parity: the SAME decode_media operator runs
+    under Structured Streaming (mapInPandas is stream-capable) and
+    produces byte stats identical to the batch pass — a multimodal
+    ingest pipeline can decode on arrival."""
+    m = media_manifest(spark, SF).filter(F.col("media_id") < 30)
+    src = str(tmp_path / "media_src")
+    m.write.parquet(src)
+
+    stream = spark.readStream.schema(m.schema).parquet(src)
+    q = (
+        decode_media(stream, fake=True)
+        .writeStream.format("memory")
+        .queryName("media_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(
+        (r["media_id"], r["payload_bytes"], r["byte_sum"])
+        for r in spark.sql("SELECT * FROM media_stream").collect()
+    )
+    exp = sorted(
+        (r["media_id"], r["payload_bytes"], r["byte_sum"])
+        for r in decode_media(m, fake=True).collect()
+    )
+    assert got == exp and len(got) == 30
+
+
 def test_decode_media_real_path_is_stubbed(spark):
     m = media_manifest(spark, SF).filter(F.col("media_id") < 5)
     with pytest.raises(Exception) as ei:
