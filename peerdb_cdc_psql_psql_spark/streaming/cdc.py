@@ -177,6 +177,26 @@ def snapshot_load(
     )
     out.write.mode("overwrite").parquet(f"{tdir}/{ver}")
     fs.write_text_atomic(spark, f"{tdir}/{_BASE_PTR}", ver)
+    # Record the cutover point beside the data (the reference keeps it
+    # in flow state): start_mirror auto-detects it when the caller
+    # doesn't thread snapshot_lsn through.
+    fs.write_text_atomic(spark, f"{tdir}/_snapshot_lsn", str(int(snapshot_lsn)))
+
+
+def recorded_snapshot_lsn(
+    spark: SparkSession, mirror: Mirror, target_root: str
+) -> int:
+    """The mirror-wide snapshot cutover LSN recorded by snapshot_load:
+    the MIN across tables (replaying an already-snapshotted change is
+    idempotent under last-write-wins; skipping an un-snapshotted one
+    would lose it). -1 when no table recorded a snapshot (stream-only
+    mirror: apply the log from the beginning)."""
+    vals = []
+    for tm in mirror.tables.values():
+        txt = fs.read_text(spark, f"{_table_dir(target_root, tm)}/_snapshot_lsn")
+        if txt:
+            vals.append(int(txt.strip()))
+    return min(vals) if vals else -1
 
 
 def _merge_batch(
@@ -248,16 +268,21 @@ def start_mirror(
     event_dir: str,
     target_root: str,
     checkpoint_dir: str,
-    snapshot_lsn: int = -1,
+    snapshot_lsn: int | None = None,
     trigger: dict | None = None,
 ):
     """Start the CDC stream for a mirror and return the StreamingQuery
     (the reference's Temporal-durable workflow state is played by the
     streaming checkpoint — SURVEY.md §3.3).
 
-    ``trigger`` defaults to the mirror's sync interval (C3); pass
-    ``{"availableNow": True}`` to drain-and-stop (tests, backfills).
+    ``snapshot_lsn=None`` auto-detects the cutover point recorded by
+    snapshot_load (no snapshot recorded → -1, apply the whole log);
+    pass an explicit value to override. ``trigger`` defaults to the
+    mirror's sync interval (C3); pass ``{"availableNow": True}`` to
+    drain-and-stop (tests, backfills).
     """
+    if snapshot_lsn is None:
+        snapshot_lsn = recorded_snapshot_lsn(spark, mirror, target_root)
     stream = (
         spark.readStream.schema(CDC_EVENT_SCHEMA)
         .parquet(event_dir)

@@ -213,7 +213,11 @@ def test_snapshot_then_stream_cutover(spark, tmp_path, mirror):
     tm = mirror.tables["orders"]
     snapshot_load(spark, source_at_snapshot, tm, target_root, snapshot_lsn)
 
-    # Full WAL (pre + post); stream must skip lsn <= 80
+    # Full WAL (pre + post); stream must skip lsn <= 80 — via the
+    # AUTO-DETECTED cutover point snapshot_load recorded in the target
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import recorded_snapshot_lsn
+
+    assert recorded_snapshot_lsn(spark, mirror, target_root) == snapshot_lsn
     post = workload.generate_order_events(
         rng, start_id=81, start_lsn=81, count=40,
         customer_ids=[1, 2, 3], product_ids=[1, 2], update_fraction=0.25,
@@ -221,7 +225,7 @@ def test_snapshot_then_stream_cutover(spark, tmp_path, mirror):
     workload.append_events(spark, pre + post, event_dir)
     q = start_mirror(
         spark, mirror, event_dir, target_root, ckpt,
-        snapshot_lsn=snapshot_lsn, trigger={"availableNow": True},
+        trigger={"availableNow": True},  # snapshot_lsn auto-detected
     )
     q.awaitTermination(timeout=120)
 
