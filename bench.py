@@ -24,6 +24,15 @@ from peerdb_cdc_psql_psql_spark.registry import REGISTRY  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Round-2 additions, timed separately so the headline total stays
+# directly comparable across rounds.
+EXTRA = [
+    "dedup_clusters",       # iterative connected components
+    "keyword_search",       # inverted-index tf-idf probe
+    "embedding_norm_stats", # vector-column profiling
+    "infra_health_bands",   # pass-6 health banding
+]
+
 # Headline set: one per capability family (SURVEY.md §7 M6).
 HEADLINE = [
     "pricing_summary",          # grouped aggregation over the fact table
@@ -151,6 +160,7 @@ def main() -> None:
     # ~60 s external CPU steals that would otherwise land on one
     # arbitrary query; min-of-2 measures the engine, not the noise.
     times: dict[str, float] = {}
+    extra_times: dict[str, float] = {}
     for _pass in range(2):
         # drop persisted intermediates so each pass pays full cost
         # (cache sharing within a pass is legitimate; across passes it
@@ -162,6 +172,13 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+        spark.catalog.clearCache()
+        for name in EXTRA:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            extra_times[name] = min(extra_times.get(name, dt), dt)
 
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
@@ -185,6 +202,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries": extra_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cdc_apply_events": cdc_events,
         "cdc_apply_seconds": round(cdc_sec, 3),

@@ -296,6 +296,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
+        # Convergence check: labels only ever DECREASE (min fold), so
+        # the iteration is a fixpoint iff sum(label) is unchanged —
+        # one tiny agg on the persisted frame per round instead of a
+        # join-against-previous changed-count job. Summed as
+        # decimal(38,0) so the invariant holds even when n*max(doc_id)
+        # would overflow a long at full corpus scale.
+        prev_sum = None
         for _ in range(20):  # cap >> any real component diameter here
             neighbor_min = (
                 edges.join(labels, edges["src"] == labels["doc_id"])
@@ -307,16 +314,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("label").alias("label"))
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if prev_sum is not None and label_sum == prev_sum:
                 break
+            prev_sum = label_sum
         return labels.select("doc_id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
