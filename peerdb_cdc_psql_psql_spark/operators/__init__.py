@@ -3,6 +3,7 @@
 
 from . import (  # noqa: F401
     cdc_semantics,
+    curation,
     dedup,
     event_time,
     joins,
@@ -23,6 +24,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "cdc_semantics",
+    "curation",
     "dedup",
     "event_time",
     "joins",

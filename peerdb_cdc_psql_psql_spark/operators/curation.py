@@ -1,0 +1,164 @@
+"""Corpus-curation pack (north-star training-data pipeline): benchmark
+decontamination (exact n-gram overlap between the training corpus and
+a held-out eval set) and PII pseudonymization (hash + generalize before
+the data ever reaches a trainer).
+
+Both are the pre-training passes every large-scale pipeline runs after
+dedup/quality filtering (the reference has no analog — these extend the
+surface per the build brief, like operators/dedup.py X1/X2):
+
+- Decontamination keeps eval benchmarks honest: any training document
+  sharing a long-enough exact n-gram with an eval document is flagged
+  (the GPT-3/C4-style "13-gram collision" rule; the fixture corpus is
+  ~100-token documents, so a 5-gram plays the role).
+- Pseudonymization makes rows safe to retain: direct identifiers are
+  replaced by a keyed digest (stable join key, no plaintext), and
+  quasi-identifiers are coarsened up a hierarchy (nation → region,
+  exact balance → band) so rows generalize instead of identify.
+
+Scale design: the eval set is tiny versus a 100 TB corpus, so its
+n-gram inventory BROADCASTS — the corpus side never shuffles, and the
+flagging join is map-side. Pseudonymization is pure column expressions
+plus one broadcast hierarchy join — whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Decontamination parameters: word-5-gram collisions, eval set =
+# every 50th document (doc_id % 50 == 7 — disjoint-by-construction
+# pseudo benchmark carved from the fixture corpus).
+_DECON_N = 5
+_EVAL_MOD = 50
+_EVAL_REM = 7
+
+
+def _ngrams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) distinct word-n-grams. The token array is
+    materialized as a named column first — referencing the raw split()
+    inside the lambda re-splits per element (see dedup._shingles)."""
+    toks = df.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= n
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("tok") - n),
+        lambda i: F.concat_ws(" ", *[F.get("tok", i + j) for j in range(n)]),
+    )
+    return toks.select("doc_id", F.explode(gram).alias("gram")).distinct()
+
+
+_NGRAMS_SQL = f"""
+SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id,
+         unnest([array_to_string(tok[i:i+{_DECON_N - 1}], ' ')
+                 for i in range(1, len(tok) - {_DECON_N - 2})]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+  WHERE len(tok) >= {_DECON_N}
+)
+"""
+
+
+@register(
+    "decontaminate_corpus",
+    oracle=f"""
+WITH grams AS ({_NGRAMS_SQL}),
+eval_grams AS (
+  SELECT doc_id AS eval_doc, gram FROM grams
+  WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+),
+corpus_grams AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.gram) AS n_shared_ngrams,
+       COUNT(DISTINCT e.eval_doc) AS n_eval_docs_hit
+FROM corpus_grams c JOIN eval_grams e USING (gram)
+GROUP BY c.doc_id
+""",
+    tags=("X4", "curation", "decontamination"),
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share an
+    exact word-{_DECON_N}-gram with any eval-set document (eval set =
+    doc_id % 50 == 7), reporting how many distinct n-grams collide and
+    how many eval documents are hit. Flagged docs get dropped (or the
+    eval items discarded) before training.
+
+    Plan: eval n-gram inventory (tiny — benchmarks are KBs against a
+    100 TB corpus) is BROADCAST; corpus n-grams stream through the
+    map-side hash join without shuffling raw text; only colliding
+    (doc, gram, eval_doc) rows reach the final agg. The corpus n-gram
+    explode never materializes — it feeds the join directly."""
+    grams = _ngrams(load(spark, sf_dir, "documents"), _DECON_N)
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    eval_grams = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    corpus_grams = grams.filter(~is_eval)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("gram")).alias("n_shared_ngrams"),
+            F.count_distinct(F.col("eval_doc")).alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@register(
+    "pii_pseudonymize",
+    oracle="""
+SELECT c.c_custkey,
+       substr(sha256('v1:' || c.c_name), 1, 16) AS name_pseudonym,
+       r.r_name AS region,
+       CASE WHEN c.c_acctbal < 0 THEN 'DEBT'
+            WHEN c.c_acctbal < 5000 THEN 'LOW'
+            ELSE 'HIGH' END AS acctbal_band,
+       c.c_mktsegment AS mktsegment
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_custkey < 200
+""",
+    tags=("X4", "curation", "pii"),
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization + generalization: direct identifier
+    (c_name) becomes a keyed sha256 digest prefix (stable across tables
+    for joining, irreversible without the key prefix), and the
+    quasi-identifiers generalize — nation coarsens to region through
+    the dimension hierarchy, exact balance to a 3-band code. The
+    salted-digest + hierarchy-climb shape is the standard
+    pseudonymization pass before corpus rows reach a trainer.
+
+    Plan: nation and region are broadcast (tiny dims), everything else
+    is column expressions in one codegen stage over the customer scan.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            "c_custkey",
+            F.substring(
+                F.sha2(F.concat(F.lit("v1:"), F.col("c_name")).cast("binary"), 256),
+                1,
+                16,
+            ).alias("name_pseudonym"),
+            F.col("r_name").alias("region"),
+            F.when(F.col("c_acctbal") < 0, "DEBT")
+            .when(F.col("c_acctbal") < 5000, "LOW")
+            .otherwise("HIGH")
+            .alias("acctbal_band"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )

@@ -136,6 +136,23 @@ def test_dedup_clusters_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontamination_broadcasts_eval_grams(spark):
+    """Curation: the eval-set n-gram inventory broadcasts (benchmarks
+    are KBs against a 100 TB corpus) — the corpus n-gram side joins
+    map-side without a shuffle-for-join, and nothing goes cartesian."""
+    plan = plan_string(_df(spark, "decontaminate_corpus"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_pseudonymize_broadcasts_hierarchy(spark):
+    """Curation: the nation→region generalization climbs via broadcast
+    joins; the customer scan is never shuffled for the join."""
+    plan = plan_string(_df(spark, "pii_pseudonymize"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None],
