@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -190,6 +190,69 @@ def dedup_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha")).agg(
         F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+_LEDGER_BATCH = 100  # docs per simulated ingest batch (doc_id div 100)
+
+
+@register(
+    "dedup_incremental_ledger",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id, doc_id // {_LEDGER_BATCH} AS batch, sha256(text) AS fp
+  FROM documents
+),
+classed AS (
+  SELECT batch,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn,
+         MIN(batch) OVER (PARTITION BY fp) AS first_batch
+  FROM tagged
+)
+SELECT batch,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_novel,
+       COUNT(*) FILTER (WHERE batch > first_batch) AS n_dup_prior,
+       COUNT(*) FILTER (WHERE rn > 1 AND batch = first_batch) AS n_dup_in_batch
+FROM classed
+GROUP BY batch
+""",
+    tags=("X1", "dedup", "streaming-twin"),
+)
+def dedup_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup ledger (batch twin of
+    streaming/dedup_stream.py): replay the corpus as ordered ingest
+    batches (batch = doc_id div 100) and account, per batch, how many
+    documents were novel, duplicates of a PRIOR batch (the fingerprint
+    store would reject them), or duplicates within their own batch
+    (the in-batch keeper rule drops them). Matches what the streaming
+    path admits batch-by-batch — the reconciliation report an
+    operator runs to audit a continuous-dedup ingest.
+
+    Scale shape: one shuffle on the 32-byte sha256 digest (both
+    windows share the fp partitioning — never shuffles text bodies),
+    then a tiny per-batch agg."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _LEDGER_BATCH).cast("long").alias("batch"),
+        F.sha2(F.col("text"), 256).alias("fp"),
+    )
+    wp = Window.partitionBy("fp")
+    classed = tagged.select(
+        "batch",
+        F.row_number().over(wp.orderBy("batch", "doc_id")).alias("rn"),
+        F.min("batch").over(wp).alias("first_batch"),
+    )
+    return classed.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_novel"),
+        F.count(F.when(F.col("batch") > F.col("first_batch"), 1)).alias(
+            "n_dup_prior"
+        ),
+        F.count(
+            F.when((F.col("rn") > 1) & (F.col("batch") == F.col("first_batch")), 1)
+        ).alias("n_dup_in_batch"),
     )
 
 

@@ -1,0 +1,101 @@
+"""Incremental (streaming) exact dedup: continuously ingest documents
+and emit only never-seen-before texts, keyed by a durable fingerprint
+store — the ingestion-time face of the batch dedup pack
+(operators/dedup.py X1). A 100 TB pipeline doesn't re-dedup the whole
+corpus per ingest; it anti-joins each arriving micro-batch against the
+digest ledger of everything already admitted.
+
+Design (same log-structured posture as streaming/cdc.py):
+
+- The fingerprint store holds ONLY (fp, doc_id) where fp =
+  sha256(text) — 32-byte digests, never the texts. The anti-join
+  shuffles digests, not documents; at 100 TB the store is a
+  bucketed-by-fp table so the join co-locates without an Exchange.
+- Per micro-batch: fingerprint → dedup within the batch (min doc_id
+  per fp wins, deterministic) → left-anti join the store → append
+  survivors to the `unique` output, then their digests to the store.
+- Crash safety is CDC-style at-least-once + idempotent visibility:
+  output lands BEFORE the store append, so a crash between the two
+  re-emits rows on replay (never loses them), and `read_unique`
+  compacts on read (one row per fp, min doc_id) so consumers see
+  exactly-once regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fs
+
+_FP = F.sha2(F.col("text").cast("binary"), 256)
+
+
+def _store_dir(out_root: str) -> str:
+    return f"{out_root}/fingerprints"
+
+
+def _unique_dir(out_root: str) -> str:
+    return f"{out_root}/unique"
+
+
+def _dedup_batch(batch_df: DataFrame, out_root: str) -> None:
+    """foreachBatch body: within-batch keeper per fingerprint, then
+    anti-join the durable store; append survivors + their digests."""
+    spark = batch_df.sparkSession
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    fresh = (
+        batch_df.withColumn("fp", _FP)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    store = _store_dir(out_root)
+    if fs.exists(spark, store) and fs.list_files(spark, store, suffix=".parquet"):
+        seen = spark.read.parquet(store).select("fp")
+        fresh = fresh.join(seen, "fp", "left_anti")
+    # Materialize once: the survivors feed two writes, and the second
+    # must see exactly the rows the first landed.
+    fresh = fresh.persist()
+    try:
+        fresh.drop("fp").write.mode("append").parquet(_unique_dir(out_root))
+        fresh.select("fp", "doc_id").write.mode("append").parquet(store)
+    finally:
+        fresh.unpersist()
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema=None,
+    trigger: dict | None = None,
+):
+    """Start the continuous-dedup stream over a documents-shaped
+    parquet ingest dir and return the StreamingQuery. ``trigger``
+    defaults to availableNow (drain-and-stop); pass a processingTime
+    trigger for a long-running ingest."""
+    if schema is None:
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.queryName("incremental-dedup")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, _id: _dedup_batch(df, out_root))
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def read_unique(spark: SparkSession, out_root: str) -> DataFrame:
+    """Exactly-once view of the deduped output: one row per text
+    fingerprint (min doc_id wins), regardless of at-least-once replay
+    appends — the same compact-on-read rule as cdc.read_target."""
+    w = Window.partitionBy(_FP).orderBy("doc_id")
+    return (
+        spark.read.parquet(_unique_dir(out_root))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

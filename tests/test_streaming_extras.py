@@ -458,3 +458,60 @@ def test_stream_interval_join_early_churn(spark, tmp_path):
     by_change = {r["change_lsn"]: r for r in got}
     assert by_change[2]["us_after_insert"] == 5 * 60 * 1_000_000
     assert by_change[5]["op"] == "D"
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuous dedup: the fingerprint store rejects texts admitted
+    by EARLIER micro-batches; within a batch the min-doc_id keeper
+    wins; read_unique stays exactly-once under replay appends."""
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    src = str(tmp_path / "ingest")
+    out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: doc 3 duplicates doc 1 in-batch -> keeper is doc 1
+    write_batch(
+        [
+            (1, "alpha beta gamma", "en", "s0", 16),
+            (2, "delta epsilon zeta", "en", "s0", 18),
+            (3, "alpha beta gamma", "en", "s1", 16),
+        ]
+    )
+    q = start_incremental_dedup(spark, src, out, ckpt)
+    q.awaitTermination(timeout=120)
+    got1 = {r["doc_id"] for r in read_unique(spark, out).collect()}
+    assert got1 == {1, 2}
+
+    # batch 2: doc 4 duplicates doc 1 CROSS-batch (store rejects);
+    # docs 5, 6 are novel
+    write_batch(
+        [
+            (4, "alpha beta gamma", "en", "s2", 16),
+            (5, "eta theta iota", "en", "s2", 14),
+            (6, "kappa lambda mu", "en", "s2", 15),
+        ]
+    )
+    q = start_incremental_dedup(spark, src, out, ckpt)
+    q.awaitTermination(timeout=120)
+    uniq = read_unique(spark, out).select(*cols)
+    got2 = {r["doc_id"] for r in uniq.collect()}
+    assert got2 == {1, 2, 5, 6}
+
+    # replay-append simulation (crash between output and store write):
+    # re-appending an already-admitted row must not change the view
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(f"{out}/unique")
+    got3 = {r["doc_id"] for r in read_unique(spark, out).collect()}
+    assert got3 == {1, 2, 5, 6}
