@@ -27,10 +27,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Round-2 additions, timed separately so the headline total stays
 # directly comparable across rounds.
 EXTRA = [
-    "dedup_clusters",       # iterative connected components
-    "keyword_search",       # inverted-index tf-idf probe
-    "embedding_norm_stats", # vector-column profiling
-    "infra_health_bands",   # pass-6 health banding
+    "dedup_clusters",            # iterative connected components
+    "keyword_search",            # inverted-index tf-idf probe
+    "embedding_norm_stats",      # vector-column profiling
+    "infra_health_bands",        # pass-6 health banding
+    "decontaminate_corpus",      # eval-set n-gram collision scan
+    "pii_pseudonymize",          # digest + hierarchy generalization
+    "dedup_incremental_ledger",  # cross-batch dedup accounting
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -88,6 +88,28 @@ def start_incremental_dedup(
     return writer.start()
 
 
+def compact_fingerprint_store(spark: SparkSession, out_root: str) -> int:
+    """Fold the store's accumulated per-batch files into one file —
+    a long-running ingest appends one small parquet file per
+    micro-batch, and the per-batch anti-join pays file-listing +
+    open cost O(files). Safe WHILE the stream runs, because the store
+    is an append-only membership set (duplicate fps across files are
+    harmless): snapshot the file list, append one consolidated file
+    holding their distinct fps, then delete exactly the snapshotted
+    files. Files appended concurrently are untouched. Returns the
+    number of files folded. (The 100 TB form writes the consolidated
+    generation bucketed by fp so the anti-join co-locates.)"""
+    store = _store_dir(out_root)
+    snapshot = fs.list_files(spark, store, suffix=".parquet")
+    if len(snapshot) <= 1:
+        return 0
+    consolidated = spark.read.parquet(*snapshot).distinct().coalesce(1)
+    consolidated.write.mode("append").parquet(store)
+    for f_path in snapshot:
+        fs.delete(spark, f_path, recursive=False)
+    return len(snapshot)
+
+
 def read_unique(spark: SparkSession, out_root: str) -> DataFrame:
     """Exactly-once view of the deduped output: one row per text
     fingerprint (min doc_id wins), regardless of at-least-once replay

@@ -515,3 +515,41 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     ).write.mode("append").parquet(f"{out}/unique")
     got3 = {r["doc_id"] for r in read_unique(spark, out).collect()}
     assert got3 == {1, 2, 5, 6}
+
+
+def test_fingerprint_store_compaction(spark, tmp_path):
+    """Store compaction folds per-batch files into one without losing
+    membership: dedup decisions are identical before and after."""
+    from peerdb_cdc_psql_psql_spark import fs
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        compact_fingerprint_store,
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    src = str(tmp_path / "ingest")
+    out = str(tmp_path / "dedup")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    for i in range(3):  # three separate drains -> three store files
+        write_batch([(10 * i + 1, f"text number {i}", "en", "s", 12)])
+        q = start_incremental_dedup(spark, src, out, str(tmp_path / "ckpt"))
+        q.awaitTermination(timeout=120)
+
+    store = f"{out}/fingerprints"
+    n_before = len(fs.list_files(spark, store, suffix=".parquet"))
+    assert n_before >= 3
+    folded = compact_fingerprint_store(spark, out)
+    assert folded == n_before
+    assert len(fs.list_files(spark, store, suffix=".parquet")) == 1
+
+    # a duplicate of batch-0's text must still be rejected post-compaction
+    write_batch([(99, "text number 0", "en", "s", 12)])
+    q = start_incremental_dedup(spark, src, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=120)
+    assert {r["doc_id"] for r in read_unique(spark, out).collect()} == {1, 11, 21}
