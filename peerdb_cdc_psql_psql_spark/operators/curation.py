@@ -111,6 +111,97 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_funnel",
+    oracle=f"""
+WITH grams AS ({_NGRAMS_SQL}),
+eval_grams AS (
+  SELECT gram FROM grams WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    AND gram IN (SELECT gram FROM eval_grams)
+),
+exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+s1 AS (SELECT doc_id FROM documents),
+s2 AS (SELECT doc_id FROM exact_keep),
+s3 AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+quality AS (
+  SELECT doc_id,
+         LEAST(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       + LEAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in'], t)))
+               * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3
+       + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+               * 1.0 / n_chars * 10.0, 1.0)) * 0.2 AS q
+  FROM documents
+),
+s4 AS (SELECT s3.doc_id FROM s3 JOIN quality USING (doc_id) WHERE q >= 0.7)
+SELECT 1 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs FROM s1
+UNION ALL SELECT 2, 'exact_unique', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM s3
+UNION ALL SELECT 4, 'quality_kept', COUNT(*) FROM s4
+""",
+    tags=("X1", "X4", "curation", "pipeline"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel accounting: documents remaining after each
+    pipeline stage — raw → exact-dedup keepers → decontaminated (eval
+    docs and eval-colliding docs removed) → quality-filtered. The
+    per-stage drop count is the report a pipeline operator watches to
+    catch a mis-tuned filter eating the corpus.
+
+    Scale shape: each stage is a filter/agg over the one documents
+    scan; the contamination check reuses the broadcast eval-gram join;
+    the four counts are single-row aggs unioned driver-free."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    contaminated = decontaminate_corpus(spark, sf_dir).select("doc_id")
+    s3 = (
+        exact_keep.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    )
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(
+        F.filter(
+            tokens,
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]]),
+                t,
+            ),
+        )
+    )
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]"))
+    q = (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
+        + F.least(stop_hits * 1.0 / n_tokens * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct * 1.0 / F.col("n_chars") * 10.0, F.lit(1.0))) * 0.2
+    )
+    s4 = s3.join(docs.filter(q >= 0.7).select("doc_id"), "doc_id")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "exact_unique", exact_keep))
+        .unionByName(stage(3, "decontaminated", s3))
+        .unionByName(stage(4, "quality_kept", s4))
+    )
+
+
+@register(
     "pii_pseudonymize",
     oracle="""
 SELECT c.c_custkey,

@@ -213,6 +213,90 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+  WHERE doc_id < 200
+),
+bg AS (
+  SELECT doc_id, unnest([tok[i] || ' ' || tok[i+1]
+                         for i in range(1, len(tok))]) AS g
+  FROM toks WHERE len(tok) >= 2
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         COUNT(*) AS n_distinct_bigrams, MAX(n) AS top_bigram_n
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_distinct_bigrams, top_bigram_n,
+       CAST(FLOOR(top_bigram_n * 10000.0 / n_bigrams) AS BIGINT) AS top_bigram_bp,
+       CAST(FLOOR((n_bigrams - n_distinct_bigrams) * 10000.0 / n_bigrams) AS BIGINT)
+         AS dup_bigram_bp,
+       CASE WHEN top_bigram_n * 1.0 / n_bigrams <= 0.2
+            THEN 'KEEP' ELSE 'REPETITIVE' END AS rep_band
+FROM agg
+""",
+    tags=("X4", "text", "quality"),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (the Gopher duplicate-n-gram
+    rules): per document, total vs distinct word-bigrams, the most
+    frequent bigram's share (floored basis points), and a
+    KEEP/REPETITIVE band at the top-bigram ≤ 20% rule.
+
+    Scale shape: the whole computation is per-document array
+    expressions — bigram array, array_distinct, a counted filter per
+    distinct gram (docs are short; d² stays tiny) — so it runs inside
+    one codegen stage with ZERO shuffle: no gram explode ever leaves
+    the partition, unlike the groupBy(doc, gram) formulation which
+    shuffles every token at corpus scale."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= 2
+    )
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("tok") - 2),
+        lambda i: F.concat_ws(" ", F.get("tok", i), F.get("tok", i + 1)),
+    )
+    withbg = toks.select("doc_id", bg.alias("bg")).select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct_bigrams"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("bg"),
+                lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+            )
+        )
+        .cast("bigint")
+        .alias("top_bigram_n"),
+    )
+    return withbg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigram_n",
+        F.floor(F.col("top_bigram_n") * 10000.0 / F.col("n_bigrams"))
+        .cast("bigint")
+        .alias("top_bigram_bp"),
+        F.floor(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+            * 10000.0
+            / F.col("n_bigrams")
+        )
+        .cast("bigint")
+        .alias("dup_bigram_bp"),
+        F.when(
+            F.col("top_bigram_n") * 1.0 / F.col("n_bigrams") <= 0.2, "KEEP"
+        )
+        .otherwise("REPETITIVE")
+        .alias("rep_band"),
+    )
+
+
 _SEARCH_TERMS = ["vector", "merge", "scan"]
 
 

@@ -145,6 +145,14 @@ def test_decontamination_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_repetition_stats_zero_shuffle(spark):
+    """X4 repetition signal: pure per-document array expressions — the
+    plan has NO Exchange at all (the groupBy(doc, gram) formulation
+    would shuffle every token at corpus scale)."""
+    plan = plan_string(_df(spark, "repetition_stats"))
+    assert "Exchange" not in plan
+
+
 def test_pii_pseudonymize_broadcasts_hierarchy(spark):
     """Curation: the nation→region generalization climbs via broadcast
     joins; the customer scan is never shuffled for the join."""
