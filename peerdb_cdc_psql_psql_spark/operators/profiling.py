@@ -7,7 +7,7 @@ monitoring.ps1:23-29,507-552).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -155,3 +155,57 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines want."""
     wide = pivot_event_counts(spark, sf_dir)
     return wide.unpivot("block", _EVENT_TYPES, "event_type", "n_events")
+
+
+_SKEW_TOPN = 20
+
+
+@register(
+    "key_skew_profile",
+    oracle=f"""
+WITH freq AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM freq),
+ranked AS (
+  SELECT user_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+  FROM freq
+)
+SELECT r.rnk, r.user_id, r.n AS n_rows,
+       CAST(FLOOR(r.n * 10000.0 / t.total) AS BIGINT) AS share_bp,
+       CAST(FLOOR(r.n * 1.0 * t.n_keys * 100 / t.total) AS BIGINT) AS x_avg_pct
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= {_SKEW_TOPN}
+""",
+    tags=("profiling", "skew"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top-{_SKEW_TOPN} heaviest keys
+    with their row share (floored basis points) and their size relative
+    to the average key (percent) — the report an operator reads BEFORE
+    choosing salting / AQE skew-join thresholds for a shuffle on this
+    key. A key at many times the average is the one that melts a
+    1000-executor join.
+
+    Scale shape: per-key counts partial-aggregate map-side; the top-N
+    is a rank-limit (TakeOrdered) over the key-count table, never the
+    raw rows; the totals are a 1-row broadcast."""
+    events = load(spark, sf_dir, "events")
+    freq = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = freq.select("user_id", "n", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= _SKEW_TOPN
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "user_id",
+        F.col("n").alias("n_rows"),
+        F.floor(F.col("n") * 10000.0 / F.col("total")).cast("bigint").alias("share_bp"),
+        F.floor(F.col("n") * 1.0 * F.col("n_keys") * 100 / F.col("total"))
+        .cast("bigint")
+        .alias("x_avg_pct"),
+    )

@@ -9,7 +9,7 @@ oracle-checkable, unlike rand()-based sampling).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -156,4 +156,72 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+         (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin
+  FROM cum
+)
+SELECT source, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM binned
+GROUP BY source, bin
+""",
+    tags=("sampling", "packing", "X4"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget
+    training sequences ({_PACK_BUDGET} tokens) by sequential fill —
+    running token sum in stable doc_id order, bin = starting offset
+    div budget. The step between chunking (splitting long docs) and
+    batching: short docs pack together so sequences waste no budget.
+
+    Scale shape: packing runs PER SOURCE GROUP (partition by source,
+    order by doc_id) — each group's running sum sorts independently,
+    so the window is a partitioned sort, never a global one; 1000
+    executors pack 1000 sources concurrently. Per-bin accounting
+    partial-aggregates after the window."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
     )
