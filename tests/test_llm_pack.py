@@ -245,3 +245,74 @@ def test_approx_distinct_close_to_exact(spark):
     approx = approx_distinct_users(spark, SF).collect()[0]
     assert exact["n_events"] == approx["n_events"]
     assert abs(approx["approx_users"] - exact["n_users"]) <= 0.05 * exact["n_users"]
+
+
+def test_decontamination_planted_overlap(spark, tmp_path):
+    """Planted-contamination semantics: a corpus doc sharing a 5-gram
+    with an eval doc (doc_id % 50 == 7) is flagged with the right
+    collision counts; disjoint docs are not."""
+    from peerdb_cdc_psql_psql_spark.operators.curation import decontaminate_corpus
+
+    rows = [
+        # eval doc (7 % 50 == 7): the benchmark item
+        (7, "alpha beta gamma delta epsilon zeta", "en", "bench", 35),
+        # corpus doc embedding the eval doc's first 5-gram -> 1 shared
+        # 5-gram with 1 eval doc
+        (1, "alpha beta gamma delta epsilon QQ RR", "en", "web", 33),
+        # corpus doc with the same WORDS but different order -> clean
+        (2, "zeta epsilon delta gamma beta alpha", "en", "web", 35),
+        # corpus doc fully disjoint -> clean
+        (3, "one two three four five six", "en", "web", 27),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs_hit"])
+        for r in decontaminate_corpus(spark, sf).collect()
+    }
+    assert got == {1: (1, 1)}
+
+
+def test_incremental_dedup_matches_batch_oracle_random(spark, tmp_path):
+    """Randomized equivalence: N ingest batches with seeded duplicate
+    injection -> read_unique equals the batch first-seen dedup (min
+    doc_id per text) over the concatenated input."""
+    import random
+
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    rng = random.Random(1234)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    vocab = ["w%d" % i for i in range(30)]
+    all_rows, next_id = [], 0
+    src, out, ckpt = (
+        str(tmp_path / "ingest"),
+        str(tmp_path / "dedup"),
+        str(tmp_path / "ckpt"),
+    )
+    for _batch in range(3):
+        batch = []
+        for _ in range(20):
+            if all_rows and rng.random() < 0.3:  # duplicate an earlier text
+                text = rng.choice(all_rows)[1]
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(8))
+            batch.append((next_id, text, "en", "s", len(text)))
+            next_id += 1
+        all_rows.extend(batch)
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_incremental_dedup(spark, src, out, ckpt)
+        q.awaitTermination(timeout=120)
+
+    expected = {}
+    for doc_id, text, *_ in all_rows:
+        expected.setdefault(text, doc_id)  # first-seen wins (ids ascend)
+    got = {r["text"]: r["doc_id"] for r in read_unique(spark, out).collect()}
+    assert got == expected
