@@ -1,5 +1,10 @@
 """Reusable expression helpers (SURVEY.md §2.8 scalar families)."""
 
-from .helpers import cosine_similarity, format_bytes, salted_join  # noqa: F401
+from .helpers import (  # noqa: F401
+    cosine_similarity,
+    format_bytes,
+    ngram_expr,
+    salted_join,
+)
 
-__all__ = ["cosine_similarity", "format_bytes", "salted_join"]
+__all__ = ["cosine_similarity", "format_bytes", "ngram_expr", "salted_join"]

@@ -24,6 +24,26 @@ def format_bytes(col: Column) -> Column:
     )
 
 
+def ngram_expr(tok_col: Column | str, n: int) -> Column:
+    """Word-n-gram array from a MATERIALIZED token-array column:
+    transform(sequence(0, size-n), i -> concat_ws(' ', tok[i..i+n-1])).
+
+    The token array must be a named column, not the raw split()
+    expression — Catalyst does not CSE subexpressions inside
+    higher-order-function lambdas, so referencing split(text) in the
+    lambda re-splits the document per element, turning an O(tokens)
+    build into O(tokens²) (measured 5× at sf0.1). Callers guard
+    size(tok) >= n (Spark's sequence DESCENDS for a negative span
+    instead of being empty). Single shared definition for the shingle
+    index (dedup), decontamination n-grams (curation), and repetition
+    bigrams (text_analysis)."""
+    tok = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", *[F.get(tok, i + j) for j in range(n)]),
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Exact cosine over array columns (double fold) — the canonical
     form used by the similarity pack; see operators/similarity.py for

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.helpers import ngram_expr
 from ..registry import register
 
 # Decontamination parameters: word-5-gram collisions, eval set =
@@ -39,17 +40,12 @@ _EVAL_REM = 7
 
 
 def _ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) distinct word-n-grams. The token array is
-    materialized as a named column first — referencing the raw split()
-    inside the lambda re-splits per element (see dedup._shingles)."""
+    """(doc_id, gram) distinct word-n-grams via the shared ngram_expr
+    (functions/helpers.py — one definition of the CSE-safe build)."""
     toks = df.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= n
     )
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("tok") - n),
-        lambda i: F.concat_ws(" ", *[F.get("tok", i + j) for j in range(n)]),
-    )
-    return toks.select("doc_id", F.explode(gram).alias("gram")).distinct()
+    return toks.select("doc_id", F.explode(ngram_expr("tok", n)).alias("gram")).distinct()
 
 
 _NGRAMS_SQL = f"""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.helpers import ngram_expr
 from ..registry import register
 
 # Near-dup parameters: word-3-gram shingles, Jaccard >= 0.8 (the
@@ -32,21 +33,14 @@ _MAX_SHINGLE_DF = 100
 def _shingles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     """(doc_id, shingle) distinct pairs for docs with >= N tokens.
 
-    The token array is materialized as a NAMED column before the
-    shingle transform: referencing the raw `split(text)` expression
-    inside the lambda defeats common-subexpression elimination — every
-    `get(tok, i)` re-splits the document, turning an O(tokens) explode
-    into O(tokens²) per doc (measured 5× slower at sf0.1)."""
+    Built on the shared ngram_expr (functions/helpers.py) — the token
+    array materializes as a NAMED column first; see its docstring for
+    the O(tokens²) CSE trap the shared helper encodes once."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= _SHINGLE_N
     )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("tok") - _SHINGLE_N),
-        lambda i: F.concat_ws(
-            " ", F.get("tok", i), F.get("tok", i + 1), F.get("tok", i + 2)
-        ),
-    )
+    sh = ngram_expr("tok", _SHINGLE_N)
     out = toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
     # The inverted index feeds FOUR plan branches (self-join a/b, DF
     # cap, set sizes); without materialization Spark re-explodes and

@@ -189,17 +189,18 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor join.
 
     Scale shape: per-key counts partial-aggregate map-side; the top-N
-    is a rank-limit (TakeOrdered) over the key-count table, never the
-    raw rows; the totals are a 1-row broadcast."""
+    is orderBy+limit → TakeOrderedAndProject (per-partition heaps, one
+    tiny final merge — never a single-task global rank over the whole
+    keyspace); the rank is then a window over the N survivors only;
+    the totals are a 1-row broadcast."""
     events = load(spark, sf_dir, "events")
     freq = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.agg(
         F.sum("n").cast("bigint").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )
-    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    ranked = freq.select("user_id", "n", F.row_number().over(w).alias("rnk")).filter(
-        F.col("rnk") <= _SKEW_TOPN
-    )
+    top = freq.orderBy(F.desc("n"), F.asc("user_id")).limit(_SKEW_TOPN)
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))  # over N rows only
+    ranked = top.select("user_id", "n", F.row_number().over(w).alias("rnk"))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "rnk",
         "user_id",

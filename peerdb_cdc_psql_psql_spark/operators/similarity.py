@@ -262,14 +262,16 @@ def _assign_cell(centroid_rows: list[tuple[int, list[float]]]) -> Column:
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    best = F.aggregate(
-        cents,
-        F.struct(
-            F.lit(float("inf")).alias("d"), F.lit(-1).alias("cell")
-        ),
-        lambda acc, x: F.when(dist(x["c"]) < acc["d"], F.struct(
-            dist(x["c"]).alias("d"), x["cell"].alias("cell")
-        )).otherwise(acc),
+    # array_min over (d, cell) structs: struct ordering compares d
+    # first (ties break on the lower cell id — deterministic). Each
+    # centroid's distance is computed exactly ONCE — Catalyst does not
+    # CSE subexpressions inside higher-order-function lambdas, so a
+    # compare-then-keep fold would pay 2·k·d multiply-adds per row.
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda x: F.struct(dist(x["c"]).alias("d"), x["cell"].alias("cell")),
+        )
     )
     return best["cell"]
 

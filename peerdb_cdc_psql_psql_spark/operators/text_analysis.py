@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.helpers import ngram_expr
 from ..registry import register
 
 # Tiny marker lexicons for the n-gram/stopword language heuristic.
@@ -257,11 +258,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= 2
     )
-    bg = F.transform(
-        F.sequence(F.lit(0), F.size("tok") - 2),
-        lambda i: F.concat_ws(" ", F.get("tok", i), F.get("tok", i + 1)),
-    )
-    withbg = toks.select("doc_id", bg.alias("bg")).select(
+    withbg = toks.select("doc_id", ngram_expr("tok", 2).alias("bg")).select(
         "doc_id",
         F.size("bg").cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct_bigrams"),

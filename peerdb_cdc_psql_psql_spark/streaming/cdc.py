@@ -99,6 +99,21 @@ class Mirror:
 
 
 _BASE_PTR = "_base_version"
+_GC_PENDING = "_gc_pending"
+
+
+def _gc_pending_sweep(spark: SparkSession, tdir: str) -> list[str]:
+    """Delete the paths the PREVIOUS compaction marked stale (their
+    reader-grace interval has elapsed) and clear the manifest.
+    Returns the deleted paths."""
+    txt = fs.read_text(spark, f"{tdir}/{_GC_PENDING}")
+    if not txt:
+        return []
+    stale = json.loads(txt)
+    for p in stale:
+        fs.delete(spark, p, recursive=True)
+    fs.delete(spark, f"{tdir}/{_GC_PENDING}", recursive=False)
+    return stale
 
 
 def _table_dir(target_root: str, tm: TableMapping) -> str:
@@ -183,24 +198,38 @@ def snapshot_load(
     fs.write_text_atomic(spark, f"{tdir}/_snapshot_lsn", str(int(snapshot_lsn)))
 
 
+def recorded_snapshot_lsns(
+    spark: SparkSession, mirror: Mirror, target_root: str
+) -> dict[str, int]:
+    """Per-source-table snapshot cutover LSN recorded by snapshot_load;
+    -1 for a table with no recorded snapshot (stream-only table: apply
+    its log from the beginning)."""
+    out = {}
+    for src, tm in mirror.tables.items():
+        txt = fs.read_text(spark, f"{_table_dir(target_root, tm)}/_snapshot_lsn")
+        out[src] = int(txt.strip()) if txt else -1
+    return out
+
+
 def recorded_snapshot_lsn(
     spark: SparkSession, mirror: Mirror, target_root: str
 ) -> int:
-    """The mirror-wide snapshot cutover LSN recorded by snapshot_load:
-    the MIN across tables (replaying an already-snapshotted change is
-    idempotent under last-write-wins; skipping an un-snapshotted one
-    would lose it). -1 when no table recorded a snapshot (stream-only
-    mirror: apply the log from the beginning)."""
-    vals = []
-    for tm in mirror.tables.values():
-        txt = fs.read_text(spark, f"{_table_dir(target_root, tm)}/_snapshot_lsn")
-        if txt:
-            vals.append(int(txt.strip()))
+    """The mirror-wide snapshot cutover LSN: the MIN across tables,
+    where a table WITHOUT a recorded snapshot contributes -1 —
+    replaying an already-snapshotted change is idempotent under
+    last-write-wins, but a global cutover above a stream-only table's
+    earliest LSN would silently lose its history. (The stream filter
+    uses this safe global floor; the per-table refinement is applied
+    at merge time from recorded_snapshot_lsns.)"""
+    vals = recorded_snapshot_lsns(spark, mirror, target_root).values()
     return min(vals) if vals else -1
 
 
 def _merge_batch(
-    batch_df: DataFrame, mirror: Mirror, target_root: str
+    batch_df: DataFrame,
+    mirror: Mirror,
+    target_root: str,
+    table_cutover: dict[str, int] | None = None,
 ) -> None:
     """foreachBatch body: per table, collapse to latest-change-per-key
     within the micro-batch (C1 last-write-wins by lsn) and append to
@@ -219,6 +248,14 @@ def _merge_batch(
 
         def merge_one(tm: TableMapping) -> None:
             tdf = batch_df.filter(F.col("table") == tm.source_table)
+            # Per-table cutover refinement: the stream-level filter is
+            # the SAFE GLOBAL FLOOR (min across tables, -1 for
+            # stream-only tables); a table snapshotted at a higher LSN
+            # drops its pre-snapshot changes here instead of
+            # re-applying them over the snapshot base.
+            cut = (table_cutover or {}).get(tm.source_table, -1)
+            if cut > -1:
+                tdf = tdf.filter(F.col("lsn") > F.lit(cut))
             if mirror.dead_letter:
                 # Quarantine unparseable after-images (non-delete events
                 # whose payload fails from_json) instead of landing null
@@ -275,24 +312,35 @@ def start_mirror(
     (the reference's Temporal-durable workflow state is played by the
     streaming checkpoint — SURVEY.md §3.3).
 
-    ``snapshot_lsn=None`` auto-detects the cutover point recorded by
-    snapshot_load (no snapshot recorded → -1, apply the whole log);
-    pass an explicit value to override. ``trigger`` defaults to the
-    mirror's sync interval (C3); pass ``{"availableNow": True}`` to
-    drain-and-stop (tests, backfills).
+    ``snapshot_lsn=None`` auto-detects PER-TABLE cutover points
+    recorded by snapshot_load: the stream filter uses the safe global
+    floor (min across tables; a table with no recorded snapshot
+    contributes -1 so its full history survives), and each table's
+    merge refines to its own cutover — a mixed mirror (some tables
+    snapshotted, some stream-only) loses nothing and double-applies
+    nothing. Pass an explicit value to force one cutover for every
+    table. ``trigger`` defaults to the mirror's sync interval (C3);
+    pass ``{"availableNow": True}`` to drain-and-stop (tests,
+    backfills).
     """
     if snapshot_lsn is None:
-        snapshot_lsn = recorded_snapshot_lsn(spark, mirror, target_root)
+        table_cutover = recorded_snapshot_lsns(spark, mirror, target_root)
+        global_floor = min(table_cutover.values()) if table_cutover else -1
+    else:
+        table_cutover = {t: snapshot_lsn for t in mirror.tables}
+        global_floor = snapshot_lsn
     stream = (
         spark.readStream.schema(CDC_EVENT_SCHEMA)
         .parquet(event_dir)
-        .filter(F.col("lsn") > F.lit(snapshot_lsn))  # C2 cutover
+        .filter(F.col("lsn") > F.lit(global_floor))  # C2 cutover (safe floor)
         .filter(F.col("table").isin([t for t in mirror.tables]))  # S7 subsetting
     )
     writer = (
         stream.writeStream.queryName(f"mirror-{mirror.name}")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, _id: _merge_batch(df, mirror, target_root))
+        .foreachBatch(
+            lambda df, _id: _merge_batch(df, mirror, target_root, table_cutover)
+        )
     )
     trig = trigger or {"processingTime": mirror.sync_interval}
     writer = writer.trigger(**trig)
@@ -406,8 +454,16 @@ def compact_target(
     3. Atomically swap the `_base_version` pointer file; readers
        resolve either the old or the new base, never a half-written
        one.
-    4. Delete the old base dir and exactly the snapshotted delta
-       files.
+    4. DEFERRED GC: the old base dir and the snapshotted delta files
+       are NOT deleted now — they are recorded in the `_gc_pending`
+       manifest and deleted at the START of the NEXT compaction. A
+       reader that planned its scan against the old base/deltas
+       therefore has a full compaction interval of grace before any
+       file it listed disappears (immediate deletion would throw
+       FileNotFoundException mid-scan in a concurrent read_target).
+       Keeping them is read-correct, not just crash-safe: the new base
+       preserves per-row `_lsn`, so base ∪ stale-deltas collapses to
+       the identical state on read.
 
     A crash at any point leaves a readable target: before (3) readers
     still resolve the old base + all deltas; after (3) the new base
@@ -417,6 +473,7 @@ def compact_target(
     tm = mirror.tables[source_table]
     tdir = _table_dir(target_root, tm)
     delta_dir = _delta_dir(target_root, tm)
+    _gc_pending_sweep(spark, tdir)  # previous run's stale files: grace is over
     old_base = _resolve_base_dir(spark, tdir)
     delta_files = (
         _delta_files
@@ -441,32 +498,50 @@ def compact_target(
     ver = _next_base_version(spark, tdir)
     out.write.mode("overwrite").parquet(f"{tdir}/{ver}")
     fs.write_text_atomic(spark, f"{tdir}/{_BASE_PTR}", ver)
-    if old_base is not None:
-        fs.delete(spark, old_base, recursive=True)
-    for f_path in delta_files:
-        fs.delete(spark, f_path, recursive=False)
+    stale = ([old_base] if old_base is not None else []) + list(delta_files)
+    fs.write_text_atomic(spark, f"{tdir}/{_GC_PENDING}", json.dumps(stale))
 
 
 def vacuum_target(
-    spark: SparkSession, mirror: Mirror, source_table: str, target_root: str
+    spark: SparkSession,
+    mirror: Mirror,
+    source_table: str,
+    target_root: str,
+    include_newer: bool = False,
 ) -> list[str]:
-    """Garbage-collect base versions other than the current one. A
+    """Garbage-collect base versions OLDER than the current one. A
     crash mid-compaction can strand a base dir (e.g. after the pointer
-    swap but before the old-base delete, or a written-but-never-pointed
-    new version); they are invisible to readers but hold storage
-    forever. Returns the deleted dir names. Only runs when the pointer
-    file exists — without it the highest base_v* IS the live base."""
+    swap but before the old-base delete); they are invisible to
+    readers but hold storage forever. Returns the deleted dir names.
+    Only runs when the pointer file exists — without it the highest
+    base_v* IS the live base.
+
+    Versions NEWER than the pointer are kept by default: a
+    concurrently running compact_target writes its new base BEFORE
+    swapping the pointer, so a higher unpointed version is most likely
+    an in-flight compaction — deleting it would destroy the base the
+    pointer is about to name. Pass ``include_newer=True`` only when no
+    compaction can be running (cleans up a compaction that crashed
+    after writing its base but before the pointer swap).
+
+    Unlike compact_target's deferred-GC path, vacuum deletes
+    IMMEDIATELY — run it when no readers are mid-scan (it is the
+    offline/forceful cleanup; compaction is the live-safe one)."""
     tm = mirror.tables[source_table]
     tdir = _table_dir(target_root, tm)
     ptr = fs.read_text(spark, f"{tdir}/{_BASE_PTR}")
     if not ptr:
         return []
     current = ptr.strip()
+    cur_n = int(current[len("base_v"):])
     removed = []
     for v in fs.list_dirs(spark, tdir, prefix="base_v"):
-        if v != current:
-            fs.delete(spark, f"{tdir}/{v}", recursive=True)
-            removed.append(v)
+        if v == current:
+            continue
+        if int(v[len("base_v"):]) > cur_n and not include_newer:
+            continue
+        fs.delete(spark, f"{tdir}/{v}", recursive=True)
+        removed.append(v)
     return removed
 
 
@@ -481,10 +556,18 @@ def maybe_compact(
     deployment schedules beside each mirror (reads degrade as O(delta
     files); compacting on a file-count trigger bounds read amplification
     without rewriting the base on every micro-batch). Returns True if a
-    compaction ran. Safe to call while the mirror streams: the
-    snapshot-listed protocol preserves concurrent appends."""
+    compaction ran. Safe to call while the mirror streams AND while
+    readers scan: the snapshot-listed protocol preserves concurrent
+    appends, and deferred GC gives in-flight readers a compaction
+    interval before any listed file disappears. Delta files already
+    awaiting deferred GC don't count toward the trigger — they no
+    longer contribute read amplification the new base doesn't cover."""
     tm = mirror.tables[source_table]
-    n = len(fs.list_files(spark, _delta_dir(target_root, tm), suffix=".parquet"))
+    tdir = _table_dir(target_root, tm)
+    txt = fs.read_text(spark, f"{tdir}/{_GC_PENDING}")
+    pending = set(json.loads(txt)) if txt else set()
+    files = fs.list_files(spark, _delta_dir(target_root, tm), suffix=".parquet")
+    n = len([f for f in files if f not in pending])
     if n <= max_delta_files:
         return False
     compact_target(spark, mirror, source_table, target_root)

@@ -23,6 +23,8 @@ Design (same log-structured posture as streaming/cdc.py):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -88,25 +90,40 @@ def start_incremental_dedup(
     return writer.start()
 
 
+_GC_PENDING = "_gc_pending"
+
+
 def compact_fingerprint_store(spark: SparkSession, out_root: str) -> int:
     """Fold the store's accumulated per-batch files into one file —
     a long-running ingest appends one small parquet file per
     micro-batch, and the per-batch anti-join pays file-listing +
-    open cost O(files). Safe WHILE the stream runs, because the store
-    is an append-only membership set (duplicate fps across files are
-    harmless): snapshot the file list, append one consolidated file
-    holding their distinct fps, then delete exactly the snapshotted
-    files. Files appended concurrently are untouched. Returns the
-    number of files folded. (The 100 TB form writes the consolidated
-    generation bucketed by fp so the anti-join co-locates.)"""
+    open cost O(files). Safe WHILE the stream runs:
+
+    - the store is an append-only membership set (duplicate fps across
+      files are harmless), so files appended concurrently with the
+      consolidation are simply left in place; and
+    - the snapshotted files are DELETED ONE COMPACTION LATE (recorded
+      in a `_gc_pending` manifest, swept at the start of the next
+      call) — a concurrent micro-batch that already listed them for
+      its anti-join gets a full compaction interval of grace instead
+      of a FileNotFoundException mid-read.
+
+    Returns the number of files folded. (The 100 TB form writes the
+    consolidated generation bucketed by fp so the anti-join
+    co-locates.)"""
     store = _store_dir(out_root)
+    pending_path = f"{store}/{_GC_PENDING}"
+    txt = fs.read_text(spark, pending_path)
+    if txt:
+        for f_path in json.loads(txt):
+            fs.delete(spark, f_path, recursive=False)
+        fs.delete(spark, pending_path, recursive=False)
     snapshot = fs.list_files(spark, store, suffix=".parquet")
     if len(snapshot) <= 1:
         return 0
     consolidated = spark.read.parquet(*snapshot).distinct().coalesce(1)
     consolidated.write.mode("append").parquet(store)
-    for f_path in snapshot:
-        fs.delete(spark, f_path, recursive=False)
+    fs.write_text_atomic(spark, pending_path, json.dumps(snapshot))
     return len(snapshot)
 
 

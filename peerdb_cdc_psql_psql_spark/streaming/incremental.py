@@ -38,17 +38,32 @@ _STATE_FILE = "_sync_state.json"
 
 
 def read_sync_state(spark: SparkSession, target_dir: str) -> dict:
+    """Resolve sync state, falling back to the previous on-disk layout
+    (`_watermark.json` + bare `data/` dir) when no manifest exists —
+    a target written by the earlier engine version keeps its watermark
+    (no full re-sync) and its data stays readable; `legacy_data` in
+    the state carries the old dir into the manifest on first commit
+    (mirrors cdc._resolve_base_dir's legacy-`base` fallback)."""
     raw = fs.read_text(spark, f"{target_dir}/{_STATE_FILE}")
     if raw is None:
-        return {"high_water_mark": None, "committed": []}
+        has_legacy = fs.exists(spark, f"{target_dir}/data")
+        wm = None
+        legacy_raw = fs.read_text(spark, f"{target_dir}/_watermark.json")
+        if legacy_raw:
+            try:
+                wm = json.loads(legacy_raw).get("high_water_mark")
+            except (ValueError, TypeError):
+                wm = None
+        return {"high_water_mark": wm, "committed": [], "legacy_data": has_legacy}
     try:
         state = json.loads(raw)
         return {
             "high_water_mark": state.get("high_water_mark"),
             "committed": list(state.get("committed", [])),
+            "legacy_data": bool(state.get("legacy_data", False)),
         }
     except (ValueError, TypeError):
-        return {"high_water_mark": None, "committed": []}
+        return {"high_water_mark": None, "committed": [], "legacy_data": False}
 
 
 def read_watermark(spark: SparkSession, target_dir: str) -> int | None:
@@ -93,6 +108,7 @@ def xmin_sync(
             {
                 "high_water_mark": int(row["mx"]),
                 "committed": [*state["committed"], round_id],
+                "legacy_data": state.get("legacy_data", False),
             },
         )
     else:
@@ -120,6 +136,8 @@ def query_replication_sync(
     for r in old:
         if r != round_id:
             fs.delete(spark, f"{target_dir}/rounds/{r}", recursive=True)
+    if state.get("legacy_data"):  # full replace supersedes the legacy dir too
+        fs.delete(spark, f"{target_dir}/data", recursive=True)
     return n
 
 
@@ -194,7 +212,9 @@ def read_incremental_target(spark: SparkSession, target_dir: str) -> DataFrame:
     """Manifest-resolved view of the synced target: exactly the
     committed round dirs, nothing half-written."""
     state = read_sync_state(spark, target_dir)
-    if not state["committed"]:
-        raise FileNotFoundError(f"no committed sync rounds under {target_dir}")
     paths = [f"{target_dir}/rounds/{r}" for r in state["committed"]]
+    if state.get("legacy_data"):  # previous engine version's layout
+        paths.insert(0, f"{target_dir}/data")
+    if not paths:
+        raise FileNotFoundError(f"no committed sync rounds under {target_dir}")
     return spark.read.option("mergeSchema", "true").parquet(*paths)

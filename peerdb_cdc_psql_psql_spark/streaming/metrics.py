@@ -89,7 +89,13 @@ def progress_report(spark: SparkSession, meta_dir: str) -> DataFrame:
             line = line.strip()
             if not line:
                 continue
-            r = json.loads(line)
+            # A live listener may be mid-append: a torn/partial last
+            # line is expected under concurrent reads — skip it rather
+            # than failing the whole report.
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
             rows.append(
                 (
                     r.get("query_name", ""),

@@ -433,7 +433,11 @@ def test_compact_file_scheme_uri(spark, tmp_path, mirror):
     from peerdb_cdc_psql_psql_spark import fs
 
     assert fs.read_text(spark, f"{tgt}/orders_cdc/_base_version").startswith("base_v")
+    # deferred GC: one more compaction sweeps the pending delta files
+    compact_target(spark, mirror, "orders", tgt)
     assert fs.list_files(spark, f"{tgt}/orders_cdc/delta", suffix=".parquet") == []
+    got = read_target(spark, mirror, "orders", tgt)
+    assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
 
 
 def test_compact_preserves_concurrent_appends(spark, tmp_path, mirror):
@@ -466,13 +470,23 @@ def test_compact_preserves_concurrent_appends(spark, tmp_path, mirror):
 
     compact_target(spark, mirror, "orders", tgt, _delta_files=stale_snapshot)
 
-    # late delta files still on disk, their changes still visible
+    # late delta files still on disk, their changes still visible; the
+    # snapshotted files are ALSO still there (deferred GC: a reader
+    # that listed them pre-compaction keeps a grace interval) and the
+    # visible state is identical because the new base kept per-row _lsn
     remaining = set(fs.list_files(spark, delta_dir, suffix=".parquet"))
     assert late_files <= remaining
-    assert not (set(stale_snapshot) & remaining)
+    assert set(stale_snapshot) <= remaining
     got = read_target(spark, mirror, "orders", tgt)
     exp = _expected_state(spark, b1 + b2)
     assert _collect_sorted(got, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
+
+    # the NEXT compaction sweeps the pending set — grace is over
+    compact_target(spark, mirror, "orders", tgt)
+    remaining2 = set(fs.list_files(spark, delta_dir, suffix=".parquet"))
+    assert not (set(stale_snapshot) & remaining2)
+    got2 = read_target(spark, mirror, "orders", tgt)
+    assert _collect_sorted(got2, DATA_COLS) == _collect_sorted(exp, DATA_COLS)
 
 
 def test_maybe_compact_threshold(spark, tmp_path, mirror):
@@ -500,9 +514,18 @@ def test_maybe_compact_threshold(spark, tmp_path, mirror):
     assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=n_files) is False
     before = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
     assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=2) is True
-    assert fs.list_files(spark, delta, suffix=".parquet") == []
+    # deferred GC keeps the snapshotted files for a grace interval,
+    # but they no longer count toward the trigger — no re-trigger loop
+    assert len(fs.list_files(spark, delta, suffix=".parquet")) == n_files
+    assert maybe_compact(spark, mirror, "orders", tgt, max_delta_files=2) is False
     after = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
     assert before == after
+    # an explicit compaction sweeps them; state still unchanged
+    compact_target(spark, mirror, "orders", tgt)
+    assert fs.list_files(spark, delta, suffix=".parquet") == []
+    assert _collect_sorted(
+        read_target(spark, mirror, "orders", tgt), DATA_COLS
+    ) == before
 
 
 def test_vacuum_removes_orphan_base_versions(spark, tmp_path, mirror):
@@ -521,14 +544,26 @@ def test_vacuum_removes_orphan_base_versions(spark, tmp_path, mirror):
     _run_drain(spark, mirror, event_dir, tgt, ckpt)
     compact_target(spark, mirror, "orders", tgt)  # -> base_v000001 + pointer
 
-    # strand an orphan version (crash between base write and pointer swap)
-    orphan = f"{tgt}/orders_cdc/base_v000099"
-    spark.read.parquet(f"{tgt}/orders_cdc/base_v000001").write.parquet(orphan)
+    # strand orphans on BOTH sides of the pointer: an old version a
+    # finished compaction failed to delete, and a newer version from a
+    # compaction that crashed after its base write / an IN-FLIGHT one
+    cur = spark.read.parquet(f"{tgt}/orders_cdc/base_v000001")
+    old_orphan = f"{tgt}/orders_cdc/base_v000000"
+    new_orphan = f"{tgt}/orders_cdc/base_v000099"
+    cur.write.parquet(old_orphan)
+    cur.write.parquet(new_orphan)
     before = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
 
+    # default: only versions OLDER than the pointer are GC'd — a newer
+    # unpointed version may be a compaction that is about to swap to it
     removed = vacuum_target(spark, mirror, "orders", tgt)
+    assert removed == ["base_v000000"]
+    assert not fs.exists(spark, old_orphan)
+    assert fs.exists(spark, new_orphan)
+    # forced pass (no compaction running): the newer orphan goes too
+    removed = vacuum_target(spark, mirror, "orders", tgt, include_newer=True)
     assert removed == ["base_v000099"]
-    assert not fs.exists(spark, orphan)
+    assert not fs.exists(spark, new_orphan)
     after = _collect_sorted(read_target(spark, mirror, "orders", tgt), DATA_COLS)
     assert before == after
 
@@ -724,3 +759,63 @@ def test_schema_evolution_additive(spark, tmp_path):
         evolve_table_schema(m, "orders", T.StructField("discount", T.DoubleType(), True))
     with pytest.raises(ValueError):  # non-nullable add
         evolve_table_schema(m, "orders", T.StructField("region", T.StringType(), False))
+
+
+def test_mixed_mirror_stream_only_table_keeps_history(spark, tmp_path):
+    """C2 mixed mirror: orders snapshotted at LSN 3, customers is
+    stream-only. The auto-detected cutover must NOT drop customers'
+    early events (global floor = -1), while orders still skips its
+    pre-snapshot changes (per-table refinement)."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        event_row,
+        snapshot_load,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = Mirror(
+        name="mixed",
+        tables={
+            "orders": TableMapping(
+                "orders", "orders_cdc", DEMO_SCHEMAS["orders"], "id"
+            ),
+            "customers": TableMapping(
+                "customers", "customers_cdc", DEMO_SCHEMAS["customers"], "id"
+            ),
+        },
+    )
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    # customers history begins at lsn 1 — BELOW orders' snapshot lsn
+    events = [
+        event_row(1, base, "I", "customers", 1,
+                  {"id": 1, "first_name": "a", "last_name": "b", "email": "e"}),
+        event_row(2, base, "I", "orders", 10,
+                  {"id": 10, "order_date": "2024-01-02", "purchaser": 1,
+                   "quantity": 5, "product_id": 1}),   # pre-snapshot: must skip
+        event_row(4, base, "I", "orders", 11,
+                  {"id": 11, "order_date": "2024-01-03", "purchaser": 1,
+                   "quantity": 7, "product_id": 2}),   # post-snapshot: applies
+        event_row(5, base, "I", "customers", 2,
+                  {"id": 2, "first_name": "c", "last_name": "d", "email": "f"}),
+    ]
+    # snapshot state for orders as of lsn 3: order 10 with quantity 99
+    # (differs from the lsn-2 event so double-apply would be visible)
+    snap = spark.createDataFrame(
+        [(10, "2024-01-02", 1, 99, 1)],
+        "id long, order_date string, purchaser long, quantity long, product_id long",
+    ).withColumn("order_date", F.col("order_date").cast("date"))
+    snapshot_load(spark, snap, m.tables["orders"], tgt, snapshot_lsn=3)
+
+    workload.append_events(spark, events, event_dir)
+    q = start_mirror(spark, m, event_dir, tgt, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(timeout=120)
+
+    cust = read_target(spark, m, "customers", tgt)
+    assert {r["id"] for r in cust.collect()} == {1, 2}  # lsn-1 event survived
+    orders = {r["id"]: r for r in read_target(spark, m, "orders", tgt).collect()}
+    assert set(orders) == {10, 11}
+    assert orders[10]["quantity"] == 99  # snapshot wins; lsn-2 NOT re-applied
+    assert orders[11]["quantity"] == 7

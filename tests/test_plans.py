@@ -145,6 +145,14 @@ def test_decontamination_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_key_skew_topn_uses_take_ordered(spark):
+    """Skew diagnostic: the heavy-key top-N plans as
+    TakeOrderedAndProject over per-key counts — not a single-task
+    global window over the whole keyspace."""
+    plan = plan_string(_df(spark, "key_skew_profile"))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_repetition_stats_zero_shuffle(spark):
     """X4 repetition signal: pure per-document array expressions — the
     plan has NO Exchange at all (the groupBy(doc, gram) formulation

@@ -546,6 +546,10 @@ def test_fingerprint_store_compaction(spark, tmp_path):
     assert n_before >= 3
     folded = compact_fingerprint_store(spark, out)
     assert folded == n_before
+    # deferred GC: folded files keep a grace interval (consolidated
+    # file appended beside them), swept by the NEXT compaction
+    assert len(fs.list_files(spark, store, suffix=".parquet")) == n_before + 1
+    compact_fingerprint_store(spark, out)
     assert len(fs.list_files(spark, store, suffix=".parquet")) == 1
 
     # a duplicate of batch-0's text must still be rejected post-compaction
@@ -553,3 +557,30 @@ def test_fingerprint_store_compaction(spark, tmp_path):
     q = start_incremental_dedup(spark, src, out, str(tmp_path / "ckpt"))
     q.awaitTermination(timeout=120)
     assert {r["doc_id"] for r in read_unique(spark, out).collect()} == {1, 11, 21}
+
+
+def test_xmin_legacy_layout_migration(spark, tmp_path):
+    """A target written by the previous engine version (_watermark.json
+    + bare data/ dir) keeps its watermark (no re-sync of old rows) and
+    its data stays readable; the next sync round migrates it into the
+    manifest layout."""
+    import json as _json
+
+    tgt = str(tmp_path / "xmin_tgt")
+    # fabricate the legacy layout: rows 1..50 synced, watermark 50
+    old = spark.range(1, 51).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    old.write.parquet(f"{tgt}/data")
+    (tmp_path / "xmin_tgt" / "_watermark.json").write_text(
+        _json.dumps({"high_water_mark": 50})
+    )
+
+    assert read_watermark(spark, tgt) == 50
+    got = read_incremental_target(spark, tgt)  # readable pre-migration
+    assert got.count() == 50
+
+    source = spark.range(1, 81).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    n = xmin_sync(spark, source, tgt, "id")
+    assert n == 30  # ONLY the tail past the legacy watermark
+    merged = read_incremental_target(spark, tgt)
+    assert merged.count() == 80  # legacy data + new round both visible
+    assert read_watermark(spark, tgt) == 80
