@@ -44,6 +44,39 @@ def ngram_expr(tok_col: Column | str, n: int) -> Column:
     )
 
 
+_QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def quality_expr(
+    text_col: Column | str = "text", n_chars_col: Column | str = "n_chars"
+) -> Column:
+    """Composite document-quality score in [0, 1] (the Gopher/C4-style
+    filter rule): 0.5·length + 0.3·stopword-density + 0.2·(1 − punct
+    density), each term clamped. Single shared definition behind
+    quality_score (X4), the composed training pipeline, the curation
+    funnel, and the streaming ingest filter — one expression tree, one
+    DuckDB twin to keep in sync. Operand order is part of the oracle
+    contract (see memory: floor'd basis points amplify fp deviations)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.col(n_chars_col) if isinstance(n_chars_col, str) else n_chars_col
+    tokens = F.split(text, " ")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(
+        F.filter(
+            tokens,
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in _QUALITY_STOPWORDS]), t
+            ),
+        )
+    )
+    punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9 ]"))
+    return (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
+        + F.least(stop_hits * 1.0 / n_tokens * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct * 1.0 / n_chars * 10.0, F.lit(1.0))) * 0.2
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Exact cosine over array columns (double fold) — the canonical
     form used by the similarity pack; see operators/similarity.py for

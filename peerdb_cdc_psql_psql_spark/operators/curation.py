@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.helpers import ngram_expr
+from ..functions.helpers import ngram_expr, quality_expr
 from ..registry import register
 
 # Decontamination parameters: word-5-gram collisions, eval set =
@@ -163,24 +163,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = (
         exact_keep.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
     )
-    tokens = F.split(F.col("text"), " ")
-    n_tokens = F.size(tokens)
-    stop_hits = F.size(
-        F.filter(
-            tokens,
-            lambda t: F.array_contains(
-                F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]]),
-                t,
-            ),
-        )
-    )
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]"))
-    q = (
-        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
-        + F.least(stop_hits * 1.0 / n_tokens * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(punct * 1.0 / F.col("n_chars") * 10.0, F.lit(1.0))) * 0.2
-    )
-    s4 = s3.join(docs.filter(q >= 0.7).select("doc_id"), "doc_id")
+    s4 = s3.join(docs.filter(quality_expr() >= 0.7).select("doc_id"), "doc_id")
 
     def stage(no: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.helpers import quality_expr
 from ..registry import register
 from .dedup import _JACCARD_T, dedup_ngram_jaccard
 
@@ -88,23 +89,9 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # quality_score (the pack query) limits to doc_id < 200 for its
-    # oracle; the pipeline scores ALL docs with the same expression
-    tokens = F.split(F.col("text"), " ")
-    n_tokens = F.size(tokens)
-    stop_hits = F.size(
-        F.filter(
-            tokens,
-            lambda t: F.array_contains(
-                F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]]), t
-            ),
-        )
-    )
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]"))
-    q = (
-        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
-        + F.least(stop_hits * 1.0 / n_tokens * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(punct * 1.0 / F.col("n_chars") * 10.0, F.lit(1.0))) * 0.2
-    )
+    # oracle; the pipeline scores ALL docs with the same shared
+    # expression (functions/helpers.quality_expr)
+    q = quality_expr()
     kept = (
         docs.join(exact_keep, "doc_id")
         .join(losers, "doc_id", "left_anti")

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.helpers import ngram_expr
+from ..functions.helpers import ngram_expr, quality_expr
 from ..registry import register
 
 # Tiny marker lexicons for the n-gram/stopword language heuristic.
@@ -128,13 +128,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(tokens, lambda t: F.array_contains(F.array(*[F.lit(w) for w in _STOPWORDS]), t))
     )
     punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]"))
-    stop_ratio = stop_hits * 1.0 / n_tokens
-    punct_ratio = punct * 1.0 / F.col("n_chars")
-    quality = (
-        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
-    )
+    quality = quality_expr()  # shared composite (functions/helpers.py)
     return docs.select(
         "doc_id",
         "lang",

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fs
+from ..functions.helpers import quality_expr
 
 _FP = F.sha2(F.col("text").cast("binary"), 256)
 
@@ -41,10 +42,15 @@ def _unique_dir(out_root: str) -> str:
     return f"{out_root}/unique"
 
 
-def _dedup_batch(batch_df: DataFrame, out_root: str) -> None:
-    """foreachBatch body: within-batch keeper per fingerprint, then
-    anti-join the durable store; append survivors + their digests."""
+def _dedup_batch(
+    batch_df: DataFrame, out_root: str, quality_min: float | None = None
+) -> None:
+    """foreachBatch body: optional quality gate, then within-batch
+    keeper per fingerprint, then anti-join the durable store; append
+    survivors + their digests."""
     spark = batch_df.sparkSession
+    if quality_min is not None:
+        batch_df = batch_df.filter(quality_expr() >= quality_min)
     w = Window.partitionBy("fp").orderBy("doc_id")
     fresh = (
         batch_df.withColumn("fp", _FP)
@@ -73,18 +79,24 @@ def start_incremental_dedup(
     checkpoint_dir: str,
     schema=None,
     trigger: dict | None = None,
+    quality_min: float | None = None,
 ):
     """Start the continuous-dedup stream over a documents-shaped
     parquet ingest dir and return the StreamingQuery. ``trigger``
     defaults to availableNow (drain-and-stop); pass a processingTime
-    trigger for a long-running ingest."""
+    trigger for a long-running ingest. ``quality_min`` additionally
+    gates each batch on the shared composite quality score
+    (functions/helpers.quality_expr) BEFORE fingerprinting — the
+    streaming form of the curation funnel's quality stage (rejected
+    docs never enter the fingerprint store, so a later higher-quality
+    duplicate can still be admitted)."""
     if schema is None:
         schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = spark.readStream.schema(schema).parquet(source_dir)
     writer = (
         stream.writeStream.queryName("incremental-dedup")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, _id: _dedup_batch(df, out_root))
+        .foreachBatch(lambda df, _id: _dedup_batch(df, out_root, quality_min))
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()

@@ -584,3 +584,30 @@ def test_xmin_legacy_layout_migration(spark, tmp_path):
     merged = read_incremental_target(spark, tgt)
     assert merged.count() == 80  # legacy data + new round both visible
     assert read_watermark(spark, tgt) == 80
+
+
+def test_incremental_dedup_quality_gate(spark, tmp_path):
+    """quality_min gates ingest with the SAME shared expression as the
+    batch quality_score: a junk doc is rejected (and not
+    fingerprinted), a good doc is admitted."""
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    good = "the quick brown fox jumps over a lazy dog and runs to the hills " * 2
+    junk = "@@!! ## $$%% ^^&&"  # pure punctuation -> low quality
+    spark.createDataFrame(
+        [(1, good, "en", "s", len(good)), (2, junk, "en", "s", len(junk))], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "ingest"))
+    q = start_incremental_dedup(
+        spark,
+        str(tmp_path / "ingest"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        quality_min=0.5,
+    )
+    q.awaitTermination(timeout=120)
+    got = {r["doc_id"] for r in read_unique(spark, str(tmp_path / "out")).collect()}
+    assert got == {1}
