@@ -100,3 +100,25 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     if fs.exists(jpath):
         fs.delete(jpath, False)
     fs.rename(tmp, jpath)
+
+
+def sweep_gc_manifest(spark: SparkSession, manifest_path: str) -> list[str]:
+    """Deferred-GC sweep, shared by target compaction (cdc.py) and the
+    fingerprint store (dedup_stream.py): delete every path listed in
+    the JSON manifest (their reader-grace interval has elapsed), then
+    the manifest itself. Tolerates a corrupt/absent manifest (treated
+    as empty — GC is best-effort; a skipped sweep retries next round).
+    Returns the deleted paths."""
+    import json as _json
+
+    txt = read_text(spark, manifest_path)
+    if not txt:
+        return []
+    try:
+        stale = list(_json.loads(txt))
+    except (ValueError, TypeError):
+        stale = []
+    for p in stale:
+        delete(spark, p, recursive=True)
+    delete(spark, manifest_path, recursive=False)
+    return stale

@@ -4,7 +4,8 @@ from .helpers import (  # noqa: F401
     cosine_similarity,
     format_bytes,
     ngram_expr,
+    quality_expr,
     salted_join,
 )
 
-__all__ = ["cosine_similarity", "format_bytes", "ngram_expr", "salted_join"]
+__all__ = ["cosine_similarity", "format_bytes", "ngram_expr", "quality_expr", "salted_join"]

@@ -44,7 +44,11 @@ def ngram_expr(tok_col: Column | str, n: int) -> Column:
     )
 
 
-_QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+# Shared stopword list for quality features — single source for the
+# composite score below AND quality_score's stopword_bp column
+# (text_analysis imports it; two copies would silently desynchronize
+# the bp column from the composite and from the DuckDB oracles).
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
 def quality_expr(
@@ -65,7 +69,7 @@ def quality_expr(
         F.filter(
             tokens,
             lambda t: F.array_contains(
-                F.array(*[F.lit(w) for w in _QUALITY_STOPWORDS]), t
+                F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]), t
             ),
         )
     )

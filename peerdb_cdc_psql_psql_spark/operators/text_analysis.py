@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.helpers import ngram_expr, quality_expr
+from ..functions.helpers import QUALITY_STOPWORDS, ngram_expr, quality_expr
 from ..registry import register
 
 # Tiny marker lexicons for the n-gram/stopword language heuristic.
@@ -24,7 +24,7 @@ _LANG_MARKERS = {
     "zh": ["de", "shi", "bu", "le"],
 }
 
-_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_STOPWORDS = QUALITY_STOPWORDS  # single source (functions/helpers.py)
 
 
 def _hit_count(tokens: Column, words: list[str]) -> Column:

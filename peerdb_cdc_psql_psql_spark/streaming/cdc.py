@@ -106,14 +106,7 @@ def _gc_pending_sweep(spark: SparkSession, tdir: str) -> list[str]:
     """Delete the paths the PREVIOUS compaction marked stale (their
     reader-grace interval has elapsed) and clear the manifest.
     Returns the deleted paths."""
-    txt = fs.read_text(spark, f"{tdir}/{_GC_PENDING}")
-    if not txt:
-        return []
-    stale = json.loads(txt)
-    for p in stale:
-        fs.delete(spark, p, recursive=True)
-    fs.delete(spark, f"{tdir}/{_GC_PENDING}", recursive=False)
-    return stale
+    return fs.sweep_gc_manifest(spark, f"{tdir}/{_GC_PENDING}")
 
 
 def _table_dir(target_root: str, tm: TableMapping) -> str:
@@ -480,6 +473,12 @@ def compact_target(
         if _delta_files is not None
         else fs.list_files(spark, delta_dir, suffix=".parquet")
     )
+    if old_base is not None and not delta_files:
+        # Sweep-only call: nothing to fold — do NOT rewrite the base
+        # (a quiesced table's final pending set is reclaimed by this
+        # cheap call or by vacuum_target, never by a pointless O(base)
+        # rewrite that would immediately re-defer the current base).
+        return
     parts = []
     if old_base is not None:
         parts.append(spark.read.option("mergeSchema", "true").parquet(old_base))
@@ -526,15 +525,18 @@ def vacuum_target(
 
     Unlike compact_target's deferred-GC path, vacuum deletes
     IMMEDIATELY — run it when no readers are mid-scan (it is the
-    offline/forceful cleanup; compaction is the live-safe one)."""
+    offline/forceful cleanup; compaction is the live-safe one). It
+    also sweeps the `_gc_pending` manifest, so a quiesced table's
+    last deferred set is reclaimed here."""
     tm = mirror.tables[source_table]
     tdir = _table_dir(target_root, tm)
+    removed_paths = _gc_pending_sweep(spark, tdir)
     ptr = fs.read_text(spark, f"{tdir}/{_BASE_PTR}")
     if not ptr:
-        return []
+        return [p.rsplit("/", 1)[-1] for p in removed_paths]
     current = ptr.strip()
     cur_n = int(current[len("base_v"):])
-    removed = []
+    removed = [p.rsplit("/", 1)[-1] for p in removed_paths if "base_v" in p]
     for v in fs.list_dirs(spark, tdir, prefix="base_v"):
         if v == current:
             continue

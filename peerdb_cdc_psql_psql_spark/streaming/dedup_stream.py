@@ -125,11 +125,7 @@ def compact_fingerprint_store(spark: SparkSession, out_root: str) -> int:
     co-locates.)"""
     store = _store_dir(out_root)
     pending_path = f"{store}/{_GC_PENDING}"
-    txt = fs.read_text(spark, pending_path)
-    if txt:
-        for f_path in json.loads(txt):
-            fs.delete(spark, f_path, recursive=False)
-        fs.delete(spark, pending_path, recursive=False)
+    fs.sweep_gc_manifest(spark, pending_path)
     snapshot = fs.list_files(spark, store, suffix=".parquet")
     if len(snapshot) <= 1:
         return 0

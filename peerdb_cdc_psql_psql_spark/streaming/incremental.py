@@ -51,7 +51,10 @@ def read_sync_state(spark: SparkSession, target_dir: str) -> dict:
         legacy_raw = fs.read_text(spark, f"{target_dir}/_watermark.json")
         if legacy_raw:
             try:
-                wm = json.loads(legacy_raw).get("high_water_mark")
+                parsed = json.loads(legacy_raw)
+                # valid-JSON non-object (e.g. bare number) degrades to
+                # no-watermark, same as unparseable content
+                wm = parsed.get("high_water_mark") if isinstance(parsed, dict) else None
             except (ValueError, TypeError):
                 wm = None
         return {"high_water_mark": wm, "committed": [], "legacy_data": has_legacy}
