@@ -640,6 +640,48 @@ def drop_mirror(
         fs.delete(spark, _table_dir(target_root, tm), recursive=True)
 
 
+_LAYOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_table", T.StringType(), False),
+        T.StructField("base_version", T.StringType(), True),
+        T.StructField("n_base_files", T.IntegerType(), False),
+        T.StructField("n_delta_files", T.IntegerType(), False),
+        T.StructField("n_gc_pending", T.IntegerType(), False),
+        T.StructField("snapshot_lsn", T.LongType(), True),
+    ]
+)
+
+
+def target_layout_report(
+    spark: SparkSession, mirror: Mirror, target_root: str
+) -> DataFrame:
+    """Per-table storage-layout introspection: current base version,
+    base/delta file counts, deferred-GC backlog, recorded snapshot
+    LSN — what an operator checks before deciding to compact or
+    vacuum (delta count ↑ = read amplification; gc-pending ≠ 0 on a
+    quiesced table = storage awaiting reclamation). Driver-side
+    metadata listing only — no Spark job."""
+    rows = []
+    for src, tm in mirror.tables.items():
+        tdir = _table_dir(target_root, tm)
+        base = _resolve_base_dir(spark, tdir)
+        n_base = len(fs.list_files(spark, base, suffix=".parquet")) if base else 0
+        n_delta = len(
+            fs.list_files(spark, _delta_dir(target_root, tm), suffix=".parquet")
+        )
+        gc_txt = fs.read_text(spark, f"{tdir}/{_GC_PENDING}")
+        try:
+            n_gc = len(json.loads(gc_txt)) if gc_txt else 0
+        except (ValueError, TypeError):
+            n_gc = 0
+        snap_txt = fs.read_text(spark, f"{tdir}/_snapshot_lsn")
+        snap = int(snap_txt.strip()) if snap_txt else None
+        rows.append(
+            (src, base.rsplit("/", 1)[-1] if base else None, n_base, n_delta, n_gc, snap)
+        )
+    return spark.createDataFrame(rows, _LAYOUT_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Lag report over live mirror state (monitoring.ps1:576-627 on real targets)
 # ---------------------------------------------------------------------------

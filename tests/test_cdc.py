@@ -819,3 +819,37 @@ def test_mixed_mirror_stream_only_table_keeps_history(spark, tmp_path):
     assert set(orders) == {10, 11}
     assert orders[10]["quantity"] == 99  # snapshot wins; lsn-2 NOT re-applied
     assert orders[11]["quantity"] == 7
+
+
+def test_target_layout_report(spark, tmp_path, mirror):
+    """Layout introspection tracks the maintenance lifecycle: deltas
+    accumulate -> compaction creates a base + a GC-pending set ->
+    vacuum reclaims it."""
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import (
+        target_layout_report,
+        vacuum_target,
+    )
+
+    rng = random.Random(61)
+    event_dir, tgt, ckpt = (
+        str(tmp_path / "wal"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    workload.append_events(
+        spark, workload.generate_order_events(rng, 1, 1, 30, [1], [1]), event_dir
+    )
+    _run_drain(spark, mirror, event_dir, tgt, ckpt)
+
+    r = target_layout_report(spark, mirror, tgt).collect()[0]
+    assert r["source_table"] == "orders"
+    assert r["base_version"] is None and r["n_delta_files"] >= 1
+    assert r["n_gc_pending"] == 0
+
+    compact_target(spark, mirror, "orders", tgt)
+    r = target_layout_report(spark, mirror, tgt).collect()[0]
+    assert r["base_version"] == "base_v000001"
+    assert r["n_base_files"] >= 1
+    assert r["n_gc_pending"] >= 1  # folded deltas awaiting grace expiry
+
+    vacuum_target(spark, mirror, "orders", tgt)
+    r = target_layout_report(spark, mirror, tgt).collect()[0]
+    assert r["n_gc_pending"] == 0 and r["n_delta_files"] == 0
