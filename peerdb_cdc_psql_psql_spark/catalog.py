@@ -190,13 +190,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        df = normalize_events_ts(df)
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the fixture ``events.ts`` column to TimestampType.
+
+    The driver's fixtures have shipped ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS) int64 (read as LongType under the pinned
+    ``nanosAsLong`` conf, rounds 1-2) and plain timestamp[us]
+    (TIMESTAMP_NTZ, round 3+). Dispatch on the arrived type so every
+    downstream operator and oracle sees one type regardless of which
+    generation wrote the parquet. Works on batch and streaming
+    DataFrames alike (pure projection)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         # ns→µs must be exact integer floor-division (`div`): epoch
         # nanos ~1.7e18 exceeds double's 2^53 exact range, so a float
         # division would round some rows off by ~0.4 µs vs the oracle
         # (DuckDB truncates ns→µs on read).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] parquet arrives as TIMESTAMP_NTZ; with the session
+    # tz pinned to UTC the cast is value-preserving.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -105,7 +105,7 @@ SELECT event_id // 100 AS batch_id,
 FROM events
 GROUP BY event_id // 100
 """,
-    tags=("C3", "C6", "cdc"),
+    tags=("S2", "C3", "C6", "cdc"),
 )
 def cdc_changes_per_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch change accounting (the StreamingQueryProgress

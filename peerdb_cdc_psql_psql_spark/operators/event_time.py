@@ -153,7 +153,7 @@ SELECT 'day' AS grain, day_us AS bucket_us, event_type,
 FROM hourly
 GROUP BY day_us, event_type
 """,
-    tags=("rollup", "hypertable", "window"),
+    tags=("rollup", "hypertable", "window", "A10"),
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical time rollup (continuous-aggregate

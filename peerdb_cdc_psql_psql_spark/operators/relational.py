@@ -474,3 +474,47 @@ def approx_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "filter_patterns",
+    oracle=r"""
+SELECT 'part' AS src, p_partkey AS row_id, p_name AS matched, 'like' AS pattern_kind
+FROM part WHERE p_name LIKE '%widget%' AND p_type = 'PROMO'
+UNION ALL
+SELECT 'events', event_id, props, 'regex'
+FROM events WHERE regexp_matches(props, '"k": \d{2}}')
+""",
+    tags=("P3", "P4", "P5", "F17"),
+)
+def filter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate suite: LIKE + conjunctive equality over part
+    (`table_name LIKE '%flow%' AND table_schema='public'`,
+    monitoring.ps1:966) and a regex row filter over events
+    (insert.ps1:99, monitoring.ps1:257,1073), unioned under one tagged
+    schema so the driver gate pins both predicate families in one row.
+    StringContains pushes down on the LIKE side; rlike stays inside
+    whole-stage codegen — no Python UDF on either branch. The
+    single-family forms (`filter_like`, `filter_regex`) remain
+    registered below the driver window."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%") & (F.col("p_type") == "PROMO"))
+        .select(
+            F.lit("part").alias("src"),
+            F.col("p_partkey").alias("row_id"),
+            F.col("p_name").alias("matched"),
+            F.lit("like").alias("pattern_kind"),
+        )
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").rlike(r'"k": \d{2}\}'))
+        .select(
+            F.lit("events").alias("src"),
+            F.col("event_id").alias("row_id"),
+            F.col("props").alias("matched"),
+            F.lit("regex").alias("pattern_kind"),
+        )
+    )
+    return part.unionByName(ev)

@@ -258,3 +258,78 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         F.when(k >= 50, "HIGH").otherwise("LOW").alias("k_band"),
     )
+
+
+@register(
+    "scalar_suite",
+    oracle="""
+SELECT event_id,
+       -- string family (F3-F5)
+       upper(event_type) AS type_upper,
+       concat_ws('/', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+       printf('%-8s|%6d', event_type, event_id) AS fixed_width,
+       trim(' ' || event_type || ' ') AS trimmed,
+       length(props) AS props_len,
+       -- date family (F7-F10)
+       strftime(ts, '%Y-%m-%d') AS event_date_str,
+       CAST(year(ts) AS INT) AS event_year,
+       CAST(month(ts) AS INT) AS event_month,
+       date_diff('day', ts, TIMESTAMP '2024-07-01 00:00:00') AS days_to_ref,
+       epoch_us(ts) AS event_epoch_us,
+       -- math family (F12-F14)
+       round(value, 2) AS value_2dp,
+       abs(value - 50.0) AS dist_from_mid,
+       CAST(ceil(value) AS BIGINT) AS value_ceil,
+       CAST(floor(value) AS BIGINT) AS value_floor,
+       least(value, 50.0) AS clamped_low,
+       greatest(value, 50.0) AS clamped_high
+FROM events
+WHERE event_id <= 300
+""",
+    tags=("F3", "F4", "F5", "F7", "F8", "F9", "F10", "F12", "F13", "F14"),
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite: the string (F3-F5), date/time (F7-F10)
+    and math (F12-F14) families evaluated over one events scan, so the
+    driver gate pins all three §2.8 families in a single row.
+
+    Reference idioms covered: pipe-split/trim and fixed-width report
+    rows (monitoring.ps1:524,892 / :23,29), concatenated log lines
+    (insert.ps1:175-176), yyyy-MM-dd formatting and field extraction
+    (insert.ps1:43,173,275), timestamp parse (monitoring.ps1:734),
+    day/epoch arithmetic (insert.ps1:306-307), round/abs/ceil/floor
+    banding (insert.ps1:256,261,307; monitoring.ps1:599,627).
+
+    All expressions are JVM whole-stage codegen; one scan, zero
+    shuffle (no aggregation). ceil/floor cast to BIGINT on both sides
+    (Spark returns LONG, DuckDB DOUBLE); `ts` is TIMESTAMP_NTZ parquet
+    so with the session tz pinned to UTC, epoch_us on the naive value
+    matches unix_micros. The single-family forms (`string_functions`,
+    `date_functions`, `math_functions`) remain registered below the
+    driver window."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.concat_ws("/", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        F.format_string("%-8s|%6d", F.col("event_type"), F.col("event_id")).alias(
+            "fixed_width"
+        ),
+        F.trim(F.concat(F.lit(" "), F.col("event_type"), F.lit(" "))).alias("trimmed"),
+        F.length("props").alias("props_len"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date_str"),
+        F.year("ts").alias("event_year"),
+        F.month("ts").alias("event_month"),
+        F.datediff(
+            F.lit("2024-07-01 00:00:00").cast("timestamp"), F.col("ts")
+        ).alias("days_to_ref"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_epoch_us"),
+        F.round("value", 2).alias("value_2dp"),
+        F.abs(F.col("value") - 50.0).alias("dist_from_mid"),
+        F.ceil("value").alias("value_ceil"),
+        F.floor("value").alias("value_floor"),
+        F.least(F.col("value"), F.lit(50.0)).alias("clamped_low"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("clamped_high"),
+    )

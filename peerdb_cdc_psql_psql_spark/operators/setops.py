@@ -156,3 +156,94 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "setops_suite",
+    oracle="""
+SELECT 'union_customer' AS set_op, c_custkey AS k, c_name AS s FROM customer
+UNION ALL
+SELECT 'union_supplier', s_suppkey, s_name FROM supplier
+UNION ALL
+SELECT 'except_all', o_custkey, NULL FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 97 <> 0
+)
+UNION ALL
+SELECT 'intersect', k, NULL FROM (
+  SELECT c_custkey AS k FROM customer
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'first_seen', user_id, event_type FROM (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("U1", "U2", "U3", "U4"),
+)
+def setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite under one tagged schema (set_op, k, s) so
+    the driver gate pins every §2.7 family in one row:
+
+    - U3 union of heterogeneous lists (monitoring.ps1:64-69),
+    - U4 multiset difference via exceptAll (the set-level form of the
+      count-subtraction sync diff, monitoring.ps1:594,691) and
+      intersection (distinct customers that ordered),
+    - U2 dedup-by-first-seen (monitoring.ps1:353,392-393 first-wins)
+      pinned with an explicit (user_id, event_id) order — plain
+      dropDuplicates would be nondeterministic under parallelism.
+
+    Scale: each branch shuffles only its compared columns (projected
+    before the set op); exceptAll/intersect hash-partition on the key,
+    and the union is a zero-shuffle concatenation of branch plans.
+    Single-family forms remain registered below the driver window."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("union_customer").alias("set_op"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("s"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("union_supplier").alias("set_op"),
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("s"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    diff = (
+        orders.select("o_custkey")
+        .exceptAll(
+            orders.filter(F.col("o_orderkey") % 97 != 0).select("o_custkey")
+        )
+        .select(
+            F.lit("except_all").alias("set_op"),
+            F.col("o_custkey").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+        )
+    )
+    inter = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .intersect(orders.select(F.col("o_custkey").alias("k")))
+        .select(
+            F.lit("intersect").alias("set_op"),
+            "k",
+            F.lit(None).cast("string").alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    first_seen = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("first_seen").alias("set_op"),
+            F.col("user_id").alias("k"),
+            F.col("event_type").alias("s"),
+        )
+    )
+    return cust.unionByName(supp).unionByName(diff).unionByName(inter).unionByName(
+        first_seen
+    )

@@ -373,3 +373,106 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+@register(
+    "text_suite",
+    oracle=r"""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','to','in'], t))) AS stop_hits,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_chars,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','small'], t))) AS s_en,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','que','de'], t))) AS s_es,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','und','nicht'], t))) AS s_de,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','et','que'], t))) AS s_fr,
+         len(list_filter(string_split(text, ' '), t -> list_contains(['de','shi','bu','le'], t))) AS s_zh
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, lang,
+       n_tokens AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_llm_tokens,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       CAST(FLOOR((LEAST(n_tokens / 50.0, 1.0) * 0.5
+           + LEAST(stop_hits * 1.0 / n_tokens * 5.0, 1.0) * 0.3
+           + (1.0 - LEAST(punct_chars * 1.0 / n_chars * 10.0, 1.0)) * 0.2) * 10000.0) AS BIGINT)
+         AS quality_bp,
+       CASE WHEN LEAST(n_tokens / 50.0, 1.0) * 0.5
+             + LEAST(stop_hits * 1.0 / n_tokens * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(punct_chars * 1.0 / n_chars * 10.0, 1.0)) * 0.2 >= 0.7
+            THEN 'KEEP' ELSE 'REVIEW' END AS quality_band,
+       substr(md5(text), 1, 16) AS fp_md5,
+       list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(text[i]) AS BIGINT)),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS fp_rolling
+FROM feats
+""",
+    tags=("X4", "text"),
+)
+def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite: one per-document projection pinning every
+    north-star X4 capability in a single driver row — token counting
+    three ways (whitespace, BPE-ish regex segmentation, chars/4 LLM
+    heuristic), marker-lexicon language-ID argmax, the shared composite
+    quality score (functions/helpers.quality_expr, floored basis
+    points), and both document fingerprints (md5 prefix + polynomial
+    rolling hash folded with `aggregate`).
+
+    Scale: pure per-row expressions — one scan, zero shuffle, whole
+    plan inside a single codegen stage; nothing leaves the partition.
+    The single-capability forms (`token_count`, `lang_id_heuristic`,
+    `quality_score`, `doc_fingerprint`, `text_stats_by_lang`) remain
+    registered below the driver window."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tokens = F.split(F.col("text"), " ")
+    scores = {
+        lang: _hit_count(tokens, words) for lang, words in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["zh"]),
+            "es",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    quality = quality_expr()
+    codes = F.expr(
+        "transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint))"
+    )
+    rolling = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).alias("ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("approx_llm_tokens"),
+        pred.alias("predicted_lang"),
+        F.floor(quality * 10000.0).cast("bigint").alias("quality_bp"),
+        F.when(quality >= 0.7, "KEEP").otherwise("REVIEW").alias("quality_band"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )

@@ -236,3 +236,99 @@ def running_total_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.sum("n_events").over(w).cast("bigint").alias("cumulative_events"),
     )
+
+
+@register(
+    "window_suite",
+    oracle=f"""
+WITH batches AS ({_BATCHES_SQL}),
+ranked AS (
+  SELECT batch, avg_value, n_events,
+         ROW_NUMBER() OVER (ORDER BY batch) AS rn_asc,
+         ROW_NUMBER() OVER (ORDER BY batch DESC) AS rn_desc,
+         NTILE(3) OVER (ORDER BY batch) AS tercile,
+         ROW_NUMBER() OVER (ORDER BY avg_value DESC, batch) AS peak_rank,
+         CAST(SUM(n_events) OVER (ORDER BY batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumulative_events,
+         MIN(CASE WHEN avg_value > 55.0 THEN batch END) OVER () AS first_hot_batch,
+         CAST(SUM(n_events) OVER () AS DOUBLE) / COUNT(*) OVER ()
+           AS avg_events_per_batch
+  FROM batches
+)
+SELECT batch, n_events, avg_value,
+       CASE WHEN rn_asc <= 5 THEN 'FIRST'
+            WHEN rn_desc <= 5 THEN 'LAST' ELSE 'MID' END AS slice,
+       tercile,
+       batch % 5 = 0 AS is_fifth,
+       cumulative_events,
+       peak_rank = 1 AS is_peak,
+       first_hot_batch,
+       avg_events_per_batch
+FROM ranked
+""",
+    tags=("W2", "W4", "W5", "W6", "W7", "A8", "window", "frame-spec"),
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-operator suite over the per-batch aggregate — one row in
+    the driver gate pins every §2.6 window family at once:
+
+    - W4 first-N/last-N slice (monitoring.ps1:278-282) via asc/desc
+      row_number → FIRST/LAST/MID,
+    - W5 tercile assignment (monitoring.ps1:1133-1142) via ntile(3),
+    - W7 every-Nth sampling flag (insert.ps1:319-325),
+    - frame-spec running total (rowsBetween unboundedPreceding..current),
+    - W2 peak-by-measure flag (monitoring.ps1:1121-1122 top-1) via
+      rank()==1 on (avg_value desc, batch),
+    - W6 first-match scan (monitoring.ps1:309-314 `-First 1`) as
+      MIN(batch) over the match predicate,
+    - A8 second-level AVG (avg events per batch over per-batch aggs,
+      monitoring.ps1:1116-1119) from an integer SUM()/COUNT() window —
+      integer sums are order-independent, so the double division is
+      bit-equal on both engines.
+
+    Scale: every window runs over the |batches| aggregate (event_id
+    div 100), never over raw events — the unpartitioned windows are
+    bounded by batch count, and the input aggregation is a partial
+    (map-side) hash agg. The single-family forms remain registered
+    below the driver window."""
+    b = _batches(spark, sf_dir)
+    w_asc = Window.orderBy("batch")
+    w_desc = Window.orderBy(F.desc("batch"))
+    w_peak = Window.orderBy(F.desc("avg_value"), F.asc("batch"))
+    w_cum = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = b.select(
+        "batch",
+        "n_events",
+        "avg_value",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.ntile(3).over(w_asc).alias("tercile"),
+        F.row_number().over(w_peak).alias("peak_rank"),
+        F.sum("n_events").over(w_cum).cast("bigint").alias("cumulative_events"),
+        F.min(F.when(F.col("avg_value") > 55.0, F.col("batch")))
+        .over(w_all)
+        .alias("first_hot_batch"),
+        (
+            F.sum("n_events").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("avg_events_per_batch"),
+    )
+    return ranked.select(
+        "batch",
+        "n_events",
+        "avg_value",
+        F.when(F.col("rn_asc") <= 5, "FIRST")
+        .when(F.col("rn_desc") <= 5, "LAST")
+        .otherwise("MID")
+        .alias("slice"),
+        "tercile",
+        (F.col("batch") % 5 == 0).alias("is_fifth"),
+        "cumulative_events",
+        (F.col("peak_rank") == 1).alias("is_peak"),
+        "first_hot_batch",
+        "avg_events_per_batch",
+    )

@@ -391,8 +391,10 @@ def test_batch_stream_parity_windowed_agg(spark, tmp_path):
     raw = spark.readStream.schema(
         spark.read.parquet(stream_dir).schema
     ).parquet(stream_dir)
-    # ts is nanos->long under the pinned conf; same conversion as load()
-    stream_in = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ts normalization as load() (nanos-int64 or timestamp[us])
+    from peerdb_cdc_psql_psql_spark.catalog import normalize_events_ts
+
+    stream_in = normalize_events_ts(raw)
     out_ckpt = str(tmp_path / "ckpt")
     q = (
         stream_in.groupBy(F.window("ts", "1 hour").alias("w"))
