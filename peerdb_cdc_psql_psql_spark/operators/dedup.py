@@ -339,9 +339,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs are unions of small cliques), so 2-3 rounds suffice; the
     loop is capped and convergence-checked. Each round is one hash
     join + one grouped min — all distributed; the driver sees only the
-    changed-label count. At web scale swap in the large-star/small-star
-    variant (same join shape, O(log n) rounds); localCheckpoint every
-    few rounds truncates lineage."""
+    changed-label count. At web scale swap in `connected_components`
+    below — the real large-star/small-star implementation (same output
+    contract, O(log n) rounds, tested equivalent on this graph in
+    tests/test_connected_components.py)."""
     pairs = jaccard_pairs(_shingles(spark, sf_dir)).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -486,3 +487,112 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log n)-round scale path for near-dup clustering, vs the
+    O(component diameter) min-label propagation inlined in
+    `dedup_clusters`.
+
+    Input: (src, dst) undirected edge list (any orientation, dups ok).
+    Output: (doc_id, cluster_id) where cluster_id = min node id in the
+    component — identical contract to `dedup_clusters`' labels.
+
+    Each round:
+      large-star: for every node u, connect every strictly-larger
+        neighbor v to m(u) = min(N(u) ∪ {u})  — hangs big nodes off
+        the local minimum without ever growing a star's diameter;
+      small-star: for every node u, connect every smaller-or-equal
+        neighbor to m(u) — collapses chains into stars.
+    The edge set converges to stars rooted at component minima; both
+    steps are a groupBy(min) + join — pure hash-shuffle jobs, no
+    driver-side graph state. Eager localCheckpoints (mid-round and
+    per-round) truncate the iterative lineage — without them each
+    round multiplies the logical-plan copies of the previous edge set
+    and Catalyst's re-analysis goes exponential.
+
+    Convergence: star edge sets are a fixpoint of both steps; we stop
+    when the (count, sum(src), sum(dst)) signature is stable — edges
+    only ever move toward minima, so the signature is monotone and a
+    repeat implies the fixpoint, at ~one tiny agg per round."""
+    e = (
+        edges.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    prev_sig = None
+    for rnd in range(max_rounds):
+        # large-star: neighbors strictly larger than u attach to m(u).
+        # Emit both orientations so every node sees its full
+        # neighborhood. m(u) includes u itself.
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = both.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            both.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            # truncate lineage mid-round: the small-star step references
+            # this frame twice, and each reference carries ~6 copies of
+            # `e`'s plan — without the cut, Catalyst's
+            # DeduplicateRelations re-analysis grows exponentially per
+            # round (observed: analysis stalls by round 3). On a real
+            # cluster swap localCheckpoint for checkpoint(dir) —
+            # executor-local blocks don't survive executor loss.
+            .localCheckpoint(eager=True)
+        )
+        # small-star: neighbors <= u (plus u) attach to m(u).
+        both2 = large.unionByName(
+            large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m2 = both2.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        # m2 over ALL neighbors equals min(S ∪ {u}) for the smaller-
+        # neighbor set S, since every non-S neighbor is > u >= min.
+        small_rows = both2.filter(F.col("dst") <= F.col("src")).join(m2, "src")
+        small = (
+            # (v, m) for each smaller-or-equal neighbor v ...
+            small_rows.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            # ... plus (u, m) for the processing node itself
+            .unionByName(
+                small_rows.select("src", F.col("m").alias("dst")).distinct()
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_e = (
+            small.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
+        ).collect()[0]
+        sig = (sig["n"], sig["ss"], sig["sd"])
+        e.unpersist()
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars, canonicalized (src=min, dst=max): src is the component
+    # minimum (root), dst the member; roots label themselves.
+    members = e.select(F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id"))
+    roots = e.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    out = members.unionByName(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    e.unpersist()
+    return out

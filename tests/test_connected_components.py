@@ -1,0 +1,91 @@
+"""Large-star/small-star connected components (operators/dedup.py
+``connected_components``) — the O(log n)-round scale path behind
+near-dup clustering. Verified against a driver-side union-find oracle
+on adversarial graph shapes, and for contract-equality against the
+min-label `dedup_clusters` labels on the fixture pair graph.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_psql_spark.operators.dedup import (
+    _shingles,
+    connected_components,
+    dedup_clusters,
+    jaccard_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min node of the component
+    labels: dict[int, int] = {}
+    for n in list(parent):
+        labels[n] = find(n)
+    return labels
+
+
+def _check(spark, edges: list[tuple[int, int]], max_rounds: int = 50) -> int:
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df, max_rounds=max_rounds).collect()
+    }
+    want = set(_union_find_labels(edges).items())
+    assert got == want
+    return len(want)
+
+
+def test_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph has diameter 63 — min-label needs ~63
+    rounds, large/small-star must finish in far fewer (O(log n))."""
+    chain = [(i, i + 1) for i in range(63)]
+    n = _check(spark, chain, max_rounds=12)
+    assert n == 64
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_star_and_clique_mix(spark):
+    star = [(100, i) for i in range(101, 120)]
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pair = [(1000, 999)]
+    _check(spark, star + clique + pair)
+
+
+def test_matches_min_label_clusters_on_fixture_graph(spark):
+    """Same contract as dedup_clusters (doc_id -> min-doc_id cluster)
+    on the real near-dup pair graph."""
+    pairs = jaccard_pairs(_shingles(spark, SF)).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    got = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+    want = sorted(tuple(r) for r in dedup_clusters(spark, SF).collect())
+    assert got == want
