@@ -183,3 +183,41 @@ def test_no_python_udf_in_oracle_checked_plans(spark, name):
     plan = plan_string(_df(spark, name), mode="simple")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_filter_patterns_pushes_both_predicates(spark):
+    """Suite query: the LIKE branch pushes StringContains into the
+    part scan; the regex branch stays a codegen filter (regex is not
+    pushable) but must not shuffle — union of two scan branches, no
+    Exchange."""
+    plan = plan_string(_df(spark, "filter_patterns"))
+    assert "PushedFilters" in plan
+    assert "StringContains(p_name,widget)" in plan
+    assert "Exchange" not in plan
+    assert "Union" in plan
+
+
+def test_window_suite_single_scan_single_agg_shuffle(spark):
+    """Suite query: every window runs over the per-batch aggregate —
+    one events scan, one partial+final agg pair; the unpartitioned
+    windows never see raw events."""
+    plan = plan_string(_df(spark, "window_suite"), mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_scalar_suite_is_pure_codegen_projection(spark):
+    """Suite query: one scan, zero Exchange, whole-stage codegen —
+    all three function families evaluate in a single stage."""
+    plan = plan_string(_df(spark, "scalar_suite"), mode="simple")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_text_suite_is_pure_codegen_projection(spark):
+    """Suite query: per-doc expressions only — no shuffle; nothing
+    leaves the partition."""
+    plan = plan_string(_df(spark, "text_suite"), mode="simple")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
