@@ -34,6 +34,12 @@ EXTRA = [
     "decontaminate_corpus",      # eval-set n-gram collision scan
     "pii_pseudonymize",          # digest + hierarchy generalization
     "dedup_incremental_ledger",  # cross-batch dedup accounting
+    # Round-3 suite queries (driver-gate window consolidation)
+    "filter_patterns",           # LIKE + regex predicate families
+    "window_suite",              # all §2.6 window families, one pass
+    "setops_suite",              # union/except/intersect/first-seen
+    "scalar_suite",              # string+date+math codegen projection
+    "text_suite",                # token/lang/quality/fingerprint per-doc
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
