@@ -225,3 +225,51 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, source, shuffle_key,
+         CAST(concat('0x', substr(shuffle_key, 1, 12)) AS BIGINT) % 8 AS shard
+  FROM keyed
+)
+SELECT doc_id, source, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key) AS pos
+FROM sharded
+""",
+    tags=("sampling", "shuffle"),
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every
+    document gets a seeded md5 shuffle key, a shard (48-bit key prefix
+    mod n_shards), and a within-shard position — the reproducible
+    random permutation an LLM data loader consumes (same seed → same
+    order on any engine, any partitioning, any retry; contrast
+    rand()-based shuffles, which are neither rerun- nor
+    engine-stable).
+
+    Scale: one hash shuffle on `shard` + a per-shard window sort over
+    the 16-byte keys (never the texts). At 100 TB the materialized
+    form is repartitionByRange(shard, shuffle_key) →
+    sortWithinPartitions → write partitionBy(shard): the data loader
+    then streams shards sequentially with no further sort. The md5
+    prefix is parsed with conv() here and CAST('0x…') in the oracle —
+    both exact on 48 bits, far under BIGINT range."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "source", key.alias("shuffle_key"))
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 12), 16, 10).cast("bigint") % 8
+    ).alias("shard")
+    sharded = keyed.select("doc_id", "source", "shuffle_key", shard)
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return sharded.select(
+        "doc_id", "source", "shard", F.row_number().over(w).alias("pos")
+    )
