@@ -89,3 +89,24 @@ def active_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.cdc import list_mirrors
 
     return list_mirrors(spark)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, prefix: str = "q_"
+) -> list[str]:
+    """Expose EVERY registered operator query as a SQL temp view
+    (``q_<name>``), so a SQL-only consumer of the reference's frontend
+    can drive the whole engine through ``spark.sql`` — e.g.
+    ``SELECT * FROM q_pricing_summary`` or joins across operator
+    outputs. Views are lazy logical plans: registering all of them
+    costs nothing until queried, and each query still optimizes
+    end-to-end (pushdown through the view into the scan). Returns the
+    view names registered."""
+    from ..registry import REGISTRY
+
+    register_views(spark, sf_dir)
+    names = []
+    for name, q in REGISTRY.items():
+        q.fn(spark, sf_dir).createOrReplaceTempView(f"{prefix}{name}")
+        names.append(f"{prefix}{name}")
+    return names

@@ -30,3 +30,25 @@ def test_salted_join_matches_plain_join(spark):
     plain = big.join(small, "k").select("k", "payload", "dim")
     salted = salted_join(big, small, "k", salt_buckets=8).select("k", "payload", "dim")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_register_query_views_full_sql_surface(spark):
+    """S10: every registry query is reachable as a SQL view; views
+    stay lazy (registration is cheap) and compose in plain SQL."""
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import (
+        register_query_views,
+    )
+    from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+    names = register_query_views(spark, "/root/testdata/sf0.001")
+    assert len(names) == len(REGISTRY)
+    # drive two operator outputs and a cross-view join through SQL only
+    assert spark.sql("SELECT * FROM q_pricing_summary").count() > 0
+    top = spark.sql(
+        """
+        SELECT s.doc_id, s.shard, t.quality_band
+        FROM q_corpus_shuffle s JOIN q_text_suite t USING (doc_id)
+        WHERE s.pos <= 3
+        """
+    )
+    assert top.count() > 0
