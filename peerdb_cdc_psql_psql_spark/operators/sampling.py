@@ -273,3 +273,96 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "source", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH strata AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM strata),
+alloc AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(n_docs * 100.0 / n_total) AS BIGINT) AS base_quota,
+         (n_docs * 100.0 / n_total) - FLOOR(n_docs * 100.0 / n_total) AS remainder
+  FROM strata, tot
+),
+ranked AS (
+  SELECT lang, n_docs, base_quota,
+         ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rem_rank,
+         100 - SUM(base_quota) OVER () AS leftover
+  FROM alloc
+),
+quotas AS (
+  SELECT lang, n_docs,
+         base_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS quota
+  FROM ranked
+),
+ordered AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('strat42:' || CAST(d.doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents d
+)
+SELECT o.doc_id, o.lang, q.quota AS lang_quota
+FROM ordered o JOIN quotas q USING (lang)
+WHERE o.rn <= q.quota
+""",
+    tags=("sampling", "stratified"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: draw EXACTLY 100 documents with
+    per-language quotas proportional to stratum size, apportioned by
+    the largest-remainder method (floor quotas + the leftover seats to
+    the largest fractional remainders — deterministic tie-break on
+    lang). Members are picked per stratum by seeded-md5 order, so the
+    draw is reproducible across engines/retries like the rest of the
+    pack — contrast `sampleBy`, which is Bernoulli-approximate and
+    gives neither exact counts nor engine-stable membership.
+
+    Scale: stratum sizes are one partial-agg pass (tiny result),
+    quotas a driver-size window over |strata| rows; member selection
+    is one hash shuffle on lang + per-stratum rank over 16-byte keys.
+    The rank-limit filter (rn <= quota) bounds window state per
+    stratum. Skewed strata are exactly the salting/AQE-skew case the
+    key_skew_profile report flags first."""
+    docs = load(spark, sf_dir, "documents")
+    n_target = 100
+    strata = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = strata.agg(F.sum("n_docs").alias("n_total"))
+    share = F.col("n_docs") * n_target * 1.0 / F.col("n_total")
+    alloc = strata.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        F.floor(share).cast("bigint").alias("base_quota"),
+        (share - F.floor(share)).alias("remainder"),
+    )
+    w_rem = Window.orderBy(F.desc("remainder"), F.asc("lang"))
+    w_all = Window.partitionBy()
+    ranked = alloc.select(
+        "lang",
+        "n_docs",
+        "base_quota",
+        F.row_number().over(w_rem).alias("rem_rank"),
+        (F.lit(n_target) - F.sum("base_quota").over(w_all)).alias("leftover"),
+    )
+    quotas = ranked.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat42:"), F.col("doc_id").cast("string")))
+    )
+    ordered = docs.select("doc_id", "lang", F.row_number().over(w_lang).alias("rn"))
+    return (
+        ordered.join(quotas.select("lang", "quota"), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("quota").alias("lang_quota"))
+    )
