@@ -6,7 +6,7 @@ so the whole pack stays inside whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -475,4 +475,73 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(quality >= 0.7, "KEEP").otherwise("REVIEW").alias("quality_band"),
         F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp_md5"),
         rolling.alias("fp_rolling"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT SUM(n) AS n_total FROM counts),
+ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM counts
+)
+SELECT rank, token, n,
+       CAST(FLOOR(cum_n * 10000.0 / n_total) AS BIGINT) AS coverage_bp
+FROM ranked, tot
+WHERE rank <= 64
+""",
+    tags=("X4", "text", "vocab"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency table + corpus-coverage curve — the
+    tokenizer-training precursor (what fraction of all tokens the
+    top-k vocabulary covers, the BPE/unigram budget question): global
+    token counts, rank by frequency (deterministic token tie-break),
+    cumulative coverage in floored basis points.
+
+    Scale: the token count is canonical word-count — explode shuffles
+    only (token, partial-count) pairs thanks to map-side combine, so
+    the wire volume is |distinct tokens per partition|, not corpus
+    tokens. The ranking window runs over the aggregated vocabulary
+    (million-scale rows at 100 TB, fine for one 16-byte-key sort);
+    the rank<=64 cut is WindowGroupLimit-pruned before the final
+    projection. Coverage uses integer cum-sums over exact longs —
+    engine-portable, no fp accumulation."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w_rank).alias("rank"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 64)
+        .crossJoin(tot)
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.floor(F.col("cum_n") * 10000.0 / F.col("n_total"))
+            .cast("bigint")
+            .alias("coverage_bp"),
+        )
     )
