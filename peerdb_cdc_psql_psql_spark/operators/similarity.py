@@ -340,3 +340,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ivf_search(emb, queries, centroids, nprobe=3, top_k=_TOP_K)
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+WITH scale AS (
+  SELECT MAX(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))) AS s
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> GREATEST(-127, LEAST(127,
+                CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)))) AS qv,
+         list_max(list_transform(embedding,
+           v -> abs(CAST(v AS DOUBLE)
+                    - (GREATEST(-127, LEAST(127,
+                         CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)))
+                       * s / 127.0)))) AS max_err
+  FROM embeddings, scale
+)
+SELECT vec_id,
+       list_sum(qv) AS q_checksum,
+       CAST(FLOOR(max_err * 10000.0 / (SELECT s FROM scale)) AS BIGINT) AS max_err_bp
+FROM q
+WHERE vec_id < 200
+""",
+    tags=("X3", "embedding", "quantize"),
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with
+    reconstruction-error accounting — the compression step an
+    embedding pipeline runs before ANN serving (4× smaller vectors,
+    SIMD-friendly int8 dot products). Symmetric scheme: one corpus
+    max-|v| scale, q = clamp(round(v·127/s)), error vs dequantized
+    value reported as floored bp of the scale.
+
+    Determinism: round-half is floor(x+0.5) on doubles in BOTH engines
+    (round() rounding rules differ across engines — memory:
+    oracle-parity-discipline); float32→double widening is exact; the
+    scale is an exact MAX. Per-doc output is an integer checksum of
+    the quantized vector plus the error bp — both engine-portable.
+
+    Scale: the corpus max is one partial-agg scalar broadcast into a
+    pure per-row projection — one scan + one 1-row broadcast join,
+    no shuffle of the vectors themselves."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = lambda v: v.cast("double")  # noqa: E731
+    scale = emb.agg(
+        F.max(F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(vd(v)))))
+        .alias("s")
+    )
+    with_s = emb.filter(F.col("vec_id") < 200).crossJoin(F.broadcast(scale))
+    qexpr = lambda v: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(vd(v) * 127.0 / F.col("s") + 0.5).cast("bigint"),
+        ),
+    )
+    return with_s.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("embedding"), qexpr),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_checksum"),
+        F.floor(
+            F.array_max(
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: F.abs(vd(v) - qexpr(v) * F.col("s") / 127.0),
+                )
+            )
+            * 10000.0
+            / F.col("s")
+        )
+        .cast("bigint")
+        .alias("max_err_bp"),
+    )

@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter pushdown: for selective joins the build
+        # side's keys prune the probe-side SCAN before the shuffle —
+        # at 100 TB this is the difference between shuffling the whole
+        # fact table and shuffling the matching slice. No effect at
+        # local fixture scale (thresholds gate injection), free
+        # headroom on a real cluster.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
