@@ -545,3 +545,74 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_bp"),
         )
     )
+
+
+@register(
+    "bigram_lm_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+bg AS (
+  SELECT unnest([{'w1': tok[i], 'w2': tok[i+1]}
+                 for i in range(1, len(tok))]) AS g
+  FROM toks WHERE len(tok) >= 2
+),
+pairs AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+),
+prefix AS (
+  SELECT w1, SUM(n) AS n_prefix FROM pairs GROUP BY w1
+)
+SELECT p.w1, p.w2, p.n,
+       CAST(FLOOR(p.n * 10000.0 / f.n_prefix) AS BIGINT) AS p_cond_bp
+FROM pairs p JOIN prefix f USING (w1)
+ORDER BY p.n DESC, p.w1, p.w2 LIMIT 64
+""",
+    tags=("X4", "text", "lm"),
+)
+def bigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: global bigram counts
+    and the conditional probability P(w2|w1) in floored basis points —
+    the count table an n-gram LM (or a next-token filter heuristic)
+    trains from. Complements `repetition_stats`, which is per-doc and
+    shuffle-free; THIS op is the corpus-level aggregation.
+
+    Scale: explode + groupBy(w1, w2) is word-count-shaped — partial
+    aggregation combines per partition before the shuffle, so wire
+    volume is distinct-bigrams-per-partition, not corpus tokens.
+    Prefix totals reuse the aggregated pairs (SUM over the small
+    table), never a second corpus pass. Top-64 by (n, w1, w2) is
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    All-integer output: engine-portable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= 2
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 2),"
+                    " i -> struct(tok[i] AS w1, tok[i + 1] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prefix = pairs.groupBy("w1").agg(F.sum("n").alias("n_prefix"))
+    return (
+        pairs.join(prefix, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.floor(F.col("n") * 10000.0 / F.col("n_prefix"))
+            .cast("bigint")
+            .alias("p_cond_bp"),
+        )
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(64)
+    )
