@@ -40,6 +40,11 @@ EXTRA = [
     "setops_suite",              # union/except/intersect/first-seen
     "scalar_suite",              # string+date+math codegen projection
     "text_suite",                # token/lang/quality/fingerprint per-doc
+    "corpus_shuffle",            # deterministic training-order permutation
+    "stratified_sample",         # largest-remainder exact quotas
+    "vocab_coverage",            # tokenizer-budget coverage curve
+    "bigram_lm_stats",           # corpus bigram conditionals
+    "embedding_quantize_stats",  # int8 vector quantization
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
