@@ -616,3 +616,109 @@ def bigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(64)
     )
+
+
+# Predictability bands for the bigram-LM document filter. Calibrated
+# on the fixture corpus (score range 302..490 bp, median 344): >= 400
+# only the planted repetitive/duplicate docs reach; < 330 is the noisy
+# tail (~p10). A production run recalibrates on a corpus sample.
+_PRED_HIGH_BP = 400
+_PRED_LOW_BP = 330
+
+_BAND_SQL = f"""CASE WHEN avg_pcond_bp >= {_PRED_HIGH_BP} THEN 'high_predictability'
+     WHEN avg_pcond_bp < {_PRED_LOW_BP} THEN 'low_predictability'
+     ELSE 'typical' END"""
+
+
+@register(
+    "doc_perplexity_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest([{{'w1': tok[i], 'w2': tok[i+1]}}
+                 for i in range(1, len(tok))]) AS g
+  FROM toks WHERE len(tok) >= 2
+),
+doc_bg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+pairs AS (SELECT w1, w2, COUNT(*) AS n FROM doc_bg GROUP BY 1, 2),
+prefix AS (SELECT w1, SUM(n) AS n_prefix FROM pairs GROUP BY w1),
+probs AS (
+  SELECT p.w1, p.w2, CAST(FLOOR(p.n * 10000.0 / f.n_prefix) AS BIGINT) AS pb
+  FROM pairs p JOIN prefix f USING (w1)
+),
+scored AS (
+  SELECT d.doc_id, COUNT(*) AS n_bigrams,
+         CAST(FLOOR(SUM(pb) * 1.0 / COUNT(*)) AS BIGINT) AS avg_pcond_bp
+  FROM doc_bg d JOIN probs USING (w1, w2)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, avg_pcond_bp, {_BAND_SQL} AS band
+FROM scored
+""",
+    tags=("X4", "text", "lm", "curation"),
+)
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style document filter (the CCNet/Gopher LM-quality
+    gate): train bigram conditionals P(w2|w1) on the corpus itself,
+    score every document by the mean conditional probability of its
+    bigrams, and band high-predictability (repetitive / near-dup
+    suspects), typical, and low-predictability (noisy) docs.
+
+    The score is the integer mean of per-bigram floored basis points —
+    deliberately NOT a float sum of logs: log-prob accumulation order
+    differs across engines and can flip a rounding boundary, while
+    integer sums are exact everywhere. A production filter swaps in a
+    pretrained KenLM and real log-space perplexity; the pipeline shape
+    (train stats -> broadcast/join -> per-doc mean -> band) is
+    identical.
+
+    Scale: one corpus pass builds (doc_id, w1, w2) bigram occurrences
+    (persisted — it feeds both the count agg and the scoring join; at
+    100 TB materialize it to a bucketed table like the shingle index,
+    or drop the persist and pay one extra parse scan). Counts are
+    word-count-shaped (map-side combine). The scoring join shuffles
+    both sides on (w1, w2) — distinct-bigram-sized model table, AQE
+    balances skew on stop-bigrams; the per-doc mean then reduces on
+    doc_id. No Python UDFs anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tok")
+    ).filter(F.size("tok") >= 2)
+    doc_bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tok) - 2),"
+                " i -> struct(tok[i] AS w1, tok[i + 1] AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2").persist()
+    pairs = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    prefix = pairs.groupBy("w1").agg(F.sum("n").alias("n_prefix"))
+    probs = pairs.join(prefix, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.col("n") * 10000.0 / F.col("n_prefix"))
+        .cast("bigint")
+        .alias("pb"),
+    )
+    scored = (
+        doc_bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum("pb") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_pcond_bp"),
+        )
+    )
+    band = (
+        F.when(F.col("avg_pcond_bp") >= _PRED_HIGH_BP, "high_predictability")
+        .when(F.col("avg_pcond_bp") < _PRED_LOW_BP, "low_predictability")
+        .otherwise("typical")
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "avg_pcond_bp", band.alias("band")
+    )
