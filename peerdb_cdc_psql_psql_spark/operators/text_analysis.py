@@ -722,3 +722,85 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", "avg_pcond_bp", band.alias("band")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> ''
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * CAST(FLOOR(n.n_docs * 10000.0 / df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (token), n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("X4", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF — the
+    keyword-extraction / topic-labeling primitive of corpus curation.
+    IDF is the integer proxy floor(N_docs * 10000 / df) rather than
+    ln(N/df): same ordering for ranking purposes, but exact integer
+    arithmetic on every engine (a real deployment swaps ln back in —
+    only this scoring expression changes, the plan shape doesn't).
+
+    Scale: TF is word-count-shaped (explode -> partial agg -> shuffle
+    on (doc_id, token)); DF reduces the already-aggregated TF table on
+    token (distinct-vocabulary-sized, far smaller than the corpus);
+    the TF<->DF join shuffles on token with AQE handling stop-word
+    skew; the per-doc top-3 window is WindowGroupLimit-pruned — each
+    task keeps a 3-row heap per doc, never a full sort of the doc's
+    vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # Feeds both the DF reduction and the scoring join; persist so
+        # the corpus is parsed/exploded ONCE (without it Catalyst
+        # re-derives DF from a second full scan — visible in explain).
+        .persist()
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(F.col("n_docs") * 10000.0 / F.col("df")).cast(
+                    "bigint"
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.select(
+            "doc_id", "token", "tf", "df", "score", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )
