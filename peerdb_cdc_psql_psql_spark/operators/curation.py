@@ -232,3 +232,74 @@ def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("mktsegment"),
         )
     )
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+WITH base AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         sha256(text) AS key
+  FROM documents
+),
+copies AS (SELECT key, COUNT(*) AS n_copies FROM base GROUP BY key)
+SELECT b.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(b.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT b.lang) AS n_langs,
+       COUNT(*) FILTER (WHERE c.n_copies > 1) AS n_dup_docs,
+       CAST(FLOOR(COUNT(*) FILTER (WHERE c.n_copies > 1) * 10000.0
+                  / COUNT(*)) AS BIGINT) AS dup_rate_bp,
+       CAST(FLOOR(SUM(b.n_tokens) * 1.0 / COUNT(*)) AS BIGINT) AS avg_doc_tokens
+FROM base b JOIN copies c USING (key)
+GROUP BY b.source
+""",
+    tags=("X1", "X4", "curation", "datasheet"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the "datasheets for datasets"
+    report a training-data pipeline publishes per ingest: document and
+    token volumes, language breadth, and the exact-duplicate rate
+    (docs whose full text appears more than once corpus-wide, i.e.
+    cross-source copies count in BOTH sources).
+
+    Scale: duplicate membership is decided on the sha256 digest, never
+    the raw text — the copy-count groupBy and the membership join move
+    32-byte keys (+ the few datasheet ints) through the shuffle, not
+    megabyte documents. Token counts ride the same single scan as the
+    digest; the final per-source agg is a handful of rows with
+    map-side combine doing the heavy lifting. COUNT(DISTINCT lang) is
+    exact — the distinct expansion is bounded by |langs| per group."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("key"),
+    )
+    copies = base.groupBy("key").agg(F.count(F.lit(1)).alias("n_copies"))
+    is_dup = F.col("n_copies") > 1
+    return (
+        base.join(copies, "key")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            F.count(F.when(is_dup, 1)).alias("n_dup_docs"),
+            F.floor(
+                F.count(F.when(is_dup, 1)) * 10000.0 / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("dup_rate_bp"),
+            F.floor(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_doc_tokens"),
+        )
+    )
