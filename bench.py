@@ -45,6 +45,9 @@ EXTRA = [
     "vocab_coverage",            # tokenizer-budget coverage curve
     "bigram_lm_stats",           # corpus bigram conditionals
     "embedding_quantize_stats",  # int8 vector quantization
+    "doc_perplexity_filter",     # bigram-LM predictability bands
+    "tfidf_top_terms",           # per-doc top-3 TF-IDF terms
+    "corpus_datasheet",          # per-source datasheet report
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
