@@ -221,3 +221,30 @@ def test_text_suite_is_pure_codegen_projection(spark):
     plan = plan_string(_df(spark, "text_suite"), mode="simple")
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_tfidf_topk_uses_rank_limit(spark):
+    """TF-IDF top-3 per doc: WindowGroupLimit prunes to 3 rows per doc
+    pre-shuffle; DF and the corpus size join as broadcasts."""
+    plan = plan_string(_df(spark, "tfidf_top_terms"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_filter_no_raw_text_in_shuffle(spark):
+    """Perplexity filter: once bigrams are built, only (w1, w2, counts)
+    move — the raw text column never reaches an Exchange."""
+    plan = plan_string(_df(spark, "doc_perplexity_filter"), mode="formatted")
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "text#" not in block, f"raw text shuffled:\n{block}"
+
+
+def test_corpus_datasheet_shuffles_digests_not_texts(spark):
+    """Datasheet: dup membership joins on the sha256 digest; the raw
+    text column is pruned before every Exchange."""
+    plan = plan_string(_df(spark, "corpus_datasheet"), mode="formatted")
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "text#" not in block, f"raw text shuffled:\n{block}"
+    assert "partial_" in plan_string(_df(spark, "corpus_datasheet"), mode="simple")
