@@ -596,3 +596,84 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+_SPAN_N = 5  # tokens per exact-substring window
+_SPAN_DUP_BP = 5000  # >= half the doc's spans shared => dup suspect
+
+
+@register(
+    "exact_substr_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest([list_reduce(tok[i:i+{_SPAN_N - 1}], (a, b) -> a || ' ' || b)
+                 for i in range(1, len(tok) - {_SPAN_N - 2})]) AS span
+  FROM toks WHERE len(tok) >= {_SPAN_N}
+),
+d AS (SELECT DISTINCT doc_id, span FROM spans),
+df AS (SELECT span, COUNT(*) AS n_docs FROM d GROUP BY span),
+per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_spans,
+         COUNT(*) FILTER (WHERE df.n_docs > 1) AS n_shared_spans
+  FROM d JOIN df USING (span) GROUP BY d.doc_id
+)
+SELECT doc_id, n_spans, n_shared_spans,
+       CAST(FLOOR(n_shared_spans * 10000.0 / n_spans) AS BIGINT) AS shared_bp,
+       CASE WHEN FLOOR(n_shared_spans * 10000.0 / n_spans) >= {_SPAN_DUP_BP}
+              THEN 'dup_suspect'
+            WHEN n_shared_spans > 0 THEN 'partial_overlap'
+            ELSE 'unique' END AS band
+FROM per_doc
+""",
+    tags=("X2", "dedup", "substr"),
+)
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication accounting (the ExactSubstr pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every {N}-token window of every document, counted
+    against the rest of the corpus — per doc, how many of its distinct
+    windows also occur in ANOTHER document, as floored basis points,
+    banded unique / partial_overlap / dup_suspect. Catches copied
+    passages and boilerplate that document-level (hash or Jaccard)
+    dedup misses, and is the accounting report that decides whether to
+    run span-level removal at all.
+
+    Scale: windows come from the shared CSE-safe ngram builder; the
+    distinct + document-frequency agg is word-count-shaped (map-side
+    combine, bounded ~{N}-token string keys — no megabyte texts ever
+    shuffle). The span DF join is a hash join on the span key; hot
+    boilerplate spans are exactly the AQE-skew-split case. Output is
+    one row per qualifying doc."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= _SPAN_N
+    )
+    d = (
+        toks.select("doc_id", F.explode(ngram_expr("tok", _SPAN_N)).alias("span"))
+        .distinct()
+        .persist()  # feeds DF agg + membership join; corpus parsed once
+    )
+    df = d.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        d.join(df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_shared_spans"),
+        )
+    )
+    shared_bp = F.floor(
+        F.col("n_shared_spans") * 10000.0 / F.col("n_spans")
+    ).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared_spans",
+        shared_bp.alias("shared_bp"),
+        F.when(shared_bp >= _SPAN_DUP_BP, "dup_suspect")
+        .when(F.col("n_shared_spans") > 0, "partial_overlap")
+        .otherwise("unique")
+        .alias("band"),
+    )
