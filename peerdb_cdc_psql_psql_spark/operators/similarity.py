@@ -420,3 +420,95 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_err_bp"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+WITH comp AS (
+  SELECT label, unnest([{'dim': i, 'v': embedding[i]}
+                 for i in range(1, len(embedding) + 1)]) AS c
+  FROM embeddings
+),
+sums AS (
+  SELECT label, c.dim AS dim,
+         SUM(CAST(FLOOR(CAST(c.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           AS s_micro,
+         COUNT(*) AS n
+  FROM comp GROUP BY label, c.dim
+),
+cent AS (
+  SELECT label, dim,
+         CAST(FLOOR(s_micro * 1.0 / n) AS BIGINT) AS c_micro, n
+  FROM sums
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+       SUM((a.c_micro - b.c_micro) * (a.c_micro - b.c_micro)) AS dist_micro2
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+""",
+    tags=("X3", "embedding", "drift"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + pairwise centroid distances —
+    the corpus-drift / domain-signature report (are two sources or two
+    ingest batches embedding-distributionally close?). Components are
+    fixed to integer micro-units (floor(v*1e6 + 0.5) on exactly-
+    widened float32->double) BEFORE summing, so the centroid is an
+    order-independent integer mean and the distance matrix is exact
+    integer math on every engine — the same portability discipline as
+    embedding_quantize_stats.
+
+    Scale: posexplode to (label, dim, micro) is the only corpus-sized
+    stage, and it aggregates word-count-style (map-side partial sums,
+    |labels|x|dims| result). Everything after — centroid division,
+    dim-aligned self-join, pairwise reduce — runs on that tiny frame.
+    Vectors themselves never shuffle; the label-pair matrix is
+    |labels|^2/2 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(F.sum("micro").alias("s_micro"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("s_micro") * 1.0 / F.col("n")).cast("bigint").alias(
+                "c_micro"
+            ),
+            "n",
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c_micro").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c_micro").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("dist_micro2"),
+        )
+    )
