@@ -48,6 +48,8 @@ EXTRA = [
     "doc_perplexity_filter",     # bigram-LM predictability bands
     "tfidf_top_terms",           # per-doc top-3 TF-IDF terms
     "corpus_datasheet",          # per-source datasheet report
+    "exact_substr_spans",        # ExactSubstr-style span accounting
+    "embedding_centroid_drift",  # per-label centroid distance matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
