@@ -303,3 +303,52 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_doc_tokens"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH toks AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+spans AS (
+  SELECT source, unnest([list_reduce(tok[i:i+4], (a, b) -> a || ' ' || b)
+                 for i in range(1, len(tok) - 3)]) AS span
+  FROM toks WHERE len(tok) >= 5
+),
+d AS (SELECT DISTINCT source, span FROM spans)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_spans
+FROM d a JOIN d b ON a.span = b.span AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    tags=("X2", "curation", "overlap"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct 5-token spans they share — the report
+    that tells a pipeline operator which ingest feeds are mirrors /
+    scrapes of each other before mixture weights get tuned (the
+    inter-SOURCE companion to the per-doc `exact_substr_spans`).
+
+    Scale: the distinct (source, span) projection collapses each
+    source's corpus to its span vocabulary (map-side combine); the
+    span self-join fans out k(k-1)/2 rows per span shared by k
+    sources, bounded by |sources|^2 — never by corpus size; the final
+    count reduces onto the tiny |sources|^2/2 matrix. Hot boilerplate
+    spans are the AQE-skew case, and capping them with a
+    document-frequency cut (as `jaccard_pairs` does) is the standard
+    guard if |sources| grows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= 5
+    )
+    d = (
+        toks.select("source", F.explode(ngram_expr("tok", 5)).alias("span"))
+        .distinct()
+    )
+    a = d.select(F.col("source").alias("source_a"), "span")
+    b = d.select(F.col("source").alias("source_b"), "span")
+    return (
+        a.join(b, "span")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
