@@ -50,6 +50,7 @@ EXTRA = [
     "corpus_datasheet",          # per-source datasheet report
     "exact_substr_spans",        # ExactSubstr-style span accounting
     "embedding_centroid_drift",  # per-label centroid distance matrix
+    "source_overlap_matrix",     # cross-source span contamination
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
