@@ -1,0 +1,54 @@
+"""Order/partitioning invariance for the integer-exact curation ops.
+
+The pack's portability discipline (floored basis points, integer
+micro-units, decimal sums) claims results are identical regardless of
+row order or partitioning — the property that makes reruns, retries,
+and cluster-layout changes safe at 100 TB. The DuckDB parity suite
+checks each op once against one layout; THIS test perturbs the input
+layout (shuffled row order, prime partition count) and asserts the
+output is bit-identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import peerdb_cdc_psql_psql_spark.operators  # noqa: F401
+from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+INVARIANT_OPS = [
+    "doc_perplexity_filter",
+    "tfidf_top_terms",
+    "corpus_datasheet",
+    "exact_substr_spans",
+    "source_overlap_matrix",
+    "embedding_centroid_drift",
+    "train_val_split",
+    "stratified_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("perturbed_sf"))
+    for table in ("documents", "embeddings"):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        (
+            df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns[:1]]))
+            .repartition(7)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{table}.parquet")
+        )
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*sorted(df.columns)).collect())
+
+
+@pytest.mark.parametrize("name", INVARIANT_OPS)
+def test_result_invariant_under_layout(spark, sf_dir, perturbed_dir, name):
+    base = _rows(REGISTRY[name].fn(spark, sf_dir))
+    perturbed = _rows(REGISTRY[name].fn(spark, perturbed_dir))
+    assert base == perturbed, f"{name} changed under row-order/partitioning perturbation"
