@@ -212,3 +212,96 @@ def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("start_us")).alias("us_after_start"),
         )
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "funnel_analysis",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL {_FUNNEL_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL {_FUNNEL_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+),
+n1 AS (SELECT COUNT(*) AS n FROM v)
+SELECT 1 AS step_no, '{_FUNNEL_STEPS[0]}' AS step, (SELECT COUNT(*) FROM v) AS n_users,
+       CAST(10000 AS BIGINT) AS conv_bp
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM c),
+       CAST(FLOOR((SELECT COUNT(*) FROM c) * 10000.0 / n) AS BIGINT) FROM n1
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM p),
+       CAST(FLOOR((SELECT COUNT(*) FROM p) * 10000.0 / n) AS BIGINT) FROM n1
+""",
+    tags=("temporal", "funnel", "A9"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel (view -> click -> purchase, each step
+    within {W}h of the previous step's qualifying time): per user the
+    earliest qualifying timestamp per stage, then per-stage user
+    counts and conversion in floored basis points of stage 1 — the
+    product-analytics conversion report.
+
+    Scale: each stage is an event_type-pushed scan (PushedFilters
+    prunes at the parquet reader), aggregated to one row per
+    SURVIVING user before the next stage's join — so joins shrink
+    monotonically down the funnel and shuffle keys are user_id longs.
+    No self-join over raw events, no window over the full log; the
+    three stage counts are single-row aggs crossed into the 3-row
+    report. Conversion is integer bp — engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_HOURS} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(n1)
+            .select(
+                F.lit(no).alias("step_no"),
+                F.lit(name).alias("step"),
+                "n_users",
+                F.floor(F.col("n_users") * 10000.0 / F.col("n1"))
+                .cast("bigint")
+                .alias("conv_bp"),
+            )
+        )
+
+    return (
+        stage(1, _FUNNEL_STEPS[0], v)
+        .unionByName(stage(2, _FUNNEL_STEPS[1], c))
+        .unionByName(stage(3, _FUNNEL_STEPS[2], p))
+    )
