@@ -51,6 +51,7 @@ EXTRA = [
     "exact_substr_spans",        # ExactSubstr-style span accounting
     "embedding_centroid_drift",  # per-label centroid distance matrix
     "source_overlap_matrix",     # cross-source span contamination
+    "funnel_analysis",           # sequential conversion funnel
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

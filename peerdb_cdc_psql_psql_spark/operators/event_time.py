@@ -199,3 +199,94 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour_level.unionByName(day_level)
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+_RETENTION_MAX_WEEK = 4
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+WITH first_signup AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM first_signup GROUP BY cohort_week
+),
+activity AS (
+  SELECT DISTINCT f.cohort_week, e.user_id,
+         (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week))
+           // {_WEEK_US} AS week_offset
+  FROM events e JOIN first_signup f USING (user_id)
+  WHERE e.ts >= f.cohort_week
+),
+ret AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM activity WHERE week_offset BETWEEN 0 AND {_RETENTION_MAX_WEEK}
+  GROUP BY cohort_week, week_offset
+)
+SELECT epoch_us(r.cohort_week) AS cohort_week_us, r.week_offset, r.n_active,
+       c.cohort_size,
+       CAST(FLOOR(r.n_active * 10000.0 / c.cohort_size) AS BIGINT) AS retention_bp
+FROM ret r JOIN cohort_sizes c USING (cohort_week)
+""",
+    tags=("temporal", "cohort", "A9"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the week of
+    their first 'signup', then per (cohort, week-offset 0..{K}) the
+    distinct users active that week and retention in floored basis
+    points of cohort size — the product-analytics companion to
+    `funnel_analysis`.
+
+    Week buckets truncate in the catalog-pinned UTC session, and every
+    output temporal value is integer micros (`unix_micros`), so the
+    matrix is engine- and timezone-exact; offsets divide exactly
+    because UTC week starts differ by whole weeks.
+
+    Scale: first-signup is one pushed-filter scan aggregated to a row
+    per signup user; the activity join shuffles on user_id longs with
+    the (DISTINCT cohort, user, offset) projection collapsing each
+    user's events to <= {K}+1 rows BEFORE the retention agg; cohort
+    sizes broadcast into the final tiny matrix join."""
+    ev = load(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            "user_id",
+            F.expr(
+                f"(unix_micros(date_trunc('week', ts))"
+                f" - unix_micros(cohort_week)) div {_WEEK_US}"
+            ).alias("week_offset"),
+        )
+        .filter(F.col("week_offset").between(0, _RETENTION_MAX_WEEK))
+        .distinct()
+    )
+    ret = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.unix_micros(F.col("cohort_week")).alias("cohort_week_us"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.floor(F.col("n_active") * 10000.0 / F.col("cohort_size"))
+            .cast("bigint")
+            .alias("retention_bp"),
+        )
+    )
