@@ -52,6 +52,7 @@ EXTRA = [
     "embedding_centroid_drift",  # per-label centroid distance matrix
     "source_overlap_matrix",     # cross-source span contamination
     "funnel_analysis",           # sequential conversion funnel
+    "cohort_retention",          # weekly retention matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
