@@ -229,3 +229,46 @@ def multiway_star_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "part_cooccurrence",
+    oracle="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 32
+""",
+    tags=("J1", "basket", "analytics"),
+)
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in
+    the same order — the candidate-generation step of association-rule
+    mining (the frequent-2-itemset pass of Apriori).
+
+    Scale: distinct (order, part) first, then a self-equi-join ON THE
+    ORDER KEY — fan-out is items-per-order squared (TPC-H avg ~4, so
+    ~16 rows per order), NEVER a cross join; the pair agg combines
+    map-side, and the deterministic top-32 is TakeOrderedAndProject
+    (per-partition heaps, no global sort). Orders with pathologically
+    many distinct parts are the skew case — cap items-per-order (as
+    `jaccard_pairs` caps shingle DF) before the join if the basket
+    distribution has a heavy tail."""
+    d = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(32)
+    )

@@ -210,3 +210,76 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x_avg_pct"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+rfm AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT ref_date FROM ref))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       CASE WHEN recency_days <= 90 THEN 'R1'
+            WHEN recency_days <= 365 THEN 'R2' ELSE 'R3' END ||
+       CASE WHEN frequency >= 15 THEN 'F1'
+            WHEN frequency >= 8 THEN 'F2' ELSE 'F3' END ||
+       CASE WHEN monetary >= 3000000 THEN 'M1'
+            WHEN monetary >= 1500000 THEN 'M2' ELSE 'M3' END AS segment
+FROM rfm
+""",
+    tags=("A6", "A9", "profiling", "rfm"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the classic
+    recency/frequency/monetary triple — days since last order relative
+    to the corpus max date, order count, exact decimal revenue sum —
+    banded into a 27-cell segment code (R1F1M1 = best). The staple
+    customer-value report of commerce analytics.
+
+    Scale: one orders scan aggregated per customer (map-side combine;
+    o_custkey hash shuffle), the 1-row reference date broadcast-crossed
+    in, then pure banding expressions. Decimal sums keep monetary
+    exact and order-independent; recency is integer days in the
+    catalog-pinned UTC session. No customer-table join needed — the
+    orders log carries the key."""
+    orders = load(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= 90, "R1")
+        .when(F.col("recency_days") <= 365, "R2")
+        .otherwise("R3"),
+        F.when(F.col("frequency") >= 15, "F1")
+        .when(F.col("frequency") >= 8, "F2")
+        .otherwise("F3"),
+        F.when(F.col("monetary") >= 3000000, "M1")
+        .when(F.col("monetary") >= 1500000, "M2")
+        .otherwise("M3"),
+    )
+    return rfm.select(
+        "c_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )
