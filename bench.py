@@ -53,6 +53,8 @@ EXTRA = [
     "source_overlap_matrix",     # cross-source span contamination
     "funnel_analysis",           # sequential conversion funnel
     "cohort_retention",          # weekly retention matrix
+    "part_cooccurrence",         # market-basket 2-itemsets
+    "rfm_segments",              # customer RFM banding
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
