@@ -12,7 +12,7 @@ with a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -272,3 +272,88 @@ def monitoring_report(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     finally:
         # results that still need ev hold lineage; unpersist is lazy
         ev.unpersist()
+
+
+_ANOM_TRAIL = 24  # trailing window, hours
+_ANOM_MIN_TRAIL = 12  # hours of history before scoring
+_ANOM_BP = 5000  # |deviation| >= 50% of trailing mean
+
+
+@register(
+    "event_rate_anomaly",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+w AS (
+  SELECT event_type, hour_us, n,
+         SUM(n) OVER tw AS trail_sum,
+         COUNT(*) OVER tw AS trail_n
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_us
+                ROWS BETWEEN {_ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_us, n, trail_sum, trail_n,
+       CAST(FLOOR(n * 10000.0 * trail_n / trail_sum) AS BIGINT) - 10000 AS dev_bp,
+       CASE WHEN CAST(FLOOR(n * 10000.0 * trail_n / trail_sum) AS BIGINT) - 10000
+                 >= {_ANOM_BP} THEN 'spike'
+            WHEN CAST(FLOOR(n * 10000.0 * trail_n / trail_sum) AS BIGINT) - 10000
+                 <= -{_ANOM_BP} THEN 'drop'
+            ELSE 'normal' END AS band
+FROM w WHERE trail_n >= {_ANOM_MIN_TRAIL}
+""",
+    tags=("A8", "monitoring", "anomaly"),
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window event-rate anomaly detection: hourly counts per
+    event type scored against the mean of the previous {T} hours
+    (current hour excluded), deviation in floored basis points, banded
+    spike / drop / normal after a {M}-hour warm-up — the rate-change
+    alarm of an ops monitoring stack (the reference's health-banding
+    idea applied along the time axis).
+
+    Determinism: the score is floor of an integer-ratio expression
+    (n·10000·trail_n / trail_sum) — IEEE division of exact integers is
+    correctly rounded, so every engine produces the identical double
+    and the identical floor. No float accumulation: the trailing sums
+    are integer window sums.
+
+    Scale: the corpus-sized stage is the hourly rollup (map-side
+    combined partial counts); the sliding window runs over the rollup
+    — |event_types| x |hours| rows, one narrow shuffle on event_type,
+    per-row state bounded by the {T}-row frame."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(-_ANOM_TRAIL, -1)
+    )
+    w = hourly.select(
+        "event_type",
+        "hour_us",
+        "n",
+        F.sum("n").over(tw).alias("trail_sum"),
+        F.count(F.lit(1)).over(tw).alias("trail_n"),
+    ).filter(F.col("trail_n") >= _ANOM_MIN_TRAIL)
+    dev = (
+        F.floor(F.col("n") * 10000.0 * F.col("trail_n") / F.col("trail_sum"))
+        .cast("bigint")
+        - 10000
+    )
+    return w.select(
+        "event_type",
+        "hour_us",
+        "n",
+        "trail_sum",
+        "trail_n",
+        dev.alias("dev_bp"),
+        F.when(dev >= _ANOM_BP, "spike")
+        .when(dev <= -_ANOM_BP, "drop")
+        .otherwise("normal")
+        .alias("band"),
+    )
