@@ -55,6 +55,7 @@ EXTRA = [
     "cohort_retention",          # weekly retention matrix
     "part_cooccurrence",         # market-basket 2-itemsets
     "rfm_segments",              # customer RFM banding
+    "event_rate_anomaly",        # trailing-window rate alarms
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
