@@ -26,13 +26,18 @@ INVARIANT_OPS = [
     "embedding_centroid_drift",
     "train_val_split",
     "stratified_sample",
+    "funnel_analysis",
+    "cohort_retention",
+    "event_rate_anomaly",
+    "part_cooccurrence",
+    "rfm_segments",
 ]
 
 
 @pytest.fixture(scope="module")
 def perturbed_dir(spark, sf_dir, tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("perturbed_sf"))
-    for table in ("documents", "embeddings"):
+    for table in ("documents", "embeddings", "events", "orders", "lineitem"):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         (
             df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns[:1]]))

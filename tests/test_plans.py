@@ -248,3 +248,35 @@ def test_corpus_datasheet_shuffles_digests_not_texts(spark):
         if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
             assert "text#" not in block, f"raw text shuffled:\n{block}"
     assert "partial_" in plan_string(_df(spark, "corpus_datasheet"), mode="simple")
+
+
+def test_funnel_pushes_event_type_filters(spark):
+    """Funnel: each stage's event_type predicate reaches the scan."""
+    plan = plan_string(_df(spark, "funnel_analysis"))
+    assert "PushedFilters" in plan and "view" in plan and "purchase" in plan
+
+
+def test_cohort_retention_broadcasts_sizes(spark):
+    """Cohort retention: the cohort-size side joins broadcast; the
+    signup filter is pushed to the scan."""
+    plan = plan_string(_df(spark, "cohort_retention"))
+    assert "BroadcastHashJoin" in plan
+    assert "signup" in plan
+
+
+def test_part_cooccurrence_top32_take_ordered(spark):
+    """Basket pairs: deterministic top-32 via TakeOrderedAndProject,
+    and the pair build is an equi-join on the order key (never a
+    cross/nested-loop join)."""
+    plan = plan_string(_df(spark, "part_cooccurrence"))
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_event_rate_anomaly_windows_rollup_only(spark):
+    """Anomaly: the trailing-frame window runs over the hourly rollup
+    (post-agg), so the plan shows partial aggregation before the
+    window's shuffle."""
+    plan = plan_string(_df(spark, "event_rate_anomaly"), mode="simple")
+    assert "partial_count" in plan
+    assert "Window" in plan
