@@ -272,3 +272,75 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(32)
     )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, MIN(unit_price) AS best_price, COUNT(*) AS n_suppliers
+  FROM per GROUP BY l_partkey
+)
+SELECT p.l_partkey AS partkey, MIN(p.l_suppkey) AS best_suppkey,
+       MIN(b.best_price) AS best_unit_price, MIN(b.n_suppliers) AS n_suppliers
+FROM per p JOIN best b
+  ON p.l_partkey = b.l_partkey AND p.unit_price = b.best_price
+GROUP BY p.l_partkey
+""",
+    tags=("J2", "A6", "decorrelated"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest observed supplier per part — the TPC-H-Q2 correlated-
+    subquery shape ("supplier whose cost equals the minimum for that
+    part") written the decorrelated way: aggregate per (part,
+    supplier), reduce to the per-part minimum, equi-join back on
+    (part, min-price), deterministic min-suppkey tie-break.
+
+    Determinism: unit price is a ratio of two exact decimal sums, so
+    every engine derives the identical double and the min-price
+    equality join matches identically — float equality is safe ONLY
+    because both sides come from the same exact-sum derivation.
+
+    Scale: the corpus-sized agg shuffles once on (part, supplier) with
+    map-side combine; `best` reduces that result on part; the
+    join-back is per-part-sized on both sides. This is what Catalyst's
+    RewriteCorrelatedScalarSubquery does to the SQL form — expressed
+    directly so the plan is visibly join-based, never a per-row
+    subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("unit_price")
+    )
+    best = (
+        per.groupBy("l_partkey")
+        .agg(
+            F.min("unit_price").alias("best_price"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select(
+            F.col("l_partkey").alias("b_partkey"), "best_price", "n_suppliers"
+        )
+    )
+    return (
+        per.join(
+            best,
+            (per["l_partkey"] == best["b_partkey"])
+            & (per["unit_price"] == best["best_price"]),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.min("best_price").alias("best_unit_price"),
+            F.min("n_suppliers").alias("n_suppliers"),
+        )
+    )
