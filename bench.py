@@ -56,6 +56,7 @@ EXTRA = [
     "part_cooccurrence",         # market-basket 2-itemsets
     "rfm_segments",              # customer RFM banding
     "event_rate_anomaly",        # trailing-window rate alarms
+    "min_cost_supplier",         # Q2-shape decorrelated min-join
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
