@@ -283,3 +283,70 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm.select(
         "c_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(revenue) AS DOUBLE) AS total FROM cust),
+deciled AS (
+  SELECT o_custkey, revenue,
+         NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+  FROM cust
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(revenue) AS DOUBLE) AS decile_revenue,
+       CAST(FLOOR(CAST(SUM(revenue) AS DOUBLE) * 10000.0 / total) AS BIGINT)
+         AS share_bp
+FROM deciled, tot
+GROUP BY decile, total
+""",
+    tags=("A9", "profiling", "concentration"),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the Lorenz-curve /
+    80-20 report): customers ranked by exact-decimal lifetime revenue,
+    cut into NTILE(10) buckets with a deterministic custkey tie-break,
+    each decile's revenue share in floored basis points of the total.
+
+    Determinism: revenue stays DECIMAL through every sum (order-
+    independent); the share ratio divides the exactly-derived doubles
+    once — IEEE-correctly-rounded, engine-identical.
+
+    Scale: the raw orders scan collapses to one row per customer
+    (map-side combine) BEFORE any window; the global decile rank runs
+    over that |customers| rollup — at web scale that rank becomes a
+    repartitionByRange sort (same contract), which is why the rank
+    input must stay the aggregate, never raw orders."""
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue")
+    )
+    tot = cust.agg(F.sum("revenue").cast("double").alias("total"))
+    deciled = cust.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    return (
+        deciled.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue").cast("double").alias("decile_revenue"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            F.floor(F.col("decile_revenue") * 10000.0 / F.col("total"))
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+    )
