@@ -57,6 +57,7 @@ EXTRA = [
     "rfm_segments",              # customer RFM banding
     "event_rate_anomaly",        # trailing-window rate alarms
     "min_cost_supplier",         # Q2-shape decorrelated min-join
+    "revenue_concentration",     # Lorenz decile shares
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
