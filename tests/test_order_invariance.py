@@ -31,6 +31,8 @@ INVARIANT_OPS = [
     "event_rate_anomaly",
     "part_cooccurrence",
     "rfm_segments",
+    "min_cost_supplier",
+    "revenue_concentration",
 ]
 
 

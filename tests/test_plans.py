@@ -280,3 +280,19 @@ def test_event_rate_anomaly_windows_rollup_only(spark):
     plan = plan_string(_df(spark, "event_rate_anomaly"), mode="simple")
     assert "partial_count" in plan
     assert "Window" in plan
+
+
+def test_min_cost_supplier_is_join_based(spark):
+    """Q2 shape: decorrelated — equi-joins only, no nested-loop
+    subquery execution; both agg stages combine map-side."""
+    plan = plan_string(_df(spark, "min_cost_supplier"))
+    assert "NestedLoop" not in plan
+    assert "partial_" in plan_string(_df(spark, "min_cost_supplier"), mode="simple")
+
+
+def test_revenue_concentration_ranks_rollup_only(spark):
+    """Lorenz report: the NTILE window's input is the per-customer
+    aggregate (partial agg before the window), never raw orders."""
+    plan = plan_string(_df(spark, "revenue_concentration"), mode="simple")
+    assert "partial_sum" in plan
+    assert "Window" in plan
