@@ -632,7 +632,7 @@ FROM per_doc
 def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication accounting (the ExactSubstr pass of
     Lee et al., "Deduplicating Training Data Makes Language Models
-    Better"): every {N}-token window of every document, counted
+    Better"): every 5-token window of every document, counted
     against the rest of the corpus — per doc, how many of its distinct
     windows also occur in ANOTHER document, as floored basis points,
     banded unique / partial_overlap / dup_suspect. Catches copied
@@ -642,7 +642,7 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: windows come from the shared CSE-safe ngram builder; the
     distinct + document-frequency agg is word-count-shaped (map-side
-    combine, bounded ~{N}-token string keys — no megabyte texts ever
+    combine, bounded ~5-token string keys — no megabyte texts ever
     shuffle). The span DF join is a hash join on the span key; hot
     boilerplate spans are exactly the AQE-skew-split case. Output is
     one row per qualifying doc."""

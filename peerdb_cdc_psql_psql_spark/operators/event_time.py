@@ -237,7 +237,7 @@ FROM ret r JOIN cohort_sizes c USING (cohort_week)
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users cohorted by the week of
-    their first 'signup', then per (cohort, week-offset 0..{K}) the
+    their first 'signup', then per (cohort, week-offset 0..4) the
     distinct users active that week and retention in floored basis
     points of cohort size — the product-analytics companion to
     `funnel_analysis`.
@@ -250,7 +250,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: first-signup is one pushed-filter scan aggregated to a row
     per signup user; the activity join shuffles on user_id longs with
     the (DISTINCT cohort, user, offset) projection collapsing each
-    user's events to <= {K}+1 rows BEFORE the retention agg; cohort
+    user's events to <= 5 rows BEFORE the retention agg; cohort
     sizes broadcast into the final tiny matrix join."""
     ev = load(spark, sf_dir, "events")
     first = (

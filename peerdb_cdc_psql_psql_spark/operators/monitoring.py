@@ -307,9 +307,9 @@ FROM w WHERE trail_n >= {_ANOM_MIN_TRAIL}
 )
 def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window event-rate anomaly detection: hourly counts per
-    event type scored against the mean of the previous {T} hours
+    event type scored against the mean of the previous 24 hours
     (current hour excluded), deviation in floored basis points, banded
-    spike / drop / normal after a {M}-hour warm-up — the rate-change
+    spike / drop / normal after a 12-hour warm-up — the rate-change
     alarm of an ops monitoring stack (the reference's health-banding
     idea applied along the time axis).
 
@@ -322,7 +322,7 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus-sized stage is the hourly rollup (map-side
     combined partial counts); the sliding window runs over the rollup
     — |event_types| x |hours| rows, one narrow shuffle on event_type,
-    per-row state bounded by the {T}-row frame."""
+    per-row state bounded by the 24-row frame."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",

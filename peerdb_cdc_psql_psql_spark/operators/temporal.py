@@ -251,7 +251,7 @@ SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM p),
 )
 def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict sequential funnel (view -> click -> purchase, each step
-    within {W}h of the previous step's qualifying time): per user the
+    within 24 h of the previous step's qualifying time): per user the
     earliest qualifying timestamp per stage, then per-stage user
     counts and conversion in floored basis points of stage 1 — the
     product-analytics conversion report.
