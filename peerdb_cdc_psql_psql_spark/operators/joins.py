@@ -344,3 +344,97 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_suppliers").alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+WITH joined AS (
+  SELECT l.l_suppkey, date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days,
+         l.l_returnflag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per AS (
+  SELECT l_suppkey AS suppkey, COUNT(*) AS n_lines,
+         CAST(FLOOR(SUM(delay_days) * 1.0 / COUNT(*)) AS BIGINT) AS avg_delay_days,
+         MAX(delay_days) AS max_delay_days,
+         CAST(FLOOR(COUNT(*) FILTER (WHERE delay_days <= 30) * 10000.0
+                    / COUNT(*)) AS BIGINT) AS within30_bp,
+         CAST(FLOOR(COUNT(*) FILTER (WHERE l_returnflag = 'R') * 10000.0
+                    / COUNT(*)) AS BIGINT) AS return_bp
+  FROM joined GROUP BY l_suppkey
+)
+SELECT p.suppkey, s.s_name, p.n_lines, p.avg_delay_days, p.max_delay_days,
+       p.within30_bp, p.return_bp,
+       CASE WHEN p.within30_bp >= 5200 AND p.return_bp <= 3200 THEN 'A'
+            WHEN p.within30_bp >= 4800 THEN 'B' ELSE 'C' END AS band
+FROM per p JOIN supplier s ON p.suppkey = s.s_suppkey
+""",
+    tags=("J2", "A6", "A11", "scorecard"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment scorecard: per supplier the order-to-ship
+    latency profile (integer mean/max days), on-time share (shipped
+    within 30 days, floored bp), return rate ('R' returnflag, bp), and
+    an A/B/C service band — the vendor-SLA report of commerce ops.
+
+    Scale: the lineitem<->orders equi-join is the one big shuffle (two
+    fact tables on the order key — the canonical co-partition/bucketing
+    candidate, cf. sources/bucketing.py); everything after reduces to
+    one row per supplier with map-side combine; the supplier dim then
+    BROADCASTS into the final name/band projection. All metrics are
+    integer-exact (day diffs, counts, floored bp) — no float
+    accumulation anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"),
+        "l_returnflag",
+    )
+    per = joined.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.floor(F.sum("delay_days") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_delay_days"),
+        F.max("delay_days").alias("max_delay_days"),
+        F.floor(
+            F.count(F.when(F.col("delay_days") <= 30, 1)) * 10000.0
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("within30_bp"),
+        F.floor(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)) * 10000.0
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("return_bp"),
+    )
+    band = (
+        F.when(
+            (F.col("within30_bp") >= 5200) & (F.col("return_bp") <= 3200), "A"
+        )
+        .when(F.col("within30_bp") >= 4800, "B")
+        .otherwise("C")
+    )
+    return (
+        per.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            per["suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            "suppkey",
+            "s_name",
+            "n_lines",
+            "avg_delay_days",
+            "max_delay_days",
+            "within30_bp",
+            "return_bp",
+            band.alias("band"),
+        )
+    )
