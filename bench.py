@@ -58,6 +58,7 @@ EXTRA = [
     "event_rate_anomaly",        # trailing-window rate alarms
     "min_cost_supplier",         # Q2-shape decorrelated min-join
     "revenue_concentration",     # Lorenz decile shares
+    "supplier_scorecard",        # vendor SLA banding
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

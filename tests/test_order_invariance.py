@@ -33,13 +33,14 @@ INVARIANT_OPS = [
     "rfm_segments",
     "min_cost_supplier",
     "revenue_concentration",
+    "supplier_scorecard",
 ]
 
 
 @pytest.fixture(scope="module")
 def perturbed_dir(spark, sf_dir, tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("perturbed_sf"))
-    for table in ("documents", "embeddings", "events", "orders", "lineitem"):
+    for table in ("documents", "embeddings", "events", "orders", "lineitem", "supplier"):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         (
             df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns[:1]]))
