@@ -438,3 +438,111 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             band.alias("band"),
         )
     )
+
+
+@register(
+    "priority_aging",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+GROUP BY o_orderpriority
+""",
+    tags=("J3", "A11", "aging"),
+)
+def priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority aging (the TPC-H-Q4 correlated-EXISTS shape):
+    orders with at least one line shipped more than 60 days after the
+    order date, counted per priority — the backlog report that tells
+    ops whether urgent orders actually move faster.
+
+    Scale: the correlated EXISTS is a LEFT SEMI equi-join on the order
+    key (Catalyst's RewritePredicateSubquery form, written directly) —
+    the non-equi lateness predicate rides the join condition, the semi
+    join keeps no lineitem payload and deduplicates matches for free,
+    and the surviving orders reduce map-side to |priorities| rows."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@register(
+    "brand_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name, EXTRACT(YEAR FROM o.o_orderdate) AS yr, p.p_brand,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name, yr,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       CAST(FLOOR(CAST(COALESCE(SUM(rev) FILTER (WHERE p_brand = 'Brand#1'),
+                                0) AS DOUBLE) * 10000.0
+                  / CAST(SUM(rev) AS DOUBLE)) AS BIGINT) AS brand1_share_bp
+FROM rev GROUP BY r_name, yr
+""",
+    tags=("J2", "A9", "star", "share"),
+)
+def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand market share per region-year (the TPC-H-Q8 national-
+    market-share shape): one brand's revenue as floored bp of total
+    revenue in each (supplier-region, order-year) cell — the
+    share-within-group pattern (conditional numerator over the same
+    grouped denominator, one pass, no second join).
+
+    Scale: two fact-fact equi-joins (lineitem⋈orders, lineitem⋈part)
+    shuffle on their keys; supplier joins under AQE; nation/region
+    broadcast (fixed-size). The share needs NO per-group subquery —
+    both sums partial-agg map-side into the same |regions|x|years|
+    cells. Decimal revenue keeps both sums exact; the single
+    bp division is IEEE-identical everywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "r_name")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(dims, sup["s_nationkey"] == F.col("n_nationkey"))
+        .select(
+            "r_name",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "p_brand",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("rev"),
+        )
+    )
+    total = F.sum("rev")
+    brand = F.coalesce(
+        F.sum(F.when(F.col("p_brand") == "Brand#1", F.col("rev"))),
+        F.lit(0).cast("decimal(38,6)"),
+    )
+    return rev.groupBy("r_name", "yr").agg(
+        total.cast("double").alias("total_revenue"),
+        F.floor(brand.cast("double") * 10000.0 / total.cast("double"))
+        .cast("bigint")
+        .alias("brand1_share_bp"),
+    )
