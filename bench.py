@@ -59,6 +59,8 @@ EXTRA = [
     "min_cost_supplier",         # Q2-shape decorrelated min-join
     "revenue_concentration",     # Lorenz decile shares
     "supplier_scorecard",        # vendor SLA banding
+    "priority_aging",            # Q4-shape late-order backlog
+    "brand_market_share",        # Q8-shape share-within-group
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

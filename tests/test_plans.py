@@ -296,3 +296,18 @@ def test_revenue_concentration_ranks_rollup_only(spark):
     plan = plan_string(_df(spark, "revenue_concentration"), mode="simple")
     assert "partial_sum" in plan
     assert "Window" in plan
+
+
+def test_priority_aging_semi_join(spark):
+    """Q4 shape: the EXISTS is a LeftSemi join, never a nested-loop
+    per-row subquery."""
+    plan = plan_string(_df(spark, "priority_aging"))
+    assert "LeftSemi" in plan
+
+
+def test_brand_market_share_broadcasts_fixed_dims(spark):
+    """Q8 shape: nation/region broadcast; both share sums land in one
+    aggregation (no second join for the denominator)."""
+    plan = plan_string(_df(spark, "brand_market_share"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") <= 4  # one partial+final pair (AQE may stage)
