@@ -350,3 +350,79 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_bp"),
         )
     )
+
+
+_MIG_SPLIT = "1998-07-01"
+
+
+@register(
+    "segment_migration",
+    oracle=f"""
+WITH h AS (
+  SELECT o_custkey, o_orderdate < TIMESTAMP '{_MIG_SPLIT}' AS h1,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS p
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey,
+         COUNT(*) FILTER (WHERE h1) AS f1,
+         CAST(COALESCE(SUM(p) FILTER (WHERE h1), 0) AS DOUBLE) AS m1,
+         COUNT(*) FILTER (WHERE NOT h1) AS f2,
+         CAST(COALESCE(SUM(p) FILTER (WHERE NOT h1), 0) AS DOUBLE) AS m2
+  FROM h GROUP BY o_custkey
+),
+banded AS (
+  SELECT o_custkey,
+    CASE WHEN f1 = 0 THEN 'NONE'
+         WHEN m1 >= 1500000 AND f1 >= 5 THEN 'HIGH'
+         WHEN m1 >= 750000 THEN 'MID' ELSE 'LOW' END AS band_h1,
+    CASE WHEN f2 = 0 THEN 'NONE'
+         WHEN m2 >= 1500000 AND f2 >= 5 THEN 'HIGH'
+         WHEN m2 >= 750000 THEN 'MID' ELSE 'LOW' END AS band_h2
+  FROM agg
+)
+SELECT band_h1, band_h2, COUNT(*) AS n_customers
+FROM banded GROUP BY band_h1, band_h2
+""",
+    tags=("A9", "A11", "profiling", "migration"),
+)
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment transition matrix: value band (HIGH/MID/LOW/
+    NONE on exact-decimal revenue + order count) in the first half of
+    the time range vs the second, counted per (from, to) cell — the
+    churn/upgrade flow report behind retention planning.
+
+    Scale: deliberately NOT a self-join of two period aggregates — one
+    orders scan with period-conditional aggregation per customer (both
+    halves partial-agg in the same map pass), then banding expressions
+    and a tiny 16-cell matrix agg. Half the shuffle volume of the
+    join form and no skew surface beyond the per-customer rollup."""
+    orders = load(spark, sf_dir, "orders")
+    h1 = F.col("o_orderdate") < F.lit(_MIG_SPLIT).cast("timestamp")
+    p = F.col("o_totalprice").cast("decimal(38,6)")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.when(h1, 1)).alias("f1"),
+        F.coalesce(F.sum(F.when(h1, p)), F.lit(0).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("m1"),
+        F.count(F.when(~h1, 1)).alias("f2"),
+        F.coalesce(F.sum(F.when(~h1, p)), F.lit(0).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("m2"),
+    )
+
+    def band(f, m):
+        return (
+            F.when(F.col(f) == 0, "NONE")
+            .when((F.col(m) >= 1500000) & (F.col(f) >= 5), "HIGH")
+            .when(F.col(m) >= 750000, "MID")
+            .otherwise("LOW")
+        )
+
+    return (
+        agg.select(
+            band("f1", "m1").alias("band_h1"), band("f2", "m2").alias("band_h2")
+        )
+        .groupBy("band_h1", "band_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
