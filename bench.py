@@ -61,6 +61,7 @@ EXTRA = [
     "supplier_scorecard",        # vendor SLA banding
     "priority_aging",            # Q4-shape late-order backlog
     "brand_market_share",        # Q8-shape share-within-group
+    "segment_migration",         # period band transition matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

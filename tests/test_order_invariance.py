@@ -34,13 +34,19 @@ INVARIANT_OPS = [
     "min_cost_supplier",
     "revenue_concentration",
     "supplier_scorecard",
+    "priority_aging",
+    "brand_market_share",
+    "segment_migration",
 ]
 
 
 @pytest.fixture(scope="module")
 def perturbed_dir(spark, sf_dir, tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("perturbed_sf"))
-    for table in ("documents", "embeddings", "events", "orders", "lineitem", "supplier"):
+    for table in (
+        "documents", "embeddings", "events", "orders",
+        "lineitem", "supplier", "part", "nation", "region",
+    ):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         (
             df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns[:1]]))
