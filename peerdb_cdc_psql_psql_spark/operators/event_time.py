@@ -290,3 +290,69 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_bp"),
         )
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(FLOOR(dau.dau * 10000.0 / wau.wau) AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau USING (day)
+""",
+    tags=("A3", "temporal", "engagement"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU in floored bp)
+    per observed day — the engagement report behind "daily to weekly
+    active" product metrics.
+
+    Scale: events collapse to distinct (user, day) pairs first (the
+    only corpus-sized agg, map-side combined). WAU then avoids a
+    range join: each pair EXPLODES into the <=7 future days it makes
+    active (bounded fan-out), is filtered to observed days, and
+    reduces via exact COUNT(DISTINCT) per day — distinct state bounded
+    by |users active that week|. The MAU variant is the same plan with
+    a 30-day sequence; the fan-out grows linearly and stays
+    shuffle-key-bounded. Day buckets truncate in the catalog-pinned
+    UTC session."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.floor(F.col("dau") * 10000.0 / F.col("wau"))
+            .cast("bigint")
+            .alias("stickiness_bp"),
+        )
+    )

@@ -426,3 +426,55 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_h1", "band_h2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "order_line_status_audit",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderstatus,
+       CASE WHEN p.n_f = p.n_lines THEN 'ALL_F'
+            WHEN p.n_f = 0 THEN 'ALL_O' ELSE 'MIXED' END AS line_state,
+       COUNT(*) AS n_orders
+FROM orders o JOIN per p ON o.o_orderkey = p.l_orderkey
+GROUP BY o.o_orderstatus,
+         CASE WHEN p.n_f = p.n_lines THEN 'ALL_F'
+              WHEN p.n_f = 0 THEN 'ALL_O' ELSE 'MIXED' END
+""",
+    tags=("J2", "A11", "audit"),
+)
+def order_line_status_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child status consistency audit: each order's status
+    crossed with the rollup of its lines' statuses (all-finished /
+    all-open / mixed) — the referential-consistency report a CDC
+    operator runs after a sync to prove parent and child tables landed
+    coherently (the cross-table generalization of the per-table
+    count reconciliation in `reconciliation_lag`).
+
+    Scale: lineitem collapses to one row per order (map-side combine)
+    BEFORE joining orders — the join is |orders| x |orders|, not
+    |orders| x |lineitems|; the final matrix agg is |statuses| x 3
+    cells. Pure counts: engine-exact."""
+    orders = load(spark, sf_dir, "orders")
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_f"),
+        )
+    )
+    line_state = (
+        F.when(F.col("n_f") == F.col("n_lines"), "ALL_F")
+        .when(F.col("n_f") == 0, "ALL_O")
+        .otherwise("MIXED")
+    )
+    return (
+        orders.join(per, orders["o_orderkey"] == per["l_orderkey"])
+        .groupBy("o_orderstatus", line_state.alias("line_state"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
