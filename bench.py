@@ -62,6 +62,8 @@ EXTRA = [
     "priority_aging",            # Q4-shape late-order backlog
     "brand_market_share",        # Q8-shape share-within-group
     "segment_migration",         # period band transition matrix
+    "order_line_status_audit",   # parent-child coherence matrix
+    "dau_wau_stickiness",        # engagement ratio per day
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -37,6 +37,8 @@ INVARIANT_OPS = [
     "priority_aging",
     "brand_market_share",
     "segment_migration",
+    "order_line_status_audit",
+    "dau_wau_stickiness",
 ]
 
 
