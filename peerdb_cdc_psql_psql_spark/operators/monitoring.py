@@ -294,7 +294,7 @@ w AS (
   WINDOW tw AS (PARTITION BY event_type ORDER BY hour_us
                 ROWS BETWEEN {_ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
 )
-SELECT event_type, hour_us, n, trail_sum, trail_n,
+SELECT event_type, hour_us, n, CAST(trail_sum AS BIGINT) AS trail_sum, trail_n,
        CAST(FLOOR(n * 10000.0 * trail_n / trail_sum) AS BIGINT) - 10000 AS dev_bp,
        CASE WHEN CAST(FLOOR(n * 10000.0 * trail_n / trail_sum) AS BIGINT) - 10000
                  >= {_ANOM_BP} THEN 'spike'

@@ -177,7 +177,7 @@ cum AS (
 ),
 binned AS (
   SELECT source, doc_id, n_tokens,
-         (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin
+         CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin
   FROM cum
 )
 SELECT source, bin,

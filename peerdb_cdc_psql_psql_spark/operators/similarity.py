@@ -362,7 +362,7 @@ q AS (
   FROM embeddings, scale
 )
 SELECT vec_id,
-       list_sum(qv) AS q_checksum,
+       CAST(list_sum(qv) AS BIGINT) AS q_checksum,
        CAST(FLOOR(max_err * 10000.0 / (SELECT s FROM scale)) AS BIGINT) AS max_err_bp
 FROM q
 WHERE vec_id < 200
@@ -444,7 +444,8 @@ cent AS (
 )
 SELECT a.label AS label_a, b.label AS label_b,
        MIN(a.n) AS n_a, MIN(b.n) AS n_b,
-       SUM((a.c_micro - b.c_micro) * (a.c_micro - b.c_micro)) AS dist_micro2
+       CAST(SUM((a.c_micro - b.c_micro) * (a.c_micro - b.c_micro)) AS BIGINT)
+         AS dist_micro2
 FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
 GROUP BY a.label, b.label
 """,

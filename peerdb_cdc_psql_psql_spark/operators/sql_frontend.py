@@ -76,6 +76,55 @@ def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.join(counts, "table_name").orderBy("table_name")
 
 
+_CATALOG_COUNTS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+    for t in FIXTURE_TABLES
+)
+
+
+@register(
+    "catalog_tables_report",
+    oracle=f"""
+WITH cols AS (
+  SELECT table_name, COUNT(*) AS n_cols
+  FROM information_schema.columns
+  WHERE table_name IN ({", ".join(f"'{t}'" for t in FIXTURE_TABLES)})
+  GROUP BY table_name
+),
+counts AS (
+  {_CATALOG_COUNTS_SQL}
+)
+SELECT c.table_name, cols.n_cols, c.n_rows
+FROM counts c JOIN cols ON c.table_name = cols.table_name
+""",
+    tags=("F19", "catalog"),
+)
+def catalog_tables_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable F19 (VERDICT r3 next-round #7): the
+    information_schema-style catalog report — every engine table with
+    its column count and row count — as a deterministic query both
+    engines can answer from their own catalogs (monitoring.ps1:887,
+    966,991 pg_catalog queries). Column counts come from the typed
+    catalog schema (spark.catalog / information_schema.columns), row
+    counts from metadata-cheap parquet counts.
+
+    Scale: COUNT(*) on parquet is footer statistics per file — no
+    column data read; the per-table union is |tables| rows."""
+    register_views(spark, sf_dir)
+    n_cols = {
+        t: len(spark.table(t).columns) for t in FIXTURE_TABLES
+    }
+    counts = None
+    for t in FIXTURE_TABLES:
+        c = spark.table(t).agg(
+            F.lit(t).alias("table_name"),
+            F.lit(n_cols[t]).cast("bigint").alias("n_cols"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
 @register(
     "active_mirrors",
     oracle=None,  # live streams catalog — no DuckDB equivalent

@@ -8,10 +8,39 @@ contract (identical aliases on both sides) reviewable in one screen.
 Queries whose semantics are not SQL-expressible (LSH approximations,
 stateful streaming) register with ``oracle=None`` → the driver records
 a rows-only check (SURVEY.md §5).
+
+Driver gate window rotation
+---------------------------
+
+The driver's correctness gate records rows for only the FIRST
+``DRIVER_GATE_WINDOW`` entries of ``queries()`` (memory:
+driver-gate-window-50; observed in CORRECTNESS_r01..r03). With 120+
+oracle-checked queries, a static window leaves a permanent blind spot
+(VERDICT r3 "What's missing" #1). The window therefore ROTATES each
+round, computed from the repo's own ``CORRECTNESS_r*.json`` history:
+
+1. queries that FAILED in the latest recorded round come first (they
+   must re-prove green — a fix without a fresh driver row is unproven);
+2. then queries that have NEVER had a green driver row (fresh
+   coverage — every oracle query earns a hard row within ~2 rounds);
+3. then a constraint pass: every required §2 tag and §2.11 surface
+   (tests/test_registry_gate.py) must be covered by
+   ``window ∪ latest-round-green`` — if the history leaves a tag
+   uncovered, its best candidate is pulled into the window;
+4. remaining slots fill with the least-recently-green queries.
+
+The computation is deterministic given the committed CORRECTNESS
+files (which only change between rounds), so the driver and pytest
+see the identical window. With no history files (fresh checkout),
+the order degrades to registration order — still a valid window.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -46,95 +75,153 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# The driver's correctness gate records rows for the FIRST
-# DRIVER_GATE_WINDOW entries of ``queries()`` (observed:
-# CORRECTNESS_r01/r02 each contain exactly 50 rows in registration
-# order, while 88/100 queries were registered). PRIORITY makes that
-# window deterministic and maximal: the first 50 names collectively
-# cover every SURVEY.md §2 operator tag (suite queries merge thin
-# single-operator forms) plus every oracle-gated §2.11 surface. The
-# remaining queries stay registered — same pytest oracle-parity gate
-# (tests/test_oracle_parity.py runs ALL of them at sf0.01) — they just
-# sit below the driver's recording window.
 DRIVER_GATE_WINDOW = 50
 
-PRIORITY: tuple[str, ...] = (
-    # CDC / streaming semantics (S2-S8, C1-C10)
-    "cdc_merged_state",        # S4 S5 C1 C4 L5
-    "cdc_sync_report",         # C6
-    "cdc_changes_per_batch",   # S2 C3 S6
-    "xmin_incremental",        # C8 L4
-    "tumbling_window_counts",  # C10
-    # relational core (S1, P*, A*)
-    "scan_projection",         # S1 P1
-    "filter_equality",         # P2
-    "filter_patterns",         # P3 P4 P5 F17 (suite)
-    "next_key_allocation",     # P6 A2
-    "count_per_table",         # A1
-    "distinct_topn",           # A3 W1 U1
-    "pricing_summary",         # A6
-    "ratio_percentage",        # A9
-    "threshold_classify",      # A11 F16
-    "table_stats_rollup",      # A4 A5 F18
-    "throughput_rate",         # A10
-    # joins (J1-J4 + star)
-    "cross_join_agg",          # J1
-    "reconciliation_lag",      # J2 (flagship)
-    "fk_semi_join",            # J3
-    "anti_join",               # J4
-    "multiway_star_lineitem",  # star joins
-    # monitoring / log analytics (S9, A7, A8, F6)
-    "log_batch_resource_agg",  # S9 A7 F1 A8
-    "infra_health_bands",      # F6 A11 L2
-    # windows (W2-W7)
-    "topk_per_group",          # W3 (WindowGroupLimit)
-    "window_suite",            # W2 W4 W5 W6 W7 A8 frame-spec (suite)
-    # set ops (U1-U4)
-    "setops_suite",            # U1 U2 U3 U4 (suite)
-    # scalar functions (F2-F15)
-    "scalar_suite",            # F3-F5 F7-F10 F12-F14 (suite)
-    "unit_conversion_bands",   # F2 F15 F18
-    # SQL frontend (S10)
-    "sql_entrypoint",          # S10
-    # dedup (X1, X2, L10, L17)
-    "dedup_exact",             # X1
-    "dedup_ngram_jaccard",     # X2 L7 L12
-    "dedup_incremental_ledger",# L17
-    "dedup_clusters",          # L10
-    # similarity (X3, L14)
-    "similarity_topk_cosine",  # X3 exact
-    "similarity_blocked_pairs",# X3 blocked pairs
-    # text analysis (X4, L11, L18)
-    "text_suite",              # X4 (suite)
-    "repetition_stats",        # L18
-    "keyword_search",          # L11
-    # multimodal (X5)
-    "multimodal_decode_stats", # X5
-    # temporal custom operators
-    "asof_last_signup",        # as-of join
-    "sessionization",          # session windows (batch twin)
-    "range_join_incident_windows",  # range join (headline)
-    "hypertable_rollup",       # continuous-aggregate rollup, A10
-    # composed pipeline + curation + sampling (north-star)
-    "training_data_pipeline",  # composed pipeline (headline)
-    "decontaminate_corpus",    # L15
-    "pii_pseudonymize",        # L16
-    "curation_funnel",         # L19
-    "sequence_packing",        # L20
-    "key_skew_profile",        # L21
-    "train_val_split",         # sampling
-    # ---- positions 51+: first names past the driver recording window
-    "embedding_norm_stats",    # L14
-    "dedup_minhash_lsh",       # X2 approx (rows-only)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# §2 operator tags that must be covered by window ∪ latest-green
+# every round (the union invariant: nothing loses its driver signal
+# for more than one round). S3/S6-S8, D1-D5, C2/C5/C7/C9, F11 are
+# gated by pytest/bench (no query form); F8 is inside scalar_suite.
+REQUIRED_TAGS = frozenset(
+    {
+        "S1", "S2", "S9", "S10",
+        "P1", "P2", "P3", "P4", "P5", "P6",
+        "J1", "J2", "J3", "J4",
+        "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10", "A11",
+        "W1", "W2", "W3", "W4", "W5", "W6", "W7",
+        "U1", "U2", "U3", "U4",
+        "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F9", "F10",
+        "F12", "F13", "F14", "F15", "F16", "F17", "F18", "F19",
+        "C1", "C3", "C4", "C6", "C8", "C10",
+        "X1", "X2", "X3", "X4", "X5",
+    }
+)
+
+# §2.11 surfaces whose gate is a specific oracle-checked query.
+REQUIRED_NAMES = frozenset(
+    {
+        "infra_health_bands",       # L2
+        "dedup_clusters",           # L10
+        "keyword_search",           # L11
+        "decontaminate_corpus",     # L15
+        "pii_pseudonymize",         # L16
+        "dedup_incremental_ledger", # L17
+        "repetition_stats",         # L18
+        "curation_funnel",          # L19
+        "sequence_packing",         # L20
+        "key_skew_profile",         # L21
+        # custom operators + composed pipeline (north-star)
+        "asof_last_signup",
+        "sessionization",
+        "range_join_incident_windows",
+        "hypertable_rollup",
+        "training_data_pipeline",
+        "train_val_split",
+    }
 )
 
 
+def driver_history() -> list[tuple[int, dict]]:
+    """Committed driver gate results, oldest→newest: [(round, rows)]."""
+    out = []
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(rows, dict):
+            out.append((int(m.group(1)), rows))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _row_green(row: dict) -> bool:
+    """A driver row counts as green only on the strong check: the
+    type-sensitive value hash (rows_match alone proved too weak —
+    CORRECTNESS_r03 sequence_packing had rows/schema green, hash red)."""
+    return bool(row.get("hash_match")) and row.get("err") in (None, "")
+
+
+def gate_window() -> tuple[str, ...]:
+    """The first DRIVER_GATE_WINDOW names of ``queries()`` — the
+    rotated driver gate window (see module docstring)."""
+    return tuple(n for n, _ in _ordered()[:DRIVER_GATE_WINDOW])
+
+
 def _ordered() -> list[tuple[str, Query]]:
-    """PRIORITY names first (driver gate window), then the rest in
-    registration order."""
-    prio = [(n, REGISTRY[n]) for n in PRIORITY if n in REGISTRY]
-    rest = [(n, q) for n, q in REGISTRY.items() if n not in set(PRIORITY)]
-    return prio + rest
+    hist = driver_history()
+    ever_green: set[str] = set()
+    last_green: dict[str, int] = {}
+    for rnd, rows in hist:
+        for name, row in rows.items():
+            if _row_green(row):
+                ever_green.add(name)
+                last_green[name] = rnd
+    latest_rows = hist[-1][1] if hist else {}
+    latest_failed = {
+        n for n, row in latest_rows.items() if not _row_green(row) and n in REGISTRY
+    }
+    latest_green = {n for n, row in latest_rows.items() if _row_green(row)}
+
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    candidates = [n for n, q in REGISTRY.items() if q.oracle is not None]
+
+    def sort_key(n: str):
+        return (
+            0 if n in latest_failed else 1,   # re-prove fixes first
+            0 if n not in ever_green else 1,  # fresh coverage next
+            last_green.get(n, 0),             # least-recently-green
+            reg_index[n],                     # stable tiebreak
+        )
+
+    ranked = sorted(candidates, key=sort_key)
+    window: list[str] = ranked[:DRIVER_GATE_WINDOW]
+
+    # Constraint pass: window ∪ latest_green must cover every required
+    # tag and name. Pull the best-ranked provider of anything missing,
+    # evicting from the back (the back of the ranked fill is the
+    # most-recently-green, safest to defer).
+    def covered_tags(names) -> set[str]:
+        out: set[str] = set()
+        for n in names:
+            out.update(REGISTRY[n].tags)
+        return out
+
+    have = set(window) | latest_green
+    need_names = [n for n in sorted(REQUIRED_NAMES) if n in REGISTRY and n not in have]
+    need_tags = REQUIRED_TAGS - covered_tags(have & set(REGISTRY))
+    pulls: list[str] = list(need_names)
+    for tag in sorted(need_tags):
+        options = [n for n in ranked if tag in REGISTRY[n].tags and n not in window]
+        if options and not any(tag in REGISTRY[p].tags for p in pulls):
+            pulls.append(options[0])
+    for p in pulls:
+        if p in window:
+            continue
+        for i in range(len(window) - 1, -1, -1):
+            evict = window[i]
+            # never evict a forced-in (failed/required/needed) name.
+            # REQUIRED_NAMES outside latest_green are already in pulls,
+            # so any required name reachable here is latest-green and
+            # safe to defer one round.
+            if evict in latest_failed or evict in pulls:
+                continue
+            trial = window[:i] + [p] + window[i + 1 :]
+            # the eviction must not itself uncover a required tag the
+            # evicted name was the sole window∪latest_green provider of
+            still = covered_tags(set(trial) | (latest_green & set(REGISTRY)))
+            if all(t in still for t in REGISTRY[evict].tags if t in REQUIRED_TAGS):
+                window = trial
+                break
+
+    window_set = set(window)
+    rest = [n for n in REGISTRY if n not in window_set]
+    return [(n, REGISTRY[n]) for n in window + rest]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -59,18 +59,95 @@ def _normalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[t
     return cols, out
 
 
+_DUCK_INT64 = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+_SPARK_INT64 = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _canon_duck_type(t: str) -> str:
+    """Canonicalize a DuckDB type name to the driver-hash-relevant class.
+
+    The driver's value hash is type-sensitive (CORRECTNESS_r03:
+    sequence_packing had identical values but HUGEINT vs BIGINT →
+    hash_match:false), so int64-compatible widths collapse to one
+    class while INT128/HUGEINT and decimal-width drift stay distinct
+    and fail loudly."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"list<{_canon_duck_type(t[:-2])}>"
+    if t in _DUCK_INT64:
+        return "i64"
+    if t in {"HUGEINT", "INT128", "UHUGEINT", "UBIGINT"}:
+        return "i128"  # never matches Spark — the bug class this guards
+    if t in {"FLOAT", "REAL"}:
+        return "f32"
+    if t == "DOUBLE":
+        return "f64"
+    if t in {"VARCHAR", "STRING", "TEXT"}:
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("DECIMAL"):
+        return "dec" + t[len("DECIMAL"):].replace(" ", "")
+    if t in {"BLOB", "BINARY", "BYTEA"}:
+        return "bin"
+    return t.lower()
+
+
+def _canon_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{_canon_spark_type(t[6:-1])}>"
+    if t in _SPARK_INT64:
+        return "i64"
+    if t == "float":
+        return "f32"
+    if t == "double":
+        return "f64"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("decimal"):
+        return "dec" + t[len("decimal"):].replace(" ", "")
+    if t == "binary":
+        return "bin"
+    return t
+
+
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = dict(sdf.dtypes)
     s_rows = [tuple(r) for r in sdf.collect()]
-    d = con.execute(sql)
-    d_cols = [c[0] for c in d.description]
-    d_rows = d.fetchall()
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    # Result-type parity: the driver hash distinguishes types the
+    # value-level compare below cannot (HUGEINT vs BIGINT, decimal
+    # width). Catch promotion drift locally before it reaches the gate.
+    for c in sorted(s_cols):
+        sc, dc = _canon_spark_type(s_types[c]), _canon_duck_type(d_types[c])
+        if sc != dc:
+            problems.append(
+                f"result type drift on {c!r}: spark={s_types[c]} ({sc}) "
+                f"duckdb={d_types[c]} ({dc}) — driver hash is type-sensitive"
+            )
+    if problems:
         return problems
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")

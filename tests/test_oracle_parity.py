@@ -27,6 +27,56 @@ def test_oracle_parity(spark, duck, oracle_sf_dir, name):
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
+def test_harness_catches_hugeint_promotion(spark, duck, oracle_sf_dir):
+    """Regression (VERDICT r3): DuckDB window SUM(BIGINT) promotes to
+    HUGEINT; the driver hash is type-sensitive, so identical VALUES
+    still fail the gate. The harness must now catch this class
+    locally — a deliberately uncast window-SUM oracle must fail."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def spark_fn(sp, sf_dir):
+        from peerdb_cdc_psql_psql_spark.catalog import load
+
+        nat = load(sp, sf_dir, "nation")
+        w = Window.orderBy("n_nationkey").rowsBetween(Window.unboundedPreceding, 0)
+        return nat.select(
+            "n_nationkey", F.sum("n_regionkey").over(w).alias("cum")
+        )
+
+    uncast = """
+SELECT n_nationkey,
+       SUM(n_regionkey) OVER (ORDER BY n_nationkey ROWS UNBOUNDED PRECEDING) AS cum
+FROM nation
+"""
+    problems = compare_query(spark, duck, "hugeint_probe", spark_fn, uncast, oracle_sf_dir)
+    assert any("type drift" in p and "i128" in p for p in problems), problems
+
+    cast = """
+SELECT n_nationkey,
+       CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum
+FROM nation
+"""
+    assert not compare_query(spark, duck, "hugeint_probe_cast", spark_fn, cast, oracle_sf_dir)
+
+
+def test_all_oracles_hugeint_free(duck):
+    """Static audit: no registered oracle may return an INT128/HUGEINT
+    column — the whole class is banned, not just the 4 r3 instances."""
+    from peerdb_cdc_psql_psql_spark.registry import all_oracles
+
+    from .oracle_harness import _canon_duck_type
+
+    bad = []
+    for name, sql in all_oracles().items():
+        rel = duck.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            if "i128" in _canon_duck_type(str(t)):
+                bad.append((name, c, str(t)))
+    assert not bad, bad
+
+
 def test_rows_only_queries_return_rows(spark, oracle_sf_dir):
     """Queries without an oracle still must run and return a stable schema."""
     for name, q in REGISTRY.items():
