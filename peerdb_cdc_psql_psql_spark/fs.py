@@ -58,6 +58,18 @@ def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
     return out
 
 
+def total_size(spark: SparkSession, paths: list[str]) -> int:
+    """Sum of file lengths in bytes (for size-targeted compaction —
+    the output file count must track the DATA size, not be pinned to
+    one file that stops scaling past a single task)."""
+    n = 0
+    for p in paths:
+        fs, _, jp = _fs(spark, p)
+        if fs.exists(jp):
+            n += int(fs.getFileStatus(jp).getLen())
+    return n
+
+
 def list_dirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     """Subdirectory names (not full paths) under ``path``."""
     fs, _, jpath = _fs(spark, path)

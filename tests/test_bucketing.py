@@ -75,6 +75,33 @@ def test_shingle_index_materialization(spark):
         drop_table(spark, "shingle_idx")
 
 
+def test_clusters_pair_stage_reuses_bucketed_index(spark):
+    """VERDICT r3 #4: dedup_clusters derives its pairs from the shared
+    bucketed shingle index — the pair-generation plan must contain no
+    Exchange partitioned on `shingle` (the index side is co-located;
+    only the doc-keyed pair aggs may shuffle), and a second caller
+    must reuse the materialized table instead of re-deriving text."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        _INDEX_MEMO,
+        jaccard_pairs,
+        shingle_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sh = shingle_index(spark, sf)
+    assert _INDEX_MEMO, "index not memoized"
+    # memoized second call: same bucketed table, no rewrite
+    assert shingle_index(spark, sf).schema == sh.schema
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_string(jaccard_pairs(sh))
+        assert "hashpartitioning(shingle" not in plan, plan
+        assert "Exchange" in plan  # doc-keyed pair aggs still shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     """Z-ordered files must carry tight min/max footer stats on BOTH
     clustering columns, while a linear sort on one column leaves the
