@@ -97,6 +97,18 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if table in _INDEX_MEMO and spark.catalog.tableExists(table):
         return spark.table(table)
     try:
+        if not spark.catalog.tableExists(table):
+            # In-memory catalog + durable warehouse dir: a previous
+            # process may have left the table's LOCATION behind without
+            # a catalog entry, which makes saveAsTable refuse
+            # (LOCATION_ALREADY_EXISTS). The leftover is this process's
+            # own deterministic name — safe to clear and rewrite.
+            from .. import fs as _fs
+
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).rstrip("/")
+            _fs.delete(spark, f"{wh}/{table}")
         materialize_shingle_index(spark, sf_dir, table=table)
     except Exception:
         return _shingles(spark, sf_dir)
@@ -301,6 +313,7 @@ JOIN sizes s2 ON doc_b = s2.doc_id
 WHERE shared * 1.0 / (s1.n + s2.n - shared) >= {_JACCARD_T}
 """,
     tags=("X2", "dedup", "bench"),
+    eager_build=True,  # shingle_index writes the bucketed table on first build
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.8 (X2
@@ -354,6 +367,7 @@ cc AS (
 SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id
 """,
     tags=("X2", "dedup", "iterative"),
+    eager_build=True,  # driver-side min-label loop runs jobs at construction
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact-
@@ -426,6 +440,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # approximate — verified against dedup_ngram_jaccard in tests
     tags=("X2", "dedup", "approx"),
+    eager_build=True,  # shared shingle-index write + MinHash fit
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (X2 scale path): shingle →
@@ -551,16 +566,20 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     and Catalyst's re-analysis goes exponential.
 
     Convergence: star edge sets are a fixpoint of both steps; we stop
-    when the (count, sum(src), sum(dst)) signature is stable — edges
-    only ever move toward minima, so the signature is monotone and a
-    repeat implies the fixpoint, at ~one tiny agg per round."""
+    on an EXACT repeat — a cheap count pre-check per round, and only
+    when counts match, a set-difference emptiness check
+    (``exceptAll``). A hash signature alone is NOT a sound fixpoint
+    witness (two different non-fixpoint edge sets can collide on an
+    aggregate signature — ADVICE r3); the exact check costs one extra
+    shuffle over the (already small) edge set only on the candidate
+    final round."""
     e = (
         edges.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
-    prev_sig = None
+    prev_n = -1
     for rnd in range(max_rounds):
         # large-star: neighbors strictly larger than u attach to m(u).
         # Emit both orientations so every node sees its full
@@ -611,17 +630,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = new_e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
-            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
-        ).collect()[0]
-        sig = (sig["n"], sig["ss"], sig["sd"])
+        n_edges = new_e.count()
+        converged = n_edges == prev_n and new_e.exceptAll(e).isEmpty()
         e.unpersist()
         e = new_e
-        if sig == prev_sig:
+        if converged:
             break
-        prev_sig = sig
+        prev_n = n_edges
     # stars, canonicalized (src=min, dst=max): src is the component
     # minimum (root), dst the member; roots label themselves.
     members = e.select(F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id"))

@@ -68,6 +68,7 @@ WHERE nl.doc_id IS NULL AND quality.q >= 0.7
 GROUP BY d.lang
 """,
     tags=("X1", "X2", "X4", "pipeline", "bench"),
+    eager_build=True,  # near-dup stage builds the shared shingle index
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning: drop exact duplicates (keep lowest

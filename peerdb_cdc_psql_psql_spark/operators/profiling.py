@@ -478,3 +478,67 @@ def order_line_status_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", line_state.alias("line_state"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+_HIST_BIN_WIDTH = 50.0  # fixed-width value bins
+
+
+@register(
+    "histogram_cdf",
+    oracle=f"""
+WITH binned AS (
+  SELECT CAST(FLOOR(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total FROM binned)
+SELECT bin,
+       CAST(bin * {_HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+       n,
+       CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_n,
+       CAST(FLOOR(CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) * 10000.0 / (SELECT total FROM tot))
+            AS BIGINT) AS cum_bp
+FROM binned
+""",
+    tags=("A6", "profiling", "histogram"),
+)
+def histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width histogram with cumulative shares — the
+    100 TB path to percentiles. An exact global percentile needs a
+    full sort; `approx_latency_percentiles` trades accuracy for one
+    pass; this keeps EXACT integer counts in fixed bins (mergeable
+    across partitions, executors, days) and reads any quantile off the
+    cumulative curve with bin-width resolution. The pattern behind
+    every production latency dashboard (HdrHistogram et al.) expressed
+    as a pure groupBy.
+
+    Determinism: bin = floor(value / width) — IEEE division + floor
+    are exact on both engines; counts and cumulative sums are integer
+    (window SUM cast to BIGINT — DuckDB promotes to HUGEINT, the r3
+    gate lesson); cum share in floored bp of an exact integer ratio.
+
+    Scale: the corpus-sized stage is a map-side-combined groupBy on
+    ~|range/width| integer bins; the cumulative window runs over the
+    tiny binned frame. Merging two corpora = summing their bin
+    tables."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = binned.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * _HIST_BIN_WIDTH).alias("bin_lo"),
+            "n",
+            F.sum("n").over(w).cast("bigint").alias("cum_n"),
+            F.floor(
+                F.sum("n").over(w).cast("bigint") * 10000.0 / F.col("total")
+            )
+            .cast("bigint")
+            .alias("cum_bp"),
+        )
+    )

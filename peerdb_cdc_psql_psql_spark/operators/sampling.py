@@ -366,3 +366,97 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang", F.col("quota").alias("lang_quota"))
     )
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle="""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS weight_micro
+  FROM per_source
+),
+tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total,
+               CAST(SUM(n_docs) AS BIGINT) AS n_total FROM weighted),
+rates AS (
+  SELECT source, n_docs, weight_micro,
+         CAST(FLOOR(weight_micro * 10000.0 / (SELECT w_total FROM tot))
+              AS BIGINT) AS rate_bp
+  FROM weighted
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST(concat('0x', substr(md5('mix42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
+             AS BIGINT) % 10000 < r.rate_bp
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.weight_micro, r.rate_bp,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON r.source = s.source
+""",
+    tags=("sampling", "mixture", "X4"),
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/multi-source
+    rebalancing rule of mT5/XLM-R: sample source i proportional to
+    n_i^alpha with alpha=0.5, so huge sources stop drowning small
+    ones): per-source sqrt-weights fixed to integer micro-units BEFORE
+    the normalizing sum (order-independent exact total — a raw double
+    sum over sources would be partition-order-dependent), per-source
+    admission rate in floored bp of the weight share, then
+    deterministic membership by seeded-md5 (same doc set on any
+    engine, partitioning, or retry — rand() is none of those).
+
+    Scale: per-source counts are one map-side-combined agg; rates are
+    a |sources|-row frame BROADCAST back onto the corpus scan; the
+    admission test is a pure projection. One corpus pass + one pass
+    over the winners."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = per_source.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    tot = weighted.agg(F.sum("weight_micro").cast("bigint").alias("w_total"))
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            F.floor(F.col("weight_micro") * 10000.0 / F.col("w_total"))
+            .cast("bigint")
+            .alias("rate_bp"),
+        )
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix42:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    admitted = (
+        docs.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .filter(key % 10000 < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(admitted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )

@@ -125,6 +125,7 @@ def similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_lsh_bucketed",
     oracle=None,  # approximate — recall-tested vs exact top-k in tests
     tags=("X3", "similarity", "approx"),
+    eager_build=True,  # LSH fit runs at construction
 )
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate neighbor candidates (X3 scale path):
@@ -324,6 +325,7 @@ def ivf_search(
     "ann_ivf_topk",
     oracle=None,  # approximate — recall-tested vs exact top-k in tests
     tags=("X3", "similarity", "approx"),
+    eager_build=True,  # quantizer fit + centroid collect at construction
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k (X3 scale path): KMeans
@@ -512,4 +514,107 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
             ).alias("dist_micro2"),
         )
+    )
+
+
+_CENT_SPLIT = 400  # vec_id threshold: < = indexed corpus, >= = new batch
+
+
+@register(
+    "centroid_incremental_update",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label,
+         unnest([{{'dim': i, 'micro':
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)}}
+                 for i in range(1, len(embedding) + 1)]) AS c
+  FROM embeddings
+),
+old_s AS (
+  SELECT label, c.dim AS dim, CAST(SUM(c.micro) AS BIGINT) AS s, COUNT(*) AS n
+  FROM comp WHERE vec_id < {_CENT_SPLIT} GROUP BY label, c.dim
+),
+batch_s AS (
+  SELECT label, c.dim AS dim, CAST(SUM(c.micro) AS BIGINT) AS s, COUNT(*) AS n
+  FROM comp WHERE vec_id >= {_CENT_SPLIT} GROUP BY label, c.dim
+),
+merged AS (
+  SELECT o.label, o.dim,
+         CAST(FLOOR(o.s * 1.0 / o.n) AS BIGINT) AS c_old,
+         CAST(FLOOR((o.s + COALESCE(b.s, 0)) * 1.0
+                    / (o.n + COALESCE(b.n, 0))) AS BIGINT) AS c_new,
+         o.n AS n_old, COALESCE(b.n, 0) AS n_batch
+  FROM old_s o LEFT JOIN batch_s b ON o.label = b.label AND o.dim = b.dim
+)
+SELECT label,
+       MIN(n_old) AS n_old,
+       MIN(n_batch) AS n_batch,
+       CAST(SUM((c_new - c_old) * (c_new - c_old)) AS BIGINT) AS shift_micro2
+FROM merged GROUP BY label
+""",
+    tags=("X3", "embedding", "maintenance"),
+)
+def centroid_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental centroid maintenance for a serving ANN index: fold
+    a NEW ingest batch (vec_id >= {_CENT_SPLIT}) into the indexed
+    corpus's per-label centroids WITHOUT re-reading the corpus — the
+    mini-batch update rule new_c = (S_old + S_batch)/(n_old + n_batch)
+    on persisted (sum, count) state, then report per label how far
+    each centroid moved (squared-L2 in integer micro-units). The
+    drift figure is what decides a quantizer re-fit (compare
+    fit_ivf_quantizer: full refit vs this O(batch) maintenance).
+
+    Determinism: components fix to integer micro-units BEFORE any sum
+    (the embedding_centroid_drift discipline) — sums, merged means
+    (floored), and shift distances are exact integer math on every
+    engine.
+
+    Scale: the batch-sized posexplode is the only new work; the
+    corpus-side sums are the persisted index state (recomputed here
+    only because the fixture is self-contained — the docstring
+    contract is (label, dim, s, n) state + an O(batch) fold). The
+    dim-aligned merge joins |labels|x|dims| rows; vectors never
+    shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("bigint").alias("micro"),
+    )
+
+    def sums(df: DataFrame) -> DataFrame:
+        return df.groupBy("label", "dim").agg(
+            F.sum("micro").cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    old_s = sums(comp.filter(F.col("vec_id") < _CENT_SPLIT))
+    batch_s = sums(comp.filter(F.col("vec_id") >= _CENT_SPLIT)).select(
+        "label", "dim", F.col("s").alias("bs"), F.col("n").alias("bn")
+    )
+    merged = old_s.join(batch_s, ["label", "dim"], "left").select(
+        "label",
+        "dim",
+        F.floor(F.col("s") * 1.0 / F.col("n")).cast("bigint").alias("c_old"),
+        F.floor(
+            (F.col("s") + F.coalesce("bs", F.lit(0)))
+            * 1.0
+            / (F.col("n") + F.coalesce("bn", F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("c_new"),
+        F.col("n").alias("n_old"),
+        F.coalesce("bn", F.lit(0)).alias("n_batch"),
+    )
+    return merged.groupBy("label").agg(
+        F.min("n_old").alias("n_old"),
+        F.min("n_batch").alias("n_batch"),
+        F.sum((F.col("c_new") - F.col("c_old")) * (F.col("c_new") - F.col("c_old")))
+        .cast("bigint")
+        .alias("shift_micro2"),
     )

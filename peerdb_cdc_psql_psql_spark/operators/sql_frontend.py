@@ -141,21 +141,31 @@ def active_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def register_query_views(
-    spark: SparkSession, sf_dir: str, prefix: str = "q_"
+    spark: SparkSession, sf_dir: str, prefix: str = "q_", include_eager: bool = False
 ) -> list[str]:
-    """Expose EVERY registered operator query as a SQL temp view
+    """Expose registered operator queries as SQL temp views
     (``q_<name>``), so a SQL-only consumer of the reference's frontend
-    can drive the whole engine through ``spark.sql`` — e.g.
+    can drive the engine through ``spark.sql`` — e.g.
     ``SELECT * FROM q_pricing_summary`` or joins across operator
-    outputs. Views are lazy logical plans: registering all of them
-    costs nothing until queried, and each query still optimizes
-    end-to-end (pushdown through the view into the scan). Returns the
-    view names registered."""
+    outputs.
+
+    Cost model (ADVICE r3): a view body is a lazy logical plan, but
+    CONSTRUCTING some DataFrames already runs Spark jobs — iterative
+    collect loops (dedup_clusters), shared-index/table writes
+    (shingle-keyed dedup stages), ML fits (LSH/IVF). Those queries are
+    flagged ``eager_build`` in the registry and are SKIPPED by default
+    so registration of the full surface stays cheap; pass
+    ``include_eager=True`` to register them too (pays their build cost
+    up front). Purely-lazy queries that merely mark ``.persist()``
+    remain free until first access. Returns the view names
+    registered."""
     from ..registry import REGISTRY
 
     register_views(spark, sf_dir)
     names = []
     for name, q in REGISTRY.items():
+        if q.eager_build and not include_eager:
+            continue
         q.fn(spark, sf_dir).createOrReplaceTempView(f"{prefix}{name}")
         names.append(f"{prefix}{name}")
     return names

@@ -363,3 +363,83 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, _FUNNEL_STEPS[1], c))
         .unionByName(stage(3, _FUNNEL_STEPS[2], p))
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         LAG(event_type) OVER w AS prev_type
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_id, event_type, ts_us FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+v AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us,
+         LEAD(ts_us) OVER w2 AS valid_to_us,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_type, valid_from_us, valid_to_us, version,
+       CASE WHEN valid_to_us IS NULL THEN 'current' ELSE 'expired' END AS status
+FROM v
+""",
+    tags=("temporal", "scd2", "cdc"),
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream:
+    collapse each user's event stream to its event_type TRANSITIONS and
+    emit versioned validity intervals (valid_from/valid_to in epoch
+    micros, open interval = current row) — the history-table twin of
+    the CDC mirror's last-write-wins merge (streaming/cdc.py keeps the
+    latest state; this keeps every state with its lifetime, the shape
+    an auditing consumer of the reference's `_synced_at`/soft-delete
+    columns materializes).
+
+    Plan: one shuffle on user_id feeds BOTH ordered windows (lag for
+    change detection, lead/row_number for interval closing — same
+    partitioning, so Catalyst reuses the Exchange); consecutive
+    duplicates drop BEFORE the interval window, so the second pass
+    runs on the (much smaller) transition set. No joins, no
+    self-reference: history derives in one lineage from the raw
+    stream.
+
+    Scale: per-key window state is O(1); key-skew is the only hazard
+    and user-keyed event streams shard evenly. At 100 TB the same two
+    windows run per partition-local sorted run after the single hash
+    shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    v = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+    return v.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        "version",
+        F.when(F.col("valid_to_us").isNull(), "current")
+        .otherwise("expired")
+        .alias("status"),
+    )

@@ -56,19 +56,29 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # True when CONSTRUCTING the DataFrame already runs Spark jobs
+    # (iterative collect loops, index/table writes, ML fits) — such
+    # queries are not free to register as SQL views (ADVICE r3).
+    eager_build: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    eager_build: bool = False,
+):
     """Decorator: register a query function under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or ""), tags=tags
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or ""), tags=tags,
+            eager_build=eager_build,
         )
         return fn
 

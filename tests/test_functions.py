@@ -41,7 +41,10 @@ def test_register_query_views_full_sql_surface(spark):
     from peerdb_cdc_psql_psql_spark.registry import REGISTRY
 
     names = register_query_views(spark, "/root/testdata/sf0.001")
-    assert len(names) == len(REGISTRY)
+    n_eager = sum(1 for q in REGISTRY.values() if q.eager_build)
+    assert len(names) == len(REGISTRY) - n_eager
+    assert n_eager > 0  # the flagged-eager queries are skipped by default
+    assert "q_dedup_clusters" not in names  # iterative loop stays deferred
     # drive two operator outputs and a cross-view join through SQL only
     assert spark.sql("SELECT * FROM q_pricing_summary").count() > 0
     top = spark.sql(
