@@ -64,6 +64,14 @@ EXTRA = [
     "segment_migration",         # period band transition matrix
     "order_line_status_audit",   # parent-child coherence matrix
     "dau_wau_stickiness",        # engagement ratio per day
+    # Round-4 additions
+    "scd2_user_history",         # SCD2 validity intervals from changes
+    "data_quality_report",       # declarative constraint pack
+    "histogram_cdf",             # mergeable exact-bin percentile path
+    "mixture_temperature_sample", # n^0.5 source rebalancing
+    "centroid_incremental_update", # O(batch) ANN index maintenance
+    "session_window_bounds",     # native session_window oracle twin
+    "catalog_tables_report",     # F19 catalog report
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -311,3 +311,43 @@ def test_brand_market_share_broadcasts_fixed_dims(spark):
     plan = plan_string(_df(spark, "brand_market_share"))
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") <= 4  # one partial+final pair (AQE may stage)
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """scd2_user_history's lag (change detect) and lead/row_number
+    (interval close) windows partition on the same key — exactly ONE
+    hash Exchange on user_id may appear."""
+    plan = plan_string(_df(spark, "scd2_user_history"))
+    # formatted mode: one Arguments line per Exchange node
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_data_quality_fk_checks_are_joins_not_subqueries(spark):
+    """The FK checks must plan as joins (anti/broadcast) — never a
+    per-row subquery or cartesian."""
+    plan = plan_string(_df(spark, "data_quality_report"))
+    assert "CartesianProduct" not in plan
+    assert "Join LeftAnti" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """Per-source admission rates (|sources| rows) must broadcast onto
+    the corpus scan — the corpus side never shuffles."""
+    assert_plan_contains(_df(spark, "mixture_temperature_sample"), "BroadcastHashJoin")
+
+
+def test_histogram_cdf_partial_aggregation(spark):
+    """The corpus-sized stage is a map-side-combined groupBy on the
+    bin key: partial + final HashAggregate pair."""
+    plan = plan_string(_df(spark, "histogram_cdf"))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_centroid_update_vectors_never_join(spark):
+    """The dim-aligned merge joins (label, dim) sums — no join may
+    carry the embedding column itself."""
+    plan = plan_string(_df(spark, "centroid_incremental_update"))
+    join_from = plan[plan.index("Join") :] if "Join" in plan else plan
+    assert "embedding" not in join_from.split("Scan")[0], (
+        "embedding column crossed the merge join"
+    )
