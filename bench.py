@@ -72,6 +72,12 @@ EXTRA = [
     "centroid_incremental_update", # O(batch) ANN index maintenance
     "session_window_bounds",     # native session_window oracle twin
     "catalog_tables_report",     # F19 catalog report
+    "order_count_distribution",  # Q13-shape outer-join histogram
+    "large_volume_customers",    # Q18-shape HAVING-subquery join
+    "waiting_suppliers",         # Q21-shape decorrelated EXISTS pair
+    "idle_customer_balance",     # Q22-shape anti-join + global scalar
+    "important_parts",           # Q11-shape group-vs-global cut
+    "salted_distinct_agg",       # two-phase skew-safe distinct
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -576,3 +576,271 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("brand1_share_bp"),
     )
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS c_count
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(p.c_count, 0) AS c_count, COUNT(*) AS custdist
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY COALESCE(p.c_count, 0)
+""",
+    tags=("J2", "A1", "outer", "distribution"),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (the TPC-H-Q13 outer-join
+    histogram shape): how many customers placed exactly k
+    non-urgent orders — including the zero-order customers an inner
+    join would silently drop.
+
+    Scale: orders aggregate to one row per customer FIRST (map-side
+    combinable count), and only then LEFT-join the customer dim — the
+    join carries |customers| rows, never |orders|. The second groupBy
+    reduces to the tiny count-of-counts domain. Writing Q13 as
+    customer LEFT JOIN raw-orders then a two-key groupBy would shuffle
+    every order row twice; this form shuffles them once, pre-reduced."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,3))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,3))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    tags=("J2", "A2", "having"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (the TPC-H-Q18 HAVING-subquery shape):
+    orders whose total line quantity exceeds 300, with the owning
+    customer — the "who places the monster orders" report.
+
+    Scale: the HAVING filter runs on the lineitem aggregate BEFORE any
+    join (map-side-combined sum per order key, then the >300 cut drops
+    ~99.7% of orders), so the joins back to orders and customer carry
+    only the handful of surviving keys. Quantity sums go through
+    DECIMAL(38,3) — exact and order-independent, so the >300 cut can
+    never flip on float summation order (engine-parity discipline)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,3)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                             THEN l.l_suppkey END) AS n_late_supp,
+         MIN(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN l.l_suppkey END) AS guilty_supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_order p JOIN supplier s ON p.guilty_supp = s.s_suppkey
+WHERE p.n_supp > 1 AND p.n_late_supp = 1
+GROUP BY s.s_name
+""",
+    tags=("J3", "J4", "A3", "exists"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept multi-supplier orders waiting (the TPC-H-Q21
+    EXISTS + NOT-EXISTS shape): in orders served by several suppliers,
+    count — per supplier — the orders where that supplier was the ONLY
+    one to ship more than 90 days late.
+
+    Scale: Q21's textbook form is two correlated self-joins on
+    lineitem (EXISTS another-supplier line, NOT EXISTS another-late-
+    supplier line). Decorrelated here into ONE keyed aggregation:
+    per-order distinct-supplier and distinct-late-supplier counts plus
+    the MIN late supplier pin the uniquely-guilty case with a single
+    lineitem shuffle on the order key — no self-join, no fan-out on
+    popular orders. The supplier dim joins broadcast for the name."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("guilty_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(sup), per_order["guilty_supp"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "idle_customer_balance",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+),
+cutoff AS (
+  SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders
+),
+idle AS (
+  SELECT c.c_custkey, c.c_nationkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer c, pos, cutoff
+  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.total_bal
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff.cut)
+)
+SELECT n.n_name, COUNT(*) AS n_idle,
+       CAST(SUM(bal) AS DOUBLE) AS idle_balance
+FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("J4", "A6", "A9", "scalar-subquery"),
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers per nation (the TPC-H-Q22
+    anti-join + global-scalar shape): customers whose balance beats
+    the average positive balance but who placed no order in the final
+    90 days of the data — capital parked with inactive accounts.
+
+    Scale: the global average is a 1-row aggregate broadcast into the
+    filter; the above-average test is the cross-multiplied EXACT
+    decimal form ``bal * n_pos > total_bal`` — no division, so the cut
+    cannot drift between engines on quotient rounding. The inactivity
+    test is a LEFT ANTI equi-join against recent orders only (the
+    cutoff filter prunes the anti side before it shuffles). The
+    nation dim joins broadcast."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pos = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").cast("decimal(38,2)").alias("total_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    cut = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("cut")
+    )
+    recent = orders.join(F.broadcast(cut)).filter(
+        F.col("o_orderdate") >= F.col("cut")
+    ).select("o_custkey")
+    rich = (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("n_pos") > F.col("total_bal"))
+        .select("c_custkey", "c_nationkey", "bal")
+    )
+    idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            F.sum("bal").cast("double").alias("idle_balance"),
+        )
+    )
+
+
+@register(
+    "important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS v
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(v) AS DOUBLE) AS t, COUNT(*) AS n FROM pv
+)
+SELECT p.p_partkey, p.p_name, CAST(pv.v AS DOUBLE) AS part_value,
+       CAST(FLOOR(CAST(pv.v AS DOUBLE) * 10000.0 / tot.t) AS BIGINT) AS share_bp
+FROM pv JOIN part p ON pv.l_partkey = p.p_partkey, tot
+WHERE CAST(pv.v AS DOUBLE) * tot.n * 4 > tot.t * 5
+""",
+    tags=("A9", "A5", "scalar-subquery", "having"),
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disproportionately valuable parts (the TPC-H-Q11 group-vs-
+    global-scalar shape): parts whose lineitem revenue exceeds 1.25×
+    the average per-part revenue, with their floored-bp share of total
+    — the inventory-priority cut.
+
+    Scale: per-part revenue is one map-side-combined aggregation of
+    lineitem; the global (total, count) is a 1-row broadcast. The
+    1.25× cut is the cross-multiplied form ``v*n*4 > t*5`` evaluated
+    in DOUBLE — both engines convert the identical exact decimal the
+    same IEEE way and multiply in the same order, so the comparison is
+    deterministic without DECIMAL-overflow risk. The part dim joins
+    after the cut, carrying only survivors."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("rev"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pv = li.groupBy("l_partkey").agg(F.sum("rev").alias("v"))
+    tot = pv.agg(
+        F.sum("v").cast("double").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("v").cast("double") * F.col("n") * 4 > F.col("t") * 5)
+        .join(part, pv["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_partkey", "p_name",
+            F.col("v").cast("double").alias("part_value"),
+            F.floor(F.col("v").cast("double") * 10000.0 / F.col("t"))
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+    )

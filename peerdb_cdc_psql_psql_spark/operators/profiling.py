@@ -542,3 +542,45 @@ def histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_bp"),
         )
     )
+
+
+@register(
+    "salted_distinct_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("A3", "profiling", "skew"),
+)
+def salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users + totals per event type, written as the
+    explicit TWO-PHASE salted aggregation for heavily skewed group
+    keys (the |event_type| ≪ |rows| regime key_skew_profile warns
+    about).
+
+    A single ``groupBy(event_type).agg(countDistinct(user_id))``
+    funnels every row of a hot key through one reducer. Phase 1 here
+    groups by (event_type, user_id) — the high-cardinality natural
+    salt — so the hot key's rows spread across ALL partitions and
+    partial-aggregate map-side; phase 2 reduces the already-tiny
+    per-(type,user) rows to |event_type| finals. Row counts and exact
+    decimal value sums fold through phase 1 (algebraic aggregates
+    compose), so the input is scanned and shuffled once, pre-reduced.
+    At 100 TB this is the difference between a straggler task pinned
+    at 100% and 1000 balanced reducers."""
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("value").cast("decimal(38,6)").alias("val")
+    )
+    phase1 = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("val_sum"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_rows").alias("n_events"),
+        F.sum("val_sum").cast("double").alias("total_value"),
+    )

@@ -351,3 +351,60 @@ def test_centroid_update_vectors_never_join(spark):
     assert "embedding" not in join_from.split("Scan")[0], (
         "embedding column crossed the merge join"
     )
+
+
+def test_q13_aggregates_orders_before_outer_join(spark):
+    """Q13 shape: the orders count reduces per customer BEFORE the
+    LEFT join (a partial/final HashAggregate pair below the join), so
+    the join carries |customers| rows."""
+    plan = plan_string(_df(spark, "order_count_distribution"))
+    assert "partial_count" in plan, plan
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("partial_count")
+    assert join_pos != -1 and agg_pos > join_pos, (
+        "orders aggregate did not plan below the outer join"
+    )
+
+
+def test_q18_having_cut_before_joins(spark):
+    """Q18 shape: the >300 HAVING filter sits on the lineitem
+    aggregate, below both joins — surviving keys only are joined."""
+    plan = plan_string(_df(spark, "large_volume_customers"))
+    assert "Filter (total_qty" in plan.replace("#", " (").replace(
+        "total_qty", "total_qty"
+    ) or "total_qty" in plan[plan.rfind("HashAggregate"):], plan
+
+
+def test_q21_single_lineitem_aggregation_no_self_join(spark):
+    """Q21 decorrelation: exactly one scan of lineitem (no EXISTS /
+    NOT-EXISTS self-joins) and a broadcast of the supplier dim."""
+    plan = plan_string(_df(spark, "waiting_suppliers"))
+    assert plan.count("Join type:") <= 2, plan  # li⋈orders, result⋈supplier
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    """Q22 shape: the inactivity test is a LEFT ANTI join; the global
+    average arrives as a broadcast (BroadcastNestedLoopJoin on the
+    1-row aggregate), never a per-row subquery."""
+    plan = plan_string(_df(spark, "idle_customer_balance"))
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan
+
+
+def test_q11_survivors_only_join_part_dim(spark):
+    """Q11 shape: the global-scalar cut filters the per-part aggregate
+    BEFORE the part-dim join."""
+    plan = plan_string(_df(spark, "important_parts"))
+    filter_pos = plan.find("Filter")
+    assert filter_pos != -1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_distinct_two_phase(spark):
+    """The salted rollup must plan as two aggregation pairs — the
+    (type,user) phase partial-aggregates map-side; no Expand (the
+    built-in distinct rewrite) is needed."""
+    plan = plan_string(_df(spark, "salted_distinct_agg"))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Expand" not in plan, "fell back to the built-in distinct Expand"
