@@ -24,9 +24,23 @@ def write_bucketed(
     """Persist a DataFrame as a bucketed managed table (parquet).
     Bucket count should be sized so one bucket ≈ one task's worth of
     data at the target SF; both join sides must use the SAME count for
-    shuffle-free joins."""
-    writer = df.write.format("parquet").mode("overwrite").bucketBy(
-        n_buckets, bucket_col
+    shuffle-free joins.
+
+    The repartition below aligns write tasks with buckets: Spark's
+    ``repartition(n, col)`` and its bucket-id assignment use the same
+    Murmur3 ``pmod(hash(col), n)``, so each task holds exactly one
+    bucket and writes exactly one file. Without it, every upstream
+    task can hold rows of every bucket and the write fans out to
+    (tasks × buckets) small files — a metadata storm that at 100 TB
+    (thousands of tasks) makes the table unreadable-fast and at any
+    scale pays per-file open/commit overhead."""
+    from pyspark.sql import functions as F
+
+    writer = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
     )
     if sorted_by:
         writer = writer.sortBy(sorted_by)

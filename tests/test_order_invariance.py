@@ -39,6 +39,12 @@ INVARIANT_OPS = [
     "segment_migration",
     "order_line_status_audit",
     "dau_wau_stickiness",
+    "order_count_distribution",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customer_balance",
+    "important_parts",
+    "salted_distinct_agg",
 ]
 
 
@@ -47,7 +53,7 @@ def perturbed_dir(spark, sf_dir, tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("perturbed_sf"))
     for table in (
         "documents", "embeddings", "events", "orders",
-        "lineitem", "supplier", "part", "nation", "region",
+        "lineitem", "supplier", "part", "nation", "region", "customer",
     ):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         (
