@@ -78,6 +78,7 @@ EXTRA = [
     "idle_customer_balance",     # Q22-shape anti-join + global scalar
     "important_parts",           # Q11-shape group-vs-global cut
     "salted_distinct_agg",       # two-phase skew-safe distinct
+    "gap_fill_hourly",           # dense-grid ffill time series
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -356,3 +356,101 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness_bp"),
         )
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "gap_fill_hourly",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, value
+  FROM events
+),
+hourly AS (
+  SELECT event_type, hour_us, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS v
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hour_us) AS mn, MAX(hour_us) AS mx FROM ev),
+grid AS (
+  SELECT t.event_type, gs.hour_us
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(mn, mx, {_HOUR_US})) AS hour_us
+              FROM bounds) gs
+),
+j AS (
+  SELECT g.event_type, g.hour_us, h.n, h.v
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_us)
+)
+SELECT event_type, hour_us,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       (n IS NOT NULL) AS observed,
+       CAST(last_value(v IGNORE NULLS) OVER w AS DOUBLE) AS carried_value,
+       CAST((hour_us - last_value(CASE WHEN n IS NOT NULL THEN hour_us END
+                                  IGNORE NULLS) OVER w)
+            // {_HOUR_US} AS BIGINT) AS hours_since_data
+FROM j
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("timeseries", "gap-fill", "window"),
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gap filling (the time-series
+    completion step every downstream rate/trend/anomaly consumer
+    assumes): one row per (event_type, hour) over the corpus's full
+    hour range — including the hours with NO events, which a plain
+    groupBy silently drops and which turn trailing averages and charts
+    into lies. Missing hours carry the last observed hourly value
+    forward (ffill) and report their staleness in whole hours.
+
+    Scale: the only corpus-sized stage is the hourly rollup (map-side
+    combined). The dense grid is |event_types| × |hours| — generated
+    by ``sequence``+``explode`` from a 1-row broadcast bounds
+    aggregate, never by scanning. The ffill is one ignoreNulls window
+    over the grid (bounded rows, one narrow shuffle on event_type).
+    Hours are epoch-micro BIGINTs end to end (the L50 type-parity
+    discipline; also what makes the grid `sequence` exact)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.col("value").cast("decimal(38,6)").alias("val"),
+    )
+    hourly = ev.groupBy("event_type", "hour_us").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("v")
+    )
+    bounds = ev.agg(F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.lit(_HOUR_US))
+            ).alias("hour_us"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hour_us"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_data = F.last(
+        F.when(F.col("n").isNotNull(), F.col("hour_us")), ignorenulls=True
+    ).over(w)
+    return j.select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNotNull().alias("observed"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("carried_value"),
+        ((F.col("hour_us") - last_data) / F.lit(_HOUR_US))
+        .cast("bigint")
+        .alias("hours_since_data"),
+    )

@@ -45,6 +45,7 @@ INVARIANT_OPS = [
     "idle_customer_balance",
     "important_parts",
     "salted_distinct_agg",
+    "gap_fill_hourly",
 ]
 
 

@@ -408,3 +408,12 @@ def test_salted_distinct_two_phase(spark):
     plan = plan_string(_df(spark, "salted_distinct_agg"))
     assert plan.count("HashAggregate") >= 4, plan
     assert "Expand" not in plan, "fell back to the built-in distinct Expand"
+
+
+def test_gap_fill_grid_is_generated_not_scanned(spark):
+    """gap_fill_hourly's dense grid comes from sequence+explode
+    (Generate) over a broadcast 1-row bounds aggregate; the hourly
+    rollup partial-aggregates map-side."""
+    plan = plan_string(_df(spark, "gap_fill_hourly"))
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "partial_count" in plan, plan
