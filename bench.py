@@ -79,6 +79,7 @@ EXTRA = [
     "important_parts",           # Q11-shape group-vs-global cut
     "salted_distinct_agg",       # two-phase skew-safe distinct
     "gap_fill_hourly",           # dense-grid ffill time series
+    "change_point_detect",       # Page-Hinkley drift detector
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -357,3 +357,93 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("band"),
     )
+
+
+@register(
+    "change_point_detect",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c
+  FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.event_type, h.hour_us, h.n, h.n * b.c - b.s AS d, b.s AS s
+  FROM hourly h JOIN base b USING (event_type)
+),
+m AS (
+  SELECT event_type, hour_us, n, s,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY hour_us
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dev
+  FROM dev
+),
+ph AS (
+  SELECT event_type, hour_us, n, s, cum_dev,
+         cum_dev - MIN(cum_dev) OVER (PARTITION BY event_type ORDER BY hour_us
+                                      ROWS UNBOUNDED PRECEDING) AS ph_stat
+  FROM m
+)
+SELECT event_type, hour_us, n AS n_events, cum_dev, ph_stat,
+       CAST(FLOOR(ph_stat * 10000.0 / s) AS BIGINT) AS severity_bp,
+       (ph_stat * 2 > s) AS alarm
+FROM ph
+""",
+    tags=("timeseries", "changepoint", "window"),
+)
+def change_point_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change-point detection over hourly event rates:
+    per type, the cumulative deviation from the per-type mean rate and
+    the PH statistic (cumulative deviation minus its running minimum —
+    the classic sequential drift detector). The statistic rises only
+    under sustained upward drift, unlike event_rate_anomaly's
+    trailing-window test which scores isolated spikes; an alarm fires
+    when the accumulated drift exceeds half the type's total volume.
+
+    Determinism: everything is integer arithmetic — the deviation is
+    cross-multiplied (n·hours − total, never a float mean), so cum
+    sums, running mins, and the alarm cut are engine-exact. Window
+    sums are CAST to BIGINT (DuckDB window SUM promotes to INT128 —
+    the L50 type-parity discipline).
+
+    Scale: the corpus-sized stage is the hourly rollup (map-side
+    combined); both windows and the baseline join run over the
+    |types| × |hours| rollup with one narrow shuffle on event_type —
+    the baseline is a broadcast-sized aggregate of the rollup itself,
+    not a second corpus scan."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    dev = hourly.join(F.broadcast(base), "event_type").select(
+        "event_type", "hour_us", "n", "s",
+        (F.col("n") * F.col("c") - F.col("s")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = dev.select(
+        "event_type", "hour_us", "n", "s",
+        F.sum("d").over(w).cast("bigint").alias("cum_dev"),
+    )
+    ph = m.select(
+        "event_type", "hour_us", "n", "s", "cum_dev",
+        (F.col("cum_dev") - F.min("cum_dev").over(w)).alias("ph_stat"),
+    )
+    return ph.select(
+        "event_type", "hour_us",
+        F.col("n").alias("n_events"),
+        "cum_dev", "ph_stat",
+        F.floor(F.col("ph_stat") * 10000.0 / F.col("s"))
+        .cast("bigint")
+        .alias("severity_bp"),
+        (F.col("ph_stat") * 2 > F.col("s")).alias("alarm"),
+    )

@@ -46,6 +46,7 @@ INVARIANT_OPS = [
     "important_parts",
     "salted_distinct_agg",
     "gap_fill_hourly",
+    "change_point_detect",
 ]
 
 

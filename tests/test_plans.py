@@ -417,3 +417,12 @@ def test_gap_fill_grid_is_generated_not_scanned(spark):
     plan = plan_string(_df(spark, "gap_fill_hourly"))
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_change_point_baseline_broadcasts(spark):
+    """change_point_detect's per-type baseline is an aggregate of the
+    hourly rollup joined broadcast — the events scan happens once and
+    partial-aggregates map-side."""
+    plan = plan_string(_df(spark, "change_point_detect"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
