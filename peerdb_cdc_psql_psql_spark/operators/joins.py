@@ -692,24 +692,31 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Q21's textbook form is two correlated self-joins on
     lineitem (EXISTS another-supplier line, NOT EXISTS another-late-
-    supplier line). Decorrelated here into ONE keyed aggregation:
-    per-order distinct-supplier and distinct-late-supplier counts plus
-    the MIN late supplier pin the uniquely-guilty case with a single
-    lineitem shuffle on the order key — no self-join, no fan-out on
-    popular orders. The supplier dim joins broadcast for the name."""
+    supplier line). Decorrelated here into a TWO-PHASE keyed rollup:
+    phase 1 reduces lineitem to one row per (order, supplier) with an
+    any-late flag (map-side combinable — a multi-countDistinct agg
+    would instead plan an Expand that doubles every lineitem row
+    before the shuffle); phase 2 counts suppliers / late suppliers
+    and pins the MIN guilty key per order. One lineitem shuffle, no
+    self-join, no fan-out on popular orders. The supplier dim joins
+    broadcast for the name."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    per_order = (
+    per_order_supp = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
+    )
+    per_order = (
+        per_order_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("guilty_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(F.col("any_late"), F.lit(1))).alias("n_late_supp"),
+            F.min(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("guilty_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
