@@ -337,37 +337,40 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrapes of each other before mixture weights get tuned (the
     inter-SOURCE companion to the per-doc `exact_substr_spans`).
 
-    Scale: the distinct (source, span) projection collapses each
-    source's corpus to its span vocabulary (map-side combine); the
-    span self-join fans out k(k-1)/2 rows per span shared by k
-    sources, bounded by |sources|^2 — never by corpus size; the final
-    count reduces onto the tiny |sources|^2/2 matrix. Hot boilerplate
-    spans are the AQE-skew case: spans present in more than
-    {_MAX_SPAN_SOURCES} sources are cut before the join (the
-    `jaccard_pairs` DF-cap applied to the source axis — VERDICT r3
-    "What's wrong" #3), so one ubiquitous span can never fan out
-    |sources|² while the fixtures (far fewer sources) are
-    unchanged."""
+    Scale: ONE corpus pass — spans group straight into a per-span
+    distinct source set (map-side partial collect_set, bounded at
+    |sources| entries, so a boilerplate span in a million docs still
+    carries ≤|sources| values per partition); the pair expansion is a
+    per-row array transform over the sorted set, k(k-1)/2 rows per
+    span, with the >{_MAX_SPAN_SOURCES}-source cut applied BEFORE
+    expansion (the `jaccard_pairs` DF-cap on the source axis — VERDICT
+    r3 "What's wrong" #3). The self-join formulation this replaces
+    recomputed the distinct (source, span) projection on every plan
+    branch — four corpus scans where one suffices — because Spark
+    shares no duplicate DataFrame subplans."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= 5
     )
-    d = (
+    spans = (
         toks.select("source", F.explode(ngram_expr("tok", 5)).alias("span"))
-        .distinct()
+        .groupBy("span")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(
+            (F.size("srcs") >= 2) & (F.size("srcs") <= _MAX_SPAN_SOURCES)
+        )
     )
-    df_ok = (
-        d.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SPAN_SOURCES)
-        .select("span")
+    pairs = spans.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
     )
-    d2 = d.join(df_ok, "span")
-    a = d2.select(F.col("source").alias("source_a"), "span")
-    b = d2.select(F.col("source").alias("source_b"), "span")
     return (
-        a.join(b, "span")
-        .filter(F.col("source_a") < F.col("source_b"))
+        pairs.select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )

@@ -236,24 +236,41 @@ _MAX_BASKET = 64  # items-per-order cap: bounds self-join fan-out at cap²
 
 def basket_pairs(d: DataFrame, cap: int = _MAX_BASKET) -> DataFrame:
     """Capped 2-itemset generation from distinct (l_orderkey,
-    l_partkey) rows: per order, only the ``cap`` lowest part keys
-    enter the self-join (deterministic row_number cut, the basket
-    analog of ``jaccard_pairs``' shingle-DF cap), so one pathological
-    basket of k items fans out at most cap² rows instead of k². The
-    rank window partitions on the same key the join shuffles on, so
-    the cap reuses the join's Exchange — the guard costs a sort, not
-    an extra shuffle."""
+    l_partkey) rows: per order, only the ``cap`` lowest part keys form
+    pairs (deterministic row_number cut, the basket analog of
+    ``jaccard_pairs``' shingle-DF cap), so one pathological basket of
+    k items fans out at most cap² rows instead of k².
+
+    Shape: rank-cut (a spill-safe sort window — a bare collect_set
+    would hold a degenerate basket wholly in one task's memory BEFORE
+    any cap could apply), then gather the ≤cap survivors per order
+    into one array (bounded memory by construction) and expand pairs
+    with a per-row array transform. The gather groupBy runs on the
+    window's own partitioning — no new Exchange — and replaces the
+    previous self-join formulation, which computed the capped
+    projection on both join branches (Spark shares no duplicate
+    DataFrame subplans: the corpus was scanned and ranked twice)."""
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
     capped = (
         d.select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= cap)
-        .select("l_orderkey", "l_partkey")
     )
-    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    baskets = (
+        capped.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        pairs.select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -338,11 +355,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     because both sides come from the same exact-sum derivation.
 
     Scale: the corpus-sized agg shuffles once on (part, supplier) with
-    map-side combine; `best` reduces that result on part; the
-    join-back is per-part-sized on both sides. This is what Catalyst's
-    RewriteCorrelatedScalarSubquery does to the SQL form — expressed
-    directly so the plan is visibly join-based, never a per-row
-    subquery."""
+    map-side combine; the per-part reduction is a LEXICOGRAPHIC
+    STRUCT-MIN — min((unit_price, suppkey)) — which IS "the smallest
+    suppkey among the min-price suppliers", so the whole Q2 collapses
+    to two algebraic aggregations, both partial-combined, with no
+    join-back (which would compute the pair aggregate twice — Spark
+    shares no duplicate DataFrame subplans) and no per-part window
+    sort. Never a per-row subquery."""
     li = load(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
     per = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -351,28 +370,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(dec("l_quantity")).cast("double")
         ).alias("unit_price")
     )
-    best = (
-        per.groupBy("l_partkey")
-        .agg(
-            F.min("unit_price").alias("best_price"),
-            F.count(F.lit(1)).alias("n_suppliers"),
-        )
-        .select(
-            F.col("l_partkey").alias("b_partkey"), "best_price", "n_suppliers"
-        )
+    best = per.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("s"),
+        F.count(F.lit(1)).alias("n_suppliers"),
     )
-    return (
-        per.join(
-            best,
-            (per["l_partkey"] == best["b_partkey"])
-            & (per["unit_price"] == best["best_price"]),
-        )
-        .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(
-            F.min("l_suppkey").alias("best_suppkey"),
-            F.min("best_price").alias("best_unit_price"),
-            F.min("n_suppliers").alias("n_suppliers"),
-        )
+    return best.select(
+        "partkey",
+        F.col("s.l_suppkey").alias("best_suppkey"),
+        F.col("s.unit_price").alias("best_unit_price"),
+        "n_suppliers",
     )
 
 
