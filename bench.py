@@ -80,6 +80,7 @@ EXTRA = [
     "salted_distinct_agg",       # two-phase skew-safe distinct
     "gap_fill_hourly",           # dense-grid ffill time series
     "change_point_detect",       # Page-Hinkley drift detector
+    "dedup_embedding_survivors", # blocked cosine near-dup survivors
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

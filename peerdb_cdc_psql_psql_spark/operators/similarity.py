@@ -618,3 +618,62 @@ def centroid_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shift_micro2"),
     )
+
+
+_DEDUP_COS_TAU = 0.35  # duplicate threshold (fixture embeddings are near-orthogonal)
+
+
+@register(
+    "dedup_embedding_survivors",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {_DEDUP_COS_TAU}
+),
+dropped AS (SELECT DISTINCT drop_id FROM pairs)
+SELECT e.label,
+       COUNT(*) AS n_vectors,
+       COUNT(*) FILTER (WHERE d.drop_id IS NULL) AS n_survivors,
+       COUNT(*) FILTER (WHERE d.drop_id IS NOT NULL) AS n_dropped
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.drop_id
+GROUP BY e.label
+""",
+    tags=("X1", "X2", "X3", "dedup", "similarity"),
+)
+def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (north-star "embedding-
+    cosine near-dup" closed as an actual dedup pass, not just a pair
+    report): a vector is dropped when any smaller-id vector in its
+    block is cosine-similar above τ={_DEDUP_COS_TAU}; survivors per
+    label are what a curation pipeline keeps.
+
+    Scale: candidate pairs form only within a block (the label here; a
+    coarse quantizer cell at 100 TB — same blocking contract as
+    similarity_blocked_pairs), so the pair join is a hash equi-join
+    with Σ|block|² fan-out, never corpus². The drop set is a distinct
+    projection of pair targets (32-byte ids, vectors never shuffle
+    into it) and returns via one LEFT join for the per-label
+    keep/drop accounting. Keep-smallest-id is the same deterministic
+    survivor rule as exact dedup (X1)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("keep_id"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("drop_id"), "label",
+                   F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(_cosine(F.col("ea"), F.col("eb")) >= _DEDUP_COS_TAU)
+    )
+    dropped = pairs.select("drop_id").distinct()
+    return (
+        emb.join(dropped, emb["vec_id"] == dropped["drop_id"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("drop_id").isNull(), F.lit(1))).alias("n_survivors"),
+            F.count(F.when(F.col("drop_id").isNotNull(), F.lit(1))).alias("n_dropped"),
+        )
+    )

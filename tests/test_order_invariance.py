@@ -47,6 +47,7 @@ INVARIANT_OPS = [
     "salted_distinct_agg",
     "gap_fill_hourly",
     "change_point_detect",
+    "dedup_embedding_survivors",
 ]
 
 

@@ -426,3 +426,12 @@ def test_change_point_baseline_broadcasts(spark):
     plan = plan_string(_df(spark, "change_point_detect"))
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_embedding_dedup_blocked_equi_join(spark):
+    """dedup_embedding_survivors: the candidate join is a hash EQUI
+    join on the block key — never a nested-loop cross join — and the
+    drop-set join carries ids only (no embedding column crosses it)."""
+    plan = plan_string(_df(spark, "dedup_embedding_survivors"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
