@@ -30,18 +30,25 @@ _JACCARD_T = 0.8
 _MAX_SHINGLE_DF = 100
 
 
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs WITH duplicates — the pre-distinct
+    explode shared by the cached and the bucketed index builders."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
+        F.size("tok") >= _SHINGLE_N
+    )
+    return toks.select(
+        "doc_id", F.explode(ngram_expr("tok", _SHINGLE_N)).alias("shingle")
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     """(doc_id, shingle) distinct pairs for docs with >= N tokens.
 
     Built on the shared ngram_expr (functions/helpers.py) — the token
     array materializes as a NAMED column first; see its docstring for
     the O(tokens²) CSE trap the shared helper encodes once."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
-        F.size("tok") >= _SHINGLE_N
-    )
-    sh = ngram_expr("tok", _SHINGLE_N)
-    out = toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = _raw_shingles(spark, sf_dir).distinct()
     # The inverted index feeds FOUR plan branches (self-join a/b, DF
     # cap, set sizes); without materialization Spark re-explodes and
     # re-distincts per branch. Cache it — it is |docs|·|shingles| small
@@ -60,15 +67,28 @@ def materialize_shingle_index(
     `shingle` (the join/agg key) and return the bucketed read. Size
     n_buckets so one bucket ≈ one task at the target SF; every
     downstream shingle-keyed op — document-frequency cap, self-join —
-    then plans with zero Exchange on the index side."""
+    then plans with zero Exchange on the index side.
+
+    Single-exchange build: the raw explode repartitions straight onto
+    the bucket hash, and the dedup rides that partitioning —
+    HashPartitioning(shingle) satisfies the (doc_id, shingle) distinct
+    distribution (partition key ⊆ group keys), so dropDuplicates adds
+    NO second Exchange, and the bucketed write (same hash) adds none
+    either. The naive distinct-then-bucket order shuffles twice."""
     from ..sources.bucketing import write_bucketed
 
+    pre = (
+        _raw_shingles(spark, sf_dir)
+        .repartition(n_buckets, F.col("shingle"))
+        .dropDuplicates()
+    )
     write_bucketed(
-        _shingles(spark, sf_dir, persist=False),
+        pre,
         table,
         "shingle",
         n_buckets=n_buckets,
         sorted_by="shingle",
+        pre_partitioned=True,
     )
     return spark.table(table)
 

@@ -20,6 +20,7 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sorted_by: str | None = None,
+    pre_partitioned: bool = False,
 ) -> None:
     """Persist a DataFrame as a bucketed managed table (parquet).
     Bucket count should be sized so one bucket ≈ one task's worth of
@@ -33,12 +34,16 @@ def write_bucketed(
     task can hold rows of every bucket and the write fans out to
     (tasks × buckets) small files — a metadata storm that at 100 TB
     (thousands of tasks) makes the table unreadable-fast and at any
-    scale pays per-file open/commit overhead."""
+    scale pays per-file open/commit overhead. Callers that already
+    arranged that exact partitioning (e.g. to let an upstream distinct
+    ride the same hash) pass ``pre_partitioned=True`` to skip the
+    redundant shuffle."""
     from pyspark.sql import functions as F
 
+    if not pre_partitioned:
+        df = df.repartition(n_buckets, F.col(bucket_col))
     writer = (
-        df.repartition(n_buckets, F.col(bucket_col))
-        .write.format("parquet")
+        df.write.format("parquet")
         .mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
     )
