@@ -656,16 +656,43 @@ def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of pair targets (32-byte ids, vectors never shuffle
     into it) and returns via one LEFT join for the per-label
     keep/drop accounting. Keep-smallest-id is the same deterministic
-    survivor rule as exact dedup (X1)."""
+    survivor rule as exact dedup (X1).
+
+    Per-pair cost: each side's norm is precomputed per ROW before the
+    join (sqrt(Σx²) once per vector), so only the dot product runs
+    per pair — a 3× cut on the join's fold work. Bit-parity with the
+    oracle holds because the arithmetic is unchanged:
+    dot / (sqrt(na)·sqrt(nb)), the exact _cosine / DuckDB
+    list_cosine_similarity form, just evaluated earlier."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("keep_id"), "label",
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("drop_id"), "label",
-                   F.col("embedding").alias("eb"))
+    sq = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("keep_id"), "label",
+        F.col("embedding").alias("ea"), sq(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("drop_id"), "label",
+        F.col("embedding").alias("eb"), sq(F.col("embedding")).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea").cast("array<double>"),
+            F.col("eb").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     pairs = (
         a.join(b, "label")
         .filter(F.col("keep_id") < F.col("drop_id"))
-        .filter(_cosine(F.col("ea"), F.col("eb")) >= _DEDUP_COS_TAU)
+        .filter(dot / (F.col("na") * F.col("nb")) >= _DEDUP_COS_TAU)
     )
     dropped = pairs.select("drop_id").distinct()
     return (
