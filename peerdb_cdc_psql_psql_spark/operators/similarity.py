@@ -42,6 +42,26 @@ def _cosine(a: Column, b: Column) -> Column:
 _COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
+def _norm(c: Column) -> Column:
+    """sqrt(Σx²) — one side of _cosine's denominator, split out so
+    join-shaped scorers can evaluate it once per ROW instead of once
+    per PAIR. Multiplying two _norm columns reproduces _cosine's
+    sqrt(na)·sqrt(nb) denominator bit-exactly (same op order)."""
+    cd = c.cast("array<double>")
+    return F.sqrt(
+        F.aggregate(F.transform(cd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — _cosine's numerator."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
 @register(
     "similarity_topk_cosine",
     oracle=f"""
@@ -68,12 +88,17 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: queries broadcast (5 rows at any SF) → corpus-partition-local
     scoring (no shuffle of the corpus) → row_number window per query
     with rank-limit pushdown → only k·q rows cross the final shuffle.
-    """
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    Norms are precomputed per corpus row and per query row (_norm), so
+    each of the q×n scores evaluates only the dot fold."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "en", _norm(F.col("embedding"))
     )
-    cos = _cosine(F.col("embedding"), F.col("qv"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("en").alias("qn"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -103,15 +128,18 @@ def similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (north-star "embedding-cosine near-dup"): pairs are only formed
     within a block (here the label; at 100 TB a coarse quantizer
     cell), turning O(n²) into Σ|block|². The equi-join on the block
-    key is a plain hash shuffle."""
+    key is a plain hash shuffle; norms precompute per row (_norm) so
+    only the dot fold runs per pair."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"), _norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"), _norm(F.col("embedding")).alias("nb"),
     )
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -665,34 +693,19 @@ def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot / (sqrt(na)·sqrt(nb)), the exact _cosine / DuckDB
     list_cosine_similarity form, just evaluated earlier."""
     emb = load(spark, sf_dir, "embeddings")
-    sq = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c.cast("array<double>"), lambda x: x * x),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-    )
     a = emb.select(
         F.col("vec_id").alias("keep_id"), "label",
-        F.col("embedding").alias("ea"), sq(F.col("embedding")).alias("na"),
+        F.col("embedding").alias("ea"), _norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("drop_id"), "label",
-        F.col("embedding").alias("eb"), sq(F.col("embedding")).alias("nb"),
+        F.col("embedding").alias("eb"), _norm(F.col("embedding")).alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("ea").cast("array<double>"),
-            F.col("eb").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, "label")
         .filter(F.col("keep_id") < F.col("drop_id"))
-        .filter(dot / (F.col("na") * F.col("nb")) >= _DEDUP_COS_TAU)
+        .filter(cos >= _DEDUP_COS_TAU)
     )
     dropped = pairs.select("drop_id").distinct()
     return (
