@@ -321,7 +321,11 @@ def ivf_search(
         (r["cell"], list(r["centroid"])) for r in centroids.collect()
     ]  # k rows of metadata — the broadcast-literal form of the quantizer
     assigned = corpus.select(
-        "vec_id", "label", "embedding", _assign_cell(centroid_rows).alias("cell")
+        "vec_id",
+        "label",
+        "embedding",
+        _assign_cell(centroid_rows).alias("cell"),
+        _norm(F.col("embedding")).alias("en"),
     )
     cdf = F.broadcast(centroids)
     qcells = (
@@ -334,12 +338,15 @@ def ivf_search(
             ),
         )
         .filter(F.col("crn") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "cell", _norm(F.col("qv")).alias("qn"))
     )
     scored = (
         assigned.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", _cosine(F.col("embedding"), F.col("qv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
