@@ -81,6 +81,7 @@ EXTRA = [
     "gap_fill_hourly",           # dense-grid ffill time series
     "change_point_detect",       # Page-Hinkley drift detector
     "dedup_embedding_survivors", # blocked cosine near-dup survivors
+    "time_weighted_avg",         # duty-cycle weighted gauge average
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -443,3 +443,61 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("expired")
         .alias("status"),
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, user_id,
+         CAST(value AS DECIMAL(12,4)) AS v,
+         (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts)) // 1000000 AS dt_s
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_s) AS BIGINT) AS total_dur_s,
+       CAST(SUM(v * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE)
+         AS twa_value
+FROM seq
+WHERE dt_s IS NOT NULL AND dt_s > 0
+GROUP BY event_type
+""",
+    tags=("temporal", "window", "A8"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each reading is
+    weighted by how long it stood (the interval until the same user's
+    next event) — the duty-cycle semantics a plain AVG gets wrong when
+    sampling is irregular (a gauge read once during a 10-hour plateau
+    must count 10 hours, not one sample).
+
+    Determinism: weights are whole seconds (exact integer floor-div of
+    epoch micros — micro-weights would push the weighted decimal sum
+    past double's 2^53 exact range and the final cast would drift a
+    ulp between engines); values round once to DECIMAL(12,4); both
+    sums therefore convert to double EXACTLY and the final ratio is
+    one IEEE division of identical operands. The duration sum CASTs
+    to BIGINT per the L50 HUGEINT discipline.
+
+    Scale: one shuffle on user_id for the lead window (per-row state
+    O(1)), then a map-side-combined rollup to |event_types| rows —
+    the same two-stage shape as the hourly rollups."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(12,4)").alias("v"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "- unix_micros(ts)) div 1000000"
+        ).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_s").cast("bigint").alias("total_dur_s"),
+        (F.sum(F.col("v") * F.col("dt_s")).cast("double")
+         / F.sum("dt_s").cast("double")).alias("twa_value"),
+    )

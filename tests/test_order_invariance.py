@@ -48,6 +48,7 @@ INVARIANT_OPS = [
     "gap_fill_hourly",
     "change_point_detect",
     "dedup_embedding_survivors",
+    "time_weighted_avg",
 ]
 
 

@@ -435,3 +435,11 @@ def test_embedding_dedup_blocked_equi_join(spark):
     plan = plan_string(_df(spark, "dedup_embedding_survivors"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_weighted_avg_two_stage(spark):
+    """time_weighted_avg: one user_id window shuffle feeding a
+    map-side-combined rollup — no joins anywhere."""
+    plan = plan_string(_df(spark, "time_weighted_avg"))
+    assert "Join type:" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
