@@ -82,6 +82,7 @@ EXTRA = [
     "change_point_detect",       # Page-Hinkley drift detector
     "dedup_embedding_survivors", # blocked cosine near-dup survivors
     "time_weighted_avg",         # duty-cycle weighted gauge average
+    "nation_trade_flows",        # Q7-shape two-sided dim matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -857,3 +857,70 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_bp"),
         )
     )
+
+
+@register(
+    "nation_trade_flows",
+    oracle="""
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE ns.n_nationkey <> nc.n_nationkey
+)
+SELECT supp_nation, cust_nation, yr,
+       COUNT(*) AS n_lines,
+       CAST(SUM(rev) AS DOUBLE) AS volume
+FROM flows GROUP BY supp_nation, cust_nation, yr
+""",
+    tags=("J2", "A9", "star", "matrix"),
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade-flow matrix (the TPC-H-Q7 volume-shipping
+    shape): revenue per (supplier nation → customer nation, year) for
+    international flows — the two-sided dimension join, where the SAME
+    tiny dim (nation) attaches independently through both the supplier
+    and the customer path.
+
+    Scale: both nation joins and the supplier dim broadcast (fixed-
+    size); customer⋈orders shuffles once on the customer key and the
+    result joins lineitem on the order key — the two fact shuffles any
+    Q7 plan needs. The international filter (different nation keys)
+    runs on broadcast-joined integer keys BEFORE the decimal rollup,
+    and the final aggregate is map-side-combined onto the
+    |nations|² × |years| matrix."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("rev"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_n = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sup_n = sup.join(
+        F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"])
+        .join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .filter(F.col("sk") != F.col("ck"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").cast("double").alias("volume"),
+        )
+    )

@@ -49,6 +49,7 @@ INVARIANT_OPS = [
     "change_point_detect",
     "dedup_embedding_survivors",
     "time_weighted_avg",
+    "nation_trade_flows",
 ]
 
 

@@ -443,3 +443,11 @@ def test_time_weighted_avg_two_stage(spark):
     plan = plan_string(_df(spark, "time_weighted_avg"))
     assert "Join type:" not in plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q7_both_nation_paths_broadcast(spark):
+    """nation_trade_flows: the nation dim broadcasts through BOTH the
+    supplier and the customer path; no cartesian anywhere."""
+    plan = plan_string(_df(spark, "nation_trade_flows"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
