@@ -83,6 +83,18 @@ EXTRA = [
     "dedup_embedding_survivors", # blocked cosine near-dup survivors
     "time_weighted_avg",         # duty-cycle weighted gauge average
     "nation_trade_flows",        # Q7-shape two-sided dim matrix
+    "shipping_priority_topn",    # Q3-shape backlog top-10
+    "regional_local_revenue",    # Q5-shape domestic-trade rollup
+    "forecast_revenue_delta",    # Q6-shape pure scan-aggregate
+    "product_profit_by_nation",  # Q9-shape profit rollup
+    "returned_item_report",      # Q10-shape churn top-20
+    "late_delivery_priority_mix", # Q12-shape CASE-conditional counts
+    "promo_revenue_share",       # Q14-shape conditional share
+    "top_supplier_by_revenue",   # Q15-shape argmax-over-aggregate
+    "part_supplier_breadth",     # Q16-shape two-phase distinct
+    "small_quantity_order_revenue", # Q17-shape decorrelated average
+    "bracketed_revenue",         # Q19-shape OR-of-ANDs brackets
+    "excess_shipment_suppliers", # Q20-shape semi-join + HAVING chain
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

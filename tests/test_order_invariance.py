@@ -50,6 +50,18 @@ INVARIANT_OPS = [
     "dedup_embedding_survivors",
     "time_weighted_avg",
     "nation_trade_flows",
+    "shipping_priority_topn",
+    "regional_local_revenue",
+    "forecast_revenue_delta",
+    "product_profit_by_nation",
+    "returned_item_report",
+    "late_delivery_priority_mix",
+    "promo_revenue_share",
+    "top_supplier_by_revenue",
+    "part_supplier_breadth",
+    "small_quantity_order_revenue",
+    "bracketed_revenue",
+    "excess_shipment_suppliers",
 ]
 
 

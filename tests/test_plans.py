@@ -451,3 +451,90 @@ def test_q7_both_nation_paths_broadcast(spark):
     plan = plan_string(_df(spark, "nation_trade_flows"))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    """forecast_revenue_delta is the pure scan-aggregate: the date
+    range, discount band, and quantity cut must ALL reach the parquet
+    reader as pushed filters, and the single-cell aggregate must
+    partial-agg map-side (no join, no window)."""
+    plan = plan_string(_df(spark, "forecast_revenue_delta"))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+    assert "Join type:" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q3_topn_is_take_ordered(spark):
+    """shipping_priority_topn's top-10 must be a TakeOrderedAndProject
+    (per-partition heads), never a global Sort + Limit, and the
+    segment filter must prune customer before its join."""
+    plan = plan_string(_df(spark, "shipping_priority_topn"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BUILDING" in plan, plan
+
+
+def test_q10_topn_is_take_ordered(spark):
+    """returned_item_report: top-20 via TakeOrderedAndProject; the
+    return-flag cut reaches the lineitem scan."""
+    plan = plan_string(_df(spark, "returned_item_report"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "l_returnflag" in plan.split("PushedFilters", 1)[-1][:4000], plan
+
+
+def test_q16_distinct_is_two_phase_no_expand(spark):
+    """part_supplier_breadth counts distinct suppliers via an explicit
+    pre-DISTINCT + plain COUNT — two HashAggregate pairs, no Expand
+    (the skew-prone built-in COUNT(DISTINCT) rewrite)."""
+    plan = plan_string(_df(spark, "part_supplier_breadth"))
+    assert "Expand" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_q15_argmax_broadcasts_global_max(spark):
+    """top_supplier_by_revenue compares each supplier aggregate
+    against a 1-row broadcast global max — the max side must never
+    shuffle the aggregate a second time."""
+    plan = plan_string(_df(spark, "top_supplier_by_revenue"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q19_part_side_disjunction_pushed(spark):
+    """bracketed_revenue: the brand/size disjunction prunes the part
+    scan (Or(...) in PushedFilters) and the quantity envelope prunes
+    lineitem — neither fact ships bracket-impossible rows."""
+    plan = plan_string(_df(spark, "bracketed_revenue"))
+    assert "Or(EqualTo(p_brand" in plan.replace(" ", "") or "Or(And(" in plan.replace(" ", ""), plan
+    assert "l_quantity" in plan.split("PushedFilters", 1)[-1][:6000], plan
+
+
+def test_q17_decorrelated_single_lineitem_agg(spark):
+    """small_quantity_order_revenue decorrelates the per-part average
+    into ONE aggregate joined back — the plan must contain a per-part
+    HashAggregate and hash equi joins, never a nested-loop."""
+    plan = plan_string(_df(spark, "small_quantity_order_revenue"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q20_having_runs_before_dim_joins(spark):
+    """excess_shipment_suppliers: the >55 qty cut applies to the
+    (supplier, part) aggregate BEFORE supplier/nation attach — the
+    Filter over the aggregate must sit below the supplier join, and
+    nation must broadcast."""
+    plan = plan_string(_df(spark, "excess_shipment_suppliers"))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join type: Inner")
+    assert agg_pos != -1 and join_pos != -1
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_domestic_equality_inside_supplier_join(spark):
+    """regional_local_revenue: the s_nationkey = c_nationkey domestic
+    constraint rides the supplier hash join as a second key equality —
+    no post-join Filter pass and no extra Exchange for it."""
+    plan = plan_string(_df(spark, "regional_local_revenue"))
+    assert "CartesianProduct" not in plan
+    norm = plan.replace(" ", "")
+    assert "s_nationkey" in norm and "c_nationkey" in norm
