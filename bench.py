@@ -95,6 +95,8 @@ EXTRA = [
     "small_quantity_order_revenue", # Q17-shape decorrelated average
     "bracketed_revenue",         # Q19-shape OR-of-ANDs brackets
     "excess_shipment_suppliers", # Q20-shape semi-join + HAVING chain
+    "ngram_novelty_rate",        # per-doc first-seen trigram share
+    "length_percentile_filter",  # per-source exact p5-p95 length gate
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

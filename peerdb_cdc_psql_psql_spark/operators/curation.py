@@ -374,3 +374,141 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+_NOVELTY_N = 3
+
+_TRIGRAMS_SQL = f"""
+SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id,
+         unnest([array_to_string(tok[i:i+{_NOVELTY_N - 1}], ' ')
+                 for i in range(1, len(tok) - {_NOVELTY_N - 2})]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+  WHERE len(tok) >= {_NOVELTY_N}
+)
+"""
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+WITH g AS ({_TRIGRAMS_SQL}),
+first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 END), 0)
+            AS BIGINT) AS novel_grams,
+       CAST(COALESCE(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 END), 0)
+            * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+FROM g JOIN first_seen f ON g.gram = f.gram
+GROUP BY g.doc_id
+""",
+    tags=("X2", "X4", "novelty"),
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the "how much NEW text does each
+    document contribute" curation signal, the incremental-crawl twin
+    of exact-substring dedup): for every document, the share of its
+    distinct word-trigrams whose corpus-wide FIRST appearance (minimum
+    doc_id — ingestion order in the fixtures) is this document.
+    Boilerplate-heavy or near-duplicate documents score near 0 and are
+    the first candidates to drop when a crawl round adds little.
+
+    Scale: distinct trigrams explode per-doc (array expression, no
+    UDF); the first-seen table is a map-side-combined MIN per gram —
+    grams and doc ids shuffle, never document text. The join back is
+    gram-keyed equi (both sides already hashed on gram from the agg —
+    AQE reuses the exchange), and the per-doc rollup is integer-exact:
+    novelty_bp = novel × 10000 DIV total, no float division."""
+    docs = load(spark, sf_dir, "documents")
+    g = _ngrams(docs, _NOVELTY_N)
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.coalesce(
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))), F.lit(0)
+    )
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("novel_grams"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN first_doc = doc_id THEN 1 END), 0)"
+                " * 10000 DIV count(1) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )
+
+
+@register(
+    "length_percentile_filter",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*)    OVER (PARTITION BY source) AS cnt
+  FROM documents
+),
+cls AS (
+  SELECT source, n_chars,
+         CASE WHEN rk * 100 <= cnt * 5  THEN 'SHORT'
+              WHEN rk * 100 >  cnt * 95 THEN 'LONG'
+              ELSE 'KEEP' END AS band
+  FROM ranked
+)
+SELECT source,
+       CAST(COALESCE(SUM(CASE WHEN band = 'KEEP'  THEN 1 END), 0) AS BIGINT) AS kept,
+       CAST(COALESCE(SUM(CASE WHEN band = 'SHORT' THEN 1 END), 0) AS BIGINT) AS dropped_short,
+       CAST(COALESCE(SUM(CASE WHEN band = 'LONG'  THEN 1 END), 0) AS BIGINT) AS dropped_long,
+       MIN(CASE WHEN band = 'KEEP' THEN n_chars END) AS min_kept_chars,
+       MAX(CASE WHEN band = 'KEEP' THEN n_chars END) AS max_kept_chars
+FROM cls GROUP BY source
+""",
+    tags=("X4", "W6", "A11", "percentile"),
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile gate (the C4/RefinedWeb "drop the
+    tails" heuristic): within each source, documents below the 5th or
+    above the 95th length percentile are cut — truncated fragments and
+    concatenation blobs respectively — and the report shows the kept
+    band per source with its exact character boundaries.
+
+    Scale: percentiles here are EXACT but never global — one
+    row_number window per source partition (rank on (n_chars, doc_id),
+    fully deterministic under ties) plus a same-partition count; the
+    classification is pure integer arithmetic (rank×100 vs cnt×5 /
+    cnt×95 — no float percentile, no approxQuantile drift between
+    engines), and the per-source rollup rides the SAME source-keyed
+    exchange the window already created (no second shuffle). At 100 TB
+    a skewed giant source bounds the window sort at its own partition,
+    and the operator degrades to approx_percentile only if a single
+    source outgrows a partition — the report shape is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    band = (
+        F.when(F.col("rk") * 100 <= F.col("cnt") * 5, F.lit("SHORT"))
+        .when(F.col("rk") * 100 > F.col("cnt") * 95, F.lit("LONG"))
+        .otherwise(F.lit("KEEP"))
+    )
+    cls = ranked.select("source", "n_chars", band.alias("band"))
+    cnt_band = lambda b: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("band") == b, F.lit(1))), F.lit(0)
+    ).cast("bigint")
+    return cls.groupBy("source").agg(
+        cnt_band("KEEP").alias("kept"),
+        cnt_band("SHORT").alias("dropped_short"),
+        cnt_band("LONG").alias("dropped_long"),
+        F.min(F.when(F.col("band") == "KEEP", F.col("n_chars"))).alias("min_kept_chars"),
+        F.max(F.when(F.col("band") == "KEEP", F.col("n_chars"))).alias("max_kept_chars"),
+    )

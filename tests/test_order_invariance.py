@@ -62,6 +62,8 @@ INVARIANT_OPS = [
     "small_quantity_order_revenue",
     "bracketed_revenue",
     "excess_shipment_suppliers",
+    "ngram_novelty_rate",
+    "length_percentile_filter",
 ]
 
 

@@ -538,3 +538,23 @@ def test_q5_domestic_equality_inside_supplier_join(spark):
     assert "CartesianProduct" not in plan
     norm = plan.replace(" ", "")
     assert "s_nationkey" in norm and "c_nationkey" in norm
+
+
+def test_novelty_shuffles_grams_not_text(spark):
+    """ngram_novelty_rate: document text must never cross a shuffle —
+    only (gram, doc_id) pairs; the first-seen MIN partial-aggregates
+    map-side; the gram join is hash equi."""
+    plan = plan_string(_df(spark, "ngram_novelty_rate"))
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan
+    exchanges = [seg.split("\n", 1)[0] for seg in plan.split("Exchange")[1:]]
+    assert not any("text" in e for e in exchanges), exchanges
+
+
+def test_length_percentile_single_source_shuffle(spark):
+    """length_percentile_filter: the window rank and the per-source
+    rollup must share ONE source-keyed Exchange (the agg rides the
+    window's partitioning) — exactly one shuffle in the plan."""
+    plan = plan_string(_df(spark, "length_percentile_filter"))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
