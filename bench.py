@@ -97,6 +97,7 @@ EXTRA = [
     "excess_shipment_suppliers", # Q20-shape semi-join + HAVING chain
     "ngram_novelty_rate",        # per-doc first-seen trigram share
     "length_percentile_filter",  # per-source exact p5-p95 length gate
+    "cumulative_unique_users",   # first-seen growth-accounting curve
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

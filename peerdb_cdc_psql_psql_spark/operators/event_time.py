@@ -454,3 +454,52 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hours_since_data"),
     )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('hour', ts)) AS bucket_ts
+  FROM events GROUP BY user_id
+),
+per_bucket AS (
+  SELECT bucket_ts, COUNT(*) AS new_users FROM firsts GROUP BY bucket_ts
+)
+SELECT bucket_ts,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM per_bucket
+""",
+    tags=("A3", "W6", "C10", "growth"),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly new users and the running total of distinct users ever
+    seen — the growth-accounting curve. A naive formulation
+    (COUNT(DISTINCT user) OVER an expanding time frame) re-scans every
+    user for every bucket; this is the first-seen decomposition: a
+    user contributes exactly once, in their first active hour.
+
+    Scale: per-user MIN(hour) is one map-side-combined aggregate keyed
+    by user (the only fact-sized shuffle); its hourly rollup is
+    |hours| rows, so the running-sum window — the only unpartitioned
+    window — operates on a calendar-bounded input (tens of thousands
+    of rows for YEARS of data, at any event volume), never on events.
+    The running SUM is cast BIGINT on both engines (DuckDB window-SUM
+    HUGEINT discipline)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("bucket_ts").alias("bucket_ts"))
+    daily = firsts.groupBy("bucket_ts").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "bucket_ts",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

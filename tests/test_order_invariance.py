@@ -64,6 +64,7 @@ INVARIANT_OPS = [
     "excess_shipment_suppliers",
     "ngram_novelty_rate",
     "length_percentile_filter",
+    "cumulative_unique_users",
 ]
 
 

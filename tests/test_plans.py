@@ -558,3 +558,13 @@ def test_length_percentile_single_source_shuffle(spark):
     plan = plan_string(_df(spark, "length_percentile_filter"))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_cumulative_users_window_on_daily_rollup(spark):
+    """cumulative_unique_users: the unpartitioned running-sum window
+    must sit ABOVE two aggregation pairs (per-user min, per-day count)
+    — i.e. it consumes the calendar-bounded daily rollup, never the
+    raw event stream."""
+    plan = plan_string(_df(spark, "cumulative_unique_users"))
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
