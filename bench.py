@@ -98,6 +98,7 @@ EXTRA = [
     "ngram_novelty_rate",        # per-doc first-seen trigram share
     "length_percentile_filter",  # per-source exact p5-p95 length gate
     "cumulative_unique_users",   # first-seen growth-accounting curve
+    "cdc_time_travel_diff",      # PITR as-of vs current delta
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

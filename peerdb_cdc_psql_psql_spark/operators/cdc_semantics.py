@@ -146,3 +146,94 @@ def xmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros("ts")).alias("max_ts_us"),
         )
     )
+
+
+_ASOF_CUT = "2024-01-15 00:00:00"
+
+
+@register(
+    "cdc_time_travel_diff",
+    oracle=f"""
+WITH snap AS (
+  SELECT user_id, value AS v, ({_OP}) = 'D' AS del, event_id AS lsn
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{_ASOF_CUT}'
+  ) WHERE rn = 1
+),
+cur AS (
+  SELECT user_id, value AS v, ({_OP}) = 'D' AS del, event_id AS lsn
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT c.user_id,
+       CASE WHEN a.lsn IS NULL THEN 'CREATED'
+            WHEN c.del AND NOT a.del THEN 'DELETED'
+            ELSE 'UPDATED' END AS kind,
+       a.lsn AS asof_lsn, c.lsn AS current_lsn,
+       a.v AS asof_value, c.v AS current_value
+FROM cur c LEFT JOIN snap a ON c.user_id = a.user_id
+WHERE a.lsn IS NULL OR a.lsn <> c.lsn
+""",
+    tags=("C1", "C4", "C8", "cdc", "timetravel"),
+)
+def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time travel over the change log (the PITR audit every
+    CDC consumer eventually asks for — "what changed since the
+    snapshot we trained/reported on?"): reconstruct the keyed merged
+    state AS OF a cutoff timestamp, diff it against the current merged
+    state, and classify every drifted key as CREATED (key did not
+    exist at the cutoff), DELETED (tombstoned since), or UPDATED.
+    The replay needs no stored snapshots — the log IS the state at
+    every point in time (streaming/cdc.py compact-on-read invariant).
+
+    Scale: both reconstructions are the standard rank-limit merge (one
+    key-hash shuffle each, per-key state collapses to 1 row
+    PRE-shuffle via WindowGroupLimit); the as-of side additionally
+    pushes the ts cutoff to the scan. The diff join is key-keyed equi
+    on two already-hash-partitioned sides — AQE aligns the exchanges.
+    Unchanged keys (the overwhelming majority in a short window) drop
+    before the output; at 100 TB the result is sized by the DELTA,
+    not the keyspace."""
+    ev = load(spark, sf_dir, "events")
+
+    def merged(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+        return (
+            df.select(
+                "user_id",
+                F.col("value").alias("v"),
+                (_op_col() == "D").alias("del"),
+                F.col("event_id").alias("lsn"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    asof = merged(ev.filter(F.col("ts") <= _ASOF_CUT)).select(
+        F.col("user_id").alias("a_user"),
+        F.col("v").alias("asof_value"),
+        F.col("del").alias("a_del"),
+        F.col("lsn").alias("asof_lsn"),
+    )
+    cur = merged(ev)
+    kind = (
+        F.when(F.col("asof_lsn").isNull(), "CREATED")
+        .when(F.col("del") & ~F.col("a_del"), "DELETED")
+        .otherwise("UPDATED")
+    )
+    return (
+        cur.join(asof, cur["user_id"] == asof["a_user"], "left")
+        .filter(F.col("asof_lsn").isNull() | (F.col("asof_lsn") != F.col("lsn")))
+        .select(
+            "user_id",
+            kind.alias("kind"),
+            "asof_lsn",
+            F.col("lsn").alias("current_lsn"),
+            "asof_value",
+            F.col("v").alias("current_value"),
+        )
+    )

@@ -65,6 +65,7 @@ INVARIANT_OPS = [
     "ngram_novelty_rate",
     "length_percentile_filter",
     "cumulative_unique_users",
+    "cdc_time_travel_diff",
 ]
 
 

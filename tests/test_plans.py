@@ -568,3 +568,14 @@ def test_cumulative_users_window_on_daily_rollup(spark):
     plan = plan_string(_df(spark, "cumulative_unique_users"))
     assert "partial_min" in plan and "partial_count" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_time_travel_merge_uses_rank_limit(spark):
+    """cdc_time_travel_diff: both merge reconstructions collapse
+    per-key state to 1 row pre-shuffle (WindowGroupLimit), the as-of
+    side pushes the ts cutoff to the scan, and the diff join is a
+    key equi join — never nested-loop."""
+    plan = plan_string(_df(spark, "cdc_time_travel_diff"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "ts" in plan.split("PushedFilters", 1)[-1][:4000], plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
