@@ -99,6 +99,8 @@ EXTRA = [
     "length_percentile_filter",  # per-source exact p5-p95 length gate
     "cumulative_unique_users",   # first-seen growth-accounting curve
     "cdc_time_travel_diff",      # PITR as-of vs current delta
+    "doc_compressibility",       # Arrow zlib ratio quality signal
+    "embedding_anisotropy",      # applyInPandas top-eig collapse probe
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

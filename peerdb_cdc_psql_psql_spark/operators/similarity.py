@@ -724,3 +724,75 @@ def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("drop_id").isNotNull(), F.lit(1))).alias("n_dropped"),
         )
     )
+
+
+_ANISO_ITERS = 64
+
+
+@register(
+    "embedding_anisotropy",
+    oracle=None,  # eigendecomposition is not SQL-expressible —
+    # rows-only driver check; accuracy gated in pytest against
+    # numpy.linalg.eigh on the identical vectors.
+    tags=("X3", "arrow", "diagnostics"),
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding anisotropy (representation-collapse
+    diagnostic): the share of variance captured by the top principal
+    direction of each label's centered covariance — near 10000 bp
+    means the label's vectors collapsed onto a line (a degenerate
+    embedding space that breaks cosine retrieval). The designed
+    ``applyInPandas`` shape: covariance + power iteration are linear
+    algebra Catalyst cannot express, so each label group lands in one
+    Arrow batch and numpy does the math.
+
+    Determinism: rows sort by vec_id inside the group before any
+    float accumulation; power iteration runs a FIXED 64 rounds from a
+    fixed start vector — no convergence test, no RNG — so the result
+    is a pure function of the group's content, independent of
+    partitioning (layout-invariance suite covers it).
+
+    Scale: the shuffle is label-keyed and carries (label, vec) once;
+    each group must fit one executor's memory — at 100 TB you either
+    pre-aggregate to per-label (sum, sum-outer-product) matrices with
+    d² Spark columns first, or uniform-sample each label to a bounded
+    cohort; the diagnostic needs only a stable estimate, and the
+    report shape is unchanged."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def per_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = X.shape
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / n
+        total_var = float(np.trace(C))
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(_ANISO_ITERS):
+            v = C @ v
+            nv = float(np.linalg.norm(v))
+            if nv == 0.0:
+                break
+            v = v / nv
+        top_var = float(v @ C @ v)
+        share_bp = int(top_var * 10000 // total_var) if total_var > 0 else 0
+        mean_norm = float(np.linalg.norm(X, axis=1).mean())
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [n],
+                "dim": [d],
+                "top_eig_share_bp": [share_bp],
+                "mean_norm_micro": [int(mean_norm * 1_000_000)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        per_label,
+        schema="label int, n_vectors bigint, dim int, "
+        "top_eig_share_bp bigint, mean_norm_micro bigint",
+    )

@@ -804,3 +804,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "doc_compressibility",
+    oracle=None,  # zlib is not expressible in SQL — rows-only driver
+    # check; exactness gated by tests/test_llm_pack.py against direct
+    # zlib on the same bytes, layout invariance by the perturbation
+    # suite (zlib output is a pure function of (bytes, level)).
+    tags=("X4", "quality", "arrow"),
+)
+def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher/RefinedWeb "too
+    compressible = boilerplate, incompressible = noise" heuristic):
+    per-document zlib-compressed size over raw size, in floored bp,
+    banded for the curation funnel. This is the designed Arrow escape
+    hatch: zlib isn't expressible as Catalyst expressions, so the doc
+    batch flows through ``mapInPandas`` (Arrow columnar transfer, one
+    Python roundtrip per ~10k-row batch — never per row).
+
+    Scale: the Pandas stage is a pure per-row map — no state, no
+    group, no skew; it pipelines inside the scan stage with ZERO
+    shuffle before or after (plan-pinned). Banding happens back in
+    JVM expressions. zlib level is pinned (6) so the ratio is a pure
+    function of the bytes — reruns and layout changes are bit-stable."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            out = pdf[["doc_id", "lang"]].copy()
+            out["raw_bytes"] = raw.map(len).astype("int64")
+            out["zlib_bytes"] = raw.map(
+                lambda b: len(zlib.compress(b, 6))
+            ).astype("int64")
+            yield out
+
+    stats = docs.mapInPandas(
+        batches,
+        schema="doc_id bigint, lang string, raw_bytes bigint, zlib_bytes bigint",
+    )
+    ratio_bp = F.expr("zlib_bytes * 10000 DIV raw_bytes")
+    band = (
+        F.when(ratio_bp < 3000, "HIGHLY_REPETITIVE")
+        .when(ratio_bp < 4500, "REPETITIVE")
+        .when(ratio_bp < 8000, "NORMAL")
+        .otherwise("INCOMPRESSIBLE")
+    )
+    return stats.select(
+        "doc_id",
+        "lang",
+        "raw_bytes",
+        "zlib_bytes",
+        ratio_bp.cast("bigint").alias("ratio_bp"),
+        band.alias("band"),
+    )

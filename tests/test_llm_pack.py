@@ -372,3 +372,53 @@ def test_span_source_cap_bounds_fanout(spark):
     assert n_sources <= _MAX_SPAN_SOURCES  # fixtures under the cap
     # results still non-trivial (planted overlaps survive the cut)
     assert source_overlap_matrix(spark, SF).count() > 0
+
+
+def test_doc_compressibility_matches_direct_zlib(spark, sf_dir):
+    """The Arrow-batched zlib ratios must equal direct zlib on the
+    identical bytes (level pinned at 6), and banding must follow the
+    bp thresholds."""
+    import zlib
+
+    from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["doc_compressibility"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()
+    assert docs
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        got = rows[d["doc_id"]]
+        assert got["raw_bytes"] == len(raw)
+        assert got["zlib_bytes"] == comp
+        assert got["ratio_bp"] == comp * 10000 // len(raw)
+
+
+def test_embedding_anisotropy_matches_eigh(spark, sf_dir):
+    """Power iteration's top-eigenvalue share must agree with a full
+    numpy eigendecomposition on the same vectors (within 1 bp — the
+    fixed 64 rounds converge far tighter than that on real spectra)."""
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+    got = {
+        r["label"]: r
+        for r in REGISTRY["embedding_anisotropy"].fn(spark, sf_dir).collect()
+    }
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    for label, grp in pdf.groupby("label"):
+        X = np.stack(grp.sort_values("vec_id")["embedding"].to_numpy()).astype(
+            np.float64
+        )
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / len(X)
+        eig = np.linalg.eigvalsh(C)
+        want_bp = int(eig[-1] * 10000 // np.trace(C))
+        assert abs(got[label]["top_eig_share_bp"] - want_bp) <= 1, (
+            label, got[label]["top_eig_share_bp"], want_bp,
+        )
+        assert got[label]["n_vectors"] == len(X)

@@ -66,6 +66,8 @@ INVARIANT_OPS = [
     "length_percentile_filter",
     "cumulative_unique_users",
     "cdc_time_travel_diff",
+    "doc_compressibility",
+    "embedding_anisotropy",
 ]
 
 

@@ -579,3 +579,20 @@ def test_time_travel_merge_uses_rank_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "ts" in plan.split("PushedFilters", 1)[-1][:4000], plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compressibility_arrow_stage_no_shuffle(spark):
+    """doc_compressibility: the zlib map is a stateless ArrowEvalPython-
+    free mapInPandas stage pipelined inside the scan — no Exchange
+    anywhere in the plan."""
+    plan = plan_string(_df(spark, "doc_compressibility"))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_anisotropy_single_label_shuffle(spark):
+    """embedding_anisotropy: exactly one label-keyed Exchange feeding
+    the applyInPandas group stage."""
+    plan = plan_string(_df(spark, "embedding_anisotropy"))
+    assert plan.count("Exchange (") == 1 or plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
