@@ -197,6 +197,13 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unchanged keys (the overwhelming majority in a short window) drop
     before the output; at 100 TB the result is sized by the DELTA,
     not the keyspace."""
+    return time_travel_diff(spark, sf_dir, _ASOF_CUT)
+
+
+def time_travel_diff(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
+    """Parameterized PITR diff (see ``cdc_time_travel_diff``): the
+    as-of cutoff is any timestamp string; the registered query pins
+    the fixture midpoint so the oracle stays literal-for-literal."""
     ev = load(spark, sf_dir, "events")
 
     def merged(df: DataFrame) -> DataFrame:
@@ -213,7 +220,7 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    asof = merged(ev.filter(F.col("ts") <= _ASOF_CUT)).select(
+    asof = merged(ev.filter(F.col("ts") <= cutoff)).select(
         F.col("user_id").alias("a_user"),
         F.col("v").alias("asof_value"),
         F.col("del").alias("a_del"),

@@ -853,3 +853,22 @@ def test_target_layout_report(spark, tmp_path, mirror):
     vacuum_target(spark, mirror, "orders", tgt)
     r = target_layout_report(spark, mirror, tgt).collect()[0]
     assert r["n_gc_pending"] == 0 and r["n_delta_files"] == 0
+
+
+def test_time_travel_extreme_cutoffs(spark, sf_dir):
+    """PITR identities: a cutoff past the log's end yields an EMPTY
+    diff (as-of state == current state); a cutoff before the first
+    change classifies every live key as CREATED."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.operators.cdc_semantics import (
+        cdc_merged_state,
+        time_travel_diff,
+    )
+
+    assert time_travel_diff(spark, sf_dir, "2030-01-01 00:00:00").count() == 0
+    early = time_travel_diff(spark, sf_dir, "2000-01-01 00:00:00")
+    kinds = {r["kind"] for r in early.select("kind").distinct().collect()}
+    assert kinds == {"CREATED"}
+    n_keys = cdc_merged_state(spark, sf_dir).count()
+    assert early.count() == n_keys
