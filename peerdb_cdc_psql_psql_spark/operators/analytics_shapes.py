@@ -258,7 +258,9 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the LIKE filter prunes part FIRST; joining the shrunken
     part side into lineitem lets AQE broadcast it (survivors ≈ 1/6 of
     an already dim-sized table), so only order keys of matching lines
-    reach the orders shuffle. supplier⋈nation is broadcast. Profit is
+    reach the orders shuffle. nation broadcasts onto supplier; the
+    supplier side itself is SF-proportional and carries no hint —
+    Spark sizes it at runtime (a forced broadcast would OOM at 100 TB). Profit is
     a DIFFERENCE of two decimals, computed per-line then map-side
     partial-summed — never float, so the nation-year cells are exact
     and layout-independent."""
@@ -274,7 +276,7 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("bigint").alias("yr")
     )
-    sup_nation = F.broadcast(
+    sup_nation = (
         load(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey")
         .join(

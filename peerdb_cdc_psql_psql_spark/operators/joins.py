@@ -460,7 +460,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per.join(
-            F.broadcast(sup.select("s_suppkey", "s_name")),
+            sup.select("s_suppkey", "s_name"),
             per["suppkey"] == F.col("s_suppkey"),
         )
         .select(
@@ -727,7 +727,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        per_order.join(F.broadcast(sup), per_order["guilty_supp"] == sup["s_suppkey"])
+        per_order.join(sup, per_order["guilty_supp"] == sup["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -888,8 +888,11 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny dim (nation) attaches independently through both the supplier
     and the customer path.
 
-    Scale: both nation joins and the supplier dim broadcast (fixed-
-    size); customer⋈orders shuffles once on the customer key and the
+    Scale: both nation joins broadcast (fixed-size); the supplier
+    side is SF-proportional, so it carries NO broadcast hint — Spark
+    sizes it at runtime (broadcast at demo scale, shuffled hash at
+    100 TB; a hint would force an OOM-sized broadcast there).
+    customer⋈orders shuffles once on the customer key and the
     result joins lineitem on the order key — the two fact shuffles any
     Q7 plan needs. The international filter (different nation keys)
     runs on broadcast-joined integer keys BEFORE the decimal rollup,
@@ -916,7 +919,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"])
-        .join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .join(sup_n, li["l_suppkey"] == sup_n["s_suppkey"])
         .filter(F.col("sk") != F.col("ck"))
         .groupBy("supp_nation", "cust_nation", "yr")
         .agg(

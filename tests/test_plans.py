@@ -377,7 +377,9 @@ def test_q18_having_cut_before_joins(spark):
 
 def test_q21_single_lineitem_aggregation_no_self_join(spark):
     """Q21 decorrelation: exactly one scan of lineitem (no EXISTS /
-    NOT-EXISTS self-joins) and a broadcast of the supplier dim."""
+    NOT-EXISTS self-joins); the supplier join carries no forced hint
+    (Spark auto-broadcasts it at fixture size — at 100 TB it would
+    shuffle, which is the correct degradation)."""
     plan = plan_string(_df(spark, "waiting_suppliers"))
     assert plan.count("Join type:") <= 2, plan  # li⋈orders, result⋈supplier
     assert "BroadcastHashJoin" in plan
