@@ -215,6 +215,46 @@ def bench_cdc_apply_multi(spark, n_tables: int = 3) -> tuple[float, int]:
     return dt, len(events)
 
 
+def bench_stream_dedup(spark) -> tuple[float, int, int]:
+    """Continuous-dedup ingest throughput: the sf documents corpus
+    striped into 3 micro-batch files with planted cross-batch
+    duplicates (each batch re-sends ~30% of the previous one), drained
+    availableNow through the fingerprint-store anti-join. Returns
+    (seconds, docs ingested, unique docs admitted)."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    total = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/ingest", f"{tmp}/dedup", f"{tmp}/ckpt"
+        third = n // 3
+        for i in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") >= i * third)
+                & (F.col("doc_id") < (i + 1) * third)
+            )
+            if i > 0:  # re-send a slice of the previous batch (dupes)
+                resend = docs.filter(
+                    (F.col("doc_id") >= i * third - third // 3)
+                    & (F.col("doc_id") < i * third)
+                ).withColumn("doc_id", F.col("doc_id") + 10_000_000 * i)
+                batch = batch.unionByName(resend)
+            total += batch.count()
+            batch.coalesce(4).write.mode("append").parquet(src)
+        t0 = time.perf_counter()
+        q = start_incremental_dedup(spark, src, out, ckpt)
+        q.awaitTermination(timeout=600)
+        uniq = read_unique(spark, out).count()
+        dt = time.perf_counter() - t0
+    return dt, total, uniq
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -265,6 +305,10 @@ def main() -> None:
         (bench_cdc_apply_multi(spark) for _ in range(2)), key=lambda t: t[0]
     )
 
+    sd_sec, sd_docs, sd_uniq = min(
+        (bench_stream_dedup(spark) for _ in range(2)), key=lambda t: t[0]
+    )
+
     # insert.ps1's own benchmark at its default scenario (5000 records,
     # batch 500 — README.md:124-126), unthrottled: directly comparable
     # to BASELINE.md's 1.04 ops/s sample run.
@@ -289,6 +333,10 @@ def main() -> None:
         "cdc_apply_multi_events": cdc_multi_events,
         "cdc_apply_multi_seconds": round(cdc_multi_sec, 3),
         "cdc_apply_multi_events_per_sec": round(cdc_multi_events / cdc_multi_sec, 1),
+        "stream_dedup_docs": sd_docs,
+        "stream_dedup_unique": sd_uniq,
+        "stream_dedup_seconds": round(sd_sec, 3),
+        "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
         # Pinned manifest (VERDICT r3 #8): which workloads ran, in what
         # order, with what aggregation — keeps cross-round numbers
         # comparable (r1's 129 ops/s vs r3's 95 was bench composition,
@@ -300,8 +348,10 @@ def main() -> None:
             {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
             {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
              "passes": 2, "agg": "min"},
+            {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
+             "passes": 2, "agg": "min"},
             {"name": "insert_stress", "records": 5000, "batch_size": 500,
-             "order": "after cdc_apply_multi"},
+             "order": "after stream_dedup"},
         ],
         "insert_stress_ops_per_sec": stress["ops_per_sec"],
         "insert_stress_success_rate_pct": stress["success_rate_pct"],
