@@ -101,6 +101,7 @@ EXTRA = [
     "cdc_time_travel_diff",      # PITR as-of vs current delta
     "doc_compressibility",       # Arrow zlib ratio quality signal
     "embedding_anisotropy",      # applyInPandas top-eig collapse probe
+    "source_lang_diversity",     # Gini-Simpson mixture monitor
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

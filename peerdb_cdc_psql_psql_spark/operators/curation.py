@@ -512,3 +512,54 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("band") == "KEEP", F.col("n_chars"))).alias("min_kept_chars"),
         F.max(F.when(F.col("band") == "KEEP", F.col("n_chars"))).alias("max_kept_chars"),
     )
+
+
+@register(
+    "source_lang_diversity",
+    oracle="""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, SUM(n) AS total, COUNT(*) AS n_langs FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(MIN(t.total) AS BIGINT) AS n_docs,
+       CAST(MIN(t.n_langs) AS BIGINT) AS n_langs,
+       CAST(10000 - SUM((n * 10000 // t.total) * (n * 10000 // t.total)) // 10000
+            AS BIGINT) AS simpson_diversity_bp
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+""",
+    tags=("X4", "A9", "diversity"),
+)
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity (corpus-mixture monitoring — a
+    crawl source collapsing to one language is an ingest regression):
+    the Gini-Simpson index 1 − Σ pᵢ², reported in floored bp. Chosen
+    over Shannon entropy deliberately: entropy needs ln(), whose last-
+    ulp behavior differs across libm builds, while Gini-Simpson is
+    PURE INTEGER arithmetic on floored per-language share bp — the
+    engine-parity discipline (exact cross-engine equality, any layout).
+
+    Scale: one (source, lang) count (map-side combined, cells bounded
+    by |sources|×|langs|), a per-source rollup of those cells, and one
+    tiny join back — no row-level data past the first aggregate."""
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    share_bp = F.expr("n * 10000 DIV total")
+    return (
+        counts.join(tot, "source")
+        .select("source", "total", "n_langs", share_bp.alias("sbp"))
+        .groupBy("source")
+        .agg(
+            F.min("total").cast("bigint").alias("n_docs"),
+            F.min("n_langs").cast("bigint").alias("n_langs"),
+            (F.lit(10000) - F.expr("sum(sbp * sbp) DIV 10000"))
+            .cast("bigint")
+            .alias("simpson_diversity_bp"),
+        )
+    )

@@ -68,6 +68,7 @@ INVARIANT_OPS = [
     "cdc_time_travel_diff",
     "doc_compressibility",
     "embedding_anisotropy",
+    "source_lang_diversity",
 ]
 
 
