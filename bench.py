@@ -102,6 +102,7 @@ EXTRA = [
     "doc_compressibility",       # Arrow zlib ratio quality signal
     "embedding_anisotropy",      # applyInPandas top-eig collapse probe
     "source_lang_diversity",     # Gini-Simpson mixture monitor
+    "pattern_match_corr",        # sliding-window pattern similarity
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -501,3 +501,95 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("v") * F.col("dt_s")).cast("double")
          / F.sum("dt_s").cast("double")).alias("twa_value"),
     )
+
+
+# Query pattern for sliding-window similarity search: a spike ramp
+# (rise 1→8, fall back). Integer constants so every moment sum below
+# is exact; see pattern_match_corr.
+_PATTERN = (1, 2, 4, 8, 4, 2)
+
+
+@register(
+    "pattern_match_corr",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT event_type, hr,
+         {", ".join(f"LAG(n, {k}) OVER (PARTITION BY event_type ORDER BY hr) AS x{k}"
+                     for k in range(5, -1, -1))}
+  FROM hourly
+),
+scored AS (
+  SELECT event_type, hr,
+         ({len(_PATTERN)} * ({" + ".join(f"x{k} * {p}" for k, p in zip(range(5, -1, -1), _PATTERN))})
+           - ({" + ".join(f"x{k}" for k in range(6))}) * {sum(_PATTERN)}) AS num,
+         ({len(_PATTERN)} * ({" + ".join(f"x{k} * x{k}" for k in range(6))})
+           - ({" + ".join(f"x{k}" for k in range(6))}) * ({" + ".join(f"x{k}" for k in range(6))})) AS varx,
+         {len(_PATTERN) * sum(p * p for p in _PATTERN) - sum(_PATTERN) ** 2} AS vary
+  FROM lagged WHERE x5 IS NOT NULL
+)
+SELECT event_type, hr,
+       CAST(FLOOR(CAST(num AS DOUBLE)
+                  / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)) * 10000)
+            AS BIGINT) AS corr_bp
+FROM scored
+WHERE varx > 0
+  AND CAST(num AS DOUBLE) / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)) >= 0.80
+""",
+    tags=("W6", "A8", "timeseries", "similarity"),
+)
+def pattern_match_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window time-series pattern search (the distributed
+    subsequence-similarity shape — cf. "Time Series Similarity Search
+    for Streaming Data in Distributed Systems", EDBT'19): find every
+    6-hour window of each event type's hourly rate whose Pearson
+    correlation with a fixed spike-ramp query pattern is ≥ 0.80 —
+    "show me everything that looks like this incident".
+
+    Scale: the series is built by ONE hourly rollup (map-side
+    combined), and each window materializes as 6 LAG columns over the
+    per-type partition — no self-join, no array collection, no UDF;
+    the window state is O(pattern length) per row. Determinism:
+    counts are integers, so every moment sum (Σx, Σx², Σxy) in the
+    closed-form Pearson numerator/variance is EXACT; the only float
+    ops are one multiply, one sqrt, one divide — all IEEE
+    correctly-rounded, so both engines emit bit-identical corr_bp at
+    any partitioning. At 100 TB: per-type partitions bound the window
+    sort; a 10⁶-key version would hash-partition by series key the
+    same way."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    L = len(_PATTERN)
+    lagged = hourly.select(
+        "event_type",
+        "hr",
+        *[F.lag("n", k).over(w).alias(f"x{k}") for k in range(L - 1, -1, -1)],
+    ).filter(F.col(f"x{L-1}").isNotNull())
+    xs = [F.col(f"x{k}") for k in range(L - 1, -1, -1)]  # oldest → newest
+    sum_x = sum(xs[1:], xs[0])
+    sum_xx = sum((x * x for x in xs[1:]), xs[0] * xs[0])
+    sum_xy = sum(
+        (x * F.lit(p) for x, p in zip(xs[1:], _PATTERN[1:])),
+        xs[0] * F.lit(_PATTERN[0]),
+    )
+    num = F.lit(L) * sum_xy - sum_x * F.lit(sum(_PATTERN))
+    varx = F.lit(L) * sum_xx - sum_x * sum_x
+    vary = L * sum(p * p for p in _PATTERN) - sum(_PATTERN) ** 2
+    corr = num.cast("double") / F.sqrt(varx.cast("double") * F.lit(float(vary)))
+    return (
+        lagged.select("event_type", "hr", corr.alias("corr"), varx.alias("varx"))
+        .filter((F.col("varx") > 0) & (F.col("corr") >= 0.80))
+        .select(
+            "event_type",
+            "hr",
+            F.floor(F.col("corr") * 10000).cast("bigint").alias("corr_bp"),
+        )
+    )

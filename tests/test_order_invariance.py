@@ -69,6 +69,7 @@ INVARIANT_OPS = [
     "doc_compressibility",
     "embedding_anisotropy",
     "source_lang_diversity",
+    "pattern_match_corr",
 ]
 
 

@@ -598,3 +598,12 @@ def test_anisotropy_single_label_shuffle(spark):
     plan = plan_string(_df(spark, "embedding_anisotropy"))
     assert plan.count("Exchange (") == 1 or plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_pattern_match_single_series_shuffle(spark):
+    """pattern_match_corr: one hourly rollup + one per-type lag window
+    — the window state is O(pattern length) columns, no self-join, no
+    array collection."""
+    plan = plan_string(_df(spark, "pattern_match_corr"))
+    assert "Join type:" not in plan, plan
+    assert "partial_count" in plan, plan
