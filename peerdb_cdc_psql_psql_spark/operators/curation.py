@@ -406,6 +406,7 @@ FROM g JOIN first_seen f ON g.gram = f.gram
 GROUP BY g.doc_id
 """,
     tags=("X2", "X4", "novelty"),
+    eager_build=True,  # shingle_index writes the bucketed table on first build
 )
 def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (the "how much NEW text does each
@@ -421,9 +422,18 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams and doc ids shuffle, never document text. The join back is
     gram-keyed equi (both sides already hashed on gram from the agg —
     AQE reuses the exchange), and the per-doc rollup is integer-exact:
-    novelty_bp = novel × 10000 DIV total, no float division."""
-    docs = load(spark, sf_dir, "documents")
-    g = _ngrams(docs, _NOVELTY_N)
+    novelty_bp = novel × 10000 DIV total, no float division.
+
+    The trigram inventory is NOT re-derived: it is the SAME distinct
+    (doc_id, shingle) relation the dedup pack's bucketed index holds
+    (identical tokenization, identical n — operators/dedup.py), so
+    this query is another consumer of ``shingle_index`` — the
+    first-seen MIN and the join back are both bucket-aligned on the
+    shingle key, and raw text is parsed once per corpus across ALL
+    shingle-keyed stages."""
+    from .dedup import shingle_index
+
+    g = shingle_index(spark, sf_dir).withColumnRenamed("shingle", "gram")
     first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = F.coalesce(
         F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))), F.lit(0)
