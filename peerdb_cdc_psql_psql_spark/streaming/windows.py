@@ -142,3 +142,29 @@ def stream_interval_join(
             "us_after_insert"
         ),
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static dimension enrichment (the CDC-enrichment pattern:
+    land every change already joined to its dimension attributes, so
+    downstream consumers never re-join — e.g. orders changes annotated
+    with customer segment before they reach the lakehouse).
+
+    Semantics: LEFT join — a change whose key has no dimension row
+    still lands (dim columns null) rather than silently dropping; CDC
+    pipelines must never lose changes to reference-data lag.
+
+    Scale posture: a stream-static equi join needs NO streaming state
+    at all — Spark re-plans the static side per micro-batch, so a
+    broadcast-sized dim ships to executors once per batch and the
+    stream side never shuffles. The static side is also re-READ per
+    batch, which is the feature: a slowly-changing dim picks up its
+    updates on the next micro-batch without a restart. For a dim too
+    big to broadcast, the same call degrades to a shuffled join per
+    batch — correct, just with the stream side hashed on the key."""
+    dcols = [c for c in dim.columns if c != dim_key]
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "left"
+    ).select(stream["*"], *[dim[c] for c in dcols])

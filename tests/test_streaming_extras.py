@@ -657,3 +657,38 @@ def test_incremental_dedup_quality_gate(spark, tmp_path):
     q.awaitTermination(timeout=120)
     got = {r["doc_id"] for r in read_unique(spark, str(tmp_path / "out")).collect()}
     assert got == {1}
+
+
+def test_enrich_stream_static_dim(spark, tmp_path):
+    """Stream-static enrichment: every change lands with its dim
+    attributes; keys missing from the dim land with nulls (LEFT, never
+    dropped); result equals the batch join on the same inputs."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.windows import enrich_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = [
+        (1, t0, "I", "orders", 1, '{"id": 1}'),
+        (2, t0, "U", "orders", 2, '{"id": 2}'),
+        (3, t0, "D", "orders", 7, None),  # key 7 not in dim -> null cols
+    ]
+    event_dir = str(tmp_path / "wal")
+    workload.append_events(spark, events, event_dir)
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER"), (3, "BRONZE")], "cust_id int, segment string"
+    )
+    q = (
+        enrich_stream(_event_stream(spark, event_dir), dim, "key", "cust_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {r["lsn"]: r for r in spark.table("enriched").collect()}
+    assert got[1]["segment"] == "GOLD"
+    assert got[2]["segment"] == "SILVER"
+    assert got[3]["segment"] is None and got[3]["op"] == "D"
+    assert len(got) == 3
