@@ -503,3 +503,80 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "channel_crossover",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS day_views,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS day_purchases
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY date_trunc('day', ts)
+)
+SELECT day_us, day_views, day_purchases,
+       CAST(SUM(day_views) OVER cum AS BIGINT) AS cum_views,
+       CAST(SUM(day_purchases) OVER cum AS BIGINT) AS cum_purchases,
+       CAST(FLOOR(SUM(day_purchases) OVER cum * 10000.0
+                  / GREATEST(SUM(day_views) OVER cum, 1)) AS BIGINT)
+         AS cum_conv_bp,
+       CASE WHEN SUM(day_purchases) OVER cum >= SUM(day_views) OVER cum
+            THEN 'purchase_ahead' ELSE 'view_ahead' END AS leader
+FROM daily
+WINDOW cum AS (ORDER BY day_us ROWS UNBOUNDED PRECEDING)
+ORDER BY day_us
+""",
+    tags=("W5", "event_time", "analytics"),
+)
+def channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-channel cumulative comparison (the TPC-DS Q51 shape: web
+    vs store running totals compared day by day). The textbook form
+    computes each channel's running series separately and FULL OUTER
+    JOINs them on day; here both channels collapse to conditional
+    counts in ONE events pass, so the join disappears entirely —
+    each daily row carries both series and the running totals come
+    from a single window specification.
+
+    Determinism: counts are integers, the cumulative conversion rate
+    is floor of an exact-integer IEEE division, and the leader flag
+    is an integer comparison. Window SUMs are cast BIGINT on both
+    engines (DuckDB HUGEINT discipline).
+
+    Scale: the events-sized stage is the filtered daily rollup
+    (map-side combined, two channels only). The one unpartitioned
+    running-sum window operates on the calendar-bounded daily table —
+    |days| rows regardless of event volume — the same discipline as
+    `cumulative_unique_users`."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("day_views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "day_purchases"
+        ),
+    )
+    cum = Window.orderBy("day_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_views = F.sum("day_views").over(cum).cast("bigint")
+    cum_purch = F.sum("day_purchases").over(cum).cast("bigint")
+    return daily.select(
+        "day_us",
+        "day_views",
+        "day_purchases",
+        cum_views.alias("cum_views"),
+        cum_purch.alias("cum_purchases"),
+        F.floor(cum_purch * 10000.0 / F.greatest(cum_views, F.lit(1)))
+        .cast("bigint")
+        .alias("cum_conv_bp"),
+        F.when(cum_purch >= cum_views, "purchase_ahead")
+        .otherwise("view_ahead")
+        .alias("leader"),
+    ).orderBy("day_us")

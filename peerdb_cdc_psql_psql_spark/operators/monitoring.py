@@ -447,3 +447,83 @@ def change_point_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("severity_bp"),
         (F.col("ph_stat") * 2 > F.col("s")).alias("alarm"),
     )
+
+
+_MAD_K_BP = 30000  # |n - median| >= 3 x MAD  (in basis points of MAD)
+
+
+@register(
+    "robust_outlier_mad",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+mad AS (
+  SELECT h.event_type, quantile_cont(ABS(h.n - m.med), 0.5) AS mad
+  FROM hourly h JOIN med m USING (event_type)
+  GROUP BY h.event_type
+)
+SELECT h.event_type, h.hour_us, h.n, m.med, d.mad,
+       CAST(FLOOR(ABS(h.n - m.med) * 10000.0 / GREATEST(d.mad, 0.5)) AS BIGINT)
+         AS robust_bp,
+       CASE WHEN ABS(h.n - m.med) * 10000.0 / GREATEST(d.mad, 0.5) >= {_MAD_K_BP}
+            THEN 'outlier' ELSE 'normal' END AS band
+FROM hourly h
+JOIN med m USING (event_type)
+JOIN mad d ON d.event_type = h.event_type
+""",
+    tags=("A8", "monitoring", "anomaly"),
+)
+def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection over hourly event rates:
+    per event type, score every hour by its absolute deviation from
+    the type's median hourly count, in units of the median absolute
+    deviation (the robust z-score). Complements `event_rate_anomaly`
+    (trailing-mean spike test — local, order-sensitive) and
+    `change_point_detect` (sustained drift) with a distribution-level
+    detector a single extreme hour cannot contaminate: both the
+    center (median) and the spread (MAD) have a 50% breakdown point,
+    where mean/stddev break at one corrupted hour.
+
+    Determinism: both engines compute the interpolated 0.5-quantile of
+    integers (Spark `percentile`, DuckDB `quantile_cont`) — results
+    are exact binary fractions (halves, then quarters for the MAD of
+    half-offsets), so every derived comparison is bit-stable. The
+    score divides by GREATEST(mad, 0.5) — the conventional zero-MAD
+    guard for discrete data — and IEEE division of exact values is
+    correctly rounded.
+
+    Scale: the corpus-sized stage is the hourly rollup (map-side
+    combined). Medians run over |types| x |hours| rows; the two
+    per-type aggregates and the final score join all reuse the same
+    tiny rollup, and the |types|-row med/mad tables broadcast."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    with_med = hourly.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type")
+    dev = F.abs(F.col("n") - F.col("med")) * 10000.0 / F.greatest(
+        F.col("mad"), F.lit(0.5)
+    )
+    return scored.select(
+        "event_type",
+        "hour_us",
+        "n",
+        "med",
+        "mad",
+        F.floor(dev).cast("bigint").alias("robust_bp"),
+        F.when(dev >= _MAD_K_BP, "outlier").otherwise("normal").alias("band"),
+    )

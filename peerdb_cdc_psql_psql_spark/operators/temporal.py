@@ -593,3 +593,79 @@ def pattern_match_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("corr") * 10000).cast("bigint").alias("corr_bp"),
         )
     )
+
+
+@register(
+    "inter_arrival_stats",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+ranked AS (
+  SELECT event_type, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us) AS rk,
+         COUNT(*)    OVER (PARTITION BY event_type) AS cnt
+  FROM seq WHERE gap_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(MIN(cnt) AS BIGINT) AS n_gaps,
+       CAST(FLOOR(CAST(SUM(gap_us) AS BIGINT) * 1.0 / MIN(cnt)) AS BIGINT)
+         AS avg_gap_us,
+       MIN(CASE WHEN rk * 2  >= cnt      THEN gap_us END) AS p50_gap_us,
+       MIN(CASE WHEN rk * 20 >= cnt * 19 THEN gap_us END) AS p95_gap_us
+FROM ranked GROUP BY event_type
+""",
+    tags=("temporal", "window", "percentile"),
+)
+def inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time statistics: for every user the gap
+    to their previous event (any type, attributed to the later
+    event's type), rolled up to count / mean / exact p50 / exact p95
+    in integer microseconds — the arrival-process profile that sizes
+    streaming watermarks (C10) and session gaps (the 30-min
+    sessionization threshold is exactly a tail quantile of this
+    distribution).
+
+    Determinism: gaps are integer microsecond differences over a
+    (ts, event_id)-ordered per-user window (fully tie-broken);
+    percentiles use the exact integer-rank frontier (rk·2 ≥ cnt,
+    rk·20 ≥ 19·cnt — the length_percentile_filter discipline, no
+    float interpolation to drift between engines), and the mean is
+    floor of one IEEE division of exact integers.
+
+    Scale: two narrow shuffles — one hash partition on user_id for
+    the lag window (per-key state: one row), one on event_type for
+    the rank window. Both operate on (type, gap) pairs, never payload
+    columns; a hot event type bounds the second sort at its own
+    partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(wu)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wc = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("cnt").cast("bigint").alias("n_gaps"),
+        F.floor(F.sum("gap_us").cast("bigint") * 1.0 / F.min("cnt"))
+        .cast("bigint")
+        .alias("avg_gap_us"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("cnt"), F.col("gap_us"))).alias(
+            "p50_gap_us"
+        ),
+        F.min(
+            F.when(F.col("rk") * 20 >= F.col("cnt") * 19, F.col("gap_us"))
+        ).alias("p95_gap_us"),
+    )
