@@ -103,6 +103,10 @@ EXTRA = [
     "embedding_anisotropy",      # applyInPandas top-eig collapse probe
     "source_lang_diversity",     # Gini-Simpson mixture monitor
     "pattern_match_corr",        # sliding-window pattern similarity
+    "robust_outlier_mad",        # median/MAD robust rate outliers
+    "channel_crossover",         # Q51-shape cumulative comparison
+    "inter_arrival_stats",       # exact-rank gap percentiles
+    "pagerank_bipartite",        # fixed-round integer PageRank
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
