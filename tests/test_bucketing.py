@@ -158,3 +158,47 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     assert z_ts < 0.6 * lin_ts, (z_ts, lin_ts)
     assert z_user < 0.6 * 149, (z_user,)  # user_id domain is [0, 149]
     assert lin_user <= z_user  # sanity: pure sort is tightest on its own key
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A hive-partitioned (p_date=YYYY-MM-DD) layout must turn a day
+    predicate into Catalyst PartitionFilters: the executed scan reads
+    only the matching day directories (directory-level pruning, zero
+    I/O for other days) and the day count is bounded by files_per_day."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.sources.layout import write_date_partitioned
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_path / "by_date")
+    write_date_partitioned(ev, path, ts_col="ts", files_per_day=2)
+
+    day_dirs = sorted(_glob.glob(f"{path}/p_date=*"))
+    assert len(day_dirs) > 3  # fixture spans multiple days
+    for d in day_dirs:
+        files = _glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 2, (d, files)  # small-files guard
+
+    target_day = day_dirs[0].rsplit("p_date=", 1)[1]
+    df = spark.read.parquet(path).filter(F.col("p_date") == target_day)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must appear as a PartitionFilter on the scan,
+    # not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "p_date" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+
+    # row-level truth: pruned read == full read filtered
+    full = (
+        spark.read.parquet(path)
+        .filter(F.col("p_date") == target_day)
+        .count()
+    )
+    by_day = ev.filter(
+        F.date_format("ts", "yyyy-MM-dd") == target_day
+    ).count()
+    assert full == by_day > 0
