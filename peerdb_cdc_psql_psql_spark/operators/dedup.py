@@ -722,9 +722,16 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok")).filter(
         F.size("tok") >= _SPAN_N
     )
+    # Single-exchange discipline (the materialize_shingle_index trick):
+    # repartition straight onto the span hash, then BOTH the
+    # (doc_id, span) distinct (partition key ⊆ group keys), the span-DF
+    # aggregate, AND the membership join ride that one partitioning —
+    # the cached relation reports HashPartitioning(span), so neither
+    # consumer re-exchanges span-sized data (was 4 span shuffles).
     d = (
         toks.select("doc_id", F.explode(ngram_expr("tok", _SPAN_N)).alias("span"))
-        .distinct()
+        .repartition(F.col("span"))
+        .dropDuplicates()
         .persist()  # feeds DF agg + membership join; corpus parsed once
     )
     df = d.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
