@@ -861,3 +861,67 @@ def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_bp.cast("bigint").alias("ratio_bp"),
         band.alias("band"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS cnt FROM words WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair,
+         word, cnt
+  FROM vocab
+)
+SELECT pair,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS total_count
+FROM pairs GROUP BY pair
+ORDER BY total_count DESC, pair ASC LIMIT 64
+""",
+    tags=("X4", "tokenizer"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-step statistic (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units"): corpus-weighted
+    counts of adjacent character pairs — the argmax row IS the first
+    merge a BPE tokenizer trainer would perform, and the top-64 table
+    is the working set an unrolled trainer consumes. Completes the
+    tokenizer-precursor family (`vocab_coverage` budgets whole-word
+    vocabulary; this measures the subword frontier).
+
+    Scale: the corpus-sized stage is the word count (map-side
+    combined — the only pass over raw text). Character pairs explode
+    from the VOCABULARY (|distinct words|, bounded and Zipf-small),
+    each weighted by its corpus frequency, so 100 TB of text meets
+    the same |vocab|·(avg word length) pair rows as 1 GB. Overlapping
+    pairs within a word count once per occurrence on both engines
+    (the 'aaa' → two 'aa' convention). TakeOrdered top-64 with a
+    total-then-pair tiebreak keeps the cut deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = vocab.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("total_count"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("pair"))
+        .limit(64)
+    )
