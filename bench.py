@@ -107,6 +107,7 @@ EXTRA = [
     "channel_crossover",         # Q51-shape cumulative comparison
     "inter_arrival_stats",       # exact-rank gap percentiles
     "pagerank_bipartite",        # fixed-round integer PageRank
+    "bpe_pair_counts",           # vocab-weighted subword merge stats
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
