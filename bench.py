@@ -108,6 +108,8 @@ EXTRA = [
     "inter_arrival_stats",       # exact-rank gap percentiles
     "pagerank_bipartite",        # fixed-round integer PageRank
     "bpe_pair_counts",           # vocab-weighted subword merge stats
+    "range_frame_smoothing",     # RANGE-interval trailing-hour frame
+    "grouping_sets_stats",       # explicit grouping-set Expand+agg
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

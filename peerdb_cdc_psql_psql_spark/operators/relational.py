@@ -518,3 +518,67 @@ def filter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return part.unionByName(ev)
+
+
+@register(
+    "grouping_sets_stats",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+""",
+    tags=("A5", "grouping_sets"),
+)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a grouping_id disambiguator: per-status,
+    per-priority, per-(status, priority), and grand-total order counts
+    and exact-decimal revenue in ONE pass — the generalization of the
+    reference's per-table + TOTAL rollup layout (A5,
+    monitoring.ps1:544-552) to arbitrary set lists. Completes the
+    multi-grouping family next to `rollup_totals` and
+    `cube_order_stats`: sets are EXPLICIT here, so the engine computes
+    exactly the four groupings a report needs, not the 2^k a cube
+    implies.
+
+    Determinism: COALESCE('ALL') labels the aggregated-out dimension;
+    gid (the grouping_id bit vector) distinguishes a real 'ALL'-valued
+    key from the aggregate row — both engines compute it identically
+    per ANSI semantics. Revenue sums in DECIMAL, never float.
+
+    Scale: Spark plans grouping sets as one Expand (4× row
+    multiplication) + one hash aggregate with map-side combine — the
+    multiplied rows collapse to |groups| per partition before the
+    single shuffle. For high-cardinality set lists the two-phase
+    `salted_distinct_agg` shape takes over; four sets over two
+    low-cardinality dims is exactly the Expand sweet spot."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            )
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .select("status", "priority", "gid", "n_orders", "total_price")
+    )

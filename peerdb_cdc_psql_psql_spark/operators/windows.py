@@ -332,3 +332,62 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_hot_batch",
         "avg_events_per_batch",
     )
+
+
+@register(
+    "range_frame_smoothing",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, CAST(FLOOR(value * 10000) AS BIGINT) AS v_bp
+  FROM events WHERE user_id < 40
+)
+SELECT user_id, ts_us,
+       CAST(SUM(v_bp) OVER tw AS BIGINT) AS sum_bp_1h,
+       CAST(COUNT(*) OVER tw AS BIGINT) AS n_1h,
+       CAST(FLOOR(CAST(SUM(v_bp) OVER tw AS BIGINT) * 1.0
+                  / COUNT(*) OVER tw) AS BIGINT) AS avg_bp_1h
+FROM base
+WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("W5", "window", "range_frame"),
+)
+def range_frame_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: for every event, the sum/count/
+    mean of the user's readings over the TRAILING HOUR — by event-time
+    span, not row count (a rows-frame is wrong whenever arrival rate
+    varies: 10 PRECEDING is an hour for one user and a month for
+    another). This is the genuinely distinct frame type the §2.6 pack
+    didn't yet pin: RANGE BETWEEN <interval> PRECEDING, Spark's
+    `Window.rangeBetween` over an epoch-micros ordering column.
+
+    Determinism: readings are fixed-point v_bp integers
+    (FLOOR(value·10⁴) — floor, not cast: DuckDB ROUNDS double→BIGINT
+    casts where Spark truncates, and floor of the same IEEE double is
+    identical everywhere), so window sums are exact; the mean is
+    floor of one IEEE division of exact integers. Frames are value-based, hence independent of
+    tie order between equal timestamps (ties share a frame by RANGE
+    semantics — no row_number tiebreak needed, unlike rows frames).
+
+    Scale: one hash shuffle on user_id; per-row frame state is
+    bounded by the hour's arrival count. The user_id < 40 cut keeps
+    the oracle row set reviewable — the plan shape is cut-free."""
+    base = load(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_bp"),
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    s = F.sum("v_bp").over(tw).cast("bigint")
+    n = F.count(F.lit(1)).over(tw).cast("bigint")
+    return base.select(
+        "user_id",
+        "ts_us",
+        s.alias("sum_bp_1h"),
+        n.alias("n_1h"),
+        F.floor(s * 1.0 / n).cast("bigint").alias("avg_bp_1h"),
+    )
