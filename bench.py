@@ -110,6 +110,7 @@ EXTRA = [
     "bpe_pair_counts",           # vocab-weighted subword merge stats
     "range_frame_smoothing",     # RANGE-interval trailing-hour frame
     "grouping_sets_stats",       # explicit grouping-set Expand+agg
+    "fuzzy_record_links",        # blocked Levenshtein record linkage
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -756,3 +756,63 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unique")
         .alias("band"),
     )
+
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fuzzy_record_links",
+    oracle=f"""
+SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+       a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+""",
+    tags=("X1", "dedup", "entity_resolution"),
+)
+def fuzzy_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) over structured rows — the
+    CDC-domain sibling of document dedup: candidate duplicate
+    customer records whose names sit within Levenshtein distance 2,
+    BLOCKED by (nation, market segment) so the quadratic comparison
+    runs per block, never over the corpus (the standard
+    blocking-then-matching ER decomposition; Fellegi-Sunter linkage
+    reduced to its deterministic comparison step).
+
+    Determinism: classic Levenshtein DP yields the same integer on
+    every engine; `a.key < b.key` emits each unordered pair once.
+
+    Scale: a self-equi-join on the block key — identical shuffle
+    shape to `jaccard_pairs` (keys only, no payload beyond the name
+    being compared). Fan-out is Σ|block|², governed by the blocking
+    key's granularity: at 100 TB you block finer (sorted-neighborhood
+    windows or phonetic keys as extra block columns) — the plan shape
+    is unchanged. The edit-distance filter evaluates INSIDE the join
+    (predicate on the join condition's output), so only surviving
+    pairs materialize."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("segment"),
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            dist.cast("bigint").alias("name_dist"),
+        )
+    )
