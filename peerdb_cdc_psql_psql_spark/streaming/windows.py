@@ -168,3 +168,37 @@ def enrich_stream(
     return stream.join(
         F.broadcast(dim), stream[stream_key] == dim[dim_key], "left"
     ).select(stream["*"], *[dim[c] for c in dcols])
+
+
+def session_window_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Streaming session windows over the change stream: per (table,
+    key), bursts of changes separated by >= `gap` of event-time
+    silence collapse into one session row (start/end/change count) —
+    the change-burst profile that distinguishes a hot-row storm from
+    steady drip updates, computed INSIDE the stream rather than by a
+    batch job later.
+
+    Scale posture: `session_window` is Spark's native dynamic-gap
+    state machine — state per open session, merged on overlap, closed
+    and EMITTED once the watermark passes session end + gap, so state
+    is O(open sessions), never O(events). Output mode must be
+    'append' (a session is final only after watermark closure), which
+    the availableNow drain in tests exercises end-to-end."""
+    return (
+        stream.withWatermark("commit_ts", watermark)
+        .groupBy(
+            F.session_window(F.col("commit_ts"), gap).alias("sw"),
+            "table",
+            "key",
+        )
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "table",
+            "key",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_changes",
+        )
+    )

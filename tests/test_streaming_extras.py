@@ -692,3 +692,75 @@ def test_enrich_stream_static_dim(spark, tmp_path):
     assert got[2]["segment"] == "SILVER"
     assert got[3]["segment"] is None and got[3]["op"] == "D"
     assert len(got) == 3
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native streaming session windows (append mode, watermark-closed)
+    must equal the same session_window aggregation run as a batch
+    query over the identical event log."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.windows import session_window_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    events = [
+        # key 1: two bursts separated by > gap (30 min)
+        (1, at(0), "I", "orders", 1, '{"id": 1}'),
+        (2, at(5), "U", "orders", 1, '{"id": 1}'),
+        (3, at(90), "U", "orders", 1, '{"id": 1}'),
+        # key 2: one burst
+        (4, at(10), "I", "orders", 2, '{"id": 2}'),
+        (5, at(12), "U", "orders", 2, '{"id": 2}'),
+        # watermark flush: append-mode sessions emit only once the
+        # watermark passes session end + gap; a late probe event on
+        # another table advances event time past every orders session
+        (6, at(240), "I", "probe", 99, None),
+    ]
+    event_dir = str(tmp_path / "wal")
+    workload.append_events(spark, events, event_dir)
+
+    q = (
+        session_window_stream(_event_stream(spark, event_dir), gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["key"], r["session_start_us"]): r
+        for r in spark.table("sessions_stream").collect()
+        if r["table"] == "orders"
+    }
+
+    batch = (
+        spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(event_dir)
+        .filter(F.col("table") == "orders")
+        .groupBy(
+            F.session_window(F.col("commit_ts"), "30 minutes").alias("sw"),
+            "table",
+            "key",
+        )
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "key",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_changes",
+        )
+    )
+    expected = {(r["key"], r["session_start_us"]): r for r in batch.collect()}
+
+    # availableNow + watermark: all sessions close once the log drains
+    assert set(got) == set(expected) and len(got) == 3
+    for k, row in expected.items():
+        assert got[k]["n_changes"] == row["n_changes"], k
+    # burst separation: key 1 has two sessions, key 2 one
+    assert sum(1 for (key, _) in got if key == 1) == 2
+    assert sum(1 for (key, _) in got if key == 2) == 1
