@@ -816,3 +816,79 @@ def fuzzy_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("name_dist"),
         )
     )
+
+
+_INGEST_MOD = 50  # doc_id % 50 == 0 plays the incoming batch
+
+
+@register(
+    "dedup_incremental_neardup",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS shared
+  FROM sh2 a JOIN sh2 b
+    ON a.shingle = b.shingle
+   AND a.doc_id % {_INGEST_MOD} = 0
+   AND b.doc_id % {_INGEST_MOD} != 0
+  GROUP BY 1, 2
+)
+SELECT new_doc, old_doc,
+       ROUND(shared * 1.0 / (s1.n + s2.n - shared), 4) AS jaccard
+FROM cand
+JOIN sizes s1 ON new_doc = s1.doc_id
+JOIN sizes s2 ON old_doc = s2.doc_id
+WHERE shared * 1.0 / (s1.n + s2.n - shared) >= {_JACCARD_T}
+""",
+    tags=("X2", "dedup", "incremental"),
+    eager_build=True,  # reads the shared bucketed shingle index
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup maintenance: an incoming ingest batch
+    (docs with doc_id ≡ 0 mod 50 play the new arrivals) checked for
+    Jaccard ≥ 0.8 neighbors against the EXISTING corpus through the
+    shared bucketed shingle index — the near-dup complement of the
+    exact-hash `dedup_incremental_ledger`. The batch side of the
+    candidate join is |batch|·|shingles-per-doc| rows, so admission
+    costs O(batch · bucket overlap), never the O(corpus²) of
+    recomputing the full pair graph per ingest.
+
+    Scale: both candidate sides read the SAME bucketed index (the
+    batch side is a filter on it — bucket-aligned, no Exchange on the
+    shingle key); the DF cap bounds hot-shingle fan-out exactly as in
+    the full pair join. At 100 TB the batch filter becomes the
+    actual new-arrivals shingle set and the index gains the batch's
+    postings after admission (append into the bucketed layout) —
+    the query shape is unchanged."""
+    sh = shingle_index(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh2 = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    newb = sh2.filter(F.col("doc_id") % _INGEST_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"), "shingle"
+    )
+    oldb = sh2.filter(F.col("doc_id") % _INGEST_MOD != 0).select(
+        F.col("doc_id").alias("old_doc"), "shingle"
+    )
+    cand = (
+        newb.join(oldb, "shingle")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("old_doc"), F.col("n").alias("n_b"))
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        cand.join(s1, "new_doc")
+        .join(s2, "old_doc")
+        .filter(jac >= _JACCARD_T)
+        .select("new_doc", "old_doc", F.round(jac, 4).alias("jaccard"))
+    )
