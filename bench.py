@@ -111,6 +111,9 @@ EXTRA = [
     "range_frame_smoothing",     # RANGE-interval trailing-hour frame
     "grouping_sets_stats",       # explicit grouping-set Expand+agg
     "fuzzy_record_links",        # blocked Levenshtein record linkage
+    "fuzzy_links_sorted_neighborhood",  # O(block·w) ER scale path
+    "dedup_incremental_neardup", # batch-vs-corpus Jaccard admission
+    "exact_substr_rewrite",      # duplicated-span removal rewrite
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

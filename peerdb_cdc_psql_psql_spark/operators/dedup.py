@@ -892,3 +892,188 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_T)
         .select("new_doc", "old_doc", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "exact_substr_rewrite",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+occ AS (
+  SELECT doc_id, (u).i AS i, (u).s AS span
+  FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 's': list_reduce(tok[i:i+{_SPAN_N - 1}],
+                                              (a, b) -> a || ' ' || b)}}
+                   for i in range(1, len(tok) - {_SPAN_N - 2})]) AS u
+    FROM toks WHERE len(tok) >= {_SPAN_N}
+  )
+),
+sdf AS (
+  SELECT span, MIN(doc_id) AS owner, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, span FROM occ) GROUP BY span
+),
+cut AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(i, i + {_SPAN_N - 1})) AS cut_idx
+  FROM occ JOIN sdf USING (span)
+  WHERE sdf.n_docs > 1 AND occ.doc_id != sdf.owner
+),
+carr AS (
+  SELECT doc_id, list_sort(list(DISTINCT cut_idx)) AS cuts
+  FROM cut GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tok) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(c.cuts), 0) AS BIGINT) AS n_cut,
+       md5(COALESCE(array_to_string(
+         CASE WHEN c.cuts IS NULL THEN t.tok
+              ELSE list_select(t.tok,
+                     [i for i in range(1, len(t.tok) + 1)
+                      if NOT list_contains(c.cuts, i)])
+         END, ' '), '')) AS clean_md5
+FROM toks t LEFT JOIN carr c USING (doc_id)
+""",
+    tags=("X2", "dedup", "substr", "rewrite"),
+)
+def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (the transformation half of Lee et al.
+    ExactSubstr, where `exact_substr_spans` is the accounting half):
+    every {SPAN_N}-token window duplicated across documents is CUT
+    from every document except the span's owner (min doc_id — the
+    corpus-wide first occurrence keeps its copy), overlapping cut
+    windows merge through a distinct position set, and each document
+    is REBUILT from its surviving tokens. Output carries the token
+    counts and the md5 of the rebuilt text (the payload stays
+    executor-side; only the 16-byte digest returns).
+
+    Determinism: token positions are integers, the owner rule is a
+    MIN, and the rebuild is a pure positional filter — identical on
+    any engine/partitioning.
+
+    Scale: three shuffles — span-keyed DF/owner aggregate (5-token
+    string keys with map-side combine), doc-keyed cut-position set,
+    doc-keyed join back to the token arrays. Raw text crosses only
+    the LAST join (one pass, partitioned by doc_id); the cut-position
+    explode is |cut spans|·{SPAN_N} integer rows. The positional
+    rebuild is an array lambda inside codegen — no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tok"))
+    occ = (
+        toks.filter(F.size("tok") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(ngram_expr("tok", _SPAN_N)).alias("pos0", "span"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "span")
+    )
+    sdf = (
+        occ.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    cut = (
+        occ.join(sdf, "span")
+        .filter((F.col("n_docs") > 1) & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
+            ).alias("cut_idx"),
+        )
+        .distinct()
+    )
+    carr = cut.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("cut_idx")).alias("cuts")
+    )
+    clean = F.when(F.col("cuts").isNull(), F.col("tok")).otherwise(
+        F.filter(
+            F.col("tok"),
+            lambda t, j: ~F.array_contains(F.col("cuts"), j + 1),
+        )
+    )
+    return toks.join(carr, "doc_id", "left").select(
+        "doc_id",
+        F.size("tok").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("cuts"), F.lit(0)).cast("bigint").alias("n_cut"),
+        F.md5(F.concat_ws(" ", clean)).alias("clean_md5"),
+    )
+
+
+_SN_WINDOW = 8  # sorted-neighborhood comparison window
+
+
+@register(
+    "fuzzy_links_sorted_neighborhood",
+    oracle=f"""
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+       a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+FROM ranked a JOIN ranked b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+""",
+    tags=("X1", "dedup", "entity_resolution"),
+)
+def fuzzy_links_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo) — the
+    scale path `fuzzy_record_links` names: within each block, records
+    sort by name and only pairs within {_SN_WINDOW} rank positions are
+    compared, turning the per-block quadratic comparison into
+    O(|block| · w). The windowed result is EXACTLY the full-block
+    result restricted to rank_gap <= w (pinned by test, not a recall
+    heuristic — determinism makes the subset relation checkable).
+
+    Scale: one row_number window per block partition, then the
+    non-equi rank-window condition is rewritten as explode(sequence)
+    + EQUI join on (block, rn) — bounded fan-out w per record, no
+    nested-loop join, the same rewrite range_join_incident_windows
+    uses for BETWEEN. At 100 TB, multi-pass sorted-neighborhood
+    (re-sort by a second key, union the pair sets) recovers pairs a
+    single sort order separates."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_name", "c_custkey"
+    )
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    left = ranked.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _SN_WINDOW)
+        ).alias("rn_b"),
+    )
+    right = ranked.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        left.join(right, ["c_nationkey", "c_mktsegment", "rn_b"])
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            "custkey_a",
+            "custkey_b",
+            dist.cast("bigint").alias("name_dist"),
+            (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("rank_gap"),
+        )
+    )

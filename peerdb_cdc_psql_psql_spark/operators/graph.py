@@ -94,48 +94,65 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank would drift by summation order).
 
     Scale: the fact-sized stage is the one distinct (cust, supp)
-    projection; every round then shuffles only (node, contribution)
-    pairs — |edges| rows of two BIGINTs. The rank table is
+    projection; the persisted per-round relation is the HALF-SIZE
+    pair table with both side degrees attached (u, v, deg_u, deg_v) —
+    contributions flow both directions over it, so no doubled edge
+    union ever materializes. Every round shuffles only (node,
+    contribution) pairs — two BIGINTs. The rank and degree tables are
     |customers|+|suppliers| rows and SF-proportional, so no broadcast
-    hint is forced (the L82 discipline) — AQE broadcasts it at demo
-    scale and falls back to shuffled hash join at warehouse scale.
-    ReuseExchange collapses the six identical edge-subplan scans to
-    one physical exchange."""
+    hint is forced (the L82 discipline) — AQE broadcasts them at demo
+    scale and falls back to shuffled hash joins at warehouse scale."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
+    pairs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    ).distinct()
+    # Per-side degrees attached to the HALF-SIZE pair table instead of
+    # materializing the doubled (src, dst) union: the two degree
+    # tables are |customers| / |suppliers| rows, so AQE broadcasts
+    # them at demo scale (no forced hint — L82), and the one persisted
+    # relation every round re-reads carries u, v, deg_u, deg_v.
+    deg_u = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("deg_u"))
+    deg_v = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("deg_v"))
+    edged = pairs.join(deg_u, "u").join(deg_v, "v").persist()
+    ranks = deg_u.select(
+        F.col("u").alias("node"), F.lit(_PR_INIT).cast("bigint").alias("rank_micro")
+    ).unionAll(
+        deg_v.select(
+            F.col("v").alias("node"),
+            F.lit(_PR_INIT).cast("bigint").alias("rank_micro"),
         )
-        .distinct()
-        .persist()
     )
-    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Materialized once and re-read by all six rounds: without the
-    # persist the executed plan re-derives the fact join per round
-    # (observed: 57 parquet scans unrolled vs 4 with the cache). Three
-    # BIGINT columns — memory is O(|edges|), the same order as the
-    # shuffle each round already pays.
-    edged = edges.join(deg, "src").persist()
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(_PR_INIT).cast("bigint").alias("rank_micro")
+    # Both walk directions as a lazy view over the CACHED half-size
+    # table (two InMemoryTableScans, nothing doubled on disk/memory).
+    # Each round references `ranks` exactly ONCE — referencing it per
+    # direction doubles the unrolled plan per round (2^rounds analysis
+    # blowup, the Catalyst trap the connected_components docstring
+    # pins); the union-then-single-join form keeps plan growth linear.
+    edges = edged.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("deg_u").alias("deg"),
+    ).unionAll(
+        edged.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.col("deg_v").alias("deg"),
+        )
     )
     for _ in range(_PR_ROUNDS):
-        contrib = edged.join(ranks, edged.src == ranks.node).select(
-            F.col("dst"),
-            F.expr("rank_micro div deg").alias("c"),
+        contrib = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst"), F.expr("rank_micro div deg").alias("c")
         )
-        ranks = contrib.groupBy("dst").agg(
-            (
-                F.lit(150000).cast("bigint")
-                + F.expr("(85 * sum(c)) div 100").cast("bigint")
-            ).alias("rank_micro")
-        ).select(F.col("dst").alias("node"), "rank_micro")
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(150000).cast("bigint")
+                    + F.expr("(85 * sum(c)) div 100").cast("bigint")
+                ).alias("rank_micro")
+            )
+            .select(F.col("dst").alias("node"), "rank_micro")
+        )
     return (
         ranks.orderBy(F.desc("rank_micro"), F.asc("node"))
         .limit(_PR_TOP)

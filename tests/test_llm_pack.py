@@ -422,3 +422,49 @@ def test_embedding_anisotropy_matches_eigh(spark, sf_dir):
             label, got[label]["top_eig_share_bp"], want_bp,
         )
         assert got[label]["n_vectors"] == len(X)
+
+
+def test_sorted_neighborhood_equals_windowed_full_block(spark, sf_dir):
+    """The sorted-neighborhood scale path must produce EXACTLY the
+    full-block linkage result restricted to pairs within the rank
+    window (determinism makes this an equality, not a recall bound)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        _SN_WINDOW,
+        fuzzy_links_sorted_neighborhood,
+        fuzzy_record_links,
+    )
+
+    sn = {
+        (r["custkey_a"], r["custkey_b"]): r["name_dist"]
+        for r in fuzzy_links_sorted_neighborhood(spark, sf_dir).collect()
+    }
+    assert sn  # the fixture yields fuzzy pairs
+
+    # full-block pairs, annotated with their sort-rank gap
+    full = fuzzy_record_links(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_name", "c_custkey"
+    )
+    ranked = c.select("c_custkey", F.row_number().over(w).alias("rn"))
+    ra = ranked.select(F.col("c_custkey").alias("custkey_a"), F.col("rn").alias("rn_a"))
+    rb = ranked.select(F.col("c_custkey").alias("custkey_b"), F.col("rn").alias("rn_b"))
+    annotated = full.join(ra, "custkey_a").join(rb, "custkey_b").collect()
+
+    expected = {}
+    for r in annotated:
+        gap = abs(r["rn_b"] - r["rn_a"])
+        if gap <= _SN_WINDOW:
+            a, b = sorted((r["custkey_a"], r["custkey_b"]))
+            expected[(a, b)] = r["name_dist"]
+    got = {tuple(sorted(k)): v for k, v in sn.items()}
+    assert got == expected
+    # and the windowed set is a strict subset when far-apart pairs exist
+    all_pairs = {
+        tuple(sorted((r["custkey_a"], r["custkey_b"]))) for r in annotated
+    }
+    assert set(got) <= all_pairs
