@@ -584,3 +584,34 @@ def salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_events"),
         F.sum("val_sum").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "frequent_items_sketch",
+    oracle=None,  # Karp/Misra-Gries one-pass sketch — layout-dependent
+    tags=("A3", "approx", "sketch"),
+    eager_build=False,
+)
+def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass heavy-hitter sketch (`DataFrame.stat.freqItems`, the
+    Karp-Shenker-Papadimitriou / Misra-Gries counter algorithm): every
+    event_type occurring in more than 10% of events is GUARANTEED to
+    appear (possibly with false positives — the sketch trades
+    precision for a single pass with O(1/support) space). The sketch
+    sibling of approx_count_distinct / approx_percentile: the exact
+    twin is `key_skew_profile`, and the pytest gate asserts the
+    superset guarantee against exact counts.
+
+    Scale: one narrow pass, per-partition counter maps merged at the
+    driver — no shuffle at all, which is the point at 100 TB: exact
+    heavy hitters need a full groupBy; the sketch answers 'which keys
+    COULD be hot' first, so the exact pass (or a salting decision)
+    runs only when needed. Candidate list is returned exploded with
+    a deterministic sort for stable display."""
+    ev = load(spark, sf_dir, "events")
+    items = ev.select("event_type").stat.freqItems(["event_type"], support=0.1)
+    return items.select(
+        F.explode(F.sort_array(F.col("event_type_freqItems"))).alias(
+            "candidate_heavy_type"
+        )
+    )

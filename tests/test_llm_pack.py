@@ -468,3 +468,30 @@ def test_sorted_neighborhood_equals_windowed_full_block(spark, sf_dir):
         tuple(sorted((r["custkey_a"], r["custkey_b"]))) for r in annotated
     }
     assert set(got) <= all_pairs
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """freqItems guarantee: every key with frequency > support must be
+    in the candidate list (false positives allowed, negatives not)."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.operators.profiling import (
+        frequent_items_sketch,
+    )
+
+    got = {
+        r["candidate_heavy_type"]
+        for r in frequent_items_sketch(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    truly_heavy = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 1.0 / total > 0.1)
+        .collect()
+    }
+    assert truly_heavy  # fixture has 5 types at ~20% each
+    assert truly_heavy <= got

@@ -764,3 +764,39 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     # burst separation: key 1 has two sessions, key 2 one
     assert sum(1 for (key, _) in got if key == 1) == 2
     assert sum(1 for (key, _) in got if key == 2) == 1
+
+
+def test_max_files_per_trigger_paces_ingest(spark, tmp_path):
+    """Ingest pacing (the reference's BatchSize/DelayBetweenBatches
+    throttle, insert.ps1:12-13, as a Spark source option): with
+    maxFilesPerTrigger=1, an availableNow drain processes the WAL one
+    file per micro-batch instead of gulping the backlog — bounding
+    per-batch memory no matter how far behind the mirror starts."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    event_dir = str(tmp_path / "wal")
+    for k in range(4):  # four separate files
+        workload.append_events(
+            spark,
+            [(k * 10 + 1, t0, "I", "orders", k, '{"id": 1}')],
+            event_dir,
+        )
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    q = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    assert sum(batches) == 4
+    assert len(batches) >= 4  # one file per micro-batch, never gulped
+    assert all(b <= 1 for b in batches)
