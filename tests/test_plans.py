@@ -607,3 +607,51 @@ def test_pattern_match_single_series_shuffle(spark):
     plan = plan_string(_df(spark, "pattern_match_corr"))
     assert "Join type:" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_exact_substr_spans_single_span_exchange(spark):
+    """The span relation is repartitioned onto the span hash ONCE and
+    the (doc, span) distinct rides it (was 4 span-keyed shuffles of
+    raw span rows before the restructure). The printed tree repeats
+    the cached exchange per consumer — count unique plan ids."""
+    import re
+
+    plan = plan_string(_df(spark, "exact_substr_spans"), mode="simple")
+    ids = set(
+        re.findall(r"Exchange hashpartitioning\(span[^\]]*plan_id=(\d+)", plan)
+    )
+    reparts = plan.count("REPARTITION_BY_COL")
+    assert reparts >= 1 and len(ids) <= 2, (ids, plan)
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan as ONE Expand + one aggregate pair —
+    not a union of per-set scans."""
+    plan = plan_string(_df(spark, "grouping_sets_stats"), mode="simple")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_range_frame_window_no_row_frame(spark):
+    """The trailing-hour smoothing must plan a RANGE frame (value
+    based), not a ROWS frame."""
+    plan = plan_string(_df(spark, "range_frame_smoothing"), mode="simple")
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_sorted_neighborhood_no_nested_loop(spark):
+    """The rank-window comparison must be the explode+equi rewrite —
+    no BroadcastNestedLoopJoin / CartesianProduct from the non-equi
+    window condition."""
+    plan = plan_string(_df(spark, "fuzzy_links_sorted_neighborhood"), mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_pagerank_no_forced_broadcast(spark):
+    """PageRank leaves rank/degree join sizing to the planner/AQE
+    (L82: those tables are SF-proportional) — no broadcast HINTS in
+    the logical plan (planner-chosen size-based broadcasts are the
+    desired behavior and not pinned)."""
+    df = REGISTRY["pagerank_bipartite"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
