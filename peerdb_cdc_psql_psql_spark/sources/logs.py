@@ -39,3 +39,37 @@ def parse_stats_lines(logs: DataFrame) -> DataFrame:
         F.regexp_extract("value", r"container=(\w+)", 1).alias("container"),
         F.regexp_extract("value", r"cpu=([0-9.]+)%", 1).cast("double").alias("cpu"),
     )
+
+
+def read_psql_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = "|",
+) -> DataFrame:
+    """Typed reader for psql-style pipe-delimited output — the batch
+    twin of the reference's client-side `-split '|'` + Trim() parsing
+    (monitoring.ps1:524,892,906,925), done by the engine's CSV source
+    instead of an interpreted loop.
+
+    Semantics pinned for dirty input (the F3 family's failure mode):
+    PERMISSIVE mode with a `_corrupt` column — malformed lines land
+    quarantined in one string column instead of failing the job or
+    silently vanishing (the batch analog of the streaming dead-letter
+    queue, Mirror(dead_letter=True)). Whitespace around delimiters is
+    trimmed by the source options, matching psql's aligned output.
+
+    Scale: the CSV scan is splittable per file and prunes columns at
+    the reader; the corrupt-column check is `df.filter(_corrupt IS
+    NOT NULL)` — one predicate, no second pass. (Spark requires the
+    parsed result to be cached/saved before querying ONLY the corrupt
+    column — QUERY_ONLY_CORRUPT_RECORD_COLUMN.)"""
+    return (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
+        .csv(path)
+    )

@@ -800,3 +800,31 @@ def test_max_files_per_trigger_paces_ingest(spark, tmp_path):
     assert sum(batches) == 4
     assert len(batches) >= 4  # one file per micro-batch, never gulped
     assert all(b <= 1 for b in batches)
+
+
+def test_read_psql_delimited_with_quarantine(spark, tmp_path):
+    """Pipe-delimited psql output parses into typed columns; a
+    malformed line is quarantined in _corrupt, never dropped or
+    fatal (the monitoring.ps1 '-split |' loop, engine-side)."""
+    from peerdb_cdc_psql_psql_spark.sources.logs import read_psql_delimited
+
+    lines = [
+        " customers | 150 | 8192 ",
+        " orders    | 500 | 16384 ",
+        "THIS LINE IS GARBAGE",
+        " products  | 90 | 4096 ",
+    ]
+    p = write_log_lines(lines, str(tmp_path), "tables.psv")
+    df = read_psql_delimited(
+        spark, p, "table_name string, n_rows int, bytes long"
+    ).cache()  # Spark disallows corrupt-column-only queries on raw CSV
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    got = {r["table_name"]: (r["n_rows"], r["bytes"]) for r in good.collect()}
+    assert got == {
+        "customers": (150, 8192),
+        "orders": (500, 16384),
+        "products": (90, 4096),
+    }
+    assert bad.count() == 1
+    assert "GARBAGE" in bad.collect()[0]["_corrupt"]
