@@ -114,6 +114,7 @@ EXTRA = [
     "fuzzy_links_sorted_neighborhood",  # O(block·w) ER scale path
     "dedup_incremental_neardup", # batch-vs-corpus Jaccard admission
     "exact_substr_rewrite",      # duplicated-span removal rewrite
+    "epoch_shard_plan",          # multi-epoch loader-order digests
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -460,3 +460,90 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+_N_EPOCHS = 3
+_N_SHARDS = 8
+
+
+@register(
+    "epoch_shard_plan",
+    oracle=f"""
+WITH epochs AS (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+             || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d CROSS JOIN epochs e
+),
+sharded AS (
+  SELECT epoch, doc_id, k,
+         CAST(concat('0x', substr(k, 1, 12)) AS BIGINT) % {_N_SHARDS} AS shard
+  FROM keyed
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k)) AS order_digest
+FROM sharded
+GROUP BY epoch, shard
+""",
+    tags=("sampling", "shuffle", "epochs"),
+)
+def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data-loader plan: for each training epoch, every
+    document is assigned a shard and a within-shard order by a seeded
+    md5 key ('ep<epoch>:<doc_id>') — each epoch is an INDEPENDENT
+    reproducible permutation (per-epoch reshuffling, the standard
+    LLM-training requirement), and the report digests each (epoch,
+    shard) stream's exact document order into one md5 so two engines
+    — or two reruns — can certify identical loader order without
+    materializing it.
+
+    Scale: the per-(epoch, shard) rollup shuffles (epoch, shard,
+    16-byte key, doc_id) rows only; the order digest is an ordered
+    string_agg per group (Spark: sort-by-key collect within the
+    grouped window, same shape as the packing window). |epochs| is a
+    small constant — the explode multiplies rows 3×, not a join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = docs.select("doc_id", epochs).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    sharded = keyed.select(
+        "epoch",
+        "doc_id",
+        "k",
+        (F.conv(F.substring("k", 1, 12), 16, 10).cast("bigint") % _N_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k")
+    ordered = sharded.select(
+        "epoch", "shard", "doc_id", F.row_number().over(w).alias("pos")
+    )
+    return (
+        ordered.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.struct("pos", "doc_id")))
+                    .getField("doc_id")
+                    .cast("array<string>"),
+                )
+            ).alias("order_digest"),
+        )
+    )
