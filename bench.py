@@ -115,6 +115,7 @@ EXTRA = [
     "dedup_incremental_neardup", # batch-vs-corpus Jaccard admission
     "exact_substr_rewrite",      # duplicated-span removal rewrite
     "epoch_shard_plan",          # multi-epoch loader-order digests
+    "seasonal_baseline_deviation",  # hour-of-day median baselines
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -527,3 +527,76 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(dev).cast("bigint").alias("robust_bp"),
         F.when(dev >= _MAD_K_BP, "outlier").otherwise("normal").alias("band"),
     )
+
+
+_SEASONAL_BP = 25000  # |actual - baseline| >= 2.5x baseline-units
+
+
+@register(
+    "seasonal_baseline_deviation",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(hour(ts AT TIME ZONE 'UTC') AS BIGINT) AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, hod, quantile_cont(n, 0.5) AS baseline
+  FROM hourly GROUP BY event_type, hod
+)
+SELECT h.event_type, h.hour_us, h.hod, h.n, b.baseline,
+       CAST(FLOOR((h.n - b.baseline) * 10000.0 / GREATEST(b.baseline, 0.5))
+            AS BIGINT) AS dev_bp,
+       CASE WHEN ABS(h.n - b.baseline) * 10000.0 / GREATEST(b.baseline, 0.5)
+                 >= 25000
+            THEN 'anomalous' ELSE 'normal' END AS band
+FROM hourly h JOIN base b
+  ON h.event_type = b.event_type AND h.hod = b.hod
+""",
+    tags=("A8", "monitoring", "anomaly", "seasonal"),
+)
+def seasonal_baseline_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline anomaly detection: each hour's
+    event count scored against the MEDIAN count for that type at that
+    time of day across the whole history — a 3 AM spike that would
+    hide under a 24 h trailing mean (event_rate_anomaly) or a global
+    median (robust_outlier_mad) shows immediately against its own
+    diurnal baseline. The three detectors compose into the standard
+    ops triad: trend-local, distribution-global, and seasonal.
+
+    Determinism: hour-of-day is extracted UTC-pinned (`hour(ts AT
+    TIME ZONE 'UTC')` / session-independent `date_format` in Spark);
+    the baseline is the exact interpolated 0.5-quantile of integers
+    (binary halves — bit-stable), and the score is floor of one IEEE
+    division with the discrete-data GREATEST(baseline, 0.5) guard.
+
+    Scale: one map-side-combined hourly rollup over events; baselines
+    aggregate |types|·24 groups and broadcast back onto the rollup."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.date_format(F.to_utc_timestamp(F.col("ts"), "UTC"), "H")
+        .cast("bigint")
+        .alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.percentile("n", F.lit(0.5)).alias("baseline")
+    )
+    scored = hourly.join(F.broadcast(base), ["event_type", "hod"])
+    guard = F.greatest(F.col("baseline"), F.lit(0.5))
+    dev = (F.col("n") - F.col("baseline")) * 10000.0 / guard
+    return scored.select(
+        "event_type",
+        "hour_us",
+        "hod",
+        "n",
+        "baseline",
+        F.floor(dev).cast("bigint").alias("dev_bp"),
+        F.when(F.abs(F.col("n") - F.col("baseline")) * 10000.0 / guard
+               >= _SEASONAL_BP, "anomalous")
+        .otherwise("normal")
+        .alias("band"),
+    )
