@@ -1078,3 +1078,106 @@ def fuzzy_links_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("rank_gap"),
         )
     )
+
+
+@register(
+    "fuzzy_links_multipass",
+    oracle=f"""
+WITH r1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+),
+r2 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY reverse(c_name), c_custkey) AS rn
+  FROM customer
+),
+p1 AS (
+  SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+         a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         levenshtein(a.c_name, b.c_name) AS d
+  FROM r1 a JOIN r1 b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+  WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+),
+p2 AS (
+  SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+         LEAST(a.c_custkey, b.c_custkey) AS custkey_a,
+         GREATEST(a.c_custkey, b.c_custkey) AS custkey_b,
+         levenshtein(a.c_name, b.c_name) AS d
+  FROM r2 a JOIN r2 b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+  WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+)
+SELECT nationkey, segment, custkey_a, custkey_b,
+       CAST(MIN(d) AS BIGINT) AS name_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_passes
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+GROUP BY nationkey, segment, custkey_a, custkey_b
+""",
+    tags=("X1", "dedup", "entity_resolution"),
+)
+def fuzzy_links_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood linkage (the recall recovery
+    `fuzzy_links_sorted_neighborhood` points to): a SECOND pass sorts
+    each block by the REVERSED name, so records that differ early in
+    the string — far apart in forward sort order — become neighbors
+    when their suffixes agree. Pair sets from both passes union and
+    dedup; n_passes records which pairs needed the second ordering
+    (the recall a single sort order cannot see).
+
+    Scale: two window passes + two bounded explode-joins over the
+    same block partitioning — still O(|block|·w) per pass; passes are
+    independent scans, so they parallelize rather than compound. The
+    classic multi-key extension (Hernández & Stolfo run several
+    'sorting keys') falls out by adding passes."""
+
+    def one_pass(order_expr):
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
+        w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+            order_expr, "c_custkey"
+        )
+        ranked = c.withColumn("rn", F.row_number().over(w))
+        left = ranked.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("c_custkey").alias("ck_a"),
+            F.col("c_name").alias("name_a"),
+            F.explode(
+                F.sequence(F.col("rn") + 1, F.col("rn") + _SN_WINDOW)
+            ).alias("rn_b"),
+        )
+        right = ranked.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("c_custkey").alias("ck_b"),
+            F.col("c_name").alias("name_b"),
+            F.col("rn").alias("rn_b"),
+        )
+        d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+        return (
+            left.join(right, ["c_nationkey", "c_mktsegment", "rn_b"])
+            .filter(d <= _FUZZY_MAX_DIST)
+            .select(
+                F.col("c_nationkey").alias("nationkey"),
+                F.col("c_mktsegment").alias("segment"),
+                F.least(F.col("ck_a"), F.col("ck_b")).alias("custkey_a"),
+                F.greatest(F.col("ck_a"), F.col("ck_b")).alias("custkey_b"),
+                d.alias("d"),
+            )
+        )
+
+    both = one_pass(F.col("c_name")).unionAll(
+        one_pass(F.reverse(F.col("c_name")))
+    )
+    return both.groupBy("nationkey", "segment", "custkey_a", "custkey_b").agg(
+        F.min("d").cast("bigint").alias("name_dist"),
+        F.count(F.lit(1)).cast("bigint").alias("n_passes"),
+    )
