@@ -116,6 +116,9 @@ EXTRA = [
     "exact_substr_rewrite",      # duplicated-span removal rewrite
     "epoch_shard_plan",          # multi-epoch loader-order digests
     "seasonal_baseline_deviation",  # hour-of-day median baselines
+    "fuzzy_links_multipass",     # two-key sorted-neighborhood union
+    "equi_depth_histogram",      # NTILE decile boundaries
+    "numeric_corr_matrix",       # one-scan moment correlation matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -615,3 +615,156 @@ def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_heavy_type"
         )
     )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT value,
+         NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM ranked GROUP BY bucket
+""",
+    tags=("A5", "profiling", "percentile"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count with their
+    value boundaries) — the histogram form an optimizer's statistics
+    collector and a skew diagnostic actually want: fixed-width bins
+    (`histogram_cdf`) starve in the tail and overflow at the mode,
+    equi-depth puts the resolution where the data is. Bucket
+    boundaries double as exact decile cut points.
+
+    Determinism: NTILE over a fully tie-broken order (value,
+    event_id) assigns identical bucket membership on any engine;
+    outputs are counts and exact min/max per bucket.
+
+    Scale: the NTILE is the one global-ordering window — at 100 TB
+    the same report comes from the mergeable fixed-width bin table
+    (histogram_cdf) refined per-bucket, or approx_percentile cut
+    points + one bucketed aggregation; the equi-depth SHAPE (10 rows,
+    count + boundaries) is unchanged, which is what downstream
+    consumers contract on."""
+    ev = load(spark, sf_dir, "events").select("value", "event_id")
+    w = Window.orderBy("value", "event_id")
+    ranked = ev.select("value", F.ntile(10).over(w).alias("bucket"))
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
+    "numeric_corr_matrix",
+    oracle="""
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_extendedprice * 100 AS HUGEINT) AS p,
+         CAST(l_discount * 100 AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(p) AS HUGEINT) AS sp,
+         CAST(SUM(d) AS HUGEINT) AS sd,
+         CAST(SUM(q*q) AS HUGEINT) AS sqq, CAST(SUM(p*p) AS HUGEINT) AS spp,
+         CAST(SUM(d*d) AS HUGEINT) AS sdd,
+         CAST(SUM(q*p) AS HUGEINT) AS sqp, CAST(SUM(q*d) AS HUGEINT) AS sqd,
+         CAST(SUM(p*d) AS HUGEINT) AS spd
+  FROM c
+)
+SELECT pair, CAST(FLOOR(corr * 10000) AS BIGINT) AS corr_bp FROM (
+  SELECT 'quantity~price' AS pair,
+         (n*sqp - sq*sp) / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+                            * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS corr
+  FROM m
+  UNION ALL
+  SELECT 'quantity~discount',
+         (n*sqd - sq*sd) / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+                            * sqrt(CAST(n*sdd - sd*sd AS DOUBLE)))
+  FROM m
+  UNION ALL
+  SELECT 'price~discount',
+         (n*spd - sp*sd) / (sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+                            * sqrt(CAST(n*sdd - sd*sd AS DOUBLE)))
+  FROM m
+)
+""",
+    tags=("A6", "profiling", "corr"),
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns (quantity, extended price, discount) from ONE scan: all
+    nine moment sums accumulate in a single aggregate, then each
+    pair's correlation is closed-form from the moments — the
+    column-profiling step that finds redundant/derived columns before
+    feature selection, and the multi-column generalization of
+    `pattern_match_corr`'s moment trick.
+
+    Determinism: values are integer-exact (quantity as BIGINT, price
+    and discount in fixed-point cents); moment sums are exact DECIMAL
+    — the only floating arithmetic is the final (n·sxy − sx·sy) /
+    (√·√) on exactly-represented operands, every step correctly
+    rounded, reported as floored bp.
+
+    Scale: one map-side-combined scan producing a 1-row moment
+    vector; the matrix is |cols|² driver-side arithmetic on that row.
+    Adding a column adds moments, never a pass."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("p"),
+        (F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+        F.sum("p").cast("decimal(38,0)").alias("sp"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,0)").alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(38,0)").alias("spp"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("decimal(38,0)").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("decimal(38,0)").alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).cast("decimal(38,0)").alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        ) * F.sqrt(
+            (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        )
+        return num / den
+
+    rows = [
+        m.select(
+            F.lit("quantity~price").alias("pair"),
+            F.floor(corr("sqp", "sq", "sp", "sqq", "spp") * 10000)
+            .cast("bigint")
+            .alias("corr_bp"),
+        ),
+        m.select(
+            F.lit("quantity~discount").alias("pair"),
+            F.floor(corr("sqd", "sq", "sd", "sqq", "sdd") * 10000)
+            .cast("bigint")
+            .alias("corr_bp"),
+        ),
+        m.select(
+            F.lit("price~discount").alias("pair"),
+            F.floor(corr("spd", "sp", "sd", "spp", "sdd") * 10000)
+            .cast("bigint")
+            .alias("corr_bp"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
