@@ -119,6 +119,7 @@ EXTRA = [
     "fuzzy_links_multipass",     # two-key sorted-neighborhood union
     "equi_depth_histogram",      # NTILE decile boundaries
     "numeric_corr_matrix",       # one-scan moment correlation matrix
+    "trend_slope_by_type",       # integer-moment least-squares trend
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

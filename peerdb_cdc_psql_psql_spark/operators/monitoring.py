@@ -600,3 +600,89 @@ def seasonal_baseline_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("band"),
     )
+
+
+@register(
+    "trend_slope_by_type",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, n,
+         (hour_us - MIN(hour_us) OVER (PARTITION BY event_type))
+           // 3600000000 AS x
+  FROM hourly
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(n) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * n) AS BIGINT) AS sxy
+  FROM idx GROUP BY event_type
+)
+SELECT event_type,
+       cnt AS n_hours,
+       ((cnt * sxy - sx * sy) * 10000)
+            // (cnt * sxx - sx * sx) AS slope_bp_per_hour,
+       CASE WHEN (cnt * sxy - sx * sy) > 0 THEN 'rising'
+            WHEN (cnt * sxy - sx * sy) < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM m
+""",
+    tags=("W5", "monitoring", "trend"),
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend slope of the hourly event rate per type —
+    the proper regression generalizing the reference's first-third vs
+    last-third tercile comparison (monitoring.ps1:1133-1142, W5): one
+    number per type, events/hour of drift per hour, with a
+    rising/falling/flat call from the sign of the covariance.
+
+    Determinism: x is the integer hour index from each type's first
+    hour, y the integer count, so every moment is an exact integer
+    sum; the slope is one INTEGER floor-division of exact integers —
+    no regr_slope() float accumulation (whose result depends on input
+    order), no IEEE step at all.
+
+    Scale: the hourly rollup is the only events-sized stage
+    (map-side combined); moments fold in a second tiny aggregate over
+    |types|×|hours| rows sharing the rollup's exchange."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(hour_us - min(hour_us) OVER (PARTITION BY event_type)) div 3600000000"
+        ).alias("x"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("n").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("n")).cast("bigint").alias("sxy"),
+    )
+    cov = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        F.col("cnt").alias("n_hours"),
+        F.expr(
+            "((cnt*sxy - sx*sy) * 10000) div (cnt*sxx - sx*sx)"
+        ).alias("slope_bp_per_hour"),
+        F.when(cov > 0, "rising")
+        .when(cov < 0, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )
