@@ -669,3 +669,54 @@ def inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") * 20 >= F.col("cnt") * 19, F.col("gap_us"))
         ).alias("p95_gap_us"),
     )
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         AS next_purchase_us,
+       MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         - epoch_us(ts) AS us_to_purchase
+FROM events
+WHERE user_id < 50
+""",
+    tags=("asof", "temporal", "window"),
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every event, the timestamp of the
+    user's NEXT 'purchase' at-or-after it, and the microseconds until
+    it — the time-to-conversion metric, mirror image of
+    `asof_last_signup` (backward as-of). Same single-window
+    re-expression: a running conditional MIN over the FOLLOWING frame
+    replaces the naive forward range self-join.
+
+    Determinism: integer microsecond arithmetic over a fully
+    tie-broken (ts, event_id) order; events with no later purchase
+    yield NULL on both engines.
+
+    Scale: one hash shuffle on user_id, per-key state bounded by the
+    frame scan — identical cost profile to the backward form; at
+    100 TB both directions run in the SAME window pass if requested
+    together (shared partitioning and sort)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        nxt.alias("next_purchase_us"),
+        (nxt - F.unix_micros("ts")).alias("us_to_purchase"),
+    )
