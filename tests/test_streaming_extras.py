@@ -828,3 +828,59 @@ def test_read_psql_delimited_with_quarantine(spark, tmp_path):
     }
     assert bad.count() == 1
     assert "GARBAGE" in bad.collect()[0]["_corrupt"]
+
+
+def test_watermark_drops_late_rows_observably(spark, tmp_path):
+    """C10 observability: a row arriving for a window the watermark
+    already CLOSED AND EMITTED must be dropped (append mode cannot
+    re-emit), and the drop must be visible in
+    stateOperators.numRowsDroppedByWatermark — the metric an ops
+    dashboard alerts on (silent late-data loss is the CDC failure
+    mode the lag report cannot see). Rows late relative to the
+    watermark but for a STILL-OPEN window are accepted — the first
+    three batches pin that too."""
+    import datetime as dt
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 13, 0, 0)
+    event_dir = str(tmp_path / "wal")
+    arrivals = [
+        t0,                                      # opens window 13:00
+        t0 + dt.timedelta(hours=1),              # wm -> 12:59:30
+        t0 + dt.timedelta(hours=1, minutes=30),  # wm -> 13:59:30, emits 13:00
+        t0 + dt.timedelta(seconds=30),           # late for EMITTED 13:00
+    ]
+    for i, ts in enumerate(arrivals):
+        workload.append_events(
+            spark, [(i + 1, ts, "I", "orders", i + 1, None)], event_dir
+        )
+        time.sleep(1.1)  # distinct mtimes keep file->batch order stable
+    q = (
+        windowed_change_counts(
+            spark.readStream.schema(CDC_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_dir),
+            window="60 seconds",
+            watermark="30 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    # the emitted 13:00 window holds only the on-time row — the late
+    # duplicate neither re-emits the window nor inflates its count
+    got = {
+        r["window_start"]: r["n_changes"]
+        for r in spark.table("late_drop").collect()
+    }
+    assert got[t0] == 1
