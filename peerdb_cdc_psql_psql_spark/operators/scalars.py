@@ -333,3 +333,51 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("value"), F.lit(50.0)).alias("clamped_low"),
         F.greatest(F.col("value"), F.lit(50.0)).alias("clamped_high"),
     )
+
+
+@register(
+    "json_key_profile",
+    oracle="""
+WITH keys AS (
+  SELECT unnest(json_keys(props)) AS key, props
+  FROM events WHERE props IS NOT NULL
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT json_extract_string(props, '$.' || key))
+            AS BIGINT) AS n_distinct_values,
+       MIN(json_extract_string(props, '$.' || key)) AS min_value,
+       MAX(json_extract_string(props, '$.' || key)) AS max_value
+FROM keys GROUP BY key
+""",
+    tags=("json", "F19", "profiling"),
+)
+def json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the semi-structured props column: which
+    JSON keys exist, in how many rows, with how many distinct values
+    and what string range — the report that decides the explicit
+    `from_json` schema (one parse, many typed fields) a production
+    reader should pin instead of repeated path extraction. The F19
+    catalog-introspection idea applied INSIDE a payload column.
+
+    Determinism: key explosion + string min/max/exact distinct —
+    integers and strings only.
+
+    Scale: one scan exploding |keys-per-row| (small) rows; the
+    per-key aggregate is a word-count shape with map-side combine;
+    exact COUNT(DISTINCT) shuffles (key, value) pairs — values here
+    are short scalars (the payload stays unparsed past the scan)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    keys = ev.select(
+        "props", F.explode(F.json_object_keys(F.col("props"))).alias("key")
+    )
+    # the PySpark wrapper requires a literal path; the SQL form takes
+    # a computed one (per-row path re-parse — fine for profiling; a
+    # production reader pins from_json with the discovered schema)
+    val = F.expr("get_json_object(props, concat('$.', key))")
+    return keys.select("key", val.alias("v")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("v").cast("bigint").alias("n_distinct_values"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
