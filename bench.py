@@ -120,6 +120,8 @@ EXTRA = [
     "equi_depth_histogram",      # NTILE decile boundaries
     "numeric_corr_matrix",       # one-scan moment correlation matrix
     "trend_slope_by_type",       # integer-moment least-squares trend
+    "asof_next_purchase",        # forward as-of conversion latency
+    "json_key_profile",          # payload schema discovery
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
