@@ -122,6 +122,7 @@ EXTRA = [
     "trend_slope_by_type",       # integer-moment least-squares trend
     "asof_next_purchase",        # forward as-of conversion latency
     "json_key_profile",          # payload schema discovery
+    "customer_similarity_topk",  # basket-Jaccard neighbor search
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

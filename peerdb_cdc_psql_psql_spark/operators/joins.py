@@ -927,3 +927,98 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("volume"),
         )
     )
+
+
+_BASKET_SIM_DF_CAP = 200  # parts bought by more than this many customers block nothing
+_BASKET_SIM_TOP = 32
+
+
+@register(
+    "customer_similarity_topk",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+df AS (
+  SELECT partkey FROM baskets GROUP BY partkey
+  HAVING COUNT(*) <= {_BASKET_SIM_DF_CAP}
+),
+b2 AS (SELECT b.custkey, b.partkey FROM baskets b JOIN df USING (partkey)),
+sizes AS (SELECT custkey, COUNT(*) AS n FROM baskets GROUP BY custkey),
+pairs AS (
+  SELECT a.custkey AS cust_a, b.custkey AS cust_b, COUNT(*) AS shared
+  FROM b2 a JOIN b2 b ON a.partkey = b.partkey AND a.custkey < b.custkey
+  GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, shared,
+       CAST(shared * 10000 // (s1.n + s2.n - shared) AS BIGINT) AS jaccard_bp
+FROM pairs
+JOIN sizes s1 ON cust_a = s1.custkey
+JOIN sizes s2 ON cust_b = s2.custkey
+ORDER BY shared * 10000 // (s1.n + s2.n - shared) DESC, cust_a, cust_b
+LIMIT {_BASKET_SIM_TOP}
+""",
+    tags=("J3", "similarity", "basket"),
+)
+def customer_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level set-similarity join: the {_BASKET_SIM_TOP} most
+    similar customer pairs by Jaccard over their distinct purchased-
+    part sets — the collaborative-filtering neighbor search, and a
+    demonstration that the dedup pack's inverted-index blocking is
+    domain-agnostic (documents share shingles ↔ customers share
+    parts; `part_cooccurrence` is the item-side transpose).
+
+    Determinism: similarity in integer basis points via truncating
+    integer division (BIGINT // — Spark `div` semantics); the top-k
+    cut is fully tie-broken (score, cust_a, cust_b).
+
+    Scale: candidate pairs come ONLY from co-purchased parts (equi
+    join on partkey), never a customer cross join; the DF cap drops
+    ubiquitous parts that would produce k² candidate rows while
+    barely affecting Jaccard (the dedup stop-shingle guard, same
+    rationale). TakeOrderedAndProject keeps k rows per partition."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .persist()
+    )
+    df_ok = (
+        baskets.groupBy("partkey")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _BASKET_SIM_DF_CAP)
+        .select("partkey")
+    )
+    b2 = baskets.join(df_ok, "partkey")
+    sizes = baskets.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+    a = b2.select(F.col("custkey").alias("cust_a"), "partkey")
+    b = b2.select(F.col("custkey").alias("cust_b"), "partkey")
+    pairs = (
+        a.join(b, "partkey")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("custkey").alias("cust_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("custkey").alias("cust_b"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(s1, "cust_a")
+        .join(s2, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "shared",
+            F.expr("(shared * 10000) div (n_a + n_b - shared)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_bp"), F.asc("cust_a"), F.asc("cust_b")
+    ).limit(_BASKET_SIM_TOP)
