@@ -1181,3 +1181,62 @@ def fuzzy_links_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("bigint").alias("name_dist"),
         F.count(F.lit(1)).cast("bigint").alias("n_passes"),
     )
+
+
+def merge_new_edges(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    NEW similarity edges into an existing (doc_id, cluster_id = min)
+    labeling without re-clustering the corpus. The pair graph behind
+    a 100 TB near-dup index has billions of edges; an ingest batch
+    adds a few thousand — recomputing components per batch is the
+    O(corpus) mistake this avoids.
+
+    Algorithm (component contraction):
+      1. map each new edge endpoint to its CURRENT label (unknown
+         docs label themselves) — every existing component contracts
+         to a single node;
+      2. run `connected_components` on the contracted edge list —
+         whose size is O(|new_edges|), independent of corpus size;
+      3. remap: any old label merged into a smaller one rewrites all
+         its members in one broadcast-sized join; untouched
+         components keep their rows byte-identical.
+
+    Correctness: labels are component MINIMA, so the contracted
+    graph's minima are exactly the merged components' minima — the
+    output contract (`cluster_id = min doc_id`) is preserved, pinned
+    by the full-recompute equivalence test."""
+    la = labels.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("la"))
+    lb = labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lb"))
+    contracted = (
+        new_edges.join(la, "src", "left")
+        .join(lb, "dst", "left")
+        .select(
+            F.coalesce(F.col("la"), F.col("src")).alias("src"),
+            F.coalesce(F.col("lb"), F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if contracted.isEmpty():
+        return labels
+    # connected_components returns (doc_id, cluster_id); here doc_id
+    # is an OLD label (or a brand-new doc id) and cluster_id the
+    # merged component minimum — i.e. a (old_label -> new_label) map
+    remap = connected_components(contracted).select(
+        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("new_id")
+    )
+    relabeled = labels.join(remap, "cluster_id", "left").select(
+        "doc_id", F.coalesce(F.col("new_id"), F.col("cluster_id")).alias("cluster_id")
+    )
+    # docs seen only in new_edges (absent from labels) get their own row
+    known = labels.select("doc_id")
+    new_nodes = (
+        new_edges.select(F.col("src").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .join(known, "doc_id", "left_anti")
+    )
+    new_rows = new_nodes.join(
+        remap.select(F.col("cluster_id").alias("doc_id"), "new_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce(F.col("new_id"), F.col("doc_id")).alias("cluster_id"))
+    return relabeled.unionByName(new_rows)

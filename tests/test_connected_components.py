@@ -89,3 +89,44 @@ def test_matches_min_label_clusters_on_fixture_graph(spark):
     )
     want = sorted(tuple(r) for r in dedup_clusters(spark, SF).collect())
     assert got == want
+
+
+def test_merge_new_edges_equals_full_recompute(spark):
+    """Incremental cluster maintenance must equal clustering the full
+    edge set from scratch: merging components, absorbing brand-new
+    docs, and leaving untouched components byte-identical."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import merge_new_edges
+
+    rng = random.Random(11)
+    # base graph: three components {1..4}, {10,11}, {20,21,22} + isolate 30
+    base = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    base_df = spark.createDataFrame(base, "src long, dst long")
+    labels = connected_components(base_df).unionByName(
+        spark.createDataFrame([(30, 30)], "doc_id long, cluster_id long")
+    )
+    # new edges: merge {1..4} with {10,11}; attach new doc 40 to {20..};
+    # create a brand-new pair (50, 51); touch nothing else
+    new = [(4, 10), (40, 22), (50, 51)]
+    new_df = spark.createDataFrame(new, "src long, dst long")
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merge_new_edges(labels, new_df).collect()
+    }
+    full = connected_components(
+        base_df.unionByName(new_df)
+    ).unionByName(spark.createDataFrame([(30, 30)], "doc_id long, cluster_id long"))
+    want = {(r["doc_id"], r["cluster_id"]) for r in full.collect()}
+    assert got == want
+    # spot semantics: merged component labeled by global min 1;
+    # new doc 40 joins cluster 20; fresh pair labeled 50; isolate kept
+    d = dict(got)
+    assert d[10] == 1 and d[4] == 1 and d[40] == 20 and d[51] == 50 and d[30] == 30
+
+    # no-op batch: edges entirely inside one component change nothing
+    noop = spark.createDataFrame([(1, 3)], "src long, dst long")
+    again = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merge_new_edges(full, noop).collect()
+    }
+    assert again == want
