@@ -1,0 +1,191 @@
+"""Continuous NEAR-dup clustering: ingest micro-batches of documents
+and maintain a live (doc_id, cluster_id) near-duplicate labeling —
+the streaming composition of the batch pack's three incremental
+pieces: shingle-index admission (dedup_incremental_neardup's shape),
+exact per-pair Jaccard, and component-contraction label maintenance
+(operators/dedup.merge_new_edges).
+
+A 100 TB pipeline cannot re-cluster the corpus per ingest; per batch
+this does O(batch · posting overlap) candidate work and O(|new
+edges|) clustering work, independent of corpus size.
+
+State layout under ``out_root`` (log-structured, same posture as the
+fingerprint store / CDC target):
+
+- ``postings/``  append-only (doc_id, shingle) parquet — the corpus
+  inverted index (short string keys, never texts);
+- ``sizes/``     append-only (doc_id, n_shingles) — Jaccard
+  denominators;
+- ``labels/v_<batch>/`` full labeling snapshots + an atomic
+  ``_current`` pointer (readers never see a half-written snapshot;
+  crash between snapshot write and pointer swap replays the batch —
+  the snapshot recomputes idempotently from the same inputs, with
+  compact-on-read guards against the duplicated state appends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fs
+from ..functions.helpers import ngram_expr
+from ..operators.dedup import (
+    _JACCARD_T,
+    _MAX_SHINGLE_DF,
+    _SHINGLE_N,
+    merge_new_edges,
+)
+
+
+def _postings_dir(root: str) -> str:
+    return f"{root}/postings"
+
+
+def _sizes_dir(root: str) -> str:
+    return f"{root}/sizes"
+
+
+def _labels_pointer(root: str) -> str:
+    return f"{root}/labels/_current"
+
+
+def read_labels(spark: SparkSession, out_root: str) -> DataFrame | None:
+    """Current labeling snapshot, or None before the first batch."""
+    ptr = fs.read_text(spark, _labels_pointer(out_root))
+    if not ptr:
+        return None
+    return spark.read.parquet(f"{out_root}/labels/{ptr.strip()}")
+
+
+def _batch_shingles(batch_df: DataFrame) -> DataFrame:
+    toks = batch_df.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tok")
+    ).filter(F.size("tok") >= _SHINGLE_N)
+    return toks.select(
+        "doc_id", F.explode(ngram_expr("tok", _SHINGLE_N)).alias("shingle")
+    ).distinct()
+
+
+def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
+    """foreachBatch body. Candidate pairs = batch docs sharing a
+    (DF-capped) shingle with the batch itself or with the existing
+    postings; exact Jaccard over persisted sizes; labels folded via
+    component contraction."""
+    spark = batch_df.sparkSession
+    sh_new = _batch_shingles(batch_df).persist()
+    post_dir, size_dir = _postings_dir(out_root), _sizes_dir(out_root)
+    have_store = fs.exists(spark, post_dir) and fs.list_files(
+        spark, post_dir, suffix=".parquet"
+    )
+    batch_ids = sh_new.select("doc_id").distinct()
+    # Compact-on-read + batch exclusion: crash replay re-appends the
+    # batch's postings/sizes; DISTINCT collapses the duplicate rows
+    # (a duplicated posting would double `shared` and corrupt
+    # Jaccard), and anti-joining the batch's own ids keeps the two
+    # candidate sides DISJOINT even when a replayed batch's docs are
+    # already in the store.
+    sh_old = (
+        spark.read.parquet(post_dir)
+        .distinct()
+        .join(batch_ids, "doc_id", "left_anti")
+        if have_store
+        else sh_new.filter(F.lit(False))
+    )
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes_all = (
+        spark.read.parquet(size_dir)
+        .unionByName(sizes_new)
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n"))
+        if have_store
+        else sizes_new
+    )
+    # DF cap over the union (store + batch): a shingle already hot in
+    # the corpus blocks nothing for the arriving batch either.
+    df_all = (
+        sh_new.unionByName(sh_old)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    a = sh_new.join(df_all, "shingle").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    b_batch = sh_new.join(df_all, "shingle").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    b_store = sh_old.join(df_all, "shingle").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    # within-batch pairs exactly once (doc_a < doc_b); batch-vs-store
+    # pairs exactly once (the sides are disjoint by construction) —
+    # a single both-orientations join would count in-batch shared
+    # shingles twice and inflate their Jaccard.
+    within = a.join(b_batch, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    cross = a.join(b_store, "shingle")
+    pairs = (
+        within.unionByName(cross)
+        .select(
+            F.least("doc_a", "doc_b").alias("src"),
+            F.greatest("doc_a", "doc_b").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes_all.select(F.col("doc_id").alias("src"), F.col("n").alias("n_a"))
+    sb = sizes_all.select(F.col("doc_id").alias("dst"), F.col("n").alias("n_b"))
+    jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    edges = (
+        pairs.join(sa, "src")
+        .join(sb, "dst")
+        .filter(jac >= _JACCARD_T)
+        .select("src", "dst")
+    )
+    prev = read_labels(spark, out_root)
+    if prev is None:
+        prev = sizes_new.select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        ).filter(F.lit(False))
+    # every arriving doc gets a row even if edge-free
+    fresh_nodes = (
+        sizes_new.select("doc_id")
+        .join(prev.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    labels = merge_new_edges(prev.unionByName(fresh_nodes), edges)
+    snap = f"v_{batch_id:08d}"
+    labels.write.mode("overwrite").parquet(f"{out_root}/labels/{snap}")
+    # state appends land BEFORE the pointer swap: a crash between them
+    # replays the batch against duplicated appends, which the
+    # compact-on-read guards above neutralize; the snapshot rewrite
+    # is idempotent.
+    sh_new.write.mode("append").parquet(post_dir)
+    sizes_new.write.mode("append").parquet(size_dir)
+    fs.write_text_atomic(spark, _labels_pointer(out_root), snap)
+    sh_new.unpersist()
+
+
+def start_neardup_clustering(
+    spark: SparkSession,
+    source_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema: str | None = None,
+    trigger: dict | None = None,
+):
+    """Start the continuous near-dup clustering stream and return the
+    StreamingQuery. After each micro-batch, ``read_labels`` serves
+    the complete current labeling (cluster_id = min doc_id of the
+    near-dup component, the batch pack's contract)."""
+    if schema is None:
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.queryName("neardup-clustering")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: _cluster_batch(df, out_root, bid))
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -884,3 +884,68 @@ def test_watermark_drops_late_rows_observably(spark, tmp_path):
         for r in spark.table("late_drop").collect()
     }
     assert got[t0] == 1
+
+
+def test_neardup_clustering_stream_matches_batch(spark, tmp_path):
+    """Continuous near-dup clustering: cross-batch near-duplicates
+    merge into one component as batches arrive, and the final
+    labeling equals clustering the full corpus in one batch pass."""
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs_by_batch = [
+        [(1, w), (6, "kilo lima mike november oscar papa quebec romeo sierra tango")],
+        [(2, w), (3, "uni vic whiskey xray yankee zulu one two three four"),
+         (4, "uni vic whiskey xray yankee zulu one two three four")],
+        [(5, w), (7, "five six seven eight nine ten eleven twelve thirteen axe")],
+    ]
+    src = str(tmp_path / "ingest")
+    root = str(tmp_path / "state")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for i, batch in enumerate(docs_by_batch):
+        rows = [(d, t, "en", "s0", len(t)) for d, t in batch]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = start_neardup_clustering(
+            spark, src, root, str(tmp_path / "ckpt")
+        )
+        _drain(q)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in read_labels(spark, root).collect()}
+    # chain {1,2,5} labeled by min 1; within-batch pair {3,4} by 3;
+    # isolates self-labeled
+    assert got == {1: 1, 2: 1, 5: 1, 3: 3, 4: 3, 6: 6, 7: 7}, got
+
+    # batch truth over the full corpus: same pair rule, one pass
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F2
+
+    all_rows = [
+        (d, t, "en", "s0", len(t)) for b in docs_by_batch for d, t in b
+    ]
+    docs = spark.createDataFrame(all_rows, schema)
+    from peerdb_cdc_psql_psql_spark.functions.helpers import ngram_expr
+
+    sh = (
+        docs.select("doc_id", F2.split("text", " ").alias("tok"))
+        .filter(F2.size("tok") >= 3)
+        .select("doc_id", F2.explode(ngram_expr("tok", 3)).alias("shingle"))
+        .distinct()
+    )
+    pairs = jaccard_pairs(sh).select(
+        F2.col("doc_a").alias("src"), F2.col("doc_b").alias("dst")
+    )
+    clustered = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    for d, c in clustered.items():
+        assert got[d] == c, (d, c, got)
