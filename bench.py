@@ -277,6 +277,42 @@ def bench_stream_dedup(spark) -> tuple[float, int, int]:
     return dt, total, uniq
 
 
+def bench_stream_neardup(spark, n_docs: int = 1500) -> tuple[float, int, int]:
+    """Continuous near-dup CLUSTERING throughput: the first `n_docs`
+    of the sf corpus striped into 3 micro-batches, drained through the
+    postings-admission + Jaccard-edge + label-fold pipeline
+    (streaming/neardup_stream.py). Returns (seconds, docs, clusters
+    with >1 member in the final labeling)."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < n_docs
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/ingest", f"{tmp}/state", f"{tmp}/ckpt"
+        third = n_docs // 3
+        for i in range(3):
+            docs.filter(
+                (F.col("doc_id") >= i * third)
+                & (F.col("doc_id") < (i + 1) * third)
+            ).coalesce(4).write.mode("append").parquet(src)
+        t0 = time.perf_counter()
+        q = start_neardup_clustering(spark, src, out, ckpt)
+        q.awaitTermination(timeout=600)
+        labels = read_labels(spark, out)
+        n_labeled = labels.count()
+        n_clusters = (
+            labels.groupBy("cluster_id").count().filter("count > 1").count()
+        )
+        dt = time.perf_counter() - t0
+    return dt, n_labeled, n_clusters
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -331,6 +367,10 @@ def main() -> None:
         (bench_stream_dedup(spark) for _ in range(2)), key=lambda t: t[0]
     )
 
+    nd_sec, nd_docs, nd_clusters = min(
+        (bench_stream_neardup(spark) for _ in range(2)), key=lambda t: t[0]
+    )
+
     # insert.ps1's own benchmark at its default scenario (5000 records,
     # batch 500 — README.md:124-126), unthrottled: directly comparable
     # to BASELINE.md's 1.04 ops/s sample run.
@@ -359,6 +399,10 @@ def main() -> None:
         "stream_dedup_unique": sd_uniq,
         "stream_dedup_seconds": round(sd_sec, 3),
         "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
+        "stream_neardup_docs": nd_docs,
+        "stream_neardup_clusters": nd_clusters,
+        "stream_neardup_seconds": round(nd_sec, 3),
+        "stream_neardup_docs_per_sec": round(nd_docs / nd_sec, 1),
         # Pinned manifest (VERDICT r3 #8): which workloads ran, in what
         # order, with what aggregation — keeps cross-round numbers
         # comparable (r1's 129 ops/s vs r3's 95 was bench composition,
@@ -371,6 +415,8 @@ def main() -> None:
             {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
              "passes": 2, "agg": "min"},
             {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
+             "passes": 2, "agg": "min"},
+            {"name": "stream_neardup", "batches": 3, "docs": 1500,
              "passes": 2, "agg": "min"},
             {"name": "insert_stress", "records": 5000, "batch_size": 500,
              "order": "after stream_dedup"},
