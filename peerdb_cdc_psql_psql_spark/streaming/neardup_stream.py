@@ -189,3 +189,47 @@ def start_neardup_clustering(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+_GC_PENDING = "_gc_pending"
+
+
+def compact_postings(spark: SparkSession, out_root: str) -> int:
+    """Fold the postings store's per-batch files (one small parquet
+    per micro-batch) into a consolidated generation — the same
+    deferred-GC discipline as ``compact_fingerprint_store``: the
+    snapshotted files are deleted one compaction LATE via a
+    ``_gc_pending`` manifest, so a concurrent micro-batch that listed
+    them keeps a full compaction interval of read grace. DISTINCT in
+    the consolidation collapses any crash-replay duplicate rows for
+    good (until then the per-batch compact-on-read guard handles
+    them). Returns the number of files folded."""
+    store = _postings_dir(out_root)
+    pending = f"{store}/{_GC_PENDING}"
+    fs.sweep_gc_manifest(spark, pending)
+    snapshot = fs.list_files(spark, store, suffix=".parquet")
+    if len(snapshot) <= 1:
+        return 0
+    import json as _json
+
+    consolidated = (
+        spark.read.parquet(*snapshot).distinct().repartition(F.col("shingle"))
+    )
+    consolidated.write.mode("append").parquet(store)
+    fs.write_text_atomic(spark, pending, _json.dumps(snapshot))
+    return len(snapshot)
+
+
+def vacuum_labels(spark: SparkSession, out_root: str, keep: int = 2) -> int:
+    """Delete labeling snapshots older than the newest `keep`
+    (excluding, always, the one the ``_current`` pointer names) — a
+    long-running clustering stream otherwise accumulates one full
+    corpus labeling per micro-batch. Returns snapshots removed."""
+    current = (fs.read_text(spark, _labels_pointer(out_root)) or "").strip()
+    vers = sorted(
+        d for d in fs.list_dirs(spark, f"{out_root}/labels", prefix="v_")
+    )
+    victims = [v for v in vers[:-keep] if v != current] if len(vers) > keep else []
+    for v in victims:
+        fs.delete(spark, f"{out_root}/labels/{v}")
+    return len(victims)

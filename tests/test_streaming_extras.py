@@ -949,3 +949,45 @@ def test_neardup_clustering_stream_matches_batch(spark, tmp_path):
     }
     for d, c in clustered.items():
         assert got[d] == c, (d, c, got)
+
+
+def test_neardup_state_maintenance(spark, tmp_path):
+    """Postings compaction folds per-batch files without changing
+    labels produced by later batches; label vacuum keeps the pointer
+    target and the newest snapshots only."""
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        _labels_pointer,
+        _postings_dir,
+        compact_postings,
+        read_labels,
+        start_neardup_clustering,
+        vacuum_labels,
+    )
+    from peerdb_cdc_psql_psql_spark import fs as _fs
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    src, root = str(tmp_path / "in"), str(tmp_path / "st")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for i, batch in enumerate([[(1, w)], [(2, "k l m n o p q r s t")], [(3, w)]]):
+        rows = [(d, t, "en", "s", len(t)) for d, t in batch]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        if i == 2:
+            # compact before the last batch: the folded store must
+            # serve the batch-vs-store join identically
+            folded = compact_postings(spark, root)
+            assert folded >= 2
+        q = start_neardup_clustering(spark, src, root, str(tmp_path / "ck"))
+        _drain(q)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in read_labels(spark, root).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}, got  # doc 3 matched doc 1 via compacted store
+
+    # second compaction sweeps the pending manifest from the first
+    compact_postings(spark, root)
+    assert _fs.list_files(spark, _postings_dir(root), suffix=".parquet")
+
+    removed = vacuum_labels(spark, root, keep=1)
+    assert removed >= 1
+    ptr = _fs.read_text(spark, _labels_pointer(root)).strip()
+    assert _fs.exists(spark, f"{root}/labels/{ptr}")
+    assert {r["doc_id"] for r in read_labels(spark, root).collect()} == {1, 2, 3}
