@@ -123,6 +123,7 @@ EXTRA = [
     "asof_next_purchase",        # forward as-of conversion latency
     "json_key_profile",          # payload schema discovery
     "customer_similarity_topk",  # basket-Jaccard neighbor search
+    "jaccard_threshold_sweep",   # near-dup threshold tuning bands
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -1240,3 +1240,79 @@ def merge_new_edges(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
         remap.select(F.col("cluster_id").alias("doc_id"), "new_id"), "doc_id", "left"
     ).select("doc_id", F.coalesce(F.col("new_id"), F.col("doc_id")).alias("cluster_id"))
     return relabeled.unionByName(new_rows)
+
+
+@register(
+    "jaccard_threshold_sweep",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT (shared * 20) // (s1.n + s2.n - shared) AS band20
+  FROM cand
+  JOIN sizes s1 ON doc_a = s1.doc_id
+  JOIN sizes s2 ON doc_b = s2.doc_id
+)
+SELECT CAST(band20 * 5 AS BIGINT) AS jaccard_band_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored
+WHERE band20 >= 10
+GROUP BY band20
+""",
+    tags=("X2", "dedup", "tuning"),
+    eager_build=True,  # reads the shared bucketed shingle index
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity report: candidate-pair counts
+    per 5%-wide Jaccard band (from 50% up) — the tuning table that
+    justifies (or indicts) the production threshold before a corpus-
+    wide dedup run. A cliff right at the chosen T means the cut is
+    unstable; a deep valley below it means T can tighten for free.
+
+    Determinism: the band is a truncating integer division
+    ((shared·20) // union — Spark `div` == DuckDB `//` on BIGINT),
+    so band membership can never float across engines.
+
+    Scale: identical candidate plan to `dedup_ngram_jaccard` (shared
+    bucketed index, DF cap) — only the final filter becomes a banded
+    aggregate of a handful of rows; the sweep costs the same one pass
+    the single-threshold report already pays."""
+    sh = shingle_index(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh2 = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    band = F.expr("(shared * 20) div (n_a + n_b - shared)")
+    return (
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select(band.alias("band20"))
+        .filter(F.col("band20") >= 10)
+        .groupBy("band20")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            (F.col("band20") * 5).cast("bigint").alias("jaccard_band_pct"),
+            "n_pairs",
+        )
+    )
