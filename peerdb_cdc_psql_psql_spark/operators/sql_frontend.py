@@ -169,3 +169,126 @@ def register_query_views(
         q.fn(spark, sf_dir).createOrReplaceTempView(f"{prefix}{name}")
         names.append(f"{prefix}{name}")
     return names
+
+
+_MIRROR_DDL_HELP = """supported:
+  CREATE MIRROR <name> WITH TABLE MAPPING (src:tgt[, ...])
+      [WITH (key = value, ...)]   -- soft_delete, sync_interval,
+                                  -- key_column, snapshot_parallelism
+  DROP MIRROR [IF EXISTS] <name>
+  PAUSE MIRROR <name>
+  SHOW MIRRORS [LIKE '<pattern>']"""
+
+
+# Mirrors created through the DDL surface, by name — DROP needs the
+# table mapping back to locate target dirs (drop_mirror takes the
+# Mirror spec, mirroring the API surface).
+_DDL_MIRRORS: dict = {}
+
+
+def execute_mirror_command(
+    spark: SparkSession,
+    sql: str,
+    *,
+    schemas: dict | None = None,
+    event_dir: str | None = None,
+    target_root: str | None = None,
+    checkpoint_root: str | None = None,
+    trigger: dict | None = None,
+):
+    """PeerDB-dialect mirror DDL over the engine's Mirror API — the
+    SQL surface the reference's peerdb-server speaks on :9900
+    (docker-compose.yml:155-170; `CREATE MIRROR ... WITH TABLE
+    MAPPING` is PeerDB's documented mirror DDL). No network server
+    (SURVEY-sanctioned non-goal) — this is the dialect handler a wire
+    frontend would dispatch to, callable today from any Python/SQL
+    client embedding the engine.
+
+    Returns: a StreamingQuery for CREATE, bool for DROP/PAUSE, and a
+    DataFrame for SHOW. Raises ValueError on syntax errors with the
+    supported grammar in the message."""
+    import re
+
+    from ..streaming.cdc import (
+        Mirror,
+        TableMapping,
+        drop_mirror,
+        list_mirrors,
+        start_mirror,
+        stop_mirror,
+    )
+
+    s = sql.strip().rstrip(";").strip()
+
+    m = re.match(
+        r"CREATE\s+MIRROR\s+(\w+)\s+WITH\s+TABLE\s+MAPPING\s*\(([^)]*)\)"
+        r"(?:\s+WITH\s*\((.*)\))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        if not (schemas and event_dir and target_root and checkpoint_root):
+            raise ValueError(
+                "CREATE MIRROR needs schemas/event_dir/target_root/checkpoint_root"
+            )
+        name, mapping_raw, opts_raw = m.group(1), m.group(2), m.group(3) or ""
+        opts = {}
+        for part in filter(None, (p.strip() for p in opts_raw.split(","))):
+            k, _, v = part.partition("=")
+            opts[k.strip().lower()] = v.strip().strip("'\"")
+        tables = {}
+        for pair in filter(None, (p.strip() for p in mapping_raw.split(","))):
+            src, _, tgt = pair.partition(":")
+            src, tgt = src.strip(), (tgt.strip() or src.strip())
+            if src not in schemas:
+                raise ValueError(f"unknown source table {src!r} in TABLE MAPPING")
+            tables[src] = TableMapping(
+                source_table=src,
+                target_table=tgt,
+                schema=schemas[src],
+                key_column=opts.get("key_column", "id"),
+            )
+        if not tables:
+            raise ValueError("empty TABLE MAPPING\n" + _MIRROR_DDL_HELP)
+        mirror = Mirror(
+            name=name,
+            tables=tables,
+            soft_delete=opts.get("soft_delete", "true").lower() != "false",
+            sync_interval=opts.get("sync_interval", "10 seconds"),
+            snapshot_parallelism=int(opts.get("snapshot_parallelism", "4")),
+        )
+        _DDL_MIRRORS[name] = mirror
+        return start_mirror(
+            spark,
+            mirror,
+            event_dir,
+            target_root,
+            f"{checkpoint_root}/{name}",
+            trigger=trigger,
+        )
+
+    m = re.match(r"DROP\s+MIRROR\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE)
+    if m:
+        if not (target_root and checkpoint_root):
+            raise ValueError("DROP MIRROR needs target_root/checkpoint_root")
+        if_exists, name = bool(m.group(1)), m.group(2)
+        mirror = _DDL_MIRRORS.pop(name, None)
+        if mirror is None:
+            if if_exists:
+                return False
+            raise ValueError(f"unknown mirror {name!r} (not created via DDL)")
+        drop_mirror(
+            spark, mirror, target_root,
+            checkpoint_dir=f"{checkpoint_root}/{name}",
+        )
+        return True
+
+    m = re.match(r"PAUSE\s+MIRROR\s+(\w+)\s*$", s, re.IGNORECASE)
+    if m:
+        return stop_mirror(spark, m.group(1))
+
+    m = re.match(r"SHOW\s+MIRRORS(?:\s+LIKE\s+'([^']*)')?\s*$", s, re.IGNORECASE)
+    if m:
+        return list_mirrors(spark, m.group(1))
+
+    raise ValueError(f"unrecognized mirror command: {sql!r}\n" + _MIRROR_DDL_HELP)

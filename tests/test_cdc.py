@@ -872,3 +872,65 @@ def test_time_travel_extreme_cutoffs(spark, sf_dir):
     assert kinds == {"CREATED"}
     n_keys = cdc_merged_state(spark, sf_dir).count()
     assert early.count() == n_keys
+
+
+def test_mirror_ddl_dialect_end_to_end(spark, tmp_path):
+    """The PeerDB-dialect SQL surface (CREATE/SHOW/PAUSE/DROP MIRROR)
+    drives the same Mirror API: CREATE replicates events into the
+    renamed target, SHOW lists by pattern, DROP removes targets and
+    checkpoint, and syntax errors carry the grammar."""
+    import pytest as _pytest
+
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import (
+        execute_mirror_command,
+    )
+
+    event_dir = str(tmp_path / "wal")
+    target_root = str(tmp_path / "tgt")
+    ckpt_root = str(tmp_path / "ckpt")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    workload.append_events(
+        spark,
+        [
+            (1, t0, "I", "orders", 1, '{"id": 1, "quantity": 5}'),
+            (2, t0, "I", "orders", 2, '{"id": 2, "quantity": 7}'),
+            (3, t0, "U", "orders", 1, '{"id": 1, "quantity": 9}'),
+        ],
+        event_dir,
+    )
+    ctx = dict(
+        schemas=DEMO_SCHEMAS,
+        event_dir=event_dir,
+        target_root=target_root,
+        checkpoint_root=ckpt_root,
+        trigger={"availableNow": True},
+    )
+    q = execute_mirror_command(
+        spark,
+        "CREATE MIRROR sqlddl WITH TABLE MAPPING (orders:orders_cdc) "
+        "WITH (soft_delete = true, key_column = 'id');",
+        **ctx,
+    )
+    q.awaitTermination(timeout=120)
+
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import _DDL_MIRRORS
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import read_target
+
+    got = {r["id"]: r["quantity"] for r in read_target(
+        spark, _DDL_MIRRORS["sqlddl"], "orders", target_root
+    ).collect()}
+    assert got == {1: 9, 2: 7}  # last-write-wins applied via SQL DDL
+
+    shown = execute_mirror_command(spark, "SHOW MIRRORS LIKE 'sql'")
+    assert shown.columns[0] == "mirror_name"  # listable (drained=inactive)
+
+    assert execute_mirror_command(spark, "DROP MIRROR sqlddl", **ctx) is True
+    from peerdb_cdc_psql_psql_spark import fs as _fs
+
+    assert not _fs.exists(spark, f"{target_root}/orders_cdc")
+    assert execute_mirror_command(spark, "DROP MIRROR IF EXISTS sqlddl", **ctx) is False
+
+    with _pytest.raises(ValueError, match="TABLE MAPPING"):
+        execute_mirror_command(spark, "CREATE MIRROR broken", **ctx)
