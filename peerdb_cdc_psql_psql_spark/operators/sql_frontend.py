@@ -177,6 +177,7 @@ _MIRROR_DDL_HELP = """supported:
                                   -- key_column, snapshot_parallelism
   DROP MIRROR [IF EXISTS] <name>
   PAUSE MIRROR <name>
+  RESUME MIRROR <name>
   SHOW MIRRORS [LIKE '<pattern>']"""
 
 
@@ -286,6 +287,21 @@ def execute_mirror_command(
     m = re.match(r"PAUSE\s+MIRROR\s+(\w+)\s*$", s, re.IGNORECASE)
     if m:
         return stop_mirror(spark, m.group(1))
+
+    m = re.match(r"RESUME\s+MIRROR\s+(\w+)\s*$", s, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        mirror = _DDL_MIRRORS.get(name)
+        if mirror is None:
+            raise ValueError(f"unknown mirror {name!r} (not created via DDL)")
+        if not (event_dir and target_root and checkpoint_root):
+            raise ValueError("RESUME MIRROR needs event_dir/target_root/checkpoint_root")
+        # same checkpoint dir => Structured Streaming resumes exactly
+        # where PAUSE left off (the reference's pause/resume toggle)
+        return start_mirror(
+            spark, mirror, event_dir, target_root,
+            f"{checkpoint_root}/{name}", trigger=trigger,
+        )
 
     m = re.match(r"SHOW\s+MIRRORS(?:\s+LIKE\s+'([^']*)')?\s*$", s, re.IGNORECASE)
     if m:

@@ -926,6 +926,18 @@ def test_mirror_ddl_dialect_end_to_end(spark, tmp_path):
     shown = execute_mirror_command(spark, "SHOW MIRRORS LIKE 'sql'")
     assert shown.columns[0] == "mirror_name"  # listable (drained=inactive)
 
+    # RESUME picks up from the same checkpoint: a new event lands
+    # after the drained CREATE, resume applies ONLY the delta
+    workload.append_events(
+        spark, [(4, t0, "U", "orders", 2, '{"id": 2, "quantity": 11}')], event_dir
+    )
+    q2 = execute_mirror_command(spark, "RESUME MIRROR sqlddl", **ctx)
+    q2.awaitTermination(timeout=120)
+    got = {r["id"]: r["quantity"] for r in read_target(
+        spark, _DDL_MIRRORS["sqlddl"], "orders", target_root
+    ).collect()}
+    assert got == {1: 9, 2: 11}
+
     assert execute_mirror_command(spark, "DROP MIRROR sqlddl", **ctx) is True
     from peerdb_cdc_psql_psql_spark import fs as _fs
 
