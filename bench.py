@@ -124,6 +124,7 @@ EXTRA = [
     "json_key_profile",          # payload schema discovery
     "customer_similarity_topk",  # basket-Jaccard neighbor search
     "jaccard_threshold_sweep",   # near-dup threshold tuning bands
+    "noop_update_detect",        # null-safe ghost-update filter
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

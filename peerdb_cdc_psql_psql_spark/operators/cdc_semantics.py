@@ -244,3 +244,52 @@ def time_travel_diff(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame
             F.col("v").alias("current_value"),
         )
     )
+
+
+@register(
+    "noop_update_detect",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         props IS NOT DISTINCT FROM LAG(props)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS same_props,
+         LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           IS NOT NULL OR props IS NOT NULL AS any_value
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE same_props) AS BIGINT) AS n_noop,
+       CAST(FLOOR(COUNT(*) FILTER (WHERE same_props) * 10000.0 / COUNT(*))
+            AS BIGINT) AS noop_bp
+FROM seq GROUP BY event_type
+""",
+    tags=("C1", "cdc", "null_safe"),
+)
+def noop_update_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-op change detection with NULL-SAFE equality: per user, an
+    event whose payload IS NOT DISTINCT FROM the previous one (both
+    NULL counts as equal — plain `=` returns NULL there and silently
+    drops the case) is a no-op — the CDC filter that keeps ghost
+    updates out of the merge and the WAL. Pins the one comparison
+    semantic (`<=>` / IS NOT DISTINCT FROM) the relational pack
+    hadn't: every other predicate family treats NULL as unknown.
+
+    Scale: one lag window per user partition over (type, payload)
+    columns; the rollup rides the same shuffle's output. At 100 TB
+    the same expression runs inside the foreachBatch merge as a
+    pre-filter (events dropped before they shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.col("props").eqNullSafe(F.lag("props").over(w)).alias("same_props"),
+    )
+    noop = F.count(F.when(F.col("same_props"), 1))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        noop.cast("bigint").alias("n_noop"),
+        F.floor(noop * 10000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("noop_bp"),
+    )
