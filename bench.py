@@ -125,6 +125,8 @@ EXTRA = [
     "customer_similarity_topk",  # basket-Jaccard neighbor search
     "jaccard_threshold_sweep",   # near-dup threshold tuning bands
     "noop_update_detect",        # null-safe ghost-update filter
+    "monthly_revenue_growth",    # calendar-grain MoM KPI
+    "event_transition_matrix",   # first-order Markov estimation
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

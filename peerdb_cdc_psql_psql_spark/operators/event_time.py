@@ -580,3 +580,68 @@ def channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("view_ahead")
         .alias("leader"),
     ).orderBy("day_us")
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT month_us, rev_cents,
+         LAG(rev_cents) OVER (ORDER BY month_us) AS prev_cents
+  FROM monthly
+)
+SELECT month_us, rev_cents, prev_cents,
+       CASE WHEN prev_cents IS NULL THEN NULL
+            ELSE ((rev_cents - prev_cents) * 10000) // prev_cents END
+         AS growth_bp
+FROM w
+""",
+    tags=("A6", "event_time", "growth"),
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: calendar-month revenue in
+    exact integer cents with the MoM delta in truncating-integer
+    basis points — the KPI report shape (calendar grain + growth
+    rate) the hourly/daily rollups don't cover.
+
+    Determinism: revenue accumulates as integer cents via
+    FLOOR(price·100) — floor, not cast (engines disagree on
+    double→BIGINT cast rounding; floor of the same IEEE double is
+    identical everywhere); growth is one truncating integer division (Spark `div` ==
+    DuckDB `//`), NULL for the first month on both engines.
+
+    Scale: the orders-sized stage is the map-side-combined monthly
+    rollup; the lag window runs over |months| rows — the
+    calendar-bounded-window discipline (cumulative_unique_users)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_us"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month_us")
+    out = monthly.select(
+        "month_us",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+    )
+    return out.select(
+        "month_us",
+        "rev_cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents").isNotNull(),
+            F.expr("((rev_cents - prev_cents) * 10000) div prev_cents"),
+        ).alias("growth_bp"),
+    )

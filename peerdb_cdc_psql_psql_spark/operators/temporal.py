@@ -720,3 +720,56 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("next_purchase_us"),
         (nxt - F.unix_micros("ts")).alias("us_to_purchase"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+t AS (SELECT from_type, to_type FROM seq WHERE from_type IS NOT NULL),
+tot AS (SELECT from_type, COUNT(*) AS n_from FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 10000 // MIN(tot.n_from) AS BIGINT) AS p_bp
+FROM t JOIN tot ON t.from_type = tot.from_type
+GROUP BY t.from_type, t.to_type
+""",
+    tags=("temporal", "markov", "W5"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    sequence: counts and truncating-bp probabilities of each
+    (from_type → to_type) step — the behavioral model behind
+    next-action prediction and anomalous-flow detection, and the
+    unordered complement of `funnel_analysis` (which pins ONE
+    expected sequence; this estimates ALL observed ones).
+
+    Determinism: transitions come from a fully tie-broken (ts,
+    event_id) per-user lag; probabilities are truncating integer
+    divisions of exact counts.
+
+    Scale: one user-keyed lag window shuffling (user, type) pairs,
+    then a |types|²-bounded matrix aggregate with map-side combine;
+    the row-marginal join back is |types| rows broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    tot = t.groupBy("from_type").agg(F.count(F.lit(1)).alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(count(1) * 10000 div min(n_from) AS BIGINT)").alias(
+                "p_bp"
+            ),
+        )
+    )
