@@ -127,6 +127,7 @@ EXTRA = [
     "noop_update_detect",        # null-safe ghost-update filter
     "monthly_revenue_growth",    # calendar-grain MoM KPI
     "event_transition_matrix",   # first-order Markov estimation
+    "cosine_threshold_sweep",    # embedding-dedup tuning bands
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

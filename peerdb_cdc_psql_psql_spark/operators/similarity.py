@@ -796,3 +796,54 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="label int, n_vectors bigint, dim int, "
         "top_eig_share_bp bigint, mean_norm_micro bigint",
     )
+
+
+@register(
+    "cosine_threshold_sweep",
+    oracle=f"""
+SELECT CAST(FLOOR({_COS_SQL.format(a="a.embedding", b="b.embedding")} * 20)
+            * 5 AS BIGINT) AS cosine_band_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.3
+GROUP BY 1
+""",
+    tags=("X3", "similarity", "tuning"),
+)
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup threshold sensitivity: label-blocked pair
+    counts per 5%-wide cosine band (from 30% up) — the tuning table
+    for `dedup_embedding_survivors`' cut, the vector-space twin of
+    `jaccard_threshold_sweep`. A cliff at the production threshold
+    means borderline semantic duplicates flip on embedding noise; a
+    valley means the threshold has slack.
+
+    Determinism: the cosine is the bit-exact fold both engines
+    already agree on (the similarity pack's _dot/_norm discipline);
+    FLOOR of the identical double assigns identical bands.
+
+    Scale: the same Σ|block|² blocked join as the pair report —
+    per-row norm precompute, the banding replaces the threshold
+    filter with a handful of aggregate rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"), _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"), _norm(F.col("embedding")).alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.3)
+        .select((F.floor(F.col("cos") * 20) * 5).cast("bigint").alias(
+            "cosine_band_pct"
+        ))
+        .groupBy("cosine_band_pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
