@@ -128,6 +128,7 @@ EXTRA = [
     "monthly_revenue_growth",    # calendar-grain MoM KPI
     "event_transition_matrix",   # first-order Markov estimation
     "cosine_threshold_sweep",    # embedding-dedup tuning bands
+    "embedding_label_confusion", # nearest-centroid purity matrix
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -847,3 +847,97 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cosine_band_pct")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "embedding_label_confusion",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, label, (u).dim AS dim,
+         CAST(FLOOR(CAST((u).v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS v_micro
+  FROM (
+    SELECT vec_id, label,
+           unnest([{'dim': i, 'v': embedding[i]}
+                   for i in range(1, len(embedding) + 1)]) AS u
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(FLOOR(SUM(v_micro) * 1.0 / COUNT(*)) AS BIGINT) AS c_micro
+  FROM comp GROUP BY label, dim
+),
+dist AS (
+  SELECT comp.vec_id, comp.label AS true_label, cent.c_label,
+         CAST(SUM((comp.v_micro - cent.c_micro) * (comp.v_micro - cent.c_micro))
+              AS BIGINT) AS d2
+  FROM comp JOIN cent ON comp.dim = cent.dim
+  GROUP BY comp.vec_id, comp.label, cent.c_label
+),
+assigned AS (
+  SELECT vec_id, true_label, c_label AS assigned_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+  FROM dist
+)
+SELECT true_label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assigned WHERE rk = 1
+GROUP BY true_label, assigned_label
+""",
+    tags=("X3", "embedding", "clustering"),
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label↔centroid confusion matrix: every vector assigned to its
+    nearest per-label centroid (exact integer-micro squared L2, the
+    centroid-drift discipline), counted per (true, assigned) cell —
+    the cluster-purity / mislabeling report that decides whether
+    label blocking (similarity_blocked_pairs, dedup_embedding_
+    survivors) is trustworthy, and the evaluation twin of the IVF
+    quantizer's cell assignment.
+
+    Determinism: micro-unit components before any sum (order-
+    independent integer centroids), exact integer distances, and a
+    fully tie-broken argmin (d2, then label).
+
+    Scale: the corpus-sized stages are the component explode and the
+    |vecs|·|dims|·|labels| distance join — at warehouse scale the
+    |labels|-wide centroid table broadcasts and the per-vector argmin
+    is a TakeOrdered-per-key window over |labels| rows per vector.
+    Vectors never shuffle whole."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000.0 + 0.5).cast("bigint").alias("v_micro"),
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.floor(F.sum("v_micro") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("c_micro")
+    )
+    dist = (
+        comp.join(cent, "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.sum(
+                (F.col("v_micro") - F.col("c_micro"))
+                * (F.col("v_micro") - F.col("c_micro"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
