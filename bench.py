@@ -129,6 +129,8 @@ EXTRA = [
     "event_transition_matrix",   # first-order Markov estimation
     "cosine_threshold_sweep",    # embedding-dedup tuning bands
     "embedding_label_confusion", # nearest-centroid purity matrix
+    "lexical_diversity",         # per-doc type-token ratio
+    "hapax_rate",                # Zipf-tail vocabulary health
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

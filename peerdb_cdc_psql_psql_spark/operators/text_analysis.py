@@ -925,3 +925,82 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), F.asc("pair"))
         .limit(64)
     )
+
+
+@register(
+    "lexical_diversity",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_distinct,
+       CAST(len(list_distinct(string_split(text, ' '))) * 10000
+            // len(string_split(text, ' ')) AS BIGINT) AS ttr_bp
+FROM documents WHERE doc_id < 300
+""",
+    tags=("X4", "text", "quality"),
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (lexical diversity, in
+    truncating bp): the repetition-quality signal at WORD granularity
+    — low TTR flags keyword-stuffed or template text that the bigram
+    rules (repetition_stats) and compressibility can miss, high TTR
+    flags word-salad. Pure array expressions, zero shuffle.
+
+    Determinism: counts of exact token arrays; the ratio is one
+    truncating integer division."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 10000"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("ttr_bp"),
+    )
+
+
+@register(
+    "hapax_rate",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) FILTER (WHERE cnt = 1) * 10000 // COUNT(*) AS BIGINT)
+         AS hapax_bp,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens
+FROM vocab
+""",
+    tags=("X4", "text", "vocab"),
+)
+def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hapax-legomena rate: the share of vocabulary occurring
+    exactly once — the Zipf-tail health check a tokenizer-training
+    run reads next to `vocab_coverage` (a hapax share far off the
+    natural-language ~40-60% band signals OCR noise, ID strings, or
+    boilerplate duplication distorting the tail).
+
+    Scale: the corpus-sized stage is the map-side-combined word
+    count (the same shuffle vocab_coverage pays); the hapax test is
+    a 1-row conditional aggregate over the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_hapax = F.count(F.when(F.col("cnt") == 1, 1))
+    return vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        n_hapax.cast("bigint").alias("n_hapax"),
+        F.expr(
+            "CAST(count(CASE WHEN cnt = 1 THEN 1 END) * 10000"
+            " div count(1) AS BIGINT)"
+        ).alias("hapax_bp"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+    )
