@@ -1097,7 +1097,8 @@ r2 AS (
 ),
 p1 AS (
   SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
-         a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         LEAST(a.c_custkey, b.c_custkey) AS custkey_a,
+         GREATEST(a.c_custkey, b.c_custkey) AS custkey_b,
          levenshtein(a.c_name, b.c_name) AS d
   FROM r1 a JOIN r1 b
     ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment

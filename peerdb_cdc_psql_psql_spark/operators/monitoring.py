@@ -627,7 +627,7 @@ m AS (
 SELECT event_type,
        cnt AS n_hours,
        ((cnt * sxy - sx * sy) * 10000)
-            // (cnt * sxx - sx * sx) AS slope_bp_per_hour,
+            // NULLIF(cnt * sxx - sx * sx, 0) AS slope_bp_per_hour,
        CASE WHEN (cnt * sxy - sx * sy) > 0 THEN 'rising'
             WHEN (cnt * sxy - sx * sy) < 0 THEN 'falling'
             ELSE 'flat' END AS trend
@@ -650,15 +650,16 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the hourly rollup is the only events-sized stage
     (map-side combined); moments fold in a second tiny aggregate over
-    |types|×|hours| rows sharing the rollup's exchange."""
-    from pyspark.sql import Window
+    |types|×|hours| rows sharing the rollup's exchange.
 
+    A type with a single hourly bucket has zero x-variance: the
+    NULLIF guard yields a NULL slope on both engines instead of a
+    DuckDB division-by-zero error (ADVICE r4)."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type")
     idx = hourly.select(
         "event_type",
         "n",
@@ -679,7 +680,7 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("cnt").alias("n_hours"),
         F.expr(
-            "((cnt*sxy - sx*sy) * 10000) div (cnt*sxx - sx*sx)"
+            "((cnt*sxy - sx*sy) * 10000) div nullif(cnt*sxx - sx*sx, 0)"
         ).alias("slope_bp_per_hour"),
         F.when(cov > 0, "rising")
         .when(cov < 0, "falling")

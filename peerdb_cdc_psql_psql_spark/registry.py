@@ -25,8 +25,16 @@ round, computed from the repo's own ``CORRECTNESS_r*.json`` history:
    coverage — every oracle query earns a hard row within ~2 rounds);
 3. then a constraint pass: every required §2 tag and §2.11 surface
    (tests/test_registry_gate.py) must be covered by
-   ``window ∪ latest-round-green`` — if the history leaves a tag
-   uncovered, its best candidate is pulled into the window;
+   ``window ∪ recent-green`` (green within the last
+   ``RECENT_GREEN_ROUNDS`` recorded rounds) — if the history leaves a
+   tag uncovered, its best candidate is pulled into the window.
+   Recent-green (not just latest-round-green) is the coverage floor:
+   with 184 oracle queries and a 50-row window, requiring every §2.11
+   surface to re-prove *every single round* would evict ~26 fresh
+   queries per round (observed while planning r5) and stretch full
+   rotation from ~2 rounds to ~4. A surface green within the last 3
+   rounds and untouched since is proven; it re-enters via rule 4
+   (least-recently-green) once the fresh pool drains;
 4. remaining slots fill with the least-recently-green queries.
 
 The computation is deterministic given the committed CORRECTNESS
@@ -86,6 +94,12 @@ def register(
 
 
 DRIVER_GATE_WINDOW = 50
+
+# How many trailing recorded rounds count as "recent" for the union
+# coverage invariant (window ∪ recent-green ⊇ required tags/names).
+# 3 ≈ the staleness bound on any surface's newest driver row while
+# the fresh-coverage rotation is still draining the never-green pool.
+RECENT_GREEN_ROUNDS = 3
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -176,7 +190,9 @@ def _ordered() -> list[tuple[str, Query]]:
     latest_failed = {
         n for n, row in latest_rows.items() if not _row_green(row) and n in REGISTRY
     }
-    latest_green = {n for n, row in latest_rows.items() if _row_green(row)}
+    recent_green: set[str] = set()
+    for rnd, rows in hist[-RECENT_GREEN_ROUNDS:]:
+        recent_green |= {n for n, row in rows.items() if _row_green(row)}
 
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
     candidates = [n for n, q in REGISTRY.items() if q.oracle is not None]
@@ -192,7 +208,7 @@ def _ordered() -> list[tuple[str, Query]]:
     ranked = sorted(candidates, key=sort_key)
     window: list[str] = ranked[:DRIVER_GATE_WINDOW]
 
-    # Constraint pass: window ∪ latest_green must cover every required
+    # Constraint pass: window ∪ recent_green must cover every required
     # tag and name. Pull the best-ranked provider of anything missing,
     # evicting from the back (the back of the ranked fill is the
     # most-recently-green, safest to defer).
@@ -202,7 +218,7 @@ def _ordered() -> list[tuple[str, Query]]:
             out.update(REGISTRY[n].tags)
         return out
 
-    have = set(window) | latest_green
+    have = set(window) | recent_green
     need_names = [n for n in sorted(REQUIRED_NAMES) if n in REGISTRY and n not in have]
     need_tags = REQUIRED_TAGS - covered_tags(have & set(REGISTRY))
     pulls: list[str] = list(need_names)
@@ -216,15 +232,15 @@ def _ordered() -> list[tuple[str, Query]]:
         for i in range(len(window) - 1, -1, -1):
             evict = window[i]
             # never evict a forced-in (failed/required/needed) name.
-            # REQUIRED_NAMES outside latest_green are already in pulls,
-            # so any required name reachable here is latest-green and
+            # REQUIRED_NAMES outside recent_green are already in pulls,
+            # so any required name reachable here is recent-green and
             # safe to defer one round.
             if evict in latest_failed or evict in pulls:
                 continue
             trial = window[:i] + [p] + window[i + 1 :]
             # the eviction must not itself uncover a required tag the
-            # evicted name was the sole window∪latest_green provider of
-            still = covered_tags(set(trial) | (latest_green & set(REGISTRY)))
+            # evicted name was the sole window∪recent_green provider of
+            still = covered_tags(set(trial) | (recent_green & set(REGISTRY)))
             if all(t in still for t in REGISTRY[evict].tags if t in REQUIRED_TAGS):
                 window = trial
                 break

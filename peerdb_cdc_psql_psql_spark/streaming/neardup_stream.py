@@ -148,9 +148,13 @@ def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
         prev = sizes_new.select(
             "doc_id", F.col("doc_id").alias("cluster_id")
         ).filter(F.lit(False))
-    # every arriving doc gets a row even if edge-free
+    # every arriving doc gets a row even if edge-free — derived from
+    # the raw batch, not sizes_new, so documents shorter than
+    # _SHINGLE_N tokens (which never shingle) still get their
+    # singleton label row (ADVICE r4)
     fresh_nodes = (
-        sizes_new.select("doc_id")
+        batch_df.select("doc_id")
+        .distinct()
         .join(prev.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
@@ -174,14 +178,22 @@ def start_neardup_clustering(
     checkpoint_dir: str,
     schema: str | None = None,
     trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the continuous near-dup clustering stream and return the
     StreamingQuery. After each micro-batch, ``read_labels`` serves
     the complete current labeling (cluster_id = min doc_id of the
-    near-dup component, the batch pack's contract)."""
+    near-dup component, the batch pack's contract).
+
+    ``max_files_per_trigger`` paces an availableNow drain into real
+    micro-batches (without it the backlog is gulped in ONE batch and
+    the incremental admission path never runs — ADVICE r4)."""
     if schema is None:
         schema = "doc_id long, text string, lang string, source string, n_chars long"
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.queryName("neardup-clustering")
         .option("checkpointLocation", checkpoint_dir)

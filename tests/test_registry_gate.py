@@ -13,9 +13,11 @@ the rotation's invariants:
   re-prove its fix;
 - fresh coverage is maximal: never-green queries fill the window
   before anything that already has a green row;
-- the union ``window ∪ latest-round-green`` covers every §2 operator
-  tag and §2.11 surface — no operator loses its driver signal for
-  more than one round.
+- the union ``window ∪ recent-green`` (green within the last
+  ``RECENT_GREEN_ROUNDS`` recorded rounds) covers every §2 operator
+  tag and §2.11 surface — no operator's newest driver signal goes
+  more than ~RECENT_GREEN_ROUNDS rounds stale while the fresh pool
+  drains.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from __future__ import annotations
 import peerdb_cdc_psql_psql_spark.operators  # noqa: F401
 from peerdb_cdc_psql_psql_spark.registry import (
     DRIVER_GATE_WINDOW,
+    RECENT_GREEN_ROUNDS,
     REGISTRY,
     REQUIRED_NAMES,
     REQUIRED_TAGS,
@@ -34,11 +37,11 @@ from peerdb_cdc_psql_psql_spark.registry import (
 )
 
 
-def _latest_green() -> set[str]:
-    hist = driver_history()
-    if not hist:
-        return set()
-    return {n for n, row in hist[-1][1].items() if _row_green(row)}
+def _recent_green() -> set[str]:
+    out: set[str] = set()
+    for _, rows in driver_history()[-RECENT_GREEN_ROUNDS:]:
+        out |= {n for n, row in rows.items() if _row_green(row)}
+    return out
 
 
 def _ever_green() -> set[str]:
@@ -66,17 +69,18 @@ def test_window_is_oracle_checkable():
 
 
 def test_union_covers_all_operator_tags():
-    """window ∪ latest-green must cover every §2 tag: a tag may rotate
-    out only while its green row from the latest round still stands."""
+    """window ∪ recent-green must cover every §2 tag: a tag may rotate
+    out only while a green row from the last RECENT_GREEN_ROUNDS
+    rounds still stands."""
     covered: set[str] = set()
-    for n in set(gate_window()) | (_latest_green() & set(REGISTRY)):
+    for n in set(gate_window()) | (_recent_green() & set(REGISTRY)):
         covered.update(REGISTRY[n].tags)
     missing = REQUIRED_TAGS - covered
     assert not missing, f"operator tags with no driver-gate signal: {sorted(missing)}"
 
 
 def test_union_covers_oracle_gated_surfaces():
-    have = set(gate_window()) | _latest_green()
+    have = set(gate_window()) | _recent_green()
     missing = [n for n in sorted(REQUIRED_NAMES) if n in REGISTRY and n not in have]
     assert not missing, f"§2.11 oracle-gated queries with no signal: {missing}"
 
@@ -99,12 +103,14 @@ def test_latest_failures_reenter_window():
 
 def test_window_maximizes_fresh_coverage():
     """Never-green queries outrank already-green ones: the window must
-    hold at least min(20, pool) queries with no prior green row, so
-    every oracle query earns a hard driver row within ~2 rounds."""
+    hold at least min(40, pool) queries with no prior green row, so
+    every oracle query earns a hard driver row within ~2 rounds.
+    (Floor raised 20→40 in r5 when the union invariant moved to
+    recent-green — required surfaces no longer evict fresh rows.)"""
     ever = _ever_green()
     pool = [n for n, q in REGISTRY.items() if q.oracle is not None and n not in ever]
     fresh = [n for n in gate_window() if n not in ever]
-    assert len(fresh) >= min(20, len(pool)), (
+    assert len(fresh) >= min(40, len(pool)), (
         f"only {len(fresh)} fresh rows in window, pool has {len(pool)}"
     )
 

@@ -951,6 +951,55 @@ def test_neardup_clustering_stream_matches_batch(spark, tmp_path):
         assert got[d] == c, (d, c, got)
 
 
+def test_neardup_short_docs_labeled_and_paced_drain(spark, tmp_path):
+    """Every arriving doc gets a label row, including docs shorter
+    than the shingle length (ADVICE r4: fresh_nodes must derive from
+    the raw batch, not the shingle-filtered sizes). Also pins
+    max_files_per_trigger: an availableNow drain over N files with
+    maxFilesPerTrigger=1 must produce N label snapshots (the
+    incremental admission path runs per micro-batch, not one gulp)."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "ingest")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [(1, "alpha bravo charlie delta echo"), (2, "tiny")],
+        [(3, "alpha bravo charlie delta echo"), (4, "so small")],
+    ]
+    for batch in batches:
+        rows = [(d, t, "en", "s0", len(t)) for d, t in batch]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = start_neardup_clustering(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_labels(spark, str(tmp_path / "state")).collect()
+    }
+    # near-dups {1,3} share a component; sub-shingle docs 2 and 4
+    # carry singleton labels instead of silently vanishing
+    assert got == {1: 1, 3: 1, 2: 2, 4: 4}, got
+    snaps = [
+        s
+        for s in os.listdir(str(tmp_path / "state" / "labels"))
+        if s.startswith("v_")
+    ]
+    assert len(snaps) == 2, snaps
+
+
 def test_neardup_state_maintenance(spark, tmp_path):
     """Postings compaction folds per-batch files without changing
     labels produced by later batches; label vacuum keeps the pointer
