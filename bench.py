@@ -110,7 +110,10 @@ EXTRA = [
     "bpe_pair_counts",           # vocab-weighted subword merge stats
     "range_frame_smoothing",     # RANGE-interval trailing-hour frame
     "grouping_sets_stats",       # explicit grouping-set Expand+agg
-    "fuzzy_record_links",        # blocked Levenshtein record linkage
+    # fuzzy_record_links (full-block O(Σ|block|²) ER) stays registered
+    # and oracle-checked but is no longer in the timed suite — the
+    # sorted-neighborhood twin below is the scale path and the bench
+    # representative (VERDICT r4 "What's wrong" #3).
     "fuzzy_links_sorted_neighborhood",  # O(block·w) ER scale path
     "dedup_incremental_neardup", # batch-vs-corpus Jaccard admission
     "exact_substr_rewrite",      # duplicated-span removal rewrite
@@ -310,7 +313,12 @@ def bench_stream_neardup(spark, n_docs: int = 1500) -> tuple[float, int, int]:
                 & (F.col("doc_id") < (i + 1) * third)
             ).coalesce(4).write.mode("append").parquet(src)
         t0 = time.perf_counter()
-        q = start_neardup_clustering(spark, src, out, ckpt)
+        # 12 source files / 4-per-trigger = 3 real micro-batches: the
+        # availableNow drain exercises the incremental admission path,
+        # not a one-gulp batch clustering (ADVICE r4)
+        q = start_neardup_clustering(
+            spark, src, out, ckpt, max_files_per_trigger=4
+        )
         q.awaitTermination(timeout=600)
         labels = read_labels(spark, out)
         n_labeled = labels.count()
@@ -319,6 +327,86 @@ def bench_stream_neardup(spark, n_docs: int = 1500) -> tuple[float, int, int]:
         )
         dt = time.perf_counter() - t0
     return dt, n_labeled, n_clusters
+
+
+def build_replicated_corpus(spark, sf_dir: str, k: int, out_dir: str) -> str:
+    """Materialize a k× corpus layout under ``out_dir``: documents
+    replicated k times with per-replica DISJOINT vocabularies (every
+    token suffixed ``_ri``, doc ids offset by i×10⁹ — the same
+    construction as tests/test_scaling.py), all other tables
+    symlinked. The 1× layout is written through the SAME path (k=1)
+    so layout/file-count effects cancel out of the k×/1× ratio."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = None
+    for i in range(k):
+        toks = F.transform(
+            F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit(f"_r{i}"))
+        )
+        r = docs.select(
+            (F.col("doc_id") + i * 10**9).alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).select(*docs.columns)
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(4 * k).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out_dir
+
+
+SCALE_PROBE_QUERIES = [
+    # the documents-pack flagships whose 100 TB story is "work grows
+    # linearly with the corpus": shared bucketed shingle index
+    # derivation + blocked candidate join, iterative CC, MinHash-LSH
+    # banding, and the composed curation chain.
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "training_data_pipeline",
+    "text_suite",
+]
+
+
+def scale_probe(
+    spark, sf_dir: str, k: int, workdir: str, queries: list[str] | None = None
+) -> dict:
+    """Timed weak-scaling point (VERDICT r4 next-round #6): run the
+    blocked/bucketed doc-pack queries on a 1× and a k× disjoint-
+    vocabulary corpus and report per-query wall ratios. Linear paths
+    show ratio ≈ k (plus fixed overhead); an accidental all-pairs
+    regression would show ≈ k²."""
+    from peerdb_cdc_psql_psql_spark.operators import dedup as _dedup
+
+    queries = queries or SCALE_PROBE_QUERIES
+    out: dict[str, dict] = {}
+    dirs = {
+        1: build_replicated_corpus(spark, sf_dir, 1, f"{workdir}/x1"),
+        k: build_replicated_corpus(spark, sf_dir, k, f"{workdir}/x{k}"),
+    }
+    times: dict[int, dict[str, float]] = {1: {}, k: {}}
+    for kk, d in dirs.items():
+        spark.catalog.clearCache()
+        for t in list(_dedup._INDEX_MEMO):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _dedup._INDEX_MEMO.clear()
+        for name in queries:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).collect()
+            times[kk][name] = round(time.perf_counter() - t0, 3)
+    for name in queries:
+        t1, tk = times[1][name], times[k][name]
+        out[name] = {"t1": t1, f"t{k}": tk, "ratio": round(tk / t1, 2)}
+    return out
 
 
 def main() -> None:
@@ -331,6 +419,19 @@ def main() -> None:
     spark.range(0, 1000, 1, CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+
+    # insert.ps1's own benchmark at its default scenario (5000 records,
+    # batch 500 — README.md:124-126), unthrottled: directly comparable
+    # to BASELINE.md's 1.04 ops/s sample run. Runs FIRST (fresh
+    # session, VERDICT r4 #4: the r3→r4 95→1299 ops/s swing was
+    # session GC state, not the engine) and again LAST so the
+    # session-state offset is itself on record each round.
+    from peerdb_cdc_psql_psql_spark.streaming.workload import run_insert_stress
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stress = run_insert_stress(
+            spark, f"{tmp}/wal", record_count=5000, batch_size=500
+        )
 
     # Two passes, report per-query min: the host shows transient
     # ~60 s external CPU steals that would otherwise land on one
@@ -379,62 +480,73 @@ def main() -> None:
         (bench_stream_neardup(spark) for _ in range(2)), key=lambda t: t[0]
     )
 
-    # insert.ps1's own benchmark at its default scenario (5000 records,
-    # batch 500 — README.md:124-126), unthrottled: directly comparable
-    # to BASELINE.md's 1.04 ops/s sample run.
-    from peerdb_cdc_psql_psql_spark.streaming.workload import run_insert_stress
-
     with tempfile.TemporaryDirectory() as tmp:
-        stress = run_insert_stress(
+        probe = scale_probe(spark, SF_DIR, 4, tmp)
+
+    # insert stress again at end-of-bench: the first-position figure
+    # above is canonical; this one quantifies the session-state offset.
+    with tempfile.TemporaryDirectory() as tmp:
+        stress_end = run_insert_stress(
             spark, f"{tmp}/wal", record_count=5000, batch_size=500
         )
+
     total = round(sum(times.values()), 3)
+    # Pinned manifest (VERDICT r3 #8): which workloads ran, in what
+    # order, with what aggregation — keeps cross-round numbers
+    # comparable. Emitted as its OWN line (and the per-query extra
+    # suite as another): the driver tail-captures only the last ~2 KB
+    # of stdout, and r4's single merged line outgrew that window,
+    # leaving the round with parsed=null (VERDICT r4 "What's wrong"
+    # #1). Detail lines first, compact metrics line LAST.
+    manifest = [
+        {"name": "insert_stress", "records": 5000, "batch_size": 500,
+         "order": "first (fresh session) + repeated last as *_end"},
+        {"name": "headline_suite", "queries": HEADLINE, "passes": 2,
+         "agg": "min", "timed": "collect wall-clock"},
+        {"name": "extra_suite", "queries": EXTRA, "passes": 2, "agg": "min"},
+        {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
+        {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
+         "passes": 2, "agg": "min"},
+        {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
+         "passes": 2, "agg": "min"},
+        {"name": "stream_neardup", "batches": 3, "docs": 1500,
+         "max_files_per_trigger": 4, "passes": 2, "agg": "min"},
+        {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
+         "passes": 1, "corpus": "documents ×k disjoint vocab"},
+    ]
+    print(json.dumps({"detail": "workloads", "workloads": manifest}))
+    print(json.dumps({"detail": "extra_queries", "extra_queries": extra_times}))
+    print(json.dumps({"detail": "scale_probe", "scale_probe": probe}))
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "extra_queries": extra_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "cdc_apply_events": cdc_events,
-        "cdc_apply_seconds": round(cdc_sec, 3),
+        "extra_suite_seconds": round(sum(extra_times.values()), 3),
+        "extra_suite_count": len(extra_times),
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1),
         "cdc_apply_multi_tables": 3,
-        "cdc_apply_multi_events": cdc_multi_events,
-        "cdc_apply_multi_seconds": round(cdc_multi_sec, 3),
         "cdc_apply_multi_events_per_sec": round(cdc_multi_events / cdc_multi_sec, 1),
-        "stream_dedup_docs": sd_docs,
-        "stream_dedup_unique": sd_uniq,
-        "stream_dedup_seconds": round(sd_sec, 3),
         "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
-        "stream_neardup_docs": nd_docs,
-        "stream_neardup_clusters": nd_clusters,
-        "stream_neardup_seconds": round(nd_sec, 3),
         "stream_neardup_docs_per_sec": round(nd_docs / nd_sec, 1),
-        # Pinned manifest (VERDICT r3 #8): which workloads ran, in what
-        # order, with what aggregation — keeps cross-round numbers
-        # comparable (r1's 129 ops/s vs r3's 95 was bench composition,
-        # not regression).
-        "workloads": [
-            {"name": "headline_suite", "queries": HEADLINE, "passes": 2,
-             "agg": "min", "timed": "collect wall-clock"},
-            {"name": "extra_suite", "queries": EXTRA, "passes": 2, "agg": "min"},
-            {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
-            {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
-             "passes": 2, "agg": "min"},
-            {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
-             "passes": 2, "agg": "min"},
-            {"name": "stream_neardup", "batches": 3, "docs": 1500,
-             "passes": 2, "agg": "min"},
-            {"name": "insert_stress", "records": 5000, "batch_size": 500,
-             "order": "after stream_dedup"},
-        ],
+        "scale_probe_k": 4,
+        "scale_probe_max_ratio": max(v["ratio"] for v in probe.values()),
         "insert_stress_ops_per_sec": stress["ops_per_sec"],
         "insert_stress_success_rate_pct": stress["success_rate_pct"],
         "insert_stress_avg_batch_ms": stress["avg_batch_ms"],
+        "insert_stress_end_ops_per_sec": stress_end["ops_per_sec"],
         "cpus": CPUS,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) >= 1900:
+        # the final line must survive a ~2000-char tail capture; if it
+        # ever outgrows that, spill the per-query map to a detail line
+        # rather than losing the whole round's metrics again
+        print(json.dumps({"detail": "headline_queries", "queries": times}))
+        out["queries"] = {}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

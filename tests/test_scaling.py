@@ -52,6 +52,26 @@ def _replica_shingles(spark, k: int):
     ).distinct()
 
 
+def test_scale_probe_wall_time_bound(spark, tmp_path):
+    """Timed weak-scaling point (VERDICT r4 next-round #6): bench.py's
+    scale_probe on a 4× disjoint-vocabulary corpus. The blocked/
+    bucketed paths must grow ≤ ~k× in wall time — the bound is set
+    at 1.5k (6×), far below the k²=16× an all-pairs regression would
+    show, and generous enough that fixed job overhead and CI noise
+    (which push the ratio DOWN toward 1) never flake it."""
+    import bench
+
+    probe = bench.scale_probe(
+        spark,
+        "/root/testdata/sf0.01",
+        4,
+        str(tmp_path),
+        queries=["dedup_ngram_jaccard", "dedup_clusters", "text_suite"],
+    )
+    bad = {n: v for n, v in probe.items() if v["ratio"] > 6.0}
+    assert not bad, f"superlinear wall-time growth at 4x data: {bad}"
+
+
 def test_jaccard_blocking_scales_linearly(spark):
     one = jaccard_pairs(_replica_shingles(spark, 1)).count()
     many = jaccard_pairs(_replica_shingles(spark, K)).count()
