@@ -305,6 +305,23 @@ def execute_mirror_command(
 
     m = re.match(r"SHOW\s+MIRRORS(?:\s+LIKE\s+'([^']*)')?\s*$", s, re.IGNORECASE)
     if m:
-        return list_mirrors(spark, m.group(1))
+        pat = m.group(1)
+        live = list_mirrors(spark, pat)
+        live_names = {r["mirror_name"] for r in live.collect()}
+        # DDL-registered mirrors whose stream is not currently running
+        # (paused, or an availableNow drain that finished) still EXIST
+        # — PeerDB's SHOW MIRRORS lists definitions with status, not
+        # just live flows. Inactive rows carry empty query/run ids.
+        idle = [
+            (name, "", "", False)
+            for name in sorted(_DDL_MIRRORS)
+            if name not in live_names
+            and (not pat or pat.lower() in name.lower())
+        ]
+        if idle:
+            live = live.unionByName(
+                spark.createDataFrame(idle, live.schema)
+            )
+        return live
 
     raise ValueError(f"unrecognized mirror command: {sql!r}\n" + _MIRROR_DDL_HELP)

@@ -1,0 +1,150 @@
+"""End-to-end tests for the PostgreSQL wire-protocol frontend: a
+stock ``psql`` client against ``wire.WireServer`` — the reference's
+:9900 nexus surface (docker-compose.yml:155-170), SELECT + mirror
+DDL over one socket."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import subprocess
+import time
+
+import pytest
+
+from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+from peerdb_cdc_psql_psql_spark.streaming import workload
+from peerdb_cdc_psql_psql_spark.wire import WireServer
+
+SF = "/root/testdata/sf0.001"
+
+psql_missing = shutil.which("psql") is None
+
+
+def _psql(port: int, sql: str, timeout: int = 120):
+    return subprocess.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={port} user=u dbname=d sslmode=disable",
+            "-tA",
+            "-c",
+            sql,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    event_dir = str(tmp_path / "wal")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    workload.append_events(
+        spark,
+        [
+            (1, t0, "I", "orders", 1, '{"id": 1, "quantity": 5}'),
+            (2, t0, "I", "orders", 2, '{"id": 2, "quantity": 7}'),
+            (3, t0, "U", "orders", 1, '{"id": 1, "quantity": 9}'),
+        ],
+        event_dir,
+    )
+    srv = WireServer(
+        spark,
+        port=0,
+        sf_dir=SF,
+        mirror_env=dict(
+            schemas=DEMO_SCHEMAS,
+            event_dir=event_dir,
+            target_root=str(tmp_path / "tgt"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        ),
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_select_roundtrip(server):
+    r = _psql(server.port, "SELECT COUNT(*) AS n FROM nation")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "25"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_types_null_bool_multirow(server):
+    r = _psql(
+        server.port,
+        "SELECT n_nationkey, n_name, CAST(NULL AS INT) AS x, true AS b "
+        "FROM nation ORDER BY n_nationkey LIMIT 2",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines() == ["0|NATION_0||t", "1|NATION_1||t"]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_multi_statement(server):
+    r = _psql(server.port, "SELECT 1 AS a; SELECT 2 AS b")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.split() == ["1", "2"]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_error_keeps_session_alive(server):
+    r = _psql(server.port, "SELECT definitely_not_a_column FROM nation")
+    assert r.returncode != 0
+    assert "ERROR" in r.stderr
+    # server survives the failed statement
+    r2 = _psql(server.port, "SELECT 42 AS ok")
+    assert r2.returncode == 0 and r2.stdout.strip() == "42"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_mirror_ddl_cycle(server, spark, tmp_path):
+    """The VERDICT r4 #7 'done' criterion: SHOW MIRRORS + the full
+    CREATE→apply→DROP mirror lifecycle through a real psql client."""
+    r = _psql(server.port, "SHOW MIRRORS")
+    assert r.returncode == 0, r.stderr
+
+    r = _psql(
+        server.port,
+        "CREATE MIRROR wiremirror WITH TABLE MAPPING (orders:orders_cdc) "
+        "WITH (soft_delete = true, key_column = 'id')",
+    )
+    assert r.returncode == 0, r.stderr
+
+    # availableNow trigger: the drain finishes on its own; poll the
+    # target for the applied last-write-wins state
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import _DDL_MIRRORS
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import read_target
+
+    deadline = time.time() + 120
+    got: dict = {}
+    while time.time() < deadline:
+        try:
+            got = {
+                row["id"]: row["quantity"]
+                for row in read_target(
+                    spark,
+                    _DDL_MIRRORS["wiremirror"],
+                    "orders",
+                    str(tmp_path / "tgt"),
+                ).collect()
+            }
+            if got == {1: 9, 2: 7}:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    assert got == {1: 9, 2: 7}, got
+
+    r = _psql(server.port, "SHOW MIRRORS LIKE 'wire'")
+    assert r.returncode == 0, r.stderr
+    assert "wiremirror" in r.stdout
+
+    r = _psql(server.port, "DROP MIRROR wiremirror")
+    assert r.returncode == 0, r.stderr
+    r = _psql(server.port, "SHOW MIRRORS LIKE 'wire'")
+    assert r.returncode == 0 and "wiremirror" not in r.stdout
