@@ -1,0 +1,174 @@
+"""Pure-Python media codecs for the multimodal pack (X5).
+
+The container ships no media libraries, but two ubiquitous PUBLIC
+formats need none: RIFF/WAVE PCM audio and uncompressed 24-bit BMP
+images are fixed struct layouts decodable with ``struct`` + numpy.
+These are REAL codecs — they parse the actual container bytes
+(chunk walking, stride padding, bottom-up row order), not fakes —
+and they give ``decode_media(fake=False)`` a genuine path for the
+formats it can support; compressed formats (PNG/JPEG/MP4/OGG) still
+raise ``NotImplementedError`` by design.
+
+Everything here is per-payload pure functions; the Spark side wraps
+them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
+decode parallelism is partition parallelism.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+# mapInPandas closures reference these functions; the driver may load
+# the engine from a file path (importlib), in which case executor
+# Python workers CANNOT re-import this module by name. Registering
+# the module for by-value pickling ships the function bodies inside
+# the serialized closure instead of a dotted import — the repo-wide
+# rule that worker-side code must be self-contained, kept without
+# duplicating the codec logic into every closure.
+try:  # pragma: no cover — exercised by the driver-contract e2e path
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 — never fail import over a perf/compat lever
+    pass
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Minimal canonical WAVE writer: RIFF header + fmt + data chunks,
+    16-bit little-endian PCM."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, n_channels,
+        sample_rate, sample_rate * block_align, block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    body = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk RIFF chunks; return sample_rate / n_channels / n_samples
+    (frames) plus integer sample stats (peak = max |sample|,
+    mean_abs = floor of the mean absolute amplitude). Only
+    uncompressed PCM-16 is supported — anything else raises."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAVE is supported (format={audio_format}, bits={bits})"
+        )
+    x = np.frombuffer(data, dtype="<i2")
+    n_frames = len(x) // n_channels
+    ab = np.abs(x.astype(np.int64))
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(n_frames),
+        "duration_ms": int(n_frames * 1000 // sample_rate),
+        "peak": int(ab.max()) if len(x) else 0,
+        "mean_abs": int(ab.mean()) if len(x) else 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, uncompressed 24-bit)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer: (h, w, 3) uint8 RGB array → 24-bit
+    uncompressed bottom-up BMP with 4-byte row stride padding."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse the BMP file + info headers, undo stride padding and
+    bottom-up row order, and return dimensions plus exact per-channel
+    integer pixel-sum means (floor). Only uncompressed 24-bit with a
+    BITMAPINFOHEADER is supported."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n = w * h
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(n),
+        "mean_r": int(sums[0] // n),
+        "mean_g": int(sums[1] // n),
+        "mean_b": int(sums[2] // n),
+    }
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array — index-map
+    sampling, the standard O(out_pixels) formulation."""
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return px[yi][:, xi]
+
+
+_MAGIC = {
+    b"RIFF": "wav",
+    b"BM": "bmp",
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+}
+
+
+def sniff_format(payload: bytes) -> str:
+    for magic, name in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return "unknown"

@@ -3,12 +3,15 @@ audio/video as opaque binary columns + typed metadata structs, with
 decode / feature-extract / frame-sample as Arrow-batched Pandas
 transforms over ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED (``decode_media`` raises NotImplementedError unless the
-deterministic fake decoder is selected) — but everything Spark-side is
-real and tested: binary column synthesis, metadata schema, partition-
-preserving mapInPandas plumbing, Arrow batch shapes, frame-index
-explosion.
+Real codecs (r5): RIFF/WAVE PCM and uncompressed 24-bit BMP are
+fixed public struct layouts needing no media libraries —
+``functions/codecs.py`` parses the actual container bytes (chunk
+walk, stride padding, bottom-up rows), and ``decode_audio`` /
+``decode_image`` / ``resize_images`` run them executor-side over
+Arrow batches. Compressed formats (PNG/JPEG/MP4) still raise
+``NotImplementedError`` (no codec libs in this container —
+sanctioned); ``decode_media`` keeps the deterministic fake decoder
+for format-agnostic byte-stat plumbing.
 
 Scale: binary payloads ride parquet natively; metadata-only queries
 never touch the blob column (columnar projection), and the Pandas
@@ -96,8 +99,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in it:
             if not fake:
                 raise NotImplementedError(
-                    "real media decoding needs PIL/librosa/av; "
-                    "only the deterministic fake decoder ships here"
+                    "format-agnostic real decoding needs PIL/librosa/av; "
+                    "WAV/BMP payloads have real typed decoders — use "
+                    "decode_audio / decode_image"
                 )
             payloads = pdf["payload"]
             sums = payloads.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
@@ -190,4 +194,292 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_decoded"),
         F.sum("payload_bytes").cast("bigint").alias("total_payload_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (r5): WAV / BMP payload synthesis + typed decode stages
+# ---------------------------------------------------------------------------
+
+_AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("mean_abs", T.IntegerType()),
+    ]
+)
+
+_IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("mean_r", T.IntegerType()),
+        T.StructField("mean_g", T.IntegerType()),
+        T.StructField("mean_b", T.IntegerType()),
+    ]
+)
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_wav_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side WAV synthesis: a square wave whose amplitude and
+    length are exact integer functions of media_id — amplitude
+    (id % 320)·100, frames 800 + (id % 10)·160 at 16 kHz. A square
+    wave's peak and mean absolute amplitude both equal the amplitude,
+    so the decoded stats are SQL-derivable and the driver oracle can
+    check the REAL byte-level codec path end to end."""
+
+    from ..functions.codecs import encode_wav_pcm16
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                amp = int(mid) % 320 * 100
+                n = 800 + int(mid) % 10 * 160
+                wave_ = np.tile([amp, -amp], (n + 1) // 2)[:n]
+                payloads.append(encode_wav_pcm16(wave_, 16000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+def synthesize_bmp_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side BMP synthesis: a solid-color 24-bit image with
+    ODD width (id % 8)·4 + 5 — odd widths force nonzero row stride
+    padding, the part naive BMP readers get wrong — height
+    (id % 4) + 2, and channel values exact mod-functions of id."""
+
+    from ..functions.codecs import encode_bmp24
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0], px[..., 1], px[..., 2] = (
+                    m % 256, m * 7 % 256, m * 13 % 256,
+                )
+                payloads.append(encode_bmp24(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode over mapInPandas: parse each RIFF/WAVE
+    payload (chunk walk, PCM-16) into rate/frames/peak/mean-abs."""
+
+    from ..functions.codecs import decode_wav
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["sample_rate"], d["n_channels"],
+                        d["n_samples"], d["duration_ms"], d["peak"],
+                        d["mean_abs"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_AUDIO_DECODE_SCHEMA)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL image decode over mapInPandas: parse each BMP payload
+    (headers, stride padding, bottom-up rows, BGR order) into
+    dimensions + exact integer channel means."""
+
+    from ..functions.codecs import decode_bmp
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_pixels"],
+                        d["mean_r"], d["mean_g"], d["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMAGE_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_IMAGE_DECODE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, one Arrow batch
+    stage: the standard distributed image-preprocessing step (every
+    vision-data pipeline resizes before feature extraction). Output is
+    again (media_id, payload) with BMP payloads of the target size."""
+
+    from ..functions.codecs import decode_bmp, encode_bmp24, resize_nearest
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                d = decode_bmp(b)
+                h, w = d["height"], d["width"]
+                stride = (3 * w + 3) & ~3
+                off = int.from_bytes(b[10:14], "little")
+                rows = np.frombuffer(
+                    b, dtype=np.uint8, count=h * stride, offset=off
+                ).reshape(h, stride)
+                px = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+                payloads.append(
+                    encode_bmp24(resize_nearest(px, out_w, out_h))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return df.mapInPandas(batches, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       800 + (doc_id % 10) * 160 AS n_samples,
+       (800 + (doc_id % 10) * 160) // 16 AS duration_ms,
+       (doc_id % 320) * 100 AS peak,
+       (doc_id % 320) * 100 AS mean_abs
+FROM documents
+WHERE doc_id % 3 = 1 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec round trip (X5): synthesize PCM-16 square-wave
+    payloads executor-side, then parse the actual RIFF bytes back with
+    the hand-rolled chunk walker. The oracle recomputes every decoded
+    field arithmetically — a byte-level codec bug (stride, chunk
+    alignment, endianness) breaks exact equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 200)
+    )
+    decoded = decode_audio(synthesize_wav_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_samples").cast("bigint"),
+        F.col("duration_ms").cast("bigint"),
+        F.col("peak").cast("bigint"),
+        F.col("mean_abs").cast("bigint"),
+    )
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2) AS n_pixels,
+       doc_id % 256 AS mean_r,
+       (doc_id * 7) % 256 AS mean_g,
+       (doc_id * 13) % 256 AS mean_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP codec round trip (X5): solid-color odd-width 24-bit
+    images encoded and re-parsed byte-for-byte (headers, 4-byte row
+    padding, bottom-up BGR order); decoded dimensions and channel
+    means must equal their arithmetic definitions exactly."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_image(synthesize_bmp_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("mean_r").cast("bigint"),
+        F.col("mean_g").cast("bigint"),
+        F.col("mean_b").cast("bigint"),
+    )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       CAST(48 AS BIGINT) AS n_pixels,
+       doc_id % 256 AS mean_r,
+       (doc_id * 7) % 256 AS mean_g,
+       (doc_id * 13) % 256 AS mean_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image-resize stage (X5): decode → nearest-neighbor
+    resample to 8×6 → re-encode → decode again. Solid-color inputs
+    keep their exact channel means through any correct resampler, so
+    the oracle pins both the target dimensions and color fidelity of
+    the full two-pass codec chain."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    resized = resize_images(synthesize_bmp_payloads(ids), 8, 6)
+    decoded = decode_image(resized)
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("mean_r").cast("bigint"),
+        F.col("mean_g").cast("bigint"),
+        F.col("mean_b").cast("bigint"),
     )

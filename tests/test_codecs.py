@@ -1,0 +1,98 @@
+"""Unit tests for the pure-Python WAV/BMP codecs (functions/codecs.py)
+— byte-level behavior, independent of Spark."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave as stdlib_wave
+
+import numpy as np
+import pytest
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp24,
+    encode_wav_pcm16,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def test_wav_roundtrip_matches_stdlib_reader():
+    """Our writer must produce bytes the stdlib wave module accepts,
+    and our reader must agree with it — two independent decoders."""
+    samples = np.tile([1200, -1200], 800)
+    payload = encode_wav_pcm16(samples, 16000)
+    with stdlib_wave.open(io.BytesIO(payload)) as r:
+        assert (r.getframerate(), r.getnframes(), r.getnchannels()) == (
+            16000, 1600, 1,
+        )
+        assert r.readframes(1600) == samples.astype("<i2").tobytes()
+    d = decode_wav(payload)
+    assert d == {
+        "sample_rate": 16000, "n_channels": 1, "n_samples": 1600,
+        "duration_ms": 100, "peak": 1200, "mean_abs": 1200,
+    }
+
+
+def test_wav_decodes_stdlib_written_stereo():
+    buf = io.BytesIO()
+    with stdlib_wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.tile([300, -300], 100).astype("<i2").tobytes())
+    d = decode_wav(buf.getvalue())
+    assert (d["n_samples"], d["n_channels"], d["peak"]) == (100, 2, 300)
+
+
+def test_wav_rejects_non_pcm16():
+    # hand-build a fmt chunk claiming 8-bit audio
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    data = struct.pack("<4sI", b"data", 2) + b"\x00\x00"
+    body = b"WAVE" + fmt + data
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    with pytest.raises(NotImplementedError, match="PCM-16"):
+        decode_wav(payload)
+    with pytest.raises(ValueError):
+        decode_wav(b"\x89PNG not audio at all............")
+
+
+def test_bmp_roundtrip_odd_width_padding():
+    """Odd widths force nonzero stride padding — the classic BMP
+    reader bug; a decoder that miscounts the stride smears channels."""
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    d = decode_bmp(encode_bmp24(px))
+    sums = px.reshape(-1, 3).astype(int).sum(axis=0)
+    assert (d["width"], d["height"], d["n_pixels"]) == (5, 3, 15)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(sums // 15)
+
+
+def test_bmp_rejects_unsupported():
+    px = np.zeros((2, 2, 3), np.uint8)
+    payload = bytearray(encode_bmp24(px))
+    struct.pack_into("<H", payload, 28, 8)  # claim 8-bit
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_bmp(b"GIF89a......................................................")
+
+
+def test_resize_nearest_exact_grid():
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    half = resize_nearest(px, 2, 2)
+    # index map: output (i,j) samples input (i*4//2, j*4//2) = (2i, 2j)
+    assert (half == px[::2, ::2]).all()
+    up = resize_nearest(px, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == px).all()
+
+
+def test_sniff_format():
+    assert sniff_format(encode_wav_pcm16(np.array([0]), 8000)) == "wav"
+    assert sniff_format(encode_bmp24(np.zeros((1, 1, 3), np.uint8))) == "bmp"
+    assert sniff_format(b"\x89PNG\r\n") == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"whatever") == "unknown"
