@@ -252,7 +252,7 @@ class WireServer:
             else:
                 conn.sendall(_msg(b"C", _cstr(f"{verb} MIRROR")))
             return
-        df = self.spark.sql(stmt)
+        df = self._sql_with_mirror_targets(stmt)
         if df.columns:
             self._send_result(conn, df)
         else:
@@ -260,6 +260,39 @@ class WireServer:
             # empty-schema frame; complete with the leading keyword
             df.collect()
             conn.sendall(_msg(b"C", _cstr(stmt.split()[0].upper())))
+
+    def _sql_with_mirror_targets(self, stmt: str) -> DataFrame:
+        """spark.sql with mirror-target resolution: a reference user's
+        main wire workflow is CREATE MIRROR then SELECT against the
+        replicated TARGET table. Target state lives as keyed parquet
+        under mirror_env['target_root'], not in the SQL catalog, so an
+        unresolved-table error retries once after registering temp
+        views for any DDL-defined mirror targets that now have data."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.sql(stmt)
+        except AnalysisException:
+            target_root = self.mirror_env.get("target_root")
+            if not target_root:
+                raise
+            from .operators.sql_frontend import _DDL_MIRRORS
+            from .streaming.cdc import read_target
+
+            registered = False
+            for mirror in _DDL_MIRRORS.values():
+                for mapping in mirror.tables.values():
+                    try:
+                        read_target(
+                            self.spark, mirror, mapping.source_table,
+                            target_root,
+                        ).createOrReplaceTempView(mapping.target_table)
+                        registered = True
+                    except Exception:  # noqa: BLE001 — target not
+                        continue  # materialized yet; leave unregistered
+            if not registered:
+                raise
+            return self.spark.sql(stmt)
 
     def _send_result(self, conn: socket.socket, df: DataFrame) -> None:
         desc = struct.pack("!h", len(df.dtypes))

@@ -144,6 +144,15 @@ def test_psql_mirror_ddl_cycle(server, spark, tmp_path):
     assert r.returncode == 0, r.stderr
     assert "wiremirror" in r.stdout
 
+    # the reference's main wire workflow: query the replicated TARGET
+    # table by its mapped name over the same connection
+    r = _psql(
+        server.port,
+        "SELECT id, quantity FROM orders_cdc ORDER BY id",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines() == ["1|9", "2|7"]
+
     r = _psql(server.port, "DROP MIRROR wiremirror")
     assert r.returncode == 0, r.stderr
     r = _psql(server.port, "SHOW MIRRORS LIKE 'wire'")
