@@ -322,3 +322,48 @@ class WireServer:
                 chunk.clear()
         chunk += _msg(b"C", _cstr(f"SELECT {n}"))
         conn.sendall(bytes(chunk))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m peerdb_cdc_psql_psql_spark.wire`` — serve the
+    engine on the reference's port layout (docker-compose.yml:155-170)
+    until interrupted: ``--port 9900 --sf-dir /data/sf --data-root
+    /data/mirrors`` then ``psql -h localhost -p 9900``."""
+    import argparse
+    import time as _time
+
+    from .catalog import DEMO_SCHEMAS
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9900)
+    ap.add_argument("--sf-dir", default=None,
+                    help="parquet table dir to expose as SQL views")
+    ap.add_argument("--data-root", default=None,
+                    help="root dir for mirror event/target/checkpoint state")
+    args = ap.parse_args(argv)
+    spark = get_spark("wire-frontend")
+    env = {}
+    if args.data_root:
+        env = dict(
+            schemas=DEMO_SCHEMAS,
+            event_dir=f"{args.data_root}/wal",
+            target_root=f"{args.data_root}/target",
+            checkpoint_root=f"{args.data_root}/ckpt",
+        )
+    srv = WireServer(
+        spark, host=args.host, port=args.port,
+        sf_dir=args.sf_dir, mirror_env=env,
+    )
+    port = srv.start()
+    print(f"wire frontend listening on {args.host}:{port}", flush=True)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()
