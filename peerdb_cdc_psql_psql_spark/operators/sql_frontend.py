@@ -325,3 +325,179 @@ def execute_mirror_command(
         return live
 
     raise ValueError(f"unrecognized mirror command: {sql!r}\n" + _MIRROR_DDL_HELP)
+
+
+# ---------------------------------------------------------------------------
+# DML → change-event production (r5)
+# ---------------------------------------------------------------------------
+
+_DML_HELP = """supported DML grammar (events land in the mirror WAL):
+  INSERT INTO <table> [(c1, c2, ...)] VALUES (v1, ...), (...)
+  UPDATE <table> SET c1 = v1[, ...] WHERE <key> = <n>
+  DELETE FROM <table> WHERE <key> = <n>
+values: numbers, 'strings', NULL, true/false"""
+
+
+def _split_top_level(raw: str) -> list[str]:
+    """Split on commas outside quotes/parens ('' is the quote escape)."""
+    items, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(raw):
+        ch = raw[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(raw) and raw[i + 1] == "'":
+                cur.append("''")
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            cur.append(ch)
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        items.append("".join(cur).strip())
+    return items
+
+
+def _sql_literal(tok: str):
+    t = tok.strip()
+    if t.upper() == "NULL":
+        return None
+    if t.upper() in ("TRUE", "FALSE"):
+        return t.upper() == "TRUE"
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    try:
+        return int(t)
+    except ValueError:
+        try:
+            return float(t)
+        except ValueError as e:
+            raise ValueError(f"unparseable SQL literal {tok!r}") from e
+
+
+def _parse_sql_values(raw: str) -> list:
+    """Split a VALUES tuple body on top-level commas and literal-parse
+    each item (number / 'string' with '' escape / NULL / bool)."""
+    return [_sql_literal(t) for t in _split_top_level(raw)]
+
+
+def execute_dml_command(
+    spark: SparkSession,
+    sql: str,
+    *,
+    schemas: dict,
+    event_dir: str,
+    key_column: str = "id",
+) -> tuple[str, int]:
+    """INSERT/UPDATE/DELETE against a mirrored SOURCE table, realized
+    as change-event production: each statement appends I/U/D events to
+    the WAL-equivalent log (the role the source Postgres plays in the
+    reference — insert.ps1 writes rows there and CDC picks them up).
+    A running or resumed mirror then applies them downstream.
+
+    LSN allocation reads MAX(lsn) once per statement — correct for
+    the interactive frontend this serves; bulk loads belong on
+    ``workload.append_events`` with pre-assigned ranges.
+
+    Returns (tag, n_events) — e.g. ("INSERT 0 2", 2) — the exact
+    command tag psql prints."""
+    import datetime as _dt
+    import json as _json
+    import re
+
+    from ..streaming.cdc import CDC_EVENT_SCHEMA
+    from ..streaming.workload import append_events
+
+    s = sql.strip().rstrip(";").strip()
+    try:
+        existing = spark.read.schema(CDC_EVENT_SCHEMA).parquet(event_dir)
+        row = existing.agg({"lsn": "max"}).collect()[0]
+        next_lsn = (row[0] or 0) + 1
+    except Exception:  # noqa: BLE001 — empty/missing WAL starts at 1
+        next_lsn = 1
+    now = _dt.datetime.now()
+
+    m = re.match(
+        r"INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, cols_raw, tuples_raw = m.groups()
+        if table not in schemas:
+            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        cols = (
+            [c.strip() for c in cols_raw.split(",")]
+            if cols_raw
+            else [f.name for f in schemas[table].fields]
+        )
+        tuples = re.findall(r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)", tuples_raw)
+        if not tuples:
+            raise ValueError(f"no VALUES tuples found\n{_DML_HELP}")
+        events = []
+        for t in tuples:
+            vals = _parse_sql_values(t)
+            if len(vals) != len(cols):
+                raise ValueError(
+                    f"{len(cols)} columns but {len(vals)} values in ({t})"
+                )
+            rec = dict(zip(cols, vals))
+            if key_column not in rec:
+                raise ValueError(f"INSERT must set the key column {key_column!r}")
+            events.append(
+                (next_lsn + len(events), now, "I", table,
+                 int(rec[key_column]), _json.dumps(rec))
+            )
+        append_events(spark, events, event_dir)
+        return f"INSERT 0 {len(events)}", len(events)
+
+    m = re.match(
+        r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(\w+)\s*=\s*(\d+)\s*$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, set_raw, where_col, key = m.groups()
+        if table not in schemas:
+            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        if where_col.lower() != key_column.lower():
+            raise ValueError(
+                f"UPDATE WHERE must target the key column {key_column!r}"
+            )
+        rec = {key_column: int(key)}
+        for item in _split_top_level(set_raw):
+            c, _, v = item.partition("=")
+            rec[c.strip()] = _sql_literal(v)
+        events = [(next_lsn, now, "U", table, int(key), _json.dumps(rec))]
+        append_events(spark, events, event_dir)
+        return "UPDATE 1", 1
+
+    m = re.match(
+        r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*=\s*(\d+)\s*$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        table, where_col, key = m.groups()
+        if table not in schemas:
+            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        if where_col.lower() != key_column.lower():
+            raise ValueError(
+                f"DELETE WHERE must target the key column {key_column!r}"
+            )
+        events = [(next_lsn, now, "D", table, int(key), None)]
+        append_events(spark, events, event_dir)
+        return "DELETE 1", 1
+
+    raise ValueError(f"unrecognized DML: {sql!r}\n{_DML_HELP}")

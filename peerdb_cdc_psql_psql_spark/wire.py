@@ -240,6 +240,24 @@ class WireServer:
 
     def _run_statement(self, conn: socket.socket, stmt: str) -> None:
         low = " ".join(stmt.lower().split())
+        if (
+            low.startswith(("insert into ", "update ", "delete from "))
+            and self.mirror_env.get("schemas")
+            and self.mirror_env.get("event_dir")
+        ):
+            # DML against a mirrored source table = change-event
+            # production (the role the source Postgres plays in the
+            # reference); a running/resumed mirror applies it.
+            from .operators.sql_frontend import execute_dml_command
+
+            tag, _ = execute_dml_command(
+                self.spark, stmt,
+                schemas=self.mirror_env["schemas"],
+                event_dir=self.mirror_env["event_dir"],
+                key_column=self.mirror_env.get("key_column", "id"),
+            )
+            conn.sendall(_msg(b"C", _cstr(tag)))
+            return
         if low.startswith(self._MIRROR_VERBS):
             from .operators.sql_frontend import execute_mirror_command
 

@@ -153,6 +153,41 @@ def test_psql_mirror_ddl_cycle(server, spark, tmp_path):
     assert r.returncode == 0, r.stderr
     assert r.stdout.splitlines() == ["1|9", "2|7"]
 
+    # DML over the wire = change-event production (the reference's
+    # source-database write path): INSERT/UPDATE/DELETE land in the
+    # WAL, RESUME applies them downstream, SELECT sees the result.
+    r = _psql(
+        server.port,
+        "INSERT INTO orders (id, order_date, purchaser, quantity, product_id)"
+        " VALUES (3, '2024-01-02', 10, 42, 7), (4, '2024-01-03', 11, 8, 2)",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "INSERT 0 2" in r.stdout
+    r = _psql(server.port, "UPDATE orders SET quantity = 50 WHERE id = 2")
+    assert r.returncode == 0 and "UPDATE 1" in r.stdout, r.stderr
+    r = _psql(server.port, "DELETE FROM orders WHERE id = 1")
+    assert r.returncode == 0 and "DELETE 1" in r.stdout, r.stderr
+    r = _psql(server.port, "RESUME MIRROR wiremirror")
+    assert r.returncode == 0, r.stderr
+
+    deadline = time.time() + 120
+    got = {}
+    while time.time() < deadline:
+        rows = read_target(
+            spark, _DDL_MIRRORS["wiremirror"], "orders", str(tmp_path / "tgt")
+        ).collect()
+        got = {
+            row["id"]: (row["quantity"], row["_is_deleted"]) for row in rows
+        }
+        if got == {
+            1: (9, True), 2: (50, False), 3: (42, False), 4: (8, False),
+        }:
+            break
+        time.sleep(1)
+    assert got == {
+        1: (9, True), 2: (50, False), 3: (42, False), 4: (8, False),
+    }, got
+
     r = _psql(server.port, "DROP MIRROR wiremirror")
     assert r.returncode == 0, r.stderr
     r = _psql(server.port, "SHOW MIRRORS LIKE 'wire'")
