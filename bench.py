@@ -134,6 +134,10 @@ EXTRA = [
     "embedding_label_confusion", # nearest-centroid purity matrix
     "lexical_diversity",         # per-doc type-token ratio
     "hapax_rate",                # Zipf-tail vocabulary health
+    # Round-5 additions
+    "multimodal_wav_decode",     # real RIFF/PCM-16 codec round trip
+    "multimodal_bmp_decode",     # real 24-bit BMP codec round trip
+    "multimodal_resize_stats",   # decode→resize→re-encode→decode chain
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
