@@ -655,3 +655,18 @@ def test_pagerank_no_forced_broadcast(spark):
     df = REGISTRY["pagerank_bipartite"].fn(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_codec_decode_zero_shuffle(spark):
+    """X5 real codecs: synthesize → decode (→ resize → decode) are
+    chained mapInPandas stages over the manifest scan — one pipelined
+    stage, NO Exchange anywhere. A shuffle here would move raw media
+    payloads across the cluster at 100 TB."""
+    for name in (
+        "multimodal_wav_decode",
+        "multimodal_bmp_decode",
+        "multimodal_resize_stats",
+    ):
+        plan = plan_string(_df(spark, name))
+        assert "Exchange" not in plan, f"{name} shuffles payloads:\n{plan}"
+        assert "MapInPandas" in plan, name

@@ -102,6 +102,26 @@ def test_psql_error_keeps_session_alive(server):
 
 
 @pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_concurrent_clients(server):
+    """Connection-per-thread: N parallel psql sessions each run a
+    distinct query and get their own correct result (Spark actions
+    are session-concurrent; the frontend must not cross wires)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i: int) -> str:
+        r = _psql(
+            server.port,
+            f"SELECT COUNT(*) + {i} AS n FROM nation",
+        )
+        assert r.returncode == 0, r.stderr
+        return r.stdout.strip()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(one, range(8)))
+    assert got == [str(25 + i) for i in range(8)]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
 def test_psql_mirror_ddl_cycle(server, spark, tmp_path):
     """The VERDICT r4 #7 'done' criterion: SHOW MIRRORS + the full
     CREATE→apply→DROP mirror lifecycle through a real psql client."""
