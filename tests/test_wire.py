@@ -101,6 +101,30 @@ def test_psql_error_keeps_session_alive(server):
     assert r2.returncode == 0 and r2.stdout.strip() == "42"
 
 
+def test_malformed_clients_do_not_wedge_server(server):
+    """Garbage startup bytes, truncated frames, and abrupt
+    disconnects must only kill their own connection — the accept loop
+    keeps serving psql afterwards."""
+    import socket as sk
+
+    for payload in (
+        b"\x00\x00\x00\x04",              # length-only, no protocol code
+        b"GET / HTTP/1.1\r\n\r\n",        # not the protocol at all
+        b"\x00\x00\x01\x00" + b"\x00" * 64,  # length promises more than sent
+        b"",                              # connect-and-close
+    ):
+        c = sk.create_connection(("127.0.0.1", server.port), timeout=5)
+        try:
+            if payload:
+                c.sendall(payload)
+            c.close()
+        except OSError:
+            pass
+    if not psql_missing:
+        r = _psql(server.port, "SELECT 7 AS ok")
+        assert r.returncode == 0 and r.stdout.strip() == "7"
+
+
 @pytest.mark.skipif(psql_missing, reason="psql client not installed")
 def test_psql_concurrent_clients(server):
     """Connection-per-thread: N parallel psql sessions each run a
