@@ -160,7 +160,7 @@ HEADLINE = [
 ]
 
 
-def bench_cdc_apply(spark) -> tuple[float, int]:
+def bench_cdc_apply(spark, n: int = 20000) -> tuple[float, int]:
     """Mirror-apply throughput: N change events through the streaming
     merge (availableNow drain), returns (seconds, events)."""
     from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
@@ -171,8 +171,6 @@ def bench_cdc_apply(spark) -> tuple[float, int]:
         read_target,
         start_mirror,
     )
-
-    n = 20000
     rng = random.Random(42)
     events = workload.generate_order_events(
         rng, start_id=1, start_lsn=1, count=n,
@@ -472,6 +470,10 @@ def main() -> None:
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
     )
+    # CDC weak-scaling point: one 4x-backlog drain — events/s should
+    # hold (the merge is O(batch + target) per micro-batch); a
+    # superlinear apply path would show throughput collapsing here.
+    cdc4_sec, cdc4_events = bench_cdc_apply(spark, n=80000)
     cdc_multi_sec, cdc_multi_events = min(
         (bench_cdc_apply_multi(spark) for _ in range(2)), key=lambda t: t[0]
     )
@@ -509,6 +511,7 @@ def main() -> None:
          "agg": "min", "timed": "collect wall-clock"},
         {"name": "extra_suite", "queries": EXTRA, "passes": 2, "agg": "min"},
         {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
+        {"name": "cdc_apply_4x", "events": 80000, "passes": 1},
         {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
          "passes": 2, "agg": "min"},
         {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
@@ -530,6 +533,7 @@ def main() -> None:
         "extra_suite_seconds": round(sum(extra_times.values()), 3),
         "extra_suite_count": len(extra_times),
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1),
+        "cdc_apply_4x_events_per_sec": round(cdc4_events / cdc4_sec, 1),
         "cdc_apply_multi_tables": 3,
         "cdc_apply_multi_events_per_sec": round(cdc_multi_events / cdc_multi_sec, 1),
         "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
