@@ -364,6 +364,11 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("wire-frontend")
     env = {}
     if args.data_root:
+        import os as _os
+
+        # CREATE MIRROR tails the WAL dir immediately; it must exist
+        # (empty is fine) even before the first INSERT produces events
+        _os.makedirs(f"{args.data_root}/wal", exist_ok=True)
         env = dict(
             schemas=DEMO_SCHEMAS,
             event_dir=f"{args.data_root}/wal",
