@@ -100,6 +100,9 @@ class WireServer:
     port: int = 9900
     sf_dir: str | None = None
     mirror_env: dict = field(default_factory=dict)
+    # also expose every registered operator as a q_<name> SQL view, so
+    # a psql user can run the full engine surface as plain SELECTs
+    query_views: bool = False
     _sock: socket.socket | None = None
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
@@ -111,6 +114,11 @@ class WireServer:
             from .operators.sql_frontend import register_views
 
             register_views(self.spark, self.sf_dir)
+            if self.query_views:
+                from . import operators  # noqa: F401 — fills REGISTRY
+                from .operators.sql_frontend import register_query_views
+
+                register_query_views(self.spark, self.sf_dir)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, self.port))
@@ -360,6 +368,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="parquet table dir to expose as SQL views")
     ap.add_argument("--data-root", default=None,
                     help="root dir for mirror event/target/checkpoint state")
+    ap.add_argument("--query-views", action="store_true",
+                    help="expose every registered operator as a q_<name> view")
     args = ap.parse_args(argv)
     spark = get_spark("wire-frontend")
     env = {}
@@ -378,6 +388,7 @@ def main(argv: list[str] | None = None) -> None:
     srv = WireServer(
         spark, host=args.host, port=args.port,
         sf_dir=args.sf_dir, mirror_env=env,
+        query_views=args.query_views,
     )
     port = srv.start()
     print(f"wire frontend listening on {args.host}:{port}", flush=True)

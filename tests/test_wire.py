@@ -101,6 +101,27 @@ def test_psql_error_keeps_session_alive(server):
     assert r2.returncode == 0 and r2.stdout.strip() == "42"
 
 
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_operator_query_views(spark):
+    """query_views=True exposes every lazily-buildable registered
+    operator as q_<name>, so psql drives the whole engine surface as
+    plain SELECTs."""
+    srv = WireServer(spark, port=0, sf_dir=SF, query_views=True)
+    srv.start()
+    try:
+        r = _psql(
+            srv.port,
+            "SELECT l_returnflag, sum_qty FROM q_pricing_summary "
+            "ORDER BY l_returnflag LIMIT 1",
+        )
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip().startswith("A|")
+        r = _psql(srv.port, "SELECT COUNT(*) AS n FROM q_text_suite")
+        assert r.returncode == 0 and int(r.stdout.strip()) > 0, r.stderr
+    finally:
+        srv.stop()
+
+
 def test_malformed_clients_do_not_wedge_server(server):
     """Garbage startup bytes, truncated frames, and abrupt
     disconnects must only kill their own connection — the accept loop
