@@ -96,3 +96,43 @@ def test_sniff_format():
     assert sniff_format(b"\x89PNG\r\n") == "png"
     assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
     assert sniff_format(b"whatever") == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Property tests: encode→decode round trips on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    a = np.array(samples, dtype=np.int64)
+    d = decode_wav(encode_wav_pcm16(a, rate))
+    ab = np.abs(a)
+    assert d["sample_rate"] == rate
+    assert d["n_samples"] == len(a)
+    assert d["peak"] == int(ab.max())
+    assert d["mean_abs"] == int(ab.mean())
+    assert d["duration_ms"] == len(a) * 1000 // rate
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=11),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = decode_bmp(encode_bmp24(px))
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(sums // (w * h))

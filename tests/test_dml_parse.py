@@ -39,3 +39,36 @@ def test_parse_values_row():
         3, "2024-01-02", 10, 42, 7,
     ]
     assert _parse_sql_values("1, NULL, 'x, y'") == [1, None, "x, y"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_VALUES = st.one_of(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.none(),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=30,
+    ),
+)
+
+
+def _render(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + v.replace("'", "''") + "'"
+
+
+@settings(max_examples=50, deadline=None)
+@given(vals=st.lists(_VALUES, min_size=1, max_size=8))
+def test_values_roundtrip_property(vals):
+    """Render arbitrary values as SQL literals → parse back → equal.
+    (Strings that LOOK like other literals — '42', 'NULL' — stay
+    strings because quoting wins.)"""
+    rendered = ", ".join(_render(v) for v in vals)
+    assert _parse_sql_values(rendered) == list(vals)
