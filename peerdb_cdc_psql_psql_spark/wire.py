@@ -235,8 +235,35 @@ class WireServer:
         "resume mirror", "show mirrors",
     )
 
+    @staticmethod
+    def _split_statements(sql: str) -> list[str]:
+        """Split on semicolons outside single-quoted literals ('' is
+        the quote escape) — a raw split would cut `SELECT 'a;b'`."""
+        out, cur, in_str, i = [], [], False, 0
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'" and i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+                cur.append(ch)
+            elif ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == ";":
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        out.append("".join(cur))
+        return [s.strip() for s in out if s.strip()]
+
     def _simple_query(self, conn: socket.socket, sql: str) -> None:
-        for stmt in filter(None, (s.strip() for s in sql.split(";"))):
+        for stmt in self._split_statements(sql):
             try:
                 self._run_statement(conn, stmt)
             except Exception as e:  # noqa: BLE001 — every engine error

@@ -92,6 +92,14 @@ def test_psql_multi_statement(server):
 
 
 @pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_semicolon_inside_string_literal(server):
+    """Statement splitting must not cut quoted semicolons."""
+    r = _psql(server.port, "SELECT 'a;b' AS s; SELECT 'it''s; fine' AS t")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines() == ["a;b", "it's; fine"]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
 def test_psql_error_keeps_session_alive(server):
     r = _psql(server.port, "SELECT definitely_not_a_column FROM nation")
     assert r.returncode != 0
