@@ -138,6 +138,7 @@ EXTRA = [
     "multimodal_wav_decode",     # real RIFF/PCM-16 codec round trip
     "multimodal_bmp_decode",     # real 24-bit BMP codec round trip
     "multimodal_resize_stats",   # decode→resize→re-encode→decode chain
+    "part_triangle_stats",       # degree-oriented triangle census
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

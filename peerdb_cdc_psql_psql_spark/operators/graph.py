@@ -164,3 +164,126 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_micro",
         )
     )
+
+
+_TRI_CAP = 64  # basket cap shared with part_cooccurrence (joins.py)
+
+
+@register(
+    "part_triangle_stats",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM d)
+  WHERE rn <= {_TRI_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM oriented w1
+  JOIN oriented w2 ON w1.s = w2.s AND w1.t < w2.t
+  JOIN edges e ON e.u = w1.t AND e.v = w2.t
+),
+wedges AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n FROM deg)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       (SELECT n FROM wedges) AS n_wedges,
+       (SELECT n FROM tri) AS n_triangles,
+       (3 * (SELECT n FROM tri) * 10000)
+           // NULLIF((SELECT n FROM wedges), 0) AS clustering_bp
+""",
+    tags=("graph", "J2", "analytics"),
+)
+def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part
+    pairs sharing an order, the same capped basket derivation as
+    part_cooccurrence): triangle count and global clustering
+    coefficient — the standard graph-health metrics for a
+    recommendation/co-occurrence graph.
+
+    Shape: the DEGREE-ORIENTED node-iterator — orient every edge from
+    its (degree, id)-smaller endpoint, enumerate wedges from oriented
+    out-edges only, and close each wedge with ONE equi-join back to
+    the canonical (u < v) edge set. Orientation makes each triangle
+    counted exactly once at its order-minimal vertex, and (the classic
+    result) bounds every out-degree by O(sqrt(E)), so wedge fan-out is
+    O(E^1.5) worst-case instead of sum-of-degrees-squared — the hub
+    that breaks naive triangle counting never materializes its square.
+    The wedge-close is a pure equi-join (no OR-of-directions: wedge
+    endpoints are emitted value-ordered, matching the canonical edge).
+
+    Determinism: counts and one floor division — bit-stable anywhere.
+    Scale: shuffles carry (BIGINT, BIGINT) pairs; degree join is
+    |nodes| rows; the basket cap bounds pathological baskets upstream.
+    Clustering coefficient = 3·triangles / wedges in basis points,
+    NULLIF-guarded for the degenerate no-wedge graph."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from .joins import basket_pairs
+
+    edges = (
+        basket_pairs(li, cap=_TRI_CAP)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    src_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(src_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(src_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()
+    w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    wedge_pairs = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    tri = wedge_pairs.join(
+        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # three 1-row aggregates — broadcast cross joins, the repo's
+    # accepted pattern for assembling a scalar report row
+    return (
+        nodes.crossJoin(ecount)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "(3 * n_triangles * 10000) div nullif(n_wedges, 0)"
+            ).alias("clustering_bp"),
+        )
+    )
