@@ -474,7 +474,11 @@ def main() -> None:
     # CDC weak-scaling point: one 4x-backlog drain — events/s should
     # hold (the merge is O(batch + target) per micro-batch); a
     # superlinear apply path would show throughput collapsing here.
-    cdc4_sec, cdc4_events = bench_cdc_apply(spark, n=80000)
+    try:
+        cdc4_sec, cdc4_events = bench_cdc_apply(spark, n=80000)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "cdc4x_error", "err": str(e)[:300]}))
+        cdc4_sec, cdc4_events = float("inf"), 0
     cdc_multi_sec, cdc_multi_events = min(
         (bench_cdc_apply_multi(spark) for _ in range(2)), key=lambda t: t[0]
     )
@@ -487,8 +491,15 @@ def main() -> None:
         (bench_stream_neardup(spark) for _ in range(2)), key=lambda t: t[0]
     )
 
-    with tempfile.TemporaryDirectory() as tmp:
-        probe = scale_probe(spark, SF_DIR, 4, tmp)
+    # Evidence-loss guard (the r4 lesson, applied forward): a failure
+    # in the auxiliary probes must cost only that probe's fields,
+    # never the round's metrics line.
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            probe = scale_probe(spark, SF_DIR, 4, tmp)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
+        probe = {}
 
     # insert stress again at end-of-bench: the first-position figure
     # above is canonical; this one quantifies the session-state offset.
@@ -540,7 +551,9 @@ def main() -> None:
         "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
         "stream_neardup_docs_per_sec": round(nd_docs / nd_sec, 1),
         "scale_probe_k": 4,
-        "scale_probe_max_ratio": max(v["ratio"] for v in probe.values()),
+        "scale_probe_max_ratio": max(
+            (v["ratio"] for v in probe.values()), default=None
+        ),
         "insert_stress_ops_per_sec": stress["ops_per_sec"],
         "insert_stress_success_rate_pct": stress["success_rate_pct"],
         "insert_stress_avg_batch_ms": stress["avg_batch_ms"],
