@@ -436,14 +436,20 @@ def main() -> None:
             spark, f"{tmp}/wal", record_count=5000, batch_size=500
         )
 
-    # Two passes, report per-query min: the host shows transient
+    # Multiple passes, report per-query min: the host shows transient
     # ~60 s external CPU steals that would otherwise land on one
-    # arbitrary query; min-of-2 measures the engine, not the noise.
+    # arbitrary query; min-of-N measures the engine, not the noise.
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     from peerdb_cdc_psql_psql_spark.operators import dedup as _dedup
 
-    for _pass in range(2):
+    # Headline: min-of-3 (pass 1 is dominated by whole-stage-codegen
+    # compilation — observed ~30-40% inflation on repeat probes — and
+    # the host shows transient external CPU steals; three passes give
+    # min() a genuinely warm, steal-free sample). The extra suite stays
+    # at 2 passes: 105 queries × ~1 s makes a third pass cost more than
+    # the noise it removes.
+    for _pass in range(3):
         # drop persisted intermediates so each pass pays full cost
         # (cache sharing within a pass is legitimate; across passes it
         # would measure cache hits, not work). The shared bucketed
@@ -460,6 +466,8 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+        if _pass >= 2:
+            continue  # extra suite: 2 passes only (see above)
         spark.catalog.clearCache()
         for name in EXTRA:
             fn = REGISTRY[name].fn
@@ -519,7 +527,7 @@ def main() -> None:
     manifest = [
         {"name": "insert_stress", "records": 5000, "batch_size": 500,
          "order": "first (fresh session) + repeated last as *_end"},
-        {"name": "headline_suite", "queries": HEADLINE, "passes": 2,
+        {"name": "headline_suite", "queries": HEADLINE, "passes": 3,
          "agg": "min", "timed": "collect wall-clock"},
         {"name": "extra_suite", "queries": EXTRA, "passes": 2, "agg": "min"},
         {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
