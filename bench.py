@@ -139,6 +139,7 @@ EXTRA = [
     "multimodal_bmp_decode",     # real 24-bit BMP codec round trip
     "multimodal_resize_stats",   # decode→resize→re-encode→decode chain
     "part_triangle_stats",       # degree-oriented triangle census
+    "multimodal_video_frame_sample",  # real AVI demux + frame decode
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

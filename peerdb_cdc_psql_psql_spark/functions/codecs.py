@@ -159,8 +159,142 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return px[yi][:, xi]
 
 
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed DIB video frames)
+# ---------------------------------------------------------------------------
+#
+# The third classic library-free media format: AVI is the same RIFF
+# chunk grammar as WAVE, and an uncompressed ("DIB "/BI_RGB) video
+# stream's frames are the same stride-padded bottom-up BGR pixel
+# arrays as BMP — so a real demuxer + frame decoder needs only the
+# public struct layouts (MSDN "AVI RIFF File Reference"):
+#
+#   RIFF('AVI '
+#     LIST('hdrl' avih(MainAVIHeader)
+#                 LIST('strl' strh(AVIStreamHeader) strf(BITMAPINFOHEADER)))
+#     LIST('movi' 00db(<DIB frame>) ...)
+#     idx1(<index entries>))
+#
+# Compressed codecs (MJPG/H.264/...) inside AVI still raise.
+
+
+def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal AVI writer: (n, h, w, 3) uint8 RGB frames → RIFF/AVI
+    with one uncompressed 24-bit 'DIB ' video stream ('00db' chunks,
+    BMP-style stride padding and bottom-up BGR rows) plus an idx1
+    index."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    stride = (3 * w + 3) & ~3
+    sz = stride * h
+    frame_bytes = []
+    for px in fr:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)
+        frame_bytes.append(rows.tobytes())
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        1_000_000 // fps, sz * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX
+        n, 0, 1, sz, w, h, 0, 0, 0, 0,        # frames, initial, streams, buf
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIII4h",
+        b"strh", 56, b"vids", b"DIB ",
+        0, 0, 0, 0,          # flags, priority, language, initial frames
+        1, fps, 0, n,        # scale, rate, start, length
+        sz, 10_000, 0,       # suggested buffer, quality, sample size
+        0, 0, w, h,          # rcFrame
+    )
+    strf = struct.pack("<4sI", b"strf", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, sz, 2835, 2835, 0, 0
+    )
+    strl = b"strl" + strh + strf
+    hdrl = (
+        b"hdrl" + avih + struct.pack("<4sI", b"LIST", len(strl)) + strl
+    )
+    movi = b"movi" + b"".join(
+        struct.pack("<4sI", b"00db", sz) + fb + (b"\x00" if sz & 1 else b"")
+        for fb in frame_bytes
+    )
+    entries, off = [], 4  # idx1 offsets are relative to the 'movi' fourcc
+    for _ in frame_bytes:
+        entries.append(struct.pack("<4sIII", b"00db", 0x10, off, sz))
+        off += 8 + sz + (sz & 1)
+    idx1 = struct.pack("<4sI", b"idx1", 16 * n) + b"".join(entries)
+    body = (
+        b"AVI "
+        + struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+        + struct.pack("<4sI", b"LIST", len(movi)) + movi
+        + idx1
+    )
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Demux a RIFF/AVI payload: recursive chunk walk collecting the
+    main header (dimensions, frame count, frame interval), the video
+    stream format, and the (offset, size) of every '00db'/'00dc'
+    frame chunk. Only uncompressed 24-bit DIB streams are supported —
+    a compressed biCompression raises."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    avih = None
+    strf = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, strf
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"avih":
+                avih = struct.unpack_from("<14I", payload, body)
+            elif cid == b"strf" and strf is None:
+                strf = struct.unpack_from("<IiiHHI", payload, body)
+            elif cid[2:] in (b"db", b"dc"):
+                frames.append((body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    usec_per_frame, total_frames, width, height = (
+        avih[0], avih[4], avih[8], avih[9]
+    )
+    if strf is not None:
+        _, _, _, _, bpp, compression = strf
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only uncompressed 24-bit DIB AVI is supported "
+                f"(bpp={bpp}, compression={compression})"
+            )
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(total_frames) or len(frames),
+        "usec_per_frame": int(usec_per_frame),
+        "frames": frames,
+    }
+
+
+def decode_avi_frame(
+    payload: bytes, entry: tuple[int, int], width: int, height: int
+) -> np.ndarray:
+    """Decode one '00db' DIB frame chunk (located by ``entry`` from
+    ``decode_avi``) into a top-down (h, w, 3) RGB array — same stride
+    unpadding / row flip / BGR swap as the BMP pixel array."""
+    off, _size = entry
+    stride = (3 * width + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=off
+    ).reshape(height, stride)
+    return rows[:, : 3 * width].reshape(height, width, 3)[::-1, :, ::-1]
+
+
 _MAGIC = {
-    b"RIFF": "wav",
     b"BM": "bmp",
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
@@ -168,6 +302,9 @@ _MAGIC = {
 
 
 def sniff_format(payload: bytes) -> str:
+    if payload[:4] == b"RIFF":
+        kind = payload[8:12]
+        return {b"WAVE": "wav", b"AVI ": "avi"}.get(kind, "riff")
     for magic, name in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return name

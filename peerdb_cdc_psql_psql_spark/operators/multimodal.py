@@ -483,3 +483,123 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_g").cast("bigint"),
         F.col("mean_b").cast("bigint"),
     )
+
+
+_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.LongType()),
+        T.StructField("mean_g", T.LongType()),
+        T.StructField("mean_b", T.LongType()),
+    ]
+)
+
+
+def synthesize_avi_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side AVI synthesis: per media_id, n_frames = id%30+1
+    solid-color DIB frames at odd width (id%6)·4+5 (stride padding
+    exercised per frame), height (id%3)+2, 10 fps. Frame f's RGB is
+    an exact mod-function of (id, f), so every sampled frame's channel
+    means are SQL-derivable and the oracle checks the REAL demux +
+    per-frame decode byte path."""
+
+    from ..functions.codecs import encode_avi_dib
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n, w, h = m % 30 + 1, m % 6 * 4 + 5, m % 3 + 2
+                f = np.arange(n, dtype=np.int64)
+                px = np.empty((n, h, w, 3), dtype=np.uint8)
+                px[..., 0] = ((m + 11 * f) % 256)[:, None, None]
+                px[..., 1] = ((m * 7 + 3 * f) % 256)[:, None, None]
+                px[..., 2] = ((m * 13 + 5 * f) % 256)[:, None, None]
+                payloads.append(encode_avi_dib(px, fps=10))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every: int) -> DataFrame:
+    """REAL video frame-sampling over mapInPandas: demux each RIFF/AVI
+    payload (chunk walk → header + '00db' frame directory), decode
+    every Nth DIB frame (stride unpadding, bottom-up flip, BGR→RGB),
+    and emit per-frame dimensions + exact integer channel means — the
+    distributed work units a vision feature-extractor consumes."""
+
+    from ..functions.codecs import decode_avi, decode_avi_frame
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = decode_avi(b)
+                w, h, n = d["width"], d["height"], d["n_frames"]
+                npix = w * h
+                for fi in range(0, n, every):
+                    px = decode_avi_frame(b, d["frames"][fi], w, h)
+                    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    rows.append(
+                        (
+                            mid, fi, n, w, h,
+                            int(sums[0] // npix), int(sums[1] // npix),
+                            int(sums[2] // npix),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SAMPLE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_FRAME_SAMPLE_SCHEMA)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+SELECT media_id, frame_idx,
+       CAST(media_id % 30 + 1 AS BIGINT) AS n_frames,
+       (media_id % 6) * 4 + 5 AS width,
+       (media_id % 3) + 2 AS height,
+       (media_id + 11 * frame_idx) % 256 AS mean_r,
+       (media_id * 7 + 3 * frame_idx) % 256 AS mean_g,
+       (media_id * 13 + 5 * frame_idx) % 256 AS mean_b
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 5)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 150
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI codec round trip (X5): synthesize uncompressed-DIB AVI
+    videos executor-side, demux the actual RIFF container back, and
+    decode every 5th frame into exact channel means. The oracle
+    recomputes frame indices and colors arithmetically — a demux bug
+    (chunk alignment, frame directory, stride, row order) or an
+    off-by-one in the sampling stride breaks exact equality. Upgrades
+    the reference's frame-sample surface from index fan-out plumbing
+    (`multimodal_frame_sample`) to a byte-level decode path."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "video") & (F.col("media_id") < 150)
+    )
+    sampled = sample_video_frames(synthesize_avi_payloads(ids), every=5)
+    return sampled.select(
+        "media_id", "frame_idx", "n_frames", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )

@@ -136,3 +136,70 @@ def test_bmp_roundtrip_property(w, h, seed):
     sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
     assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
     assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(sums // (w * h))
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed DIB frames)
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    decode_avi,
+    decode_avi_frame,
+    encode_avi_dib,
+)
+
+
+def test_avi_roundtrip_exact_frames():
+    """Every frame must survive the container byte-for-byte — odd
+    width forces per-frame stride padding, and frame 1 != frame 0
+    catches a demuxer that returns the same chunk twice."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 3, 5, 3), dtype=np.uint8)
+    payload = encode_avi_dib(frames, fps=10)
+    d = decode_avi(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 3, 4)
+    assert d["usec_per_frame"] == 100_000
+    assert len(d["frames"]) == 4
+    for i in range(4):
+        got = decode_avi_frame(payload, d["frames"][i], 5, 3)
+        assert np.array_equal(got, frames[i])
+
+
+def test_avi_header_fields_parse():
+    """The RIFF grammar itself: hdrl/strl LIST nesting, idx1 present,
+    sniffable as avi, and the strf BITMAPINFOHEADER gates on
+    compression."""
+    frames = np.zeros((2, 2, 2, 3), np.uint8)
+    payload = encode_avi_dib(frames, fps=25)
+    assert sniff_format(payload) == "avi"
+    assert payload[8:12] == b"AVI "
+    assert b"idx1" in payload
+    d = decode_avi(payload)
+    assert d["usec_per_frame"] == 40_000
+    # corrupt biCompression in strf -> must refuse, not mis-decode
+    bad = bytearray(payload)
+    pos = payload.index(b"strf") + 8 + 16
+    struct.pack_into("<I", bad, pos, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_avi(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_avi(encode_wav_pcm16(np.array([0]), 8000))  # RIFF but WAVE
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=8),
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_property(n, w, h, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    payload = encode_avi_dib(frames)
+    d = decode_avi(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
+    for i in range(n):
+        assert np.array_equal(
+            decode_avi_frame(payload, d["frames"][i], w, h), frames[i]
+        )
