@@ -140,6 +140,7 @@ EXTRA = [
     "multimodal_resize_stats",   # decode→resize→re-encode→decode chain
     "part_triangle_stats",       # degree-oriented triangle census
     "multimodal_video_frame_sample",  # real AVI demux + frame decode
+    "multimodal_audio_frames",   # windowed audio feature extraction
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

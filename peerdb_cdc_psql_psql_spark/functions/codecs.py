@@ -57,10 +57,9 @@ def encode_wav_pcm16(
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Walk RIFF chunks; return sample_rate / n_channels / n_samples
-    (frames) plus integer sample stats (peak = max |sample|,
-    mean_abs = floor of the mean absolute amplitude). Only
+def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Walk RIFF chunks and return (sample_rate, n_channels, samples)
+    with the raw interleaved PCM-16 samples as an int16 array. Only
     uncompressed PCM-16 is supported — anything else raises."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -80,7 +79,14 @@ def decode_wav(payload: bytes) -> dict:
         raise NotImplementedError(
             f"only PCM-16 WAVE is supported (format={audio_format}, bits={bits})"
         )
-    x = np.frombuffer(data, dtype="<i2")
+    return int(sample_rate), int(n_channels), np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decoded WAV summary: sample_rate / n_channels / n_samples
+    (frames) plus integer sample stats (peak = max |sample|,
+    mean_abs = floor of the mean absolute amplitude)."""
+    sample_rate, n_channels, x = decode_wav_samples(payload)
     n_frames = len(x) // n_channels
     ab = np.abs(x.astype(np.int64))
     return {

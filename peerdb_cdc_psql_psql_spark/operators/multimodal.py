@@ -568,6 +568,100 @@ def sample_video_frames(df: DataFrame, every: int) -> DataFrame:
     return df.mapInPandas(batches, schema=_FRAME_SAMPLE_SCHEMA)
 
 
+_AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mean_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_frames(df: DataFrame, frame_len: int) -> DataFrame:
+    """Windowed audio feature extraction over mapInPandas: split each
+    decoded PCM stream into fixed-length analysis frames (last frame
+    ragged) and emit per-frame peak, floor mean-abs, and the
+    zero-crossing count (signbit flips between adjacent samples) —
+    the framing stage every speech pipeline (MFCC/wav2vec-style
+    preprocessing) starts from."""
+
+    from ..functions.codecs import decode_wav_samples
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, _ch, x = decode_wav_samples(bytes(payload))
+                n = len(x)
+                for fi in range((n + frame_len - 1) // frame_len):
+                    fr = x[fi * frame_len : (fi + 1) * frame_len].astype(
+                        np.int64
+                    )
+                    ab = np.abs(fr)
+                    zc = int(
+                        np.count_nonzero(
+                            np.signbit(fr[:-1]) != np.signbit(fr[1:])
+                        )
+                    )
+                    rows.append(
+                        (
+                            mid, fi, len(fr), int(ab.max()),
+                            int(ab.mean()), zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FRAME_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_AUDIO_FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+SELECT media_id, frame_idx,
+       LEAST(400, n_samples - frame_idx * 400) AS frame_samples,
+       amp AS peak,
+       amp AS mean_abs,
+       CASE WHEN amp > 0
+            THEN LEAST(400, n_samples - frame_idx * 400) - 1
+            ELSE 0 END AS zero_crossings
+FROM (
+  SELECT doc_id AS media_id,
+         800 + (doc_id % 10) * 160 AS n_samples,
+         (doc_id % 320) * 100 AS amp,
+         unnest(range(0,
+             CAST((800 + (doc_id % 10) * 160 + 399) // 400 AS BIGINT)
+         )) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 200
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extract (X5): the synthesized square waves framed
+    into 400-sample windows. An alternating ±a signal makes every
+    per-frame feature exactly arithmetic — peak and mean-abs equal the
+    amplitude at ANY frame length, and adjacent samples flip sign at
+    every boundary, so zero_crossings = frame_samples − 1 (0 for the
+    silent amp=0 payloads). A framing off-by-one (dropped ragged tail,
+    overlapping windows) or a crossing miscount breaks equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 200)
+    )
+    framed = extract_audio_frames(synthesize_wav_payloads(ids), frame_len=400)
+    return framed.select(
+        "media_id", "frame_idx", "frame_samples", "peak", "mean_abs",
+        "zero_crossings",
+    )
+
+
 @register(
     "multimodal_video_frame_sample",
     oracle="""

@@ -203,3 +203,20 @@ def test_avi_roundtrip_property(n, w, h, seed):
         assert np.array_equal(
             decode_avi_frame(payload, d["frames"][i], w, h), frames[i]
         )
+
+
+def test_wav_samples_accessor_and_framing_semantics():
+    """decode_wav_samples returns the raw PCM; the framing features
+    (used by multimodal_audio_frames) count signbit flips — pinned
+    here on a NON-alternating signal so the operator's semantics are
+    fixed independent of the square-wave synthesizer."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import decode_wav_samples
+
+    sig = np.array([5, 3, -2, -7, 0, 4, -1], dtype=np.int64)
+    rate, ch, x = decode_wav_samples(encode_wav_pcm16(sig, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(x, sig)
+    # signbit flips: 3->-2, -7->0 (|-0|? signbit(0)=False so -7->0
+    # counts), 0->4 no flip, 4->-1 flip = 3 crossings
+    flips = int(np.count_nonzero(np.signbit(x[:-1]) != np.signbit(x[1:])))
+    assert flips == 3

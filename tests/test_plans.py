@@ -667,6 +667,7 @@ def test_codec_decode_zero_shuffle(spark):
         "multimodal_bmp_decode",
         "multimodal_resize_stats",
         "multimodal_video_frame_sample",
+        "multimodal_audio_frames",
     ):
         plan = plan_string(_df(spark, name))
         assert "Exchange" not in plan, f"{name} shuffles payloads:\n{plan}"
