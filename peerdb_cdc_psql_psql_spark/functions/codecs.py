@@ -280,7 +280,10 @@ def decode_avi(payload: bytes) -> dict:
     return {
         "width": int(width),
         "height": int(height),
-        "n_frames": int(total_frames) or len(frames),
+        # clamp to the demuxed chunk count: a foreign/truncated AVI
+        # whose avih dwTotalFrames overstates the actual '00db' chunks
+        # must degrade gracefully, not IndexError in an executor task
+        "n_frames": min(int(total_frames), len(frames)) or len(frames),
         "usec_per_frame": int(usec_per_frame),
         "frames": frames,
     }

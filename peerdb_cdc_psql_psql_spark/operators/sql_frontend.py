@@ -372,6 +372,47 @@ def _split_top_level(raw: str) -> list[str]:
     return items
 
 
+def _top_level_groups(raw: str) -> list[str]:
+    """Yield the bodies of top-level parenthesized groups, quote-aware
+    ('' is the escape): a string literal containing parens — 'acme
+    (inc' or ':-)' — must not mis-split the VALUES tuples (ADVICE r5,
+    the non-quote-aware regex did)."""
+    groups, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(raw):
+        ch = raw[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(raw) and raw[i + 1] == "'":
+                cur.append("''")
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            cur.append(ch)
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            if depth > 0:
+                cur.append(ch)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                cur = []
+            elif depth < 0:
+                raise ValueError(f"unbalanced parentheses in {raw!r}")
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in {raw!r}")
+    return groups
+
+
 def _sql_literal(tok: str):
     t = tok.strip()
     if t.upper() == "NULL":
@@ -393,6 +434,42 @@ def _parse_sql_values(raw: str) -> list:
     """Split a VALUES tuple body on top-level commas and literal-parse
     each item (number / 'string' with '' escape / NULL / bool)."""
     return [_sql_literal(t) for t in _split_top_level(raw)]
+
+
+def _current_source_row(
+    spark: SparkSession, event_dir: str, table: str, key: int
+) -> dict | None:
+    """Reconstruct the current full row of a mirrored source table
+    from the WAL by folding its events in LSN order (I replaces,
+    U merges, D clears). Used to build FULL after-images for wire
+    UPDATEs — the engine's U-event contract carries the whole row
+    (``generate_order_events``), and ``_merged_state`` takes the
+    max-LSN row's columns verbatim, so a partial U image would NULL
+    every column not in the SET list (ADVICE r5, high)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.cdc import CDC_EVENT_SCHEMA
+
+    try:
+        events = (
+            spark.read.schema(CDC_EVENT_SCHEMA)
+            .parquet(event_dir)
+            .where((F.col("table") == table) & (F.col("key") == int(key)))
+            .orderBy("lsn")
+            .collect()  # bounded: one key's history on the interactive path
+        )
+    except Exception:  # noqa: BLE001 — empty/missing WAL → no row
+        return None
+    cur: dict | None = None
+    for row in events:
+        if row["op"] == "D":
+            cur = None
+        else:
+            payload = _json.loads(row["after_json"]) if row["after_json"] else {}
+            cur = payload if (row["op"] == "I" or cur is None) else {**cur, **payload}
+    return cur
 
 
 def execute_dml_command(
@@ -444,7 +521,7 @@ def execute_dml_command(
             if cols_raw
             else [f.name for f in schemas[table].fields]
         )
-        tuples = re.findall(r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)", tuples_raw)
+        tuples = _top_level_groups(tuples_raw)
         if not tuples:
             raise ValueError(f"no VALUES tuples found\n{_DML_HELP}")
         events = []
@@ -476,7 +553,12 @@ def execute_dml_command(
             raise ValueError(
                 f"UPDATE WHERE must target the key column {key_column!r}"
             )
-        rec = {key_column: int(key)}
+        # full after-image: merge SET values into the current row so
+        # non-SET columns survive the apply (Postgres UPDATE semantics)
+        current = _current_source_row(spark, event_dir, table, int(key))
+        if current is None:
+            return "UPDATE 0", 0
+        rec = {**current, key_column: int(key)}
         for item in _split_top_level(set_raw):
             c, _, v = item.partition("=")
             rec[c.strip()] = _sql_literal(v)

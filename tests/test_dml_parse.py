@@ -72,3 +72,30 @@ def test_values_roundtrip_property(vals):
     strings because quoting wins.)"""
     rendered = ", ".join(_render(v) for v in vals)
     assert _parse_sql_values(rendered) == list(vals)
+
+
+from peerdb_cdc_psql_psql_spark.operators.sql_frontend import _top_level_groups
+
+
+def test_top_level_groups_quote_aware():
+    """VALUES tuple extraction must not mis-split on parens inside
+    string literals (ADVICE r5: 'acme (inc', ':-)')."""
+    assert _top_level_groups("(1, 'acme (inc'), (2, ':-)')") == [
+        "1, 'acme (inc'", "2, ':-)'",
+    ]
+    assert _top_level_groups("(1, 'it''s (ok)')") == ["1, 'it''s (ok)'"]
+    assert _top_level_groups("(1, (2, 3), 'x')") == ["1, (2, 3), 'x'"]
+    with pytest.raises(ValueError, match="unbalanced"):
+        _top_level_groups("(1, 2")
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=st.lists(st.lists(_VALUES, min_size=1, max_size=5), min_size=1, max_size=5))
+def test_tuple_groups_roundtrip_property(rows):
+    """Render arbitrary VALUES rows (strings may contain parens,
+    commas, quotes) → group-split → value-parse → equal."""
+    rendered = ", ".join(
+        "(" + ", ".join(_render(v) for v in row) + ")" for row in rows
+    )
+    got = [_parse_sql_values(g) for g in _top_level_groups(rendered)]
+    assert got == [list(r) for r in rows]
