@@ -1,13 +1,15 @@
 """Pure-Python media codecs for the multimodal pack (X5).
 
-The container ships no media libraries, but two ubiquitous PUBLIC
-formats need none: RIFF/WAVE PCM audio and uncompressed 24-bit BMP
-images are fixed struct layouts decodable with ``struct`` + numpy.
-These are REAL codecs — they parse the actual container bytes
-(chunk walking, stride padding, bottom-up row order), not fakes —
-and they give ``decode_media(fake=False)`` a genuine path for the
-formats it can support; compressed formats (PNG/JPEG/MP4/OGG) still
-raise ``NotImplementedError`` by design.
+The container ships no media libraries, but four ubiquitous PUBLIC
+formats need none: RIFF/WAVE PCM audio, uncompressed 24-bit BMP
+images, and DIB AVI video are fixed struct layouts decodable with
+``struct`` + numpy; PNG adds only stdlib ``zlib`` plus the five
+spec scanline filters. These are REAL codecs — they parse the
+actual container bytes (chunk walking, stride padding, bottom-up
+row order, filter reconstruction), not fakes. Entropy-coded
+formats (JPEG/MP4/OGG, MJPG-in-AVI) still raise
+``NotImplementedError`` by design — a DCT+Huffman pipeline is a
+library, not a struct walk.
 
 Everything here is per-payload pure functions; the Spark side wraps
 them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
@@ -163,6 +165,178 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     yi = (np.arange(out_h) * h) // out_h
     xi = (np.arange(out_w) * w) // out_w
     return px[yi][:, xi]
+
+
+# ---------------------------------------------------------------------------
+# PNG (zlib-compressed, filtered scanlines — stdlib-only real codec)
+# ---------------------------------------------------------------------------
+#
+# PNG needs no media library: the container is chunk-walked with
+# ``struct`` (length + type + body + CRC32), the IDAT stream is
+# stdlib ``zlib``, and scanline reconstruction is the five public
+# filter functions of the PNG spec (RFC 2083 §6): None, Sub, Up,
+# Average, Paeth. Supported: bit depth 8, color types 0 (gray),
+# 2 (RGB), 6 (RGBA), non-interlaced. Palette/16-bit/interlaced
+# still raise — the formats real corpora carry are overwhelmingly
+# 8-bit truecolor.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply filter ``ftype`` to one raw scanline (encode direction)."""
+    raw16 = raw.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), raw16[:-bpp]])
+    up = prior.astype(np.int16)
+    if ftype == 0:
+        out = raw16
+    elif ftype == 1:
+        out = raw16 - left
+    elif ftype == 2:
+        out = raw16 - up
+    elif ftype == 3:
+        out = raw16 - (left + up) // 2
+    else:  # Paeth
+        ul = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+        out = raw16 - _paeth(left, up, ul)
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, row_filter=None) -> bytes:
+    """Minimal PNG writer: (h, w) gray, (h, w, 3) RGB, or (h, w, 4)
+    RGBA uint8 array → 8-bit non-interlaced PNG. ``row_filter`` maps
+    row index → filter type 0-4 (default: ``y % 5``, so every filter
+    path is exercised); the decoder must undo them all exactly."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if row_filter is None:
+        row_filter = lambda y: y % 5  # noqa: E731
+    flat = px.reshape(h, w * ch)
+    prior = np.zeros(w * ch, np.uint8)
+    stream = bytearray()
+    for y in range(h):
+        f = int(row_filter(y))
+        stream.append(f)
+        stream += _png_filter_row(f, flat[y], prior, ch).tobytes()
+        prior = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Parse a PNG payload into an (h, w, ch) uint8 array: chunk walk,
+    zlib-inflate the concatenated IDAT stream, and reconstruct every
+    scanline through the five spec filters. 8-bit gray/RGB/RGBA,
+    non-interlaced only; anything else raises."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG is supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    rowlen = w * ch
+    if len(raw) != h * (rowlen + 1):
+        raise ValueError("PNG scanline stream has the wrong length")
+    out = np.empty((h, rowlen), dtype=np.uint8)
+    prior = np.zeros(rowlen, np.int32)
+    for y in range(h):
+        f = raw[y * (rowlen + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=rowlen, offset=y * (rowlen + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f in (1, 3, 4):
+            # Sub/Average/Paeth reference the reconstructed left pixel
+            # — sequential in x per spec, vectorized across channels
+            rec = np.zeros(rowlen, np.int32)
+            up = prior
+            for x in range(0, rowlen, ch):
+                left = rec[x - ch : x] if x else np.zeros(ch, np.int32)
+                ul = up[x - ch : x] if x else np.zeros(ch, np.int32)
+                seg = line[x : x + ch]
+                if f == 1:
+                    rec[x : x + ch] = (seg + left) % 256
+                elif f == 3:
+                    rec[x : x + ch] = (seg + (left + up[x : x + ch]) // 2) % 256
+                else:
+                    rec[x : x + ch] = (
+                        seg + _paeth(left, up[x : x + ch], ul)
+                    ) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = out[y].astype(np.int32)
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decoded PNG summary: dimensions, channel count, and exact
+    integer per-channel pixel SUMS (sums, not means — exactly
+    SQL-recomputable for gradient fixtures without division)."""
+    px = decode_png_pixels(payload)
+    h, w, ch = px.shape
+    sums = px.reshape(-1, ch).astype(np.int64).sum(axis=0)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_channels": int(ch),
+        "n_pixels": int(w * h),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]) if ch >= 3 else int(sums[0]),
+        "sum_b": int(sums[2]) if ch >= 3 else int(sums[0]),
+    }
 
 
 # ---------------------------------------------------------------------------

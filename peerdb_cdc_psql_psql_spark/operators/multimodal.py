@@ -3,12 +3,13 @@ audio/video as opaque binary columns + typed metadata structs, with
 decode / feature-extract / frame-sample as Arrow-batched Pandas
 transforms over ``mapInPandas``.
 
-Real codecs (r5): RIFF/WAVE PCM and uncompressed 24-bit BMP are
-fixed public struct layouts needing no media libraries —
+Real codecs: RIFF/WAVE PCM, uncompressed 24-bit BMP, DIB AVI (r5),
+and zlib-compressed PNG (r6) need no media libraries —
 ``functions/codecs.py`` parses the actual container bytes (chunk
-walk, stride padding, bottom-up rows), and ``decode_audio`` /
-``decode_image`` / ``resize_images`` run them executor-side over
-Arrow batches. Compressed formats (PNG/JPEG/MP4) still raise
+walk, stride padding, bottom-up rows, PNG scanline filter
+reconstruction), and ``decode_audio`` / ``decode_image`` /
+``decode_pngs`` / ``resize_images`` run them executor-side over
+Arrow batches. JPEG/MP4/MJPG (DCT-compressed) still raise
 ``NotImplementedError`` (no codec libs in this container —
 sanctioned); ``decode_media`` keeps the deterministic fake decoder
 for format-agnostic byte-stat plumbing.
@@ -100,8 +101,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             if not fake:
                 raise NotImplementedError(
                     "format-agnostic real decoding needs PIL/librosa/av; "
-                    "WAV/BMP payloads have real typed decoders — use "
-                    "decode_audio / decode_image"
+                    "WAV/BMP/PNG/AVI payloads have real typed decoders — "
+                    "use decode_audio / decode_image / decode_pngs / "
+                    "sample_video_frames"
                 )
             payloads = pdf["payload"]
             sums = payloads.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
@@ -288,6 +290,122 @@ def synthesize_bmp_payloads(ids: DataFrame) -> DataFrame:
             )
 
     return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+def synthesize_png_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side PNG synthesis: a GRADIENT image (red rises with
+    x, green with y, blue solid — all exact mod-functions of id kept
+    below the 8-bit wrap) written through the real zlib+filter
+    encoder with filter type ``y % 5``, so every PNG filter path
+    (None/Sub/Up/Average/Paeth) is exercised across the fixture set."""
+
+    from ..functions.codecs import encode_png
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                r0, g0, b0 = m % 200, m % 220, m * 13 % 256
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = r0 + np.arange(w)[None, :]
+                px[..., 1] = g0 + np.arange(h)[:, None]
+                px[..., 2] = b0
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+_PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_pngs(df: DataFrame) -> DataFrame:
+    """REAL PNG decode over mapInPandas: chunk walk, zlib-inflate,
+    per-scanline filter reconstruction → dimensions + exact integer
+    channel sums."""
+
+    from ..functions.codecs import decode_png
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_png(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_channels"],
+                        d["n_pixels"], d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PNG_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_PNG_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2) AS n_pixels,
+       ((doc_id % 4) + 2)
+         * ( ((doc_id % 8) * 4 + 5) * (doc_id % 200)
+           + ((doc_id % 8) * 4 + 5) * ((doc_id % 8) * 4 + 4) // 2 ) AS sum_r,
+       ((doc_id % 8) * 4 + 5)
+         * ( ((doc_id % 4) + 2) * (doc_id % 220)
+           + ((doc_id % 4) + 2) * ((doc_id % 4) + 1) // 2 ) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * ((doc_id * 13) % 256) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round trip (X5, VERDICT r5 #7): gradient images
+    zlib-compressed through all five PNG scanline filters, then
+    re-parsed byte-for-byte with the stdlib-only decoder. The oracle
+    recomputes dimensions and per-channel pixel sums arithmetically
+    (gradient sums are closed-form) — any filter-reconstruction or
+    inflate-framing bug breaks exact equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_pngs(synthesize_png_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
 
 
 def decode_audio(df: DataFrame) -> DataFrame:

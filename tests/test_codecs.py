@@ -220,3 +220,124 @@ def test_wav_samples_accessor_and_framing_semantics():
     # counts), 0->4 no flip, 4->-1 flip = 3 crossings
     flips = int(np.count_nonzero(np.signbit(x[:-1]) != np.signbit(x[1:])))
     assert flips == 3
+
+
+# -- PNG (stdlib zlib + spec scanline filters) ------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _png_chunk,
+    decode_png,
+    decode_png_pixels,
+    encode_png,
+)
+
+
+def test_png_roundtrip_all_filters_and_channel_layouts():
+    rng = np.random.default_rng(11)
+    for shape in [(5, 9, 3), (1, 1, 3), (7, 3, 4), (4, 6)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        exp = px if px.ndim == 3 else px[:, :, None]
+        for f in range(5):
+            got = decode_png_pixels(encode_png(px, row_filter=lambda y, f=f: f))
+            assert np.array_equal(got, exp), (shape, f)
+        # default filter schedule (y % 5) too
+        assert np.array_equal(decode_png_pixels(encode_png(px)), exp)
+
+
+def test_png_decode_handcrafted_bytes():
+    """Decode a PNG assembled byte-by-byte from the spec (independent
+    of our encoder): 2x2 RGB, row 0 Sub-filtered, row 1 Up-filtered."""
+    import zlib
+
+    # raw pixels: row0 = (1,2,3) (5,7,9); row1 = (10,20,30) (11,22,33)
+    row0_sub = bytes([1, 1, 2, 3, 4, 5, 6])        # filter 1: deltas vs left
+    row1_up = bytes([2, 9, 18, 27, 6, 15, 24])     # filter 2: deltas vs up
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(row0_sub + row1_up))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(payload)
+    assert px.tolist() == [
+        [[1, 2, 3], [5, 7, 9]],
+        [[10, 20, 30], [11, 22, 33]],
+    ]
+    d = decode_png(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (2, 2, 3)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (27, 51, 75)
+
+
+def test_png_multiple_idat_chunks():
+    """The IDAT stream may be split across chunks at any byte."""
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    whole = encode_png(px, row_filter=lambda y: 4)
+    # re-split: parse our own container, cut IDAT into 7-byte chunks
+    pos, out, idat = 8, whole[:8], b""
+    while pos + 8 <= len(whole):
+        length, ctype = struct.unpack_from(">I4s", whole, pos)
+        body = whole[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            for i in range(0, len(idat), 7):
+                out += _png_chunk(b"IDAT", idat[i : i + 7])
+            out += _png_chunk(b"IEND", b"")
+        else:
+            out += whole[pos : pos + 12 + length]
+        pos += 12 + length
+    assert np.array_equal(decode_png_pixels(out), px)
+
+
+def test_png_rejects_unsupported():
+    import zlib
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png_pixels(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"BMnope")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    exp = px if px.ndim == 3 else px[:, :, None]
+    got = decode_png_pixels(encode_png(px))
+    assert np.array_equal(got, exp)
+    # all five constant-filter encodings decode identically
+    decs = [
+        decode_png_pixels(encode_png(px, row_filter=lambda y, f=f: f))
+        for f in range(5)
+    ]
+    assert all(np.array_equal(d, exp) for d in decs)
+
+
+def test_avi_overstated_header_frame_count_clamped():
+    """ADVICE r5: an avih dwTotalFrames above the demuxed chunk count
+    must clamp (no executor IndexError on truncated AVIs)."""
+    frames = np.zeros((3, 2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_avi_dib(frames))
+    # avih dwTotalFrames lives 24 bytes into the avih body; find it
+    idx = payload.index(b"avih") + 8 + 16
+    struct.pack_into("<I", payload, idx, 99)  # overstate
+    d = decode_avi(bytes(payload))
+    assert d["n_frames"] == 3
