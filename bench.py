@@ -284,7 +284,10 @@ def bench_stream_dedup(spark) -> tuple[float, int, int]:
                 ).withColumn("doc_id", F.col("doc_id") + 10_000_000 * i)
                 batch = batch.unionByName(resend)
             total += batch.count()
-            batch.coalesce(4).write.mode("append").parquet(src)
+            # repartition, not coalesce: the filtered frame often has
+            # ONE partition, and coalesce never raises the count — the
+            # 4-file-per-batch pacing silently collapsed to one gulp
+            batch.repartition(4).write.mode("append").parquet(src)
         t0 = time.perf_counter()
         q = start_incremental_dedup(spark, src, out, ckpt)
         q.awaitTermination(timeout=600)
@@ -316,7 +319,7 @@ def bench_stream_neardup(spark, n_docs: int = 1500) -> tuple[float, int, int]:
             docs.filter(
                 (F.col("doc_id") >= i * third)
                 & (F.col("doc_id") < (i + 1) * third)
-            ).coalesce(4).write.mode("append").parquet(src)
+            ).repartition(4).write.mode("append").parquet(src)
         t0 = time.perf_counter()
         # 12 source files / 4-per-trigger = 3 real micro-batches: the
         # availableNow drain exercises the incremental admission path,
@@ -359,9 +362,32 @@ def build_replicated_corpus(spark, sf_dir: str, k: int, out_dir: str) -> str:
     reps.repartition(4 * k).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
+    # Relational weak-scaling twin (VERDICT r5 #5): lineitem + orders
+    # replicated with DISJOINT key spaces (order/part/supp/cust keys
+    # offset by i×10⁹) — no cross-replica baskets or co-purchase
+    # edges, so the graph/set-similarity probes must scale with k,
+    # not k².
+    _KEY_OFFSETS = {
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "orders": ("o_orderkey", "o_custkey"),
+    }
+    for t, keycols in _KEY_OFFSETS.items():
+        base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        reps = None
+        for i in range(k):
+            r = base.select(
+                *[
+                    (F.col(c) + i * 10**9).alias(c) if c in keycols else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            reps = r if reps is None else reps.unionByName(r)
+        reps.repartition(4 * k).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings",
+        "events", "embeddings",
     ):
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
@@ -379,6 +405,12 @@ SCALE_PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "training_data_pipeline",
     "text_suite",
+    # the two slowest singles — exactly the quadratic-shaped plans the
+    # probe exists to watch (VERDICT r5 #5): wedge-join triangle census
+    # and inverted-index basket similarity, on the k×-replicated
+    # disjoint-key lineitem/orders.
+    "part_triangle_stats",
+    "customer_similarity_topk",
 ]
 
 
@@ -539,7 +571,15 @@ def main() -> None:
         {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
          "passes": 2, "agg": "min"},
         {"name": "stream_neardup", "batches": 3, "docs": 1500,
-         "max_files_per_trigger": 4, "passes": 2, "agg": "min"},
+         "max_files_per_trigger": 4, "passes": 2, "agg": "min",
+         "basis_note": "r5 and earlier accidentally measured a ONE-GULP"
+         " drain (coalesce(4) on a 1-partition frame wrote 3 files, not"
+         " 12 — one micro-batch); r6 fixes the pacing to 3 real batches,"
+         " so values are not comparable to BENCH_r05's 109.6 (the same"
+         " one-gulp config now runs ~150 docs/s; the honest paced path"
+         " went 24.8 -> ~68 docs/s via small-batch AQE gating, posting-"
+         "list pair generation, O(overlap) store admission, and a"
+         " driver union-find fold)"},
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
          "passes": 1, "corpus": "documents ×k disjoint vocab"},
     ]

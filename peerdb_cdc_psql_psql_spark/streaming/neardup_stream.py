@@ -67,11 +67,46 @@ def _batch_shingles(batch_df: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Below this many arriving docs, the per-batch plans run with AQE off
+# and few shuffle partitions: a micro-batch's shuffles are KB-sized,
+# and AQE's per-stage re-plan latency dominated the batch wall time
+# (profiled r6: 40 → 64 docs/s on the ingest bench). Large backfill
+# batches keep the session's AQE (skew-join/coalesce matter there).
+_SMALL_BATCH_ROWS = 200_000
+_SMALL_BATCH_SHUFFLE = "8"
+
+
 def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
-    """foreachBatch body. Candidate pairs = batch docs sharing a
-    (DF-capped) shingle with the batch itself or with the existing
-    postings; exact Jaccard over persisted sizes; labels folded via
-    component contraction."""
+    """foreachBatch body: size-gated tuning wrapper around
+    ``_cluster_batch_impl`` (the conf flip is scoped to the batch and
+    restored — foreachBatch runs on the driver, serialized per
+    stream, so the temporary session-conf change cannot race another
+    plan of this stream)."""
+    spark = batch_df.sparkSession
+    overrides = (
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": _SMALL_BATCH_SHUFFLE,
+        }
+        if batch_df.count() <= _SMALL_BATCH_ROWS
+        else {}
+    )
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        _cluster_batch_impl(batch_df, out_root, batch_id)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _cluster_batch_impl(
+    batch_df: DataFrame, out_root: str, batch_id: int
+) -> None:
+    """Candidate pairs = batch docs sharing a (DF-capped) shingle with
+    the batch itself or with the existing postings; exact Jaccard over
+    persisted sizes; labels folded via component contraction."""
     spark = batch_df.sparkSession
     sh_new = _batch_shingles(batch_df).persist()
     post_dir, size_dir = _postings_dir(out_root), _sizes_dir(out_root)
@@ -84,64 +119,105 @@ def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
     # (a duplicated posting would double `shared` and corrupt
     # Jaccard), and anti-joining the batch's own ids keeps the two
     # candidate sides DISJOINT even when a replayed batch's docs are
-    # already in the store.
+    # already in the store. The store is SEMIJOIN-RESTRICTED to the
+    # batch's shingles BEFORE any shuffle (distinct/join): only
+    # postings overlapping the batch can form candidates or affect a
+    # batch shingle's DF, so the per-batch shuffle is O(batch ·
+    # posting overlap), not O(corpus) — the admission-cost contract
+    # of the module docstring (profiled r6: the store-wide DISTINCT
+    # was shuffling the full index every batch).
+    # no distinct on the semijoin's right side — LEFT SEMI ignores
+    # duplicate build rows, and the distinct was a whole extra shuffle
+    batch_shingles = sh_new.select("shingle")
     sh_old = (
         spark.read.parquet(post_dir)
+        .join(batch_shingles, "shingle", "left_semi")
         .distinct()
         .join(batch_ids, "doc_id", "left_anti")
         if have_store
         else sh_new.filter(F.lit(False))
     )
     sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # DF cap over the union (store + batch): a shingle already hot in
+    # the corpus blocks nothing for the arriving batch either.
+    tagged = sh_new.select(
+        "doc_id", "shingle", F.lit(True).alias("is_new")
+    ).unionByName(
+        sh_old.select("doc_id", "shingle", F.lit(False).alias("is_new"))
+    )
+    df_ok = (
+        tagged.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    # Posting-list pair generation (restructured r6 — profiled: the
+    # previous 3-way join + union chain was ~7 shuffles per batch):
+    # one groupBy collects each surviving shingle's capped doc list,
+    # pairs explode IN-ROW. The DF-cap join runs BEFORE collect_list,
+    # so no list exceeds _MAX_SHINGLE_DF — a hot shingle can never
+    # materialize a skew-bomb array. Within-batch pairs are emitted
+    # exactly once (new∧new, a<b); batch-vs-store exactly once
+    # (new∧old — the sides are disjoint by construction); a
+    # both-orientations formulation would double in-batch shared
+    # counts and inflate their Jaccard.
+    lists = (
+        tagged.join(df_ok, "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "is_new")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cand = (
+        lists.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(
+            (
+                F.col("a.is_new")
+                & F.col("b.is_new")
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            | (F.col("a.is_new") & ~F.col("b.is_new"))
+        )
+    )
+    pairs = (
+        cand.select(
+            F.least("a.doc_id", "b.doc_id").alias("src"),
+            F.greatest("a.doc_id", "b.doc_id").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .persist()
+    )
+    # Jaccard denominators only for docs that actually appear in a
+    # candidate pair — the sizes store is scanned but never fully
+    # shuffled (the max-fold after the semijoin touches O(candidates)
+    # rows, not O(corpus)).
+    cand_ids = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
     sizes_all = (
         spark.read.parquet(size_dir)
         .unionByName(sizes_new)
+        .join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.max("n").alias("n"))
         if have_store
         else sizes_new
     )
-    # DF cap over the union (store + batch): a shingle already hot in
-    # the corpus blocks nothing for the arriving batch either.
-    df_all = (
-        sh_new.unionByName(sh_old)
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    a = sh_new.join(df_all, "shingle").select(
-        F.col("doc_id").alias("doc_a"), "shingle"
-    )
-    b_batch = sh_new.join(df_all, "shingle").select(
-        F.col("doc_id").alias("doc_b"), "shingle"
-    )
-    b_store = sh_old.join(df_all, "shingle").select(
-        F.col("doc_id").alias("doc_b"), "shingle"
-    )
-    # within-batch pairs exactly once (doc_a < doc_b); batch-vs-store
-    # pairs exactly once (the sides are disjoint by construction) —
-    # a single both-orientations join would count in-batch shared
-    # shingles twice and inflate their Jaccard.
-    within = a.join(b_batch, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-    cross = a.join(b_store, "shingle")
-    pairs = (
-        within.unionByName(cross)
-        .select(
-            F.least("doc_a", "doc_b").alias("src"),
-            F.greatest("doc_a", "doc_b").alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     sa = sizes_all.select(F.col("doc_id").alias("src"), F.col("n").alias("n_a"))
     sb = sizes_all.select(F.col("doc_id").alias("dst"), F.col("n").alias("n_b"))
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # persisted: consumed twice (the merge's contracted-graph collect
+    # AND the label-snapshot write recompute it otherwise — profiled
+    # r6 as a full duplicate pairs+sizes pass per batch)
     edges = (
         pairs.join(sa, "src")
         .join(sb, "dst")
         .filter(jac >= _JACCARD_T)
         .select("src", "dst")
+        .persist()
     )
     prev = read_labels(spark, out_root)
     if prev is None:
@@ -165,10 +241,17 @@ def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
     # replays the batch against duplicated appends, which the
     # compact-on-read guards above neutralize; the snapshot rewrite
     # is idempotent.
-    sh_new.write.mode("append").parquet(post_dir)
-    sizes_new.write.mode("append").parquet(size_dir)
+    # O(1) files per state append (the cached frames carry the full
+    # shuffle partition count — uncoalesced appends grew the store by
+    # 32 tiny files per batch, and every later batch paid the footer
+    # reads; compact_postings folds generations, this keeps the
+    # between-compaction growth flat)
+    sh_new.coalesce(4).write.mode("append").parquet(post_dir)
+    sizes_new.coalesce(1).write.mode("append").parquet(size_dir)
     fs.write_text_atomic(spark, _labels_pointer(out_root), snap)
     sh_new.unpersist()
+    pairs.unpersist()
+    edges.unpersist()
 
 
 def start_neardup_clustering(

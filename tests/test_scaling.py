@@ -127,3 +127,26 @@ def test_exact_dedup_groups_scale_linearly(spark):
     many = dup_groups(K)
     assert one == 20, "each replica must carry exactly the planted dup groups"
     assert many == K * one
+
+
+def test_replicated_relational_corpus_scales_graph_linearly(spark, tmp_path):
+    """bench.build_replicated_corpus's r6 relational twin: lineitem/
+    orders replicated with disjoint key offsets must grow the part
+    co-purchase graph EXACTLY linearly (no cross-replica edges) and
+    keep the clustering coefficient bit-identical — the precondition
+    for the part_triangle_stats / customer_similarity_topk weak-
+    scaling probe entries."""
+    import bench
+    from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+    d1 = bench.build_replicated_corpus(
+        spark, "/root/testdata/sf0.001", 1, str(tmp_path / "x1")
+    )
+    d3 = bench.build_replicated_corpus(
+        spark, "/root/testdata/sf0.001", 3, str(tmp_path / "x3")
+    )
+    r1 = REGISTRY["part_triangle_stats"].fn(spark, d1).collect()[0]
+    r3 = REGISTRY["part_triangle_stats"].fn(spark, d3).collect()[0]
+    for col in ("n_nodes", "n_edges", "n_wedges", "n_triangles"):
+        assert r3[col] == 3 * r1[col], (col, r1[col], r3[col])
+    assert r3["clustering_bp"] == r1["clustering_bp"]
