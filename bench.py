@@ -141,6 +141,9 @@ EXTRA = [
     "part_triangle_stats",       # degree-oriented triangle census
     "multimodal_video_frame_sample",  # real AVI demux + frame decode
     "multimodal_audio_frames",   # windowed audio feature extraction
+    # Round-6 additions
+    "multimodal_png_decode",     # real PNG codec (zlib + 5 filters)
+    "multimodal_gif_decode",     # real GIF codec (variable-width LZW)
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
@@ -289,7 +292,11 @@ def bench_stream_dedup(spark) -> tuple[float, int, int]:
             # 4-file-per-batch pacing silently collapsed to one gulp
             batch.repartition(4).write.mode("append").parquet(src)
         t0 = time.perf_counter()
-        q = start_incremental_dedup(spark, src, out, ckpt)
+        # 12 source files / 4-per-trigger = 3 real micro-batches (the
+        # same pacing honesty fix as the near-dup bench — r5 and
+        # earlier gulped the backlog in one batch)
+        q = start_incremental_dedup(spark, src, out, ckpt,
+                                    max_files_per_trigger=4)
         q.awaitTermination(timeout=600)
         uniq = read_unique(spark, out).count()
         dt = time.perf_counter() - t0
@@ -569,7 +576,10 @@ def main() -> None:
         {"name": "cdc_apply_multi", "events": 20000, "tables": 3,
          "passes": 2, "agg": "min"},
         {"name": "stream_dedup", "batches": 3, "resend_fraction": 0.33,
-         "passes": 2, "agg": "min"},
+         "max_files_per_trigger": 4, "passes": 2, "agg": "min",
+         "basis_note": "r6 paces the drain into 3 real micro-batches "
+         "(r5 and earlier gulped the backlog in one batch); values are "
+         "not directly comparable to BENCH_r05's 4604 docs/s"},
         {"name": "stream_neardup", "batches": 3, "docs": 1500,
          "max_files_per_trigger": 4, "passes": 2, "agg": "min",
          "basis_note": "r5 and earlier accidentally measured a ONE-GULP"

@@ -477,10 +477,226 @@ def decode_avi_frame(
     return rows[:, : 3 * width].reshape(height, width, 3)[::-1, :, ::-1]
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW-compressed indexed color — pure-Python real codec)
+# ---------------------------------------------------------------------------
+#
+# GIF's only "compression" is LZW with variable-width codes — ~50
+# lines of plain Python, not a library. Scope: single-image GIF with
+# a global color table, no interlace (the overwhelming shape of
+# static GIFs in real corpora); animation/local-palette/interlaced
+# images raise. Encoder writes clear-code-free streams the hard way
+# (emitting a Clear when the table fills) so the decoder's table-
+# growth path is genuinely exercised.
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
+    """Variable-width LZW per the GIF spec (Appendix F): codes start
+    at min_code_size+1 bits, the table grows per emitted code, width
+    bumps at table size 2^width, CLEAR resets, EOI ends."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = 0
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's next_code by ONE
+            # (it learns each entry a code late — the reason KwKwK
+            # exists), so the width bump fires at size+1 == 2^width
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_expected:
+                return out
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Matching encoder: always-CLEAR-on-full-table strategy."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # decoder bumps width when ITS table size reaches 2^width
+        # (which equals our next_code) — mirror at equality
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(1 << min_code_size)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Minimal GIF89a writer: (h, w) uint8 INDEX array + (n, 3)
+    palette (default: 256-gray) → single-image GIF with a global
+    color table."""
+    idx = np.asarray(pixels, dtype=np.uint8)
+    h, w = idx.shape
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    pal = np.asarray(palette, dtype=np.uint8)
+    n_colors = len(pal)
+    depth = max(1, (n_colors - 1).bit_length())
+    full = 1 << depth
+    table = np.zeros((full, 3), np.uint8)
+    table[:n_colors] = pal
+    min_code = max(2, depth)
+    lzw = _lzw_encode(idx.tobytes(), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7) << 4 | (depth - 1), 0, 0)
+        + table.tobytes()
+        + struct.pack("<sHHHHB", b",", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b";"
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a GIF payload → (index array (h, w), palette (n, 3)).
+    Single-image, global-color-table, non-interlaced only."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n_colors = 2 << (flags & 7)
+    palette = np.frombuffer(
+        payload, np.uint8, count=3 * n_colors, offset=pos
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x80:
+                raise NotImplementedError("GIF local color tables")
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if (ix, iy, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("GIF sub-rectangle frames")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            return (
+                np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w),
+                palette,
+            )
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF missing image data")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decoded GIF summary: dimensions, palette size, and exact
+    integer per-channel pixel SUMS through the palette lookup."""
+    idx, palette = decode_gif_pixels(payload)
+    h, w = idx.shape
+    rgb = palette[idx.reshape(-1)].astype(np.int64)
+    sums = rgb.sum(axis=0)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "n_colors": int(len(palette)),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
 _MAGIC = {
     b"BM": "bmp",
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
 }
 
 

@@ -408,6 +408,141 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_COLORS = 16
+
+
+def synthesize_gif_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side GIF synthesis: a CHECKERBOARD of two palette
+    indices (alternation defeats pure run-length and forces real LZW
+    string-table growth), 16-color palette with exact mod-function
+    channels — every decoded stat closed-form."""
+
+    from ..functions.codecs import encode_gif
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [
+                (np.arange(_GIF_COLORS) * 17) % 256,
+                (np.arange(_GIF_COLORS) * 13) % 256,
+                (np.arange(_GIF_COLORS) * 29) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                c0, c1 = m % _GIF_COLORS, (m * 7 + 1) % _GIF_COLORS
+                yy, xx = np.indices((h, w))
+                idx = np.where((xx + yy) % 2 == 0, c0, c1).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+_GIF_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_colors", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_gifs(df: DataFrame) -> DataFrame:
+    """REAL GIF decode over mapInPandas: block walk, sub-block
+    reassembly, variable-width LZW, palette lookup → dimensions +
+    exact integer channel sums."""
+
+    from ..functions.codecs import decode_gif
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_gif(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_pixels"],
+                        d["n_colors"], d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _GIF_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_GIF_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+SELECT media_id, width, height,
+       width * height AS n_pixels,
+       CAST(16 AS BIGINT) AS n_colors,
+       n0 * ((c0 * 17) % 256)
+         + (width * height - n0) * ((c1 * 17) % 256) AS sum_r,
+       n0 * ((c0 * 13) % 256)
+         + (width * height - n0) * ((c1 * 13) % 256) AS sum_g,
+       n0 * ((c0 * 29) % 256)
+         + (width * height - n0) * ((c1 * 29) % 256) AS sum_b
+FROM (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) * 4 + 5 AS width,
+         (doc_id % 4) + 2 AS height,
+         doc_id % 16 AS c0,
+         (doc_id * 7 + 1) % 16 AS c1,
+         -- checkerboard even-cell count:
+         -- ceil(h/2)*ceil(w/2) + floor(h/2)*floor(w/2)
+         (((doc_id % 4) + 3) // 2) * (((doc_id % 8) * 4 + 6) // 2)
+           + (((doc_id % 4) + 2) // 2) * (((doc_id % 8) * 4 + 5) // 2) AS n0
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id < 200
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec round trip (X5, r6): checkerboard 16-color
+    images LZW-compressed through the pure-Python variable-width
+    encoder, then re-parsed (block walk, sub-block reassembly, string
+    table growth, palette lookup). The oracle recomputes dimensions
+    and per-channel sums from the checkerboard counting identity —
+    n_even(w,h) = ceil(h/2)*ceil(w/2) + floor(h/2)*floor(w/2) — so
+    any LZW width-bump or table desync breaks exact equality.
+
+    Note the odd fixture widths make the two checkerboard colors
+    unbalanced per row, pinning the row-major pixel order too."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_gifs(synthesize_gif_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("n_colors").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over mapInPandas: parse each RIFF/WAVE
     payload (chunk walk, PCM-16) into rate/frames/peak/mean-abs."""

@@ -42,7 +42,37 @@ def _unique_dir(out_root: str) -> str:
     return f"{out_root}/unique"
 
 
+# Same size-gated micro-batch tuning as the near-dup stream: below
+# this row count the batch plans run with AQE off and few shuffle
+# partitions (AQE's per-stage re-plan latency dominates KB-sized
+# micro-batch shuffles); large backfill batches keep session AQE.
+_SMALL_BATCH_ROWS = 200_000
+_SMALL_BATCH_SHUFFLE = "8"
+
+
 def _dedup_batch(
+    batch_df: DataFrame, out_root: str, quality_min: float | None = None
+) -> None:
+    spark = batch_df.sparkSession
+    overrides = (
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": _SMALL_BATCH_SHUFFLE,
+        }
+        if batch_df.count() <= _SMALL_BATCH_ROWS
+        else {}
+    )
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        _dedup_batch_impl(batch_df, out_root, quality_min)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _dedup_batch_impl(
     batch_df: DataFrame, out_root: str, quality_min: float | None = None
 ) -> None:
     """foreachBatch body: optional quality gate, then within-batch
@@ -66,8 +96,15 @@ def _dedup_batch(
     # must see exactly the rows the first landed.
     fresh = fresh.persist()
     try:
-        fresh.drop("fp").write.mode("append").parquet(_unique_dir(out_root))
-        fresh.select("fp", "doc_id").write.mode("append").parquet(store)
+        # O(1) files per append (the cached frame carries the shuffle
+        # partition count; compact_fingerprint_store folds generations,
+        # this keeps between-compaction growth flat)
+        fresh.drop("fp").coalesce(4).write.mode("append").parquet(
+            _unique_dir(out_root)
+        )
+        fresh.select("fp", "doc_id").coalesce(4).write.mode("append").parquet(
+            store
+        )
     finally:
         fresh.unpersist()
 
@@ -80,6 +117,7 @@ def start_incremental_dedup(
     schema=None,
     trigger: dict | None = None,
     quality_min: float | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the continuous-dedup stream over a documents-shaped
     parquet ingest dir and return the StreamingQuery. ``trigger``
@@ -89,10 +127,16 @@ def start_incremental_dedup(
     (functions/helpers.quality_expr) BEFORE fingerprinting — the
     streaming form of the curation funnel's quality stage (rejected
     docs never enter the fingerprint store, so a later higher-quality
-    duplicate can still be admitted)."""
+    duplicate can still be admitted). ``max_files_per_trigger`` paces
+    an availableNow drain into real micro-batches (same lever as the
+    near-dup stream — without it a backlog is gulped in one batch and
+    the store anti-join path never runs incrementally)."""
     if schema is None:
         schema = "doc_id long, text string, lang string, source string, n_chars long"
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.queryName("incremental-dedup")
         .option("checkpointLocation", checkpoint_dir)

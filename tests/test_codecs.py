@@ -341,3 +341,98 @@ def test_avi_overstated_header_frame_count_clamped():
     struct.pack_into("<I", payload, idx, 99)  # overstate
     d = decode_avi(bytes(payload))
     assert d["n_frames"] == 3
+
+
+# -- GIF (variable-width LZW, pure Python) ----------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_pixels,
+    encode_gif,
+)
+
+
+def test_gif_roundtrip_palettes_and_shapes():
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1), (3, 7), (16, 16), (40, 33)]:
+        idx = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        gi, gp = decode_gif_pixels(encode_gif(idx, pal))
+        assert np.array_equal(gi, idx) and np.array_equal(gp, pal)
+    idx = rng.integers(0, 5, size=(9, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    gi, gp = decode_gif_pixels(encode_gif(idx, pal))
+    assert np.array_equal(gi, idx)
+    assert np.array_equal(gp[:5], pal)
+
+
+def test_gif_decode_spec_derived_codes():
+    """Decode an LZW stream assembled from hand-derived spec codes
+    (encoder-independent): indices [1,1,2,2], mcs=2 → codes
+    CLEAR,1,1,2,2,EOI with widths 3,3,3,4,4,4 (the width bump fires
+    after the table's 8th slot is pending)."""
+    codes = [(4, 3), (1, 3), (1, 3), (2, 4), (2, 4), (5, 4)]
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert bytes(_lzw_decode(bytes(out), 2, 4)) == bytes([1, 1, 2, 2])
+
+
+def test_gif_kwkwk_case():
+    """The code-equals-next-slot (KwKwK) path: 'aaaa...' forces the
+    decoder to resolve a code it has not yet tabled."""
+    data = b"\x01" * 50
+    assert bytes(_lzw_decode(_lzw_encode(data, 2), 2, 50)) == data
+
+
+def test_gif_rejects_unsupported():
+    idx = np.zeros((2, 2), np.uint8)
+    b = bytearray(encode_gif(idx))
+    b[10] &= 0x7F  # clear the global-color-table flag
+    with pytest.raises(NotImplementedError, match="global color table"):
+        decode_gif_pixels(bytes(b))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"PNG?")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    n_colors=st.sampled_from([2, 5, 16, 256]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    gi, gp = decode_gif_pixels(encode_gif(idx, pal))
+    assert np.array_equal(gi, idx)
+    assert np.array_equal(gp[:n_colors], pal)
+    d = decode_gif(encode_gif(idx, pal))
+    rgb = pal[idx.reshape(-1)].astype(np.int64)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(rgb.sum(axis=0))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    mcs=st.sampled_from([2, 4, 8]),
+    n=st.integers(min_value=1, max_value=30000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_lzw_roundtrip_property(mcs, n, seed):
+    """LZW alone at sizes that force width growth to 12 bits and
+    mid-stream CLEAR resets."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 1 << min(mcs, 8), size=n, dtype=np.uint8).tobytes()
+    assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, n)) == data
