@@ -144,6 +144,7 @@ EXTRA = [
     # Round-6 additions
     "multimodal_png_decode",     # real PNG codec (zlib + 5 filters)
     "multimodal_gif_decode",     # real GIF codec (variable-width LZW)
+    "multimodal_jpeg_decode",    # real baseline JPEG codec (DCT+Huffman)
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -692,6 +692,344 @@ def decode_gif(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, grayscale — ITU-T T.81, pure numpy real codec)
+# ---------------------------------------------------------------------------
+#
+# Baseline JPEG needs no library either: the 8×8 FDCT/IDCT is one
+# numpy matrix product, entropy coding is canonical Huffman (the DHT
+# segment carries the tables, so the file is self-describing), and
+# the container is plain markers. Scope: BASELINE (SOF0), single
+# 8-bit grayscale component, no restart markers — enough to make the
+# DCT-format path real; color/progressive/subsampled JPEG still
+# raises. The encoder writes spec-valid custom Huffman tables (every
+# DC category at 4 bits, every AC run/size symbol at 8 bits — Kraft-
+# feasible, all-ones codes unused as T.81 requires); any conforming
+# decoder can read its output, and our decoder reads any single-
+# component baseline stream via the tables IN the file, not ours.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# standard luminance quantization table (T.81 Annex K.1), zigzag-free
+_STD_LUMA_QUANT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# orthonormal DCT-II basis: fdct = T @ s @ T.T, idct = T.T @ S @ T
+_DCT_T = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(0.5) if u == 0 else 1.0) / 2
+     for x in range(8)]
+    for u in range(8)
+])
+
+# encoder Huffman tables (canonical; decoder uses whatever DHT says):
+# DC: categories 0..11, all 4-bit codes (12/16 Kraft, 0b1111 unused)
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+# AC: all 162 baseline run/size symbols, all 8-bit codes (162/256)
+_ENC_AC_VALS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+
+
+class _BitWriter:
+    """MSB-first JPEG bit packer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader with 0xFF00 unstuffing; stops at markers."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        val = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
+        self.nbits -= width
+        return val
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per T.81 C.2: symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decoder(bits: list[int], vals: list[int]):
+    """(mincode, maxcode, valptr) arrays for the T.81 F.2.2.3 decode
+    loop, returned as a closure over a _BitReader."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+
+    def decode(reader: _BitReader) -> int:
+        code = reader.read(1)
+        for length in range(1, 17):
+            if maxcode[length] >= 0 and code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
+            code = (code << 1) | reader.read(1)
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    return decode
+
+
+def _jpeg_magnitude(diff: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: value → (category, category-bit pattern)."""
+    size = int(abs(diff)).bit_length()
+    if diff >= 0:
+        return size, diff
+    return size, diff + (1 << size) - 1
+
+
+def _jpeg_extend(value: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def encode_jpeg_gray(
+    pixels: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """Minimal baseline JPEG writer: (h, w) uint8 grayscale → SOI,
+    DQT, SOF0 (1 component), DHT ×2, SOS, entropy-coded 8×8 DCT
+    blocks (edge-replicated padding), EOI."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    q = np.asarray(
+        _STD_LUMA_QUANT if quant is None else quant, dtype=np.int64
+    )
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    shifted = padded.astype(np.float64) - 128.0
+    dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw_out = _BitWriter()
+    prev_dc = 0
+    zz = _ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _DCT_T @ block @ _DCT_T.T
+            qc = np.round(coeffs / q).astype(np.int64)
+            flat = qc.reshape(64)[zz]
+            diff = int(flat[0]) - prev_dc
+            prev_dc = int(flat[0])
+            size, bits_val = _jpeg_magnitude(diff)
+            code, length = dc_codes[size]
+            bw_out.put(code, length)
+            if size:
+                bw_out.put(bits_val, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(flat)[0])) if np.any(flat[1:]) else 0
+            for i in range(1, 64):
+                if i > last_nz:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw_out.put(code, length)
+                    break
+                v = int(flat[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw_out.put(code, length)
+                    run -= 16
+                size, bits_val = _jpeg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw_out.put(code, length)
+                bw_out.put(bits_val, size)
+                run = 0
+    scan = bw_out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = q.reshape(64)[zz].astype(np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + qz.tobytes())
+    # SOF0 carries the TRUE dimensions (T.81: the decoder rounds the
+    # MCU grid up and discards the padding overhang)
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
+    """Parse a baseline single-component JPEG into an (h, w) uint8
+    array: marker walk, DQT/DHT tables FROM THE STREAM, Huffman +
+    magnitude decode, dequant, de-zigzag, IDCT, level shift, clamp.
+    Color / progressive / subsampled streams raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    sof = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, count=64, offset=off + 1
+                )
+                quant[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = (bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:
+            prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise NotImplementedError(
+                    f"only 8-bit single-component baseline JPEG is "
+                    f"supported (precision={prec}, components={nc})"
+                )
+            # component: id @6, sampling @7, quant table @8
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            sof = (hh, ww, body[6], body[8])  # h, w, comp id, quant id
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF0")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            scan = payload[pos + 2 + length :]
+            hh, ww, _cid, qid = sof
+            dc_dec = _huffman_decoder(*huff[(0, dc_sel)])
+            ac_dec = _huffman_decoder(*huff[(1, ac_sel)])
+            q = quant[qid]
+            reader = _BitReader(scan)
+            bh, bw_ = -(-hh // 8), -(-ww // 8)  # MCU grid rounds UP
+            out = np.empty((bh * 8, bw_ * 8), np.uint8)
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    flat = np.zeros(64, np.int64)
+                    size = dc_dec(reader)
+                    prev_dc += _jpeg_extend(reader.read(size), size)
+                    flat[0] = prev_dc
+                    i = 1
+                    while i < 64:
+                        sym = ac_dec(reader)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        i += sym >> 4
+                        size = sym & 0x0F
+                        if i > 63:
+                            raise ValueError("AC run past block end")
+                        flat[i] = _jpeg_extend(reader.read(size), size)
+                        i += 1
+                    block = np.zeros(64, np.int64)
+                    block[_ZIGZAG] = flat
+                    coeffs = block.reshape(8, 8) * q
+                    spatial = _DCT_T.T @ coeffs.astype(np.float64) @ _DCT_T
+                    px = np.clip(np.round(spatial) + 128, 0, 255)
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
+                        np.uint8
+                    )
+            return out[:hh, :ww]  # discard the MCU padding overhang
+        pos += 2 + length
+    raise ValueError("JPEG missing SOS scan")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decoded JPEG summary: dimensions + exact integer pixel sum."""
+    px = decode_jpeg_gray_pixels(payload)
+    h, w = px.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "sum_gray": int(px.astype(np.int64).sum()),
+    }
+
+
 _MAGIC = {
     b"BM": "bmp",
     b"\x89PNG": "png",

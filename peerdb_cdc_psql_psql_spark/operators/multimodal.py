@@ -543,6 +543,105 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_jpeg_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side JPEG synthesis: solid EVEN-gray images (8·s
+    divisible by the standard table's DC quantizer 16 ⟺ gray value
+    even — the lossless fixed point of the lossy pipeline), odd
+    widths/short heights so the MCU-padding crop path runs."""
+
+    from ..functions.codecs import encode_jpeg_gray
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                v = 2 * (m % 127)
+                payloads.append(
+                    encode_jpeg_gray(np.full((h, w), v, np.uint8))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+_JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_gray", T.LongType()),
+    ]
+)
+
+
+def decode_jpegs(df: DataFrame) -> DataFrame:
+    """REAL JPEG decode over mapInPandas: marker walk, in-stream
+    DQT/DHT tables, Huffman + magnitude decode, dequant, IDCT →
+    dimensions + exact pixel sum."""
+
+    from ..functions.codecs import decode_jpeg
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(payload))
+                rows.append(
+                    (mid, d["width"], d["height"], d["n_pixels"], d["sum_gray"])
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_JPEG_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2) AS n_pixels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_gray
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec round trip (X5, r6): solid even-gray
+    fixtures through the full lossy pipeline — FDCT, standard-table
+    quantization, canonical Huffman entropy coding with byte
+    stuffing, then marker walk, in-stream table parse, Huffman +
+    magnitude decode, dequant, IDCT, MCU-padding crop. Even-gray
+    solids are the pipeline's lossless fixed points, so the oracle
+    pins dimensions and the exact pixel sum; any DCT-scaling,
+    zigzag, bit-packing, or table desync breaks equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_jpegs(synthesize_jpeg_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("sum_gray").cast("bigint"),
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over mapInPandas: parse each RIFF/WAVE
     payload (chunk walk, PCM-16) into rate/frames/peak/mean-abs."""

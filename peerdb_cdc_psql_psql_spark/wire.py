@@ -8,7 +8,9 @@ result sets, error responses — plus the ZERO-PARAMETER slice of the
 extended protocol (Parse/Bind/Describe/Execute/Close/Sync), which is
 what psycopg2 and JDBC drivers emit in their default mode for
 unparameterized statements. Parameterized Binds are refused with
-SQLSTATE 0A000. The simple-query dialect is exactly the surface the
+SQLSTATE 0A000; Execute's max-row count is ignored (all rows stream,
+then CommandComplete — no PortalSuspended, so cursor-style paging
+clients should use LIMIT). The simple-query dialect is exactly the surface the
 reference's nexus uses for `CREATE/DROP/PAUSE/RESUME MIRROR`,
 `SHOW MIRRORS`, and ad-hoc SELECTs (docker-compose.yml:155-170).
 

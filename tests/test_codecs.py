@@ -436,3 +436,86 @@ def test_lzw_roundtrip_property(mcs, n, seed):
     rng = np.random.default_rng(seed)
     data = rng.integers(0, 1 << min(mcs, 8), size=n, dtype=np.uint8).tobytes()
     assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, n)) == data
+
+
+# -- JPEG (baseline grayscale, ITU-T T.81) ----------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _jpeg_extend,
+    _jpeg_magnitude,
+    decode_jpeg,
+    decode_jpeg_gray_pixels,
+    encode_jpeg_gray,
+)
+
+
+def test_jpeg_solid_even_gray_exact():
+    """Even-gray solids are lossless fixed points of the standard-
+    table pipeline (8*(v-128) divisible by the DC quantizer 16)."""
+    for v in (0, 2, 64, 128, 200, 254):
+        for shape in [(8, 8), (16, 24), (13, 21)]:
+            px = np.full(shape, v, np.uint8)
+            got = decode_jpeg_gray_pixels(encode_jpeg_gray(px))
+            assert got.shape == shape
+            assert np.array_equal(got, px), (v, shape)
+
+
+def test_jpeg_magnitude_coding_spec_values():
+    """T.81 F.1.2.1 / F.2.2.1 value↔(category, bits) examples."""
+    cases = [(0, (0, 0)), (1, (1, 1)), (-1, (1, 0)), (3, (2, 3)),
+             (-3, (2, 0)), (-2, (2, 1)), (7, (3, 7)), (-7, (3, 0)),
+             (1023, (10, 1023)), (-1023, (10, 0))]
+    for value, (size, bits) in cases:
+        assert _jpeg_magnitude(value) == (size, bits), value
+        assert _jpeg_extend(bits, size) == value, value
+
+
+def test_jpeg_near_lossless_with_unit_quant():
+    """All-ones quantization: round trip within ±2 on arbitrary
+    images (pure DCT rounding), exercising byte stuffing and every
+    Huffman run/size path."""
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (24, 16), (11, 19)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = encode_jpeg_gray(px, quant=np.ones((8, 8), np.int64))
+        got = decode_jpeg_gray_pixels(b)
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
+
+
+def test_jpeg_rejects_unsupported():
+    b = bytearray(encode_jpeg_gray(np.full((8, 8), 10, np.uint8)))
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # progressive SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray_pixels(bytes(b))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray_pixels(b"GIF89a")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    v=st.integers(min_value=0, max_value=127),
+)
+def test_jpeg_solid_property(w, h, v):
+    px = np.full((h, w), 2 * v, np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["sum_gray"] == w * h * 2 * v
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_unit_quant_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    got = decode_jpeg_gray_pixels(
+        encode_jpeg_gray(px, quant=np.ones((8, 8), np.int64))
+    )
+    assert got.shape == (h, w)
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
