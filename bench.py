@@ -24,6 +24,12 @@ from peerdb_cdc_psql_psql_spark.registry import REGISTRY  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# local[32] shares ONE JVM heap across driver + all 32 task slots;
+# the engine's 4g test default is ~128 MB/slot — the r6 scale probe
+# (4× triangle census) OOMed its hash-agg spill there. 16g on the
+# 128 GiB bench host is still conservative.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 # Round-2 additions, timed separately so the headline total stays
 # directly comparable across rounds.
 EXTRA = [
@@ -145,6 +151,7 @@ EXTRA = [
     "multimodal_png_decode",     # real PNG codec (zlib + 5 filters)
     "multimodal_gif_decode",     # real GIF codec (variable-width LZW)
     "multimodal_jpeg_decode",    # real baseline JPEG codec (DCT+Huffman)
+    "multimodal_jpeg_color_decode",  # 4:4:4 color JPEG (YCbCr MCU interleave)
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

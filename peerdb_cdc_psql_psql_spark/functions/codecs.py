@@ -850,6 +850,113 @@ def _jpeg_extend(value: int, size: int) -> int:
     return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
 
 
+# standard chrominance quantization table (T.81 Annex K.2)
+_STD_CHROMA_QUANT = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def _encode_block(
+    bw_out: "_BitWriter", block: np.ndarray, q: np.ndarray,
+    prev_dc: int, dc_codes: dict, ac_codes: dict,
+) -> int:
+    """FDCT + quantize + entropy-code one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    coeffs = _DCT_T @ block @ _DCT_T.T
+    qc = np.round(coeffs / q).astype(np.int64)
+    flat = qc.reshape(64)[_ZIGZAG]
+    dc = int(flat[0])
+    size, bits_val = _jpeg_magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    bw_out.put(code, length)
+    if size:
+        bw_out.put(bits_val, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(flat)[0])) if np.any(flat[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            bw_out.put(code, length)
+            break
+        v = int(flat[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw_out.put(code, length)
+            run -= 16
+        size, bits_val = _jpeg_magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw_out.put(code, length)
+        bw_out.put(bits_val, size)
+        run = 0
+    return dc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_container(
+    h: int, w: int, planes: list[np.ndarray], quants: list[np.ndarray]
+) -> bytes:
+    """Assemble a baseline JPEG from level-shifted component planes
+    (all full-resolution — 4:4:4) and their quant tables (one per
+    plane, deduplicated into DQT slots)."""
+    dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bh, bw = -(-h // 8), -(-w // 8)
+    bw_out = _BitWriter()
+    prev = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):  # interleaved MCU
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev[ci] = _encode_block(
+                    bw_out, block, quants[ci], prev[ci], dc_codes, ac_codes
+                )
+    scan = bw_out.flush()
+    # dedupe quant tables into DQT slots
+    slots: list[np.ndarray] = []
+    slot_of = []
+    for q in quants:
+        for si, s in enumerate(slots):
+            if np.array_equal(s, q):
+                slot_of.append(si)
+                break
+        else:
+            slot_of.append(len(slots))
+            slots.append(q)
+    dqt = b"".join(
+        _jpeg_seg(
+            0xDB,
+            bytes([si]) + s.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes(),
+        )
+        for si, s in enumerate(slots)
+    )
+    nc = len(planes)
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, slot_of[ci]]) for ci in range(nc)
+    )
+    sof0 = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    ) + _jpeg_seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos = _jpeg_seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
 def encode_jpeg_gray(
     pixels: np.ndarray, quant: np.ndarray | None = None
 ) -> bytes:
@@ -863,67 +970,42 @@ def encode_jpeg_gray(
     )
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    shifted = padded.astype(np.float64) - 128.0
-    dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    bw_out = _BitWriter()
-    prev_dc = 0
-    zz = _ZIGZAG
-    for by in range(bh):
-        for bx in range(bw):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coeffs = _DCT_T @ block @ _DCT_T.T
-            qc = np.round(coeffs / q).astype(np.int64)
-            flat = qc.reshape(64)[zz]
-            diff = int(flat[0]) - prev_dc
-            prev_dc = int(flat[0])
-            size, bits_val = _jpeg_magnitude(diff)
-            code, length = dc_codes[size]
-            bw_out.put(code, length)
-            if size:
-                bw_out.put(bits_val, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(flat)[0])) if np.any(flat[1:]) else 0
-            for i in range(1, 64):
-                if i > last_nz:
-                    code, length = ac_codes[0x00]  # EOB
-                    bw_out.put(code, length)
-                    break
-                v = int(flat[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw_out.put(code, length)
-                    run -= 16
-                size, bits_val = _jpeg_magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw_out.put(code, length)
-                bw_out.put(bits_val, size)
-                run = 0
-    scan = bw_out.flush()
+    return _jpeg_container(h, w, [padded.astype(np.float64) - 128.0], [q])
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qz = q.reshape(64)[zz].astype(np.uint8)
-    dqt = seg(0xDB, bytes([0x00]) + qz.tobytes())
-    # SOF0 carries the TRUE dimensions (T.81: the decoder rounds the
-    # MCU grid up and discards the padding overhang)
-    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)) + seg(
-        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
+    """Baseline color JPEG writer: (h, w, 3) uint8 RGB → JFIF YCbCr,
+    4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs, standard
+    luma+chroma quant tables."""
+    px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = ((0, bh * 8 - h), (0, bw * 8 - w))
+    planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
+    return _jpeg_container(
+        h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT]
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
 
 def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
-    """Parse a baseline single-component JPEG into an (h, w) uint8
-    array: marker walk, DQT/DHT tables FROM THE STREAM, Huffman +
-    magnitude decode, dequant, de-zigzag, IDCT, level shift, clamp.
-    Color / progressive / subsampled streams raise."""
+    """Single-component convenience wrapper over
+    ``decode_jpeg_pixels`` — raises on a color stream."""
+    out = decode_jpeg_pixels(payload)
+    if out.ndim != 2:
+        raise NotImplementedError("color JPEG — use decode_jpeg_pixels")
+    return out
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Parse a baseline JPEG into (h, w) gray or (h, w, 3) RGB uint8:
+    marker walk, DQT/DHT tables FROM THE STREAM, interleaved-MCU
+    Huffman + magnitude decode with per-component DC predictors,
+    dequant, de-zigzag, IDCT, level shift, clamp, JFIF YCbCr→RGB for
+    3 components. Progressive / subsampled streams raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -961,72 +1043,115 @@ def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker == 0xC0:
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc != 1:
+            if prec != 8 or nc not in (1, 3):
                 raise NotImplementedError(
-                    f"only 8-bit single-component baseline JPEG is "
+                    f"only 8-bit 1- or 3-component baseline JPEG is "
                     f"supported (precision={prec}, components={nc})"
                 )
-            # component: id @6, sampling @7, quant table @8
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            sof = (hh, ww, body[6], body[8])  # h, w, comp id, quant id
+            comps = []
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
+                comps.append((cid, qid))
+            sof = (hh, ww, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            hh, ww, comps = sof
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved JPEG scans")
+            sel = {}
+            for si in range(ns):
+                cid, tables = body[1 + 2 * si], body[2 + 2 * si]
+                sel[cid] = (tables >> 4, tables & 0x0F)
             scan = payload[pos + 2 + length :]
-            hh, ww, _cid, qid = sof
-            dc_dec = _huffman_decoder(*huff[(0, dc_sel)])
-            ac_dec = _huffman_decoder(*huff[(1, ac_sel)])
-            q = quant[qid]
+            decoders = []
+            for cid, qid in comps:
+                dc_sel, ac_sel = sel[cid]
+                decoders.append(
+                    (
+                        _huffman_decoder(*huff[(0, dc_sel)]),
+                        _huffman_decoder(*huff[(1, ac_sel)]),
+                        quant[qid],
+                    )
+                )
             reader = _BitReader(scan)
             bh, bw_ = -(-hh // 8), -(-ww // 8)  # MCU grid rounds UP
-            out = np.empty((bh * 8, bw_ * 8), np.uint8)
-            prev_dc = 0
+            planes = [
+                np.empty((bh * 8, bw_ * 8), np.float64) for _ in comps
+            ]
+            prev = [0] * len(comps)
             for by in range(bh):
                 for bx in range(bw_):
-                    flat = np.zeros(64, np.int64)
-                    size = dc_dec(reader)
-                    prev_dc += _jpeg_extend(reader.read(size), size)
-                    flat[0] = prev_dc
-                    i = 1
-                    while i < 64:
-                        sym = ac_dec(reader)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            i += 16
-                            continue
-                        i += sym >> 4
-                        size = sym & 0x0F
-                        if i > 63:
-                            raise ValueError("AC run past block end")
-                        flat[i] = _jpeg_extend(reader.read(size), size)
-                        i += 1
-                    block = np.zeros(64, np.int64)
-                    block[_ZIGZAG] = flat
-                    coeffs = block.reshape(8, 8) * q
-                    spatial = _DCT_T.T @ coeffs.astype(np.float64) @ _DCT_T
-                    px = np.clip(np.round(spatial) + 128, 0, 255)
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
-                        np.uint8
-                    )
-            return out[:hh, :ww]  # discard the MCU padding overhang
+                    for ci, (dc_dec, ac_dec, q) in enumerate(decoders):
+                        flat = np.zeros(64, np.int64)
+                        size = dc_dec(reader)
+                        prev[ci] += _jpeg_extend(reader.read(size), size)
+                        flat[0] = prev[ci]
+                        i = 1
+                        while i < 64:
+                            sym = ac_dec(reader)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += sym >> 4
+                            size = sym & 0x0F
+                            if i > 63:
+                                raise ValueError("AC run past block end")
+                            flat[i] = _jpeg_extend(reader.read(size), size)
+                            i += 1
+                        block = np.zeros(64, np.int64)
+                        block[_ZIGZAG] = flat
+                        coeffs = block.reshape(8, 8) * q
+                        spatial = (
+                            _DCT_T.T @ coeffs.astype(np.float64) @ _DCT_T
+                        )
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = spatial + 128.0
+            planes = [p[:hh, :ww] for p in planes]  # discard MCU overhang
+            if len(planes) == 1:
+                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = planes
+            # JFIF inverse transform BEFORE the final round/clamp —
+            # rounding YCbCr to uint8 first would add up to ±2 error
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         pos += 2 + length
     raise ValueError("JPEG missing SOS scan")
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decoded JPEG summary: dimensions + exact integer pixel sum."""
-    px = decode_jpeg_gray_pixels(payload)
-    h, w = px.shape
+    """Decoded JPEG summary: dimensions, channel count, and exact
+    integer pixel sums (gray: sum_r == sum_g == sum_b == sum_gray)."""
+    px = decode_jpeg_pixels(payload)
+    h, w = px.shape[:2]
+    if px.ndim == 2:
+        total = int(px.astype(np.int64).sum())
+        sums = (total, total, total)
+        ch = 1
+    else:
+        s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        sums = (int(s[0]), int(s[1]), int(s[2]))
+        ch = 3
     return {
         "width": int(w),
         "height": int(h),
+        "n_channels": ch,
         "n_pixels": int(w * h),
-        "sum_gray": int(px.astype(np.int64).sum()),
+        "sum_gray": sums[0],
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
     }
 
 

@@ -642,6 +642,87 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_COLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_r,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG round trip (X5, r6): 3-component 4:4:4
+    baseline — JFIF RGB→YCbCr, interleaved Y/Cb/Cr MCUs with
+    per-component DC predictors and luma/chroma quant tables, then
+    the inverse transform on decode. Gray-valued RGB solids map to
+    Y=v, Cb=Cr=128 EXACTLY (the color transform's fixed line), so
+    even-gray fixtures stay lossless through the full color pipeline
+    and the oracle pins exact per-channel sums — a desync in MCU
+    interleave order, chroma table selection, or either color
+    transform breaks equality."""
+    from ..functions.codecs import decode_jpeg, encode_jpeg_rgb
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h, v = m % 8 * 4 + 5, m % 4 + 2, 2 * (m % 127)
+                d = decode_jpeg(
+                    encode_jpeg_rgb(np.full((h, w, 3), v, np.uint8))
+                )
+                rows.append(
+                    (
+                        m, d["width"], d["height"], d["n_channels"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_COLOR_SCHEMA.fields]
+            )
+
+    decoded = ids.select("media_id").mapInPandas(gen, schema=_JPEG_COLOR_SCHEMA)
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over mapInPandas: parse each RIFF/WAVE
     payload (chunk walk, PCM-16) into rate/frames/peak/mean-abs."""

@@ -519,3 +519,45 @@ def test_jpeg_unit_quant_property(w, h, seed):
     )
     assert got.shape == (h, w)
     assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
+
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    decode_jpeg_pixels,
+    encode_jpeg_rgb,
+)
+
+
+def test_jpeg_color_gray_valued_rgb_exact():
+    """Gray-valued RGB solids are lossless through the COLOR pipeline
+    (Y=v, Cb=Cr=128 exactly — the JFIF transform's fixed line)."""
+    for v in (0, 2, 100, 128, 200, 254):
+        px = np.full((13, 21, 3), v, np.uint8)
+        got = decode_jpeg_pixels(encode_jpeg_rgb(px))
+        assert got.shape == (13, 21, 3)
+        assert np.array_equal(got, px), v
+
+
+def test_jpeg_color_smooth_image_bounded_error():
+    base = np.linspace(0, 200, 16).astype(np.uint8)
+    px = np.stack(
+        [
+            np.tile(base, (16, 1)),
+            np.tile(base[::-1], (16, 1)),
+            np.full((16, 16), 80, np.uint8),
+        ],
+        axis=-1,
+    )
+    got = decode_jpeg_pixels(encode_jpeg_rgb(px))
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 30
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    v=st.integers(min_value=0, max_value=127),
+)
+def test_jpeg_color_solid_property(w, h, v):
+    px = np.full((h, w, 3), 2 * v, np.uint8)
+    got = decode_jpeg_pixels(encode_jpeg_rgb(px))
+    assert np.array_equal(got, px)
