@@ -411,12 +411,64 @@ def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+def encode_avi_mjpg(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Motion-JPEG AVI writer: (n, h, w, 3) uint8 RGB frames, each
+    compressed as a 4:4:4 baseline color JPEG and stored in '00dc'
+    chunks with fourcc MJPG — the real compressed-video container
+    shape (every frame is an independent JPEG; no inter-frame
+    prediction, which is exactly MJPG's contract)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    frame_bytes = [encode_jpeg_rgb(px) for px in fr]
+    buf = max(len(fb) for fb in frame_bytes)
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        1_000_000 // fps, buf * fps, 0, 0x10,
+        n, 0, 1, buf, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIII4h",
+        b"strh", 56, b"vids", b"MJPG",
+        0, 0, 0, 0,
+        1, fps, 0, n,
+        buf, 10_000, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<4sI", b"strf", 40) + struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", buf, 2835, 2835, 0, 0
+    )
+    strl = b"strl" + strh + strf
+    hdrl = b"hdrl" + avih + struct.pack("<4sI", b"LIST", len(strl)) + strl
+    movi = b"movi"
+    entries, off = [], 4
+    for fb in frame_bytes:
+        movi += struct.pack("<4sI", b"00dc", len(fb)) + fb
+        if len(fb) & 1:
+            movi += b"\x00"
+        entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) & 1)
+    idx1 = struct.pack("<4sI", b"idx1", 16 * n) + b"".join(entries)
+    body = (
+        b"AVI "
+        + struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+        + struct.pack("<4sI", b"LIST", len(movi)) + movi
+        + idx1
+    )
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode_avi(payload: bytes) -> dict:
     """Demux a RIFF/AVI payload: recursive chunk walk collecting the
     main header (dimensions, frame count, frame interval), the video
     stream format, and the (offset, size) of every '00db'/'00dc'
-    frame chunk. Only uncompressed 24-bit DIB streams are supported —
-    a compressed biCompression raises."""
+    frame chunk. Supported streams: uncompressed 24-bit DIB (decode
+    frames with ``decode_avi_frame``) and MJPG (each chunk is a
+    baseline JPEG — ``decode_avi_mjpg_frame``); the ``codec`` key
+    says which. Other biCompression values raise."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     avih = None
@@ -444,12 +496,15 @@ def decode_avi(payload: bytes) -> dict:
     usec_per_frame, total_frames, width, height = (
         avih[0], avih[4], avih[8], avih[9]
     )
+    codec = "dib"
     if strf is not None:
         _, _, _, _, bpp, compression = strf
-        if bpp != 24 or compression != 0:
+        if compression == _MJPG_FOURCC:
+            codec = "mjpg"
+        elif bpp != 24 or compression != 0:
             raise NotImplementedError(
-                f"only uncompressed 24-bit DIB AVI is supported "
-                f"(bpp={bpp}, compression={compression})"
+                f"only uncompressed 24-bit DIB or MJPG AVI is supported "
+                f"(bpp={bpp}, compression={compression:#x})"
             )
     return {
         "width": int(width),
@@ -459,6 +514,7 @@ def decode_avi(payload: bytes) -> dict:
         # must degrade gracefully, not IndexError in an executor task
         "n_frames": min(int(total_frames), len(frames)) or len(frames),
         "usec_per_frame": int(usec_per_frame),
+        "codec": codec,
         "frames": frames,
     }
 
@@ -475,6 +531,13 @@ def decode_avi_frame(
         payload, dtype=np.uint8, count=height * stride, offset=off
     ).reshape(height, stride)
     return rows[:, : 3 * width].reshape(height, width, 3)[::-1, :, ::-1]
+
+
+def decode_avi_mjpg_frame(payload: bytes, entry: tuple[int, int]) -> np.ndarray:
+    """Decode one MJPG '00dc' chunk (located by ``entry`` from
+    ``decode_avi``): the chunk body IS a standalone baseline JPEG."""
+    off, size = entry
+    return decode_jpeg_pixels(payload[off : off + size])
 
 
 # ---------------------------------------------------------------------------

@@ -964,6 +964,90 @@ def synthesize_avi_payloads(ids: DataFrame) -> DataFrame:
     return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
 
 
+_MJPG_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_gray", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_mjpg_frame_sample",
+    oracle="""
+SELECT media_id, frame_idx,
+       CAST(media_id % 30 + 1 AS BIGINT) AS n_frames,
+       (media_id % 6) * 4 + 5 AS width,
+       (media_id % 3) + 2 AS height,
+       2 * ((media_id + 11 * frame_idx) % 128) AS mean_gray
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 3)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 150
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_mjpg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG round trip (X5, r6): every frame an
+    independent 4:4:4 color JPEG inside the AVI container ('00dc'
+    chunks, fourcc MJPG). Frames are gray-valued even solids — the
+    lossless fixed line of both the color transform and the DCT
+    pipeline — so sampling every 3rd frame and decoding through the
+    FULL chain (RIFF demux → per-chunk JPEG marker walk → Huffman →
+    IDCT → YCbCr⁻¹) yields exact SQL-derivable means; closes the
+    MJPG-in-AVI line of the r5 sanction list."""
+    from ..functions.codecs import (
+        decode_avi,
+        decode_avi_mjpg_frame,
+        encode_avi_mjpg,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "video") & (F.col("media_id") < 150)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n, w, h = m % 30 + 1, m % 6 * 4 + 5, m % 3 + 2
+                vals = [2 * ((m + 11 * f) % 128) for f in range(n)]
+                frames = np.stack(
+                    [np.full((h, w, 3), v, np.uint8) for v in vals]
+                )
+                payload = encode_avi_mjpg(frames, fps=10)
+                d = decode_avi(payload)
+                assert d["codec"] == "mjpg"
+                for fi in range(0, d["n_frames"], 3):
+                    px = decode_avi_mjpg_frame(payload, d["frames"][fi])
+                    total = int(px.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            m, fi, d["n_frames"], d["width"], d["height"],
+                            total // (px.shape[0] * px.shape[1] * 3),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MJPG_SAMPLE_SCHEMA.fields]
+            )
+
+    sampled = ids.select("media_id").mapInPandas(
+        gen, schema=_MJPG_SAMPLE_SCHEMA
+    )
+    return sampled.select(
+        "media_id", "frame_idx", "n_frames", "width", "height", "mean_gray"
+    )
+
+
 def sample_video_frames(df: DataFrame, every: int) -> DataFrame:
     """REAL video frame-sampling over mapInPandas: demux each RIFF/AVI
     payload (chunk walk → header + '00db' frame directory), decode

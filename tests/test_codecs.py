@@ -561,3 +561,38 @@ def test_jpeg_color_solid_property(w, h, v):
     px = np.full((h, w, 3), 2 * v, np.uint8)
     got = decode_jpeg_pixels(encode_jpeg_rgb(px))
     assert np.array_equal(got, px)
+
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    decode_avi_mjpg_frame,
+    encode_avi_mjpg,
+)
+
+
+def test_mjpg_avi_roundtrip_gray_frames_exact():
+    """MJPG container: every '00dc' chunk is an independent baseline
+    JPEG; gray-valued frames stay exact through demux + decode."""
+    vals = [20, 64, 128, 200]
+    frames = np.stack([np.full((10, 13, 3), v, np.uint8) for v in vals])
+    b = encode_avi_mjpg(frames, fps=5)
+    assert sniff_format(b) == "avi"
+    d = decode_avi(b)
+    assert (d["codec"], d["n_frames"], d["width"], d["height"]) == (
+        "mjpg", 4, 13, 10,
+    )
+    for i in range(4):
+        got = decode_avi_mjpg_frame(b, d["frames"][i])
+        assert np.array_equal(got, frames[i]), i
+
+
+def test_dib_avi_reports_codec():
+    d = decode_avi(encode_avi_dib(np.zeros((2, 4, 4, 3), np.uint8)))
+    assert d["codec"] == "dib"
+
+
+def test_avi_rejects_unknown_compression():
+    b = bytearray(encode_avi_mjpg(np.zeros((1, 8, 8, 3), np.uint8)))
+    i = bytes(b).index(b"MJPG", bytes(b).index(b"strf"))
+    b[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="DIB or MJPG"):
+        decode_avi(bytes(b))
