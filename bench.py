@@ -153,6 +153,7 @@ EXTRA = [
     "multimodal_jpeg_decode",    # real baseline JPEG codec (DCT+Huffman)
     "multimodal_jpeg_color_decode",  # 4:4:4 color JPEG (YCbCr MCU interleave)
     "multimodal_mjpg_frame_sample",  # Motion-JPEG AVI demux + per-frame JPEG
+    "multimodal_jpeg_420_decode",    # 4:2:0 subsampled JPEG
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -969,23 +969,40 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
 
 
 def _jpeg_container(
-    h: int, w: int, planes: list[np.ndarray], quants: list[np.ndarray]
+    h: int,
+    w: int,
+    planes: list[np.ndarray],
+    quants: list[np.ndarray],
+    factors: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a baseline JPEG from level-shifted component planes
-    (all full-resolution — 4:4:4) and their quant tables (one per
-    plane, deduplicated into DQT slots)."""
+    and their quant tables (deduplicated into DQT slots). ``factors``
+    gives each component's (horizontal, vertical) sampling factor —
+    default all (1,1) i.e. 4:4:4; each plane must arrive at its
+    component resolution padded to the MCU grid
+    (8·vi·MCUrows × 8·hi·MCUcols)."""
+    factors = factors or [(1, 1)] * len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    bh, bw = -(-h // 8), -(-w // 8)
     bw_out = _BitWriter()
     prev = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mch):
+        for mx in range(mcw):
             for ci, plane in enumerate(planes):  # interleaved MCU
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                prev[ci] = _encode_block(
-                    bw_out, block, quants[ci], prev[ci], dc_codes, ac_codes
-                )
+                hi, vi = factors[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        by, bx = my * vi + vy, mx * hi + vx
+                        block = plane[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        prev[ci] = _encode_block(
+                            bw_out, block, quants[ci], prev[ci],
+                            dc_codes, ac_codes,
+                        )
     scan = bw_out.flush()
     # dedupe quant tables into DQT slots
     slots: list[np.ndarray] = []
@@ -1007,7 +1024,8 @@ def _jpeg_container(
     )
     nc = len(planes)
     sof_comps = b"".join(
-        bytes([ci + 1, 0x11, slot_of[ci]]) for ci in range(nc)
+        bytes([ci + 1, factors[ci][0] << 4 | factors[ci][1], slot_of[ci]])
+        for ci in range(nc)
     )
     sof0 = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     dht = _jpeg_seg(
@@ -1051,6 +1069,43 @@ def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
     planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
     return _jpeg_container(
         h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT]
+    )
+
+
+def encode_jpeg_rgb_420(pixels: np.ndarray) -> bytes:
+    """Baseline color JPEG writer with 4:2:0 CHROMA SUBSAMPLING — the
+    dominant shape of real-corpus JPEGs: Y at full resolution
+    (sampling 2×2), Cb/Cr box-averaged to half resolution (1×1), MCU
+    = 4 luma blocks + Cb + Cr."""
+    px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    mcw, mch = -(-w // 16), -(-h // 16)
+    ypad = np.pad(y, ((0, mch * 16 - h), (0, mcw * 16 - w)), mode="edge")
+    planes = [ypad - 128.0]
+    for p in (cb, cr):
+        # box-average 2×2 on the even-padded full-res plane, then pad
+        # the half-res plane out to the chroma MCU grid
+        pe = np.pad(p, ((0, h & 1), (0, w & 1)), mode="edge")
+        half = (
+            pe[0::2, 0::2] + pe[1::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 1::2]
+        ) / 4.0
+        hh2, ww2 = half.shape
+        planes.append(
+            np.pad(
+                half,
+                ((0, mch * 8 - hh2), (0, mcw * 8 - ww2)),
+                mode="edge",
+            )
+            - 128.0
+        )
+    return _jpeg_container(
+        h, w, planes,
+        [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
+        factors=[(2, 2), (1, 1), (1, 1)],
     )
 
 
@@ -1114,16 +1169,23 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
-                comps.append((cid, qid))
-            sof = (hh, ww, comps)
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factor {sampling:#x}")
+                comps.append((cid, hi, vi, qid))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer chroma subsampling ratios"
+                )
+            sof = (hh, ww, comps, hmax, vmax)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
-            hh, ww, comps = sof
+            hh, ww, comps, hmax, vmax = sof
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError("non-interleaved JPEG scans")
@@ -1133,52 +1195,76 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 sel[cid] = (tables >> 4, tables & 0x0F)
             scan = payload[pos + 2 + length :]
             decoders = []
-            for cid, qid in comps:
+            for cid, hi, vi, qid in comps:
                 dc_sel, ac_sel = sel[cid]
                 decoders.append(
                     (
                         _huffman_decoder(*huff[(0, dc_sel)]),
                         _huffman_decoder(*huff[(1, ac_sel)]),
                         quant[qid],
+                        hi,
+                        vi,
                     )
                 )
             reader = _BitReader(scan)
-            bh, bw_ = -(-hh // 8), -(-ww // 8)  # MCU grid rounds UP
+            mcw, mch = -(-ww // (8 * hmax)), -(-hh // (8 * vmax))
             planes = [
-                np.empty((bh * 8, bw_ * 8), np.float64) for _ in comps
+                np.empty((mch * vi * 8, mcw * hi * 8), np.float64)
+                for _cid, hi, vi, _qid in comps
             ]
             prev = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw_):
-                    for ci, (dc_dec, ac_dec, q) in enumerate(decoders):
-                        flat = np.zeros(64, np.int64)
-                        size = dc_dec(reader)
-                        prev[ci] += _jpeg_extend(reader.read(size), size)
-                        flat[0] = prev[ci]
-                        i = 1
-                        while i < 64:
-                            sym = ac_dec(reader)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            i += sym >> 4
-                            size = sym & 0x0F
-                            if i > 63:
-                                raise ValueError("AC run past block end")
-                            flat[i] = _jpeg_extend(reader.read(size), size)
-                            i += 1
-                        block = np.zeros(64, np.int64)
-                        block[_ZIGZAG] = flat
-                        coeffs = block.reshape(8, 8) * q
-                        spatial = (
-                            _DCT_T.T @ coeffs.astype(np.float64) @ _DCT_T
-                        )
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = spatial + 128.0
-            planes = [p[:hh, :ww] for p in planes]  # discard MCU overhang
+            for my in range(mch):
+                for mx in range(mcw):
+                    for ci, (dc_dec, ac_dec, q, hi, vi) in enumerate(
+                        decoders
+                    ):
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                flat = np.zeros(64, np.int64)
+                                size = dc_dec(reader)
+                                prev[ci] += _jpeg_extend(
+                                    reader.read(size), size
+                                )
+                                flat[0] = prev[ci]
+                                i = 1
+                                while i < 64:
+                                    sym = ac_dec(reader)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    if sym == 0xF0:  # ZRL
+                                        i += 16
+                                        continue
+                                    i += sym >> 4
+                                    size = sym & 0x0F
+                                    if i > 63:
+                                        raise ValueError(
+                                            "AC run past block end"
+                                        )
+                                    flat[i] = _jpeg_extend(
+                                        reader.read(size), size
+                                    )
+                                    i += 1
+                                block = np.zeros(64, np.int64)
+                                block[_ZIGZAG] = flat
+                                coeffs = block.reshape(8, 8) * q
+                                spatial = (
+                                    _DCT_T.T
+                                    @ coeffs.astype(np.float64)
+                                    @ _DCT_T
+                                )
+                                by, bx = my * vi + vy, mx * hi + vx
+                                planes[ci][
+                                    by * 8 : by * 8 + 8,
+                                    bx * 8 : bx * 8 + 8,
+                                ] = spatial + 128.0
+            # upsample subsampled components by replication, then
+            # discard the MCU overhang
+            planes = [
+                np.repeat(
+                    np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+                )[:hh, :ww]
+                for p, (_cid, hi, vi, _qid) in zip(planes, comps)
+            ]
             if len(planes) == 1:
                 return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
             y, cb, cr = planes

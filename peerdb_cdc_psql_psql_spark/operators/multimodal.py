@@ -723,6 +723,74 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_420_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_r,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 SUBSAMPLED JPEG round trip (X5, r6) — the dominant
+    shape of real-corpus JPEGs: Y at 2×2 sampling, box-averaged
+    half-resolution chroma, MCU = 4 luma blocks + Cb + Cr, decode
+    re-expands chroma by replication. Gray-valued even solids stay
+    exact through subsampling too (a constant plane box-averages and
+    replicates to itself), so the oracle pins the full 4:2:0 chain —
+    MCU interleave order, per-factor block placement, chroma
+    upsampling — with exact per-channel sums. Odd fixture widths
+    exercise the luma-vs-chroma MCU overhang crop."""
+    from ..functions.codecs import decode_jpeg, encode_jpeg_rgb_420
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h, v = m % 8 * 4 + 5, m % 4 + 2, 2 * (m % 127)
+                d = decode_jpeg(
+                    encode_jpeg_rgb_420(np.full((h, w, 3), v, np.uint8))
+                )
+                rows.append(
+                    (
+                        m, d["width"], d["height"], d["n_channels"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_COLOR_SCHEMA.fields]
+            )
+
+    decoded = ids.select("media_id").mapInPandas(gen, schema=_JPEG_COLOR_SCHEMA)
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over mapInPandas: parse each RIFF/WAVE
     payload (chunk walk, PCM-16) into rate/frames/peak/mean-abs."""

@@ -596,3 +596,46 @@ def test_avi_rejects_unknown_compression():
     b[i : i + 4] = b"H264"
     with pytest.raises(NotImplementedError, match="DIB or MJPG"):
         decode_avi(bytes(b))
+
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import encode_jpeg_rgb_420  # noqa: E402
+
+
+def test_jpeg_420_gray_valued_solids_exact():
+    """4:2:0 subsampling: constant planes box-average and replicate
+    to themselves, so gray-valued even solids stay exact through the
+    subsampled pipeline at dims that are NOT 16-multiples."""
+    for v in (0, 2, 100, 200, 254):
+        for shape in [(16, 16), (13, 21), (33, 7), (1, 1)]:
+            px = np.full((*shape, 3), v, np.uint8)
+            got = decode_jpeg_pixels(encode_jpeg_rgb_420(px))
+            assert got.shape == px.shape
+            assert np.array_equal(got, px), (v, shape)
+
+
+def test_jpeg_420_smooth_image_bounded_and_smaller():
+    base = np.linspace(0, 200, 32).astype(np.uint8)
+    px = np.stack(
+        [
+            np.tile(base, (32, 1)),
+            np.tile(base[::-1], (32, 1)),
+            np.full((32, 32), 80, np.uint8),
+        ],
+        axis=-1,
+    )
+    b420 = encode_jpeg_rgb_420(px)
+    got = decode_jpeg_pixels(b420)
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 40
+    # subsampling must actually shrink the stream vs 4:4:4
+    assert len(b420) < len(encode_jpeg_rgb(px))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    v=st.integers(min_value=0, max_value=127),
+)
+def test_jpeg_420_solid_property(w, h, v):
+    px = np.full((h, w, 3), 2 * v, np.uint8)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg_rgb_420(px)), px)
