@@ -76,12 +76,31 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM-16 WAVE is supported (format={audio_format}, bits={bits})"
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
+        return (
+            int(sample_rate), int(n_channels), np.frombuffer(data, dtype="<i2")
         )
-    return int(sample_rate), int(n_channels), np.frombuffer(data, dtype="<i2")
+    if audio_format == 7 and bits == 8:  # G.711 μ-law
+        return (
+            int(sample_rate), int(n_channels),
+            ulaw_decode(np.frombuffer(data, dtype=np.uint8)),
+        )
+    if audio_format == 6 and bits == 8:  # G.711 A-law
+        return (
+            int(sample_rate), int(n_channels),
+            alaw_decode(np.frombuffer(data, dtype=np.uint8)),
+        )
+    if audio_format == 0x11 and bits == 4:  # IMA / DVI ADPCM
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA ADPCM is supported")
+        return (
+            int(sample_rate), 1,
+            adpcm_decode_blocks(data, int(block_align)),
+        )
+    raise NotImplementedError(
+        f"unsupported WAVE encoding (format={audio_format}, bits={bits})"
+    )
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -99,6 +118,244 @@ def decode_wav(payload: bytes) -> dict:
         "peak": int(ab.max()) if len(x) else 0,
         "mean_abs": int(ab.mean()) if len(x) else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (μ-law / A-law) — ITU-T G.711, the classic telephony
+# codecs real speech corpora (e.g. call-center audio) actually use.
+# Pure table arithmetic in the published piecewise-linear form; both
+# directions are exact inverses on the quantized value set, so the
+# oracle fixtures synthesize code bytes whose decoded 16-bit values
+# are closed-form functions of the media id.
+# ---------------------------------------------------------------------------
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """μ-law bytes → int16 samples. Complement, split sign/exponent/
+    mantissa, expand ``((2m+33)<<e − 33)`` (14-bit magnitude, ≤8031)
+    and scale ×4 into the 16-bit domain (the Sun/G.711 convention)."""
+    c = (np.asarray(codes, dtype=np.uint8) ^ 0xFF).astype(np.int32)
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    mag = ((((m << 1) + 33) << e) - 33) << 2
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → μ-law bytes (vectorized segment search). Exact
+    inverse of ``ulaw_decode`` on its output value set."""
+    x = np.asarray(samples, dtype=np.int32)
+    neg = x < 0
+    mag = np.minimum(np.abs(x) >> 2, 8031) + 33  # bias into [33, 8064]
+    e = np.searchsorted(
+        np.array([64, 128, 256, 512, 1024, 2048, 4096]), mag, side="right"
+    )
+    m = (mag >> (e + 1)) & 0x0F
+    return (
+        (np.where(neg, 0x80, 0) | (e << 4) | m) ^ 0xFF
+    ).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes → int16 samples: XOR 0x55, then the G.711 segment
+    expansion (seg 0: ``(m<<4)+8``; else ``((m<<4)+0x108)<<(seg−1)``),
+    already in the 16-bit domain (max 32256). Sign bit SET = positive
+    (the A-law convention, opposite of μ-law)."""
+    c = (np.asarray(codes, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    seg = (c >> 4) & 7
+    m = c & 0x0F
+    t = (m << 4) + 8
+    mag = np.where(seg == 0, t, (t + 0x100) << np.maximum(seg - 1, 0))
+    return np.where(c & 0x80, mag, -mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → A-law bytes. Exact inverse of ``alaw_decode``
+    on its output value set."""
+    x = np.asarray(samples, dtype=np.int32)
+    pos = x >= 0
+    a = np.minimum(np.abs(x), 32767)
+    seg = np.searchsorted(
+        np.array([256, 512, 1024, 2048, 4096, 8192, 16384]), a, side="right"
+    )
+    m = np.where(seg == 0, a >> 4, (a >> (seg + 3)) & 0x0F)
+    return (
+        (np.where(pos, 0x80, 0) | (seg << 4) | m) ^ 0x55
+    ).astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int, law: str = "u"
+) -> bytes:
+    """RIFF/WAVE writer for G.711 payloads: format code 7 (μ-law) or
+    6 (A-law), 8 bits per sample, mono."""
+    codes = (ulaw_encode if law == "u" else alaw_encode)(samples)
+    return _wav_container(
+        codes.tobytes(), 7 if law == "u" else 6, sample_rate, 1, 1, 8
+    )
+
+
+def encode_wav_g711_codes(
+    codes: np.ndarray, sample_rate: int, law: str = "u"
+) -> bytes:
+    """Wrap pre-built G.711 code bytes directly (spec-derived streams
+    for decoder-independent fixtures, the GIF-codec convention)."""
+    body = np.asarray(codes, dtype=np.uint8).tobytes()
+    return _wav_container(body, 7 if law == "u" else 6, sample_rate, 1, 1, 8)
+
+
+def _wav_container(
+    body: bytes, fmt_code: int, sample_rate: int, n_channels: int,
+    bytes_per_sample: int, bits: int, extra: bytes = b"",
+) -> bytes:
+    block_align = bytes_per_sample * n_channels
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16 + len(extra), fmt_code, n_channels,
+        sample_rate, sample_rate * block_align, block_align, bits,
+    ) + extra
+    if len(fmt) & 1:
+        fmt += b"\x00"
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    if len(body) & 1:
+        data += b"\x00"
+    wave = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(wave)) + wave
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM (WAVE format 0x11) — 4-bit differential PCM with the
+# published step/index tables (IMA "Recommended Practices", also in
+# RFC 3551 §4.5.1). Block-structured: each block opens with a literal
+# int16 predictor + step index, then packed nibbles (low nibble
+# first). The decoder is the normative state machine; the encoder
+# tracks the decoder's reconstruction exactly, so encode→decode
+# round-trips are bit-identical on the predicted sequence.
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+
+_ADPCM_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def adpcm_samples_per_block(block_align: int) -> int:
+    """Mono IMA ADPCM: 4-byte header (1 sample) + 2 samples/byte."""
+    return (block_align - 4) * 2 + 1
+
+
+def _adpcm_step_nibble(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One decoder transition: (pred, idx) × nibble → (pred', idx')."""
+    step = int(_ADPCM_STEPS[idx])
+    delta = step >> 3
+    if nib & 4:
+        delta += step
+    if nib & 2:
+        delta += step >> 1
+    if nib & 1:
+        delta += step >> 2
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_ADPCM_INDEX[nib & 7])))
+    return pred, idx
+
+
+def adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
+    """Decode a mono IMA ADPCM data chunk (sequence of independent
+    ``block_align``-byte blocks) to int16 samples. A short trailing
+    block decodes its available nibbles (truncated-stream tolerance,
+    same posture as the AVI frame-count clamp)."""
+    out: list[int] = []
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < 4:
+            break
+        pred = struct.unpack_from("<h", block, 0)[0]
+        idx = min(88, block[2])
+        out.append(pred)
+        nib_bytes = np.frombuffer(block, np.uint8, offset=4)
+        nibs = np.empty(2 * len(nib_bytes), np.uint8)
+        nibs[0::2] = nib_bytes & 0x0F  # low nibble first per spec
+        nibs[1::2] = nib_bytes >> 4
+        for nib in nibs:
+            pred, idx = _adpcm_step_nibble(pred, idx, int(nib))
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def adpcm_encode(
+    samples: np.ndarray, block_align: int = 256
+) -> bytes:
+    """Greedy IMA ADPCM encoder (the standard reference strategy:
+    quantize the prediction error by the current step, then track the
+    decoder's reconstruction as the next prediction basis)."""
+    x = np.asarray(samples, dtype=np.int32)
+    spb = adpcm_samples_per_block(block_align)
+    out = bytearray()
+    idx = 0
+    for start in range(0, len(x), spb):
+        block = x[start : start + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs: list[int] = []
+        for target in block[1:]:
+            step = int(_ADPCM_STEPS[idx])
+            diff = int(target) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _adpcm_step_nibble(pred, idx, nib)
+            nibs.append(nib)
+        if len(nibs) & 1:
+            nibs.append(0)  # pad nibble (decoded past n_samples, cut
+            # by the caller via the fmt extension's samples-per-block)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            out.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibs) // 2
+        out += b"\x00" * max(0, pad) if len(block) == spb else b""
+    return bytes(out)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """RIFF/WAVE writer for mono IMA ADPCM (format 0x11, 4-bit),
+    with the standard cbSize=2 samples-per-block fmt extension."""
+    spb = adpcm_samples_per_block(block_align)
+    extra = struct.pack("<HH", 2, spb)
+    return _wav_container(
+        adpcm_encode(samples, block_align), 0x11, sample_rate, 1,
+        block_align, 4, extra=extra,
+    )
+
+
+def encode_wav_adpcm_blocks(
+    blocks: bytes, sample_rate: int, block_align: int
+) -> bytes:
+    """Wrap pre-built IMA ADPCM block bytes directly (spec-derived
+    streams for decoder-independent fixtures)."""
+    spb = adpcm_samples_per_block(block_align)
+    extra = struct.pack("<HH", 2, spb)
+    return _wav_container(
+        blocks, 0x11, sample_rate, 1, block_align, 4, extra=extra
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +510,36 @@ def encode_png(pixels: np.ndarray, row_filter=None) -> bytes:
     )
 
 
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, row_filter=None
+) -> bytes:
+    """Indexed-color PNG writer (color type 3): an (h, w) uint8 index
+    array + (n, 3) uint8 palette → 8-bit palette PNG with a PLTE
+    chunk. Same filter schedule convention as ``encode_png``."""
+    import zlib
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if row_filter is None:
+        row_filter = lambda y: y % 5  # noqa: E731
+    prior = np.zeros(w, np.uint8)
+    stream = bytearray()
+    for y in range(h):
+        f = int(row_filter(y))
+        stream.append(f)
+        stream += _png_filter_row(f, idx[y], prior, 1).tobytes()
+        prior = idx[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(payload: bytes) -> np.ndarray:
     """Parse a PNG payload into an (h, w, ch) uint8 array: chunk walk,
     zlib-inflate the concatenated IDAT stream, and reconstruct every
@@ -262,12 +549,14 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -276,12 +565,15 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"only 8-bit non-interlaced gray/RGB/RGBA PNG is supported "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+            f"only 8-bit non-interlaced gray/palette/RGB/RGBA PNG is "
+            f"supported (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     rowlen = w * ch
     if len(raw) != h * (rowlen + 1):
@@ -318,6 +610,10 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec.astype(np.uint8)
         prior = out[y].astype(np.int32)
+    if color_type == 3:
+        if int(out.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[out.reshape(h, w)]  # (h, w) indices → (h, w, 3) RGB
     return out.reshape(h, w, ch)
 
 

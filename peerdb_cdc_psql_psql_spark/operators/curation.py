@@ -573,3 +573,68 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simpson_diversity_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking (round 6): the retrieval-side preprocessing step every
+# RAG/embedding pipeline runs before vectorization — split each
+# document into fixed-size character windows with overlap, keyed by a
+# content digest so downstream stores can dedup/invalidate chunks.
+#
+# Scale design: pure narrow transformations (sequence → posexplode →
+# substring → md5), all JVM codegen, ZERO shuffles — chunking 100 TB
+# is exactly a map over the corpus partitions. Overlap is a constant
+# factor on output bytes, not a join.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 200   # window (chars)
+_CHUNK_S = 150   # stride (chars) → 50-char overlap
+
+
+@register(
+    "rag_chunking",
+    oracle="""
+SELECT doc_id, chunk_idx,
+       chunk_idx * 150 + 1 AS chunk_start,
+       length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200))
+         AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200))
+         AS chunk_hash
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, (n_chars + 149) // 150)) AS chunk_idx
+  FROM documents WHERE doc_id < 300 AND n_chars > 0
+)
+""",
+    tags=("X4", "curation", "rag"),
+)
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunker: 200-char windows every 150 chars
+    (the LangChain/LlamaIndex default shape), each chunk addressed by
+    (doc_id, chunk_idx) and fingerprinted with md5 for store-side
+    dedup. The final window is the ragged tail (kept, like the audio
+    framer); the oracle recomputes offsets, lengths, and digests in
+    DuckDB — an off-by-one in the stride or a dropped tail breaks
+    equality."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.col("n_chars") > 0)
+    )
+    idx = F.explode(
+        F.sequence(
+            F.lit(0), F.floor((F.col("n_chars") - 1) / _CHUNK_S).cast("int")
+        )
+    ).alias("chunk_idx")
+    chunk = F.expr(
+        f"substring(text, chunk_idx * {_CHUNK_S} + 1, {_CHUNK_W})"
+    )
+    return (
+        docs.select("doc_id", "text", "n_chars", idx)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint"),
+            (F.col("chunk_idx") * _CHUNK_S + 1).cast("bigint")
+            .alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )

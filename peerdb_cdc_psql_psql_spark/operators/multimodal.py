@@ -1282,3 +1282,300 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "media_id", "frame_idx", "n_frames", "width", "height",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio (G.711 μ-law / A-law, IMA ADPCM) — round-6 codecs.
+# Telephony corpora (call-center speech, VoIP captures) arrive G.711-
+# companded; consumer capture tools emit IMA ADPCM. Both decode with
+# pure table arithmetic (functions/codecs.py), so the Spark plumbing
+# is identical to the PCM path: synthesize → decode_audio → stats.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_g711_payloads(ids: DataFrame, law: str) -> DataFrame:
+    """Executor-side G.711 synthesis: a square wave of SPEC-DERIVED
+    code bytes (positive/negative codes with exponent ``id % 8`` and
+    law-specific mantissa), so the fixture tests the decoder
+    independently of the encoder and the decoded amplitude is a
+    closed-form function of id (see the operator oracles)."""
+
+    from ..functions.codecs import encode_wav_g711_codes
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                e = m % 8
+                if law == "u":
+                    mant = m * 7 % 16
+                    pos = 0xFF ^ ((e << 4) | mant)  # sign bit clear pre-
+                    neg = 0x7F ^ ((e << 4) | mant)  # complement = positive
+                else:
+                    mant = m * 11 % 16
+                    pos = (0x80 | (e << 4) | mant) ^ 0x55
+                    neg = ((e << 4) | mant) ^ 0x55
+                n = 800 + m % 10 * 160
+                codes = np.tile([pos, neg], (n + 1) // 2)[:n]
+                payloads.append(
+                    encode_wav_g711_codes(codes.astype(np.uint8), 8000, law)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_ulaw_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       800 + (doc_id % 10) * 160 AS n_samples,
+       ((2 * ((doc_id * 7) % 16) + 33) * (1 << (doc_id % 8)) - 33) * 4
+         AS peak,
+       ((2 * ((doc_id * 7) % 16) + 33) * (1 << (doc_id % 8)) - 33) * 4
+         AS mean_abs
+FROM documents
+WHERE doc_id % 3 = 1 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 μ-law decode (X5, r6): spec-derived code-byte square
+    waves expanded through the published piecewise-linear table —
+    decoded amplitude ((2m+33)·2^e − 33)·4 with e = id%8, m = 7·id%16
+    is closed-form, so the oracle pins complementing, sign handling,
+    and the segment expansion exactly. Alternating ± codes exercise
+    both sign branches in every payload."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 200)
+    )
+    decoded = decode_audio(synthesize_g711_payloads(ids, "u"))
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_samples").cast("bigint"),
+        F.col("peak").cast("bigint"),
+        F.col("mean_abs").cast("bigint"),
+    )
+
+
+@register(
+    "multimodal_alaw_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       800 + (doc_id % 10) * 160 AS n_samples,
+       CASE WHEN doc_id % 8 = 0
+            THEN ((doc_id * 11) % 16) * 16 + 8
+            ELSE (((doc_id * 11) % 16) * 16 + 264)
+                 * (1 << ((doc_id % 8) - 1))
+       END AS peak,
+       CASE WHEN doc_id % 8 = 0
+            THEN ((doc_id * 11) % 16) * 16 + 8
+            ELSE (((doc_id * 11) % 16) * 16 + 264)
+                 * (1 << ((doc_id % 8) - 1))
+       END AS mean_abs
+FROM documents
+WHERE doc_id % 3 = 1 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode (X5, r6): same shape as the μ-law
+    fixture but through the A-law branch — XOR-0x55 unmasking, the
+    seg-0 special case ((m·16)+8) vs the geometric segments
+    ((m·16+264)·2^(e−1)), and the inverted sign convention (sign bit
+    SET = positive). The CASE split in the oracle pins the seg-0
+    boundary exactly."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 200)
+    )
+    decoded = decode_audio(synthesize_g711_payloads(ids, "a"))
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_samples").cast("bigint"),
+        F.col("peak").cast("bigint"),
+        F.col("mean_abs").cast("bigint"),
+    )
+
+
+_ADPCM_BLOCK_ALIGN = 256
+_ADPCM_N_BLOCKS = 2
+
+
+def synthesize_adpcm_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side IMA ADPCM synthesis: spec-derived all-nibble-1
+    blocks. From step index 0 (step 7), nibble 1 adds exactly
+    (7>>3)+(7>>2) = 1 per sample and the index transition −1 clamps
+    at 0, so the decoded signal is an exact unit RAMP from each
+    block's header predictor. Block b opens at p0 + b·spb, making the
+    whole stream p0, p0+1, …, p0+n−1 — every summary stat closed-form
+    while still exercising the nibble unpack order, the per-block
+    predictor reset, and the delta adder."""
+
+    from ..functions.codecs import (
+        adpcm_samples_per_block, encode_wav_adpcm_blocks,
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import struct as _struct
+
+        import pandas as pd
+
+        spb = adpcm_samples_per_block(_ADPCM_BLOCK_ALIGN)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                p0 = int(mid) % 200 * 50
+                blocks = b""
+                for b in range(_ADPCM_N_BLOCKS):
+                    blocks += (
+                        _struct.pack("<hBB", p0 + b * spb, 0, 0)
+                        + b"\x11" * (_ADPCM_BLOCK_ALIGN - 4)
+                    )
+                payloads.append(
+                    encode_wav_adpcm_blocks(blocks, 8000, _ADPCM_BLOCK_ALIGN)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_adpcm_decode",
+    # n = 2 blocks × spb(256) = 1010 samples; ramp p0 … p0+1009 →
+    # peak = p0+1009, mean_abs = p0 + (n−1)//2 = p0+504.
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(1010 AS BIGINT) AS n_samples,
+       (doc_id % 200) * 50 + 1009 AS peak,
+       (doc_id % 200) * 50 + 504 AS mean_abs
+FROM documents
+WHERE doc_id % 3 = 1 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM decode (X5, r6): the 4-bit differential state
+    machine run over spec-derived unit-ramp blocks (the ADPCM analog
+    of the JPEG solid-gray fixed point — all-nibble-1 streams decode
+    to exact arithmetic ramps while the step/index tables engage).
+    The arbitrary-signal error path is bounded separately by the
+    encoder/decoder reconstruction-identity pytest property."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 200)
+    )
+    decoded = decode_audio(synthesize_adpcm_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_samples").cast("bigint"),
+        F.col("peak").cast("bigint"),
+        F.col("mean_abs").cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Indexed-color (palette) PNG — round-6 codec: the PNG color type
+# real web corpora actually contain (icons, screenshots, charts).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_palette_png_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side palette-PNG synthesis: the GIF checkerboard
+    fixture re-expressed as PNG color type 3 — two id-derived palette
+    entries alternating per pixel, written through the real
+    zlib+filter encoder with filter schedule ``y % 5``. Filters apply
+    to INDEX bytes (bpp=1), the part palette-PNG readers get wrong."""
+
+    from ..functions.codecs import encode_png_palette
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                pal = np.array(
+                    [
+                        [m % 251, m * 3 % 256, m * 7 % 256],
+                        [m * 5 % 256, m * 11 % 256, m * 13 % 256],
+                    ],
+                    np.uint8,
+                )
+                yy, xx = np.indices((h, w))
+                idx = ((xx + yy) % 2).astype(np.uint8)
+                payloads.append(encode_png_palette(idx, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_palette_png_decode",
+    # checkerboard count n0 = ceil(h/2)*ceil(w/2) + floor(h/2)*floor(w/2)
+    oracle="""
+SELECT media_id, width, height,
+       CAST(3 AS BIGINT) AS n_channels,
+       width * height AS n_pixels,
+       n0 * (media_id % 251)
+         + (width * height - n0) * ((media_id * 5) % 256) AS sum_r,
+       n0 * ((media_id * 3) % 256)
+         + (width * height - n0) * ((media_id * 11) % 256) AS sum_g,
+       n0 * ((media_id * 7) % 256)
+         + (width * height - n0) * ((media_id * 13) % 256) AS sum_b
+FROM (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) * 4 + 5 AS width,
+         (doc_id % 4) + 2 AS height,
+         (((doc_id % 4) + 3) // 2) * (((doc_id % 8) * 4 + 6) // 2)
+           + (((doc_id % 4) + 2) // 2) * (((doc_id % 8) * 4 + 5) // 2) AS n0
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id < 200
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_palette_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-PNG decode (X5, r6): indexed checkerboards through
+    PLTE parsing, filter reconstruction over 1-byte-per-pixel
+    scanlines, and palette expansion. The oracle reuses the GIF
+    checkerboard counting identity on the palette channels — a filter
+    bpp bug (treating indices as RGB triples) or a PLTE lookup error
+    breaks exact equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_pngs(synthesize_palette_png_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )

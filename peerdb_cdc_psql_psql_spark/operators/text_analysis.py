@@ -1004,3 +1004,118 @@ def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_bp"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE tokenizer training (round 6): the iterative merge loop
+# (Sennrich et al. 2016) that `bpe_pair_counts` computes one step of.
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+
+def bpe_train_merges(
+    spark: SparkSession, vocab: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE trainer: ``vocab`` is (word, cnt); each round
+    counts corpus-weighted adjacent symbol pairs, takes the argmax
+    (count desc, pair lex asc — a pinned deterministic tie-break
+    where Sennrich's dict-order is not), and rewrites every word's
+    symbol array through one left-to-right non-overlapping merge
+    fold. Returns [(rank, left, right, pair_count)].
+
+    Scale: the corpus-sized stage is the word count the CALLER does
+    once (map-side combined); the loop runs over the VOCABULARY
+    (Zipf-small — ~10^6 rows for 100 TB of text). Per round: one
+    pair aggregate (shuffle carries symbol pairs), one narrow array
+    fold, one 1-row argmax fetch (the sanctioned bounded collect,
+    same as the centroid fetch). Single-reference-per-round persist
+    discipline avoids the 2^rounds Catalyst blowup (graph.py)."""
+    syms = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    cur = vocab.select("cnt", syms.alias("syms")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_l = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> element_at(syms, i))"
+        )
+        pair_r = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> element_at(syms, i + 1))"
+        )
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.arrays_zip(pair_l, pair_r)).alias("p"))
+            .select(
+                F.col("p.0").alias("l"), F.col("p.1").alias("r"), "cnt"
+            )
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None:
+            break
+        left, right, count = top["l"], top["r"], int(top["c"])
+        merges.append((rank, left, right, count))
+        def make_fold(l_s: str, r_s: str):
+            l_lit, r_lit, m_lit = F.lit(l_s), F.lit(r_s), F.lit(l_s + r_s)
+
+            def fold(acc, s):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l_lit)
+                    & (s == r_lit),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(m_lit),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        fold = make_fold(left, right)
+
+        nxt = cur.select(
+            "cnt",
+            F.aggregate(
+                F.col("syms"), F.array().cast("array<string>"), fold
+            ).alias("syms"),
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+@register(
+    "bpe_train",
+    oracle=None,  # iterative merge fixpoint — not SQL-expressible;
+    # pinned instead by tests/test_llm_pack.py parity against a pure-
+    # Python Sennrich reference, and round 1 must equal the
+    # bpe_pair_counts argmax (oracle-checked separately).
+    tags=("X4", "tokenizer"),
+    eager_build=True,  # driver-side merge loop runs jobs at construction
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, 8 merge rounds over the corpus
+    vocabulary — upgrades `bpe_pair_counts` (one merge-step statistic)
+    to the actual trainer loop a tokenizer build runs. Output is the
+    learned merge table: (rank, left, right, merged, pair_count)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_train_merges(spark, vocab, _BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(r, l, rr, l + rr, c) for r, l, rr, c in merges],
+        "rank BIGINT, left STRING, right STRING, merged STRING,"
+        " pair_count BIGINT",
+    )

@@ -4,11 +4,14 @@ stock ``psql`` can speak mirror DDL and SQL to the engine.
 
 Scope: the *simple query* subtree of the protocol — startup (with
 SSL/GSS probe refusal), trust auth, ``Q`` messages, text-format
-result sets, error responses — plus the ZERO-PARAMETER slice of the
-extended protocol (Parse/Bind/Describe/Execute/Close/Sync), which is
-what psycopg2 and JDBC drivers emit in their default mode for
-unparameterized statements. Parameterized Binds are refused with
-SQLSTATE 0A000; Execute's max-row count is ignored (all rows stream,
+result sets, error responses — plus the extended protocol
+(Parse/Bind/Describe/Execute/Close/Sync) with TEXT-format bind
+parameters, which covers psycopg2 and JDBC drivers in their default
+mode: ``$1..$n`` are inlined as quoted SQL literals at Bind time
+(quote-aware, never spliced raw), relying on Spark's
+implicit-coercion rules the way Postgres treats unknown-type
+parameters. Binary-format parameters are refused with SQLSTATE
+0A000; Execute's max-row count is ignored (all rows stream,
 then CommandComplete — no PortalSuspended, so cursor-style paging
 clients should use LIMIT). The simple-query dialect is exactly the surface the
 reference's nexus uses for `CREATE/DROP/PAUSE/RESUME MIRROR`,
@@ -110,6 +113,45 @@ class _ExtState:
     prepared: dict = field(default_factory=dict)
     portals: dict = field(default_factory=dict)  # name -> [sql, df|None]
     skip_to_sync: bool = False
+
+
+def _substitute_params(sql: str, values: list[str | None]) -> str:
+    """Inline text-format bind parameters: replace ``$1..$n`` OUTSIDE
+    string literals with quoted SQL literals (single quotes doubled —
+    values are never spliced raw, so a parameter cannot break out of
+    its literal). Spark's implicit coercion handles the typing the
+    way Postgres's unknown-type parameters do ('5' = INT column
+    compares numerically). A ``$k`` with no bound value is a client
+    protocol error and raises."""
+    out: list[str] = []
+    i, n, in_q = 0, len(sql), False
+    while i < n:
+        c = sql[i]
+        if in_q:
+            out.append(c)
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_q = False
+        elif c == "'":
+            in_q = True
+            out.append(c)
+        elif c == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            k = int(sql[i + 1 : j])
+            if not 1 <= k <= len(values):
+                raise ValueError(f"no value bound for parameter ${k}")
+            v = values[k - 1]
+            out.append("NULL" if v is None else "'" + v.replace("'", "''") + "'")
+            i = j - 1
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _cstr_split(payload: bytes, n: int) -> tuple[list[str], bytes]:
@@ -476,14 +518,26 @@ class WireServer:
             if stmt not in ext.prepared:
                 raise ValueError(f"unknown prepared statement {stmt!r}")
             nfmt = struct.unpack("!h", rest[:2])[0]
+            fmts = struct.unpack(f"!{nfmt}h", rest[2 : 2 + 2 * nfmt])
             rest = rest[2 + 2 * nfmt :]
             nparams = struct.unpack("!h", rest[:2])[0]
-            if nparams:
+            rest = rest[2:]
+            if any(fmts) and nparams:
                 raise ValueError(
-                    "bind parameters are not supported "
-                    "(zero-parameter extended protocol only)"
+                    "binary-format bind parameters are not supported "
+                    "(text format only)"
                 )
-            ext.portals[portal] = [ext.prepared[stmt], None]
+            values: list[str | None] = []
+            for _ in range(nparams):
+                (vlen,) = struct.unpack("!i", rest[:4])
+                if vlen < 0:
+                    values.append(None)
+                    rest = rest[4:]
+                else:
+                    values.append(rest[4 : 4 + vlen].decode("utf-8"))
+                    rest = rest[4 + vlen :]
+            sql = _substitute_params(ext.prepared[stmt], values)
+            ext.portals[portal] = [sql, None]
             conn.sendall(_msg(b"2", b""))
         elif kind == b"D":  # Describe: 'S'|'P' + name
             what, name = payload[0:1], payload[1:].split(b"\x00")[0].decode()

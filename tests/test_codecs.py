@@ -54,7 +54,7 @@ def test_wav_rejects_non_pcm16():
     data = struct.pack("<4sI", b"data", 2) + b"\x00\x00"
     body = b"WAVE" + fmt + data
     payload = struct.pack("<4sI", b"RIFF", len(body)) + body
-    with pytest.raises(NotImplementedError, match="PCM-16"):
+    with pytest.raises(NotImplementedError, match="unsupported WAVE"):
         decode_wav(payload)
     with pytest.raises(ValueError):
         decode_wav(b"\x89PNG not audio at all............")
@@ -639,3 +639,150 @@ def test_jpeg_420_smooth_image_bounded_and_smaller():
 def test_jpeg_420_solid_property(w, h, v):
     px = np.full((h, w, 3), 2 * v, np.uint8)
     assert np.array_equal(decode_jpeg_pixels(encode_jpeg_rgb_420(px)), px)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding + IMA ADPCM (round 6)
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    adpcm_decode_blocks,
+    adpcm_encode,
+    adpcm_samples_per_block,
+    alaw_decode,
+    alaw_encode,
+    decode_wav_samples,
+    encode_wav_adpcm,
+    encode_wav_adpcm_blocks,
+    encode_wav_g711,
+    encode_wav_g711_codes,
+    ulaw_decode,
+    ulaw_encode,
+)
+
+
+def test_g711_value_roundtrip_identity():
+    """decode∘encode is the identity on each law's quantized value
+    set (the defining property of the companding tables)."""
+    codes = np.arange(256, dtype=np.uint8)
+    for dec, enc in ((ulaw_decode, ulaw_encode), (alaw_decode, alaw_encode)):
+        v = dec(codes)
+        assert (dec(enc(v)) == v).all()
+
+
+def test_g711_known_spec_values():
+    # μ-law: e=7, m=15, positive → max magnitude 8031·4 = 32124
+    assert int(ulaw_decode(np.array([0xFF ^ 0x7F], np.uint8))[0]) == 32124
+    # μ-law ±0 codes
+    assert int(ulaw_decode(np.array([0xFF], np.uint8))[0]) == 0
+    assert int(ulaw_decode(np.array([0x7F], np.uint8))[0]) == 0
+    # A-law max: seg=7, m=15, positive → 504<<6 = 32256
+    assert int(alaw_decode(np.array([0xFF ^ 0x55], np.uint8))[0]) == 32256
+    # A-law minimum magnitude: seg=0, m=0 → ±8
+    assert int(alaw_decode(np.array([0x80 ^ 0x55], np.uint8))[0]) == 8
+    assert int(alaw_decode(np.array([0x00 ^ 0x55], np.uint8))[0]) == -8
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from(["u", "a"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_g711_wav_quantization_error_bound(samples, law):
+    """Companding error ≤ half the widest quantization interval of the
+    top segment (μ: 256·4/2·… bounded by 1024; A: 1024)."""
+    x = np.array(samples, dtype=np.int16)
+    w = encode_wav_g711(x, 8000, law)
+    rate, ch, y = decode_wav_samples(w)
+    assert (rate, ch, len(y)) == (8000, 1, len(x))
+    assert int(np.abs(y.astype(int) - x.astype(int)).max()) < 1024
+
+
+def test_adpcm_encoder_decoder_reconstruction_identity():
+    """The encoder tracks the decoder's state machine exactly, so
+    decode(encode(x)) equals the encoder's own reconstruction — and
+    both start each block at the literal header predictor."""
+    spb = adpcm_samples_per_block(256)
+    n = 3 * spb
+    x = (6000 * np.sin(np.arange(n) / 50)).astype(np.int16)
+    y = adpcm_decode_blocks(adpcm_encode(x, 256), 256)
+    assert len(y) == n
+    assert y[0] == x[0] and y[spb] == x[spb] and y[2 * spb] == x[2 * spb]
+    # greedy IMA quantization error stays within ~2 steps on a smooth
+    # signal whose slope the step ladder can follow
+    assert int(np.abs(y.astype(int) - x.astype(int)).max()) < 400
+
+
+def test_adpcm_unit_ramp_fixture_is_exact():
+    """All-nibble-1 blocks from step index 0 decode to an exact unit
+    ramp (step 7 → delta 1, index pinned at 0) — the closed-form
+    fixture the driver oracle relies on."""
+    spb = adpcm_samples_per_block(256)
+    blocks = b""
+    for b in range(2):
+        blocks += struct.pack("<hBB", 100 + b * spb, 0, 0) + b"\x11" * 252
+    y = adpcm_decode_blocks(blocks, 256)
+    assert (y == 100 + np.arange(2 * spb)).all()
+    w = encode_wav_adpcm_blocks(blocks, 8000, 256)
+    rate, ch, y2 = decode_wav_samples(w)
+    assert rate == 8000 and ch == 1 and (y2 == y).all()
+
+
+def test_adpcm_wav_container_roundtrip():
+    spb = adpcm_samples_per_block(128)
+    x = np.linspace(-2000, 2000, 2 * spb).astype(np.int16)
+    rate, ch, y = decode_wav_samples(encode_wav_adpcm(x, 11025, 128))
+    assert rate == 11025 and ch == 1 and len(y) == len(x)
+    assert int(np.abs(y.astype(int) - x.astype(int)).max()) < 400
+
+
+def test_adpcm_truncated_trailing_block_tolerated():
+    blocks = struct.pack("<hBB", 5, 0, 0) + b"\x11" * 4  # tiny block
+    y = adpcm_decode_blocks(blocks, 256)  # shorter than block_align
+    assert (y == 5 + np.arange(9)).all()  # header sample + 8 nibbles
+
+
+def test_g711_spec_derived_code_wav():
+    """Wrap raw code bytes (decoder-independent fixture path)."""
+    codes = np.array([0xFF ^ 0x12, 0x7F ^ 0x12] * 10, np.uint8)
+    rate, ch, y = decode_wav_samples(encode_wav_g711_codes(codes, 8000, "u"))
+    v = int(ulaw_decode(np.array([0xFF ^ 0x12], np.uint8))[0])
+    assert (np.abs(y.astype(int)) == v).all()
+    assert (y[0::2] == v).all() and (y[1::2] == -v).all()
+
+
+# ---------------------------------------------------------------------------
+# Palette PNG (round 6)
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    encode_png_palette,
+)
+
+
+def test_palette_png_roundtrip_all_filters():
+    h, w = 7, 9  # h ≥ 5 → every filter type 0-4 exercised on indices
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 5, (h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    px = decode_png_pixels(encode_png_palette(idx, pal))
+    assert px.shape == (h, w, 3)
+    assert (px == pal[idx]).all()
+
+
+def test_palette_png_missing_plte_rejected():
+    payload = encode_png_palette(
+        np.zeros((2, 2), np.uint8), np.zeros((1, 3), np.uint8)
+    )
+    # strip the PLTE chunk: signature + IHDR(25) then PLTE(12+3)
+    broken = payload[: 8 + 25] + payload[8 + 25 + 15 :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(broken)
+
+
+def test_palette_png_out_of_range_index_rejected():
+    payload = encode_png_palette(
+        np.full((2, 2), 3, np.uint8), np.zeros((2, 3), np.uint8)
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(payload)

@@ -495,3 +495,69 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     }
     assert truly_heavy  # fixture has 5 types at ~20% each
     assert truly_heavy <= got
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (round 6): Spark merge loop vs pure-Python Sennrich
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(vocab: dict, n_merges: int):
+    """Pure-Python Sennrich trainer (get_stats + merge_vocab) with the
+    same pinned tie-break (count desc, pair lex asc)."""
+    v = {tuple(w): c for w, c in vocab.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = {}
+        for syms, c in v.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        nv = {}
+        for syms, cnt in v.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+        v = nv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """The distributed merge loop must reproduce the reference trainer
+    exactly — pairs, ranks, AND counts — and round 1 must equal the
+    bpe_pair_counts argmax (the oracle-checked one-step statistic)."""
+    from peerdb_cdc_psql_psql_spark.operators.text_analysis import (
+        bpe_pair_counts, bpe_train,
+    )
+    from peerdb_cdc_psql_psql_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    ref = _reference_bpe({r["word"]: r["count"] for r in words}, 8)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == ref
+
+    top = bpe_pair_counts(spark, sf_dir).first()
+    assert got[0][1] + got[0][2] == top["pair"]
+    assert got[0][3] == top["total_count"]

@@ -437,22 +437,23 @@ def test_extended_protocol_named_statement_describe(server):
         c.close()
 
 
-def test_extended_protocol_param_bind_refused_then_recovers(server):
-    """A parameterized Bind gets an ErrorResponse; the batch skips to
-    Sync; the next batch on the same connection succeeds."""
+def test_extended_protocol_binary_param_refused_then_recovers(server):
+    """A BINARY-format parameterized Bind gets an ErrorResponse; the
+    batch skips to Sync; the next batch on the same connection
+    succeeds (text-format parameters are the supported path)."""
     c = _connect_raw(server.port)
     try:
         q = b"SELECT 1 AS x"
-        one_param = (
+        binary_param = (
             b"\x00\x00"
-            + _struct.pack("!h", 0)               # no format codes
+            + _struct.pack("!hh", 1, 1)           # one BINARY format code
             + _struct.pack("!h", 1)               # ONE parameter
-            + _struct.pack("!i", 1) + b"7"
+            + _struct.pack("!i", 4) + _struct.pack("!i", 7)
             + _struct.pack("!h", 0)
         )
         c.sendall(
             _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
-            + _frame(b"B", one_param)
+            + _frame(b"B", binary_param)
             + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
             + _frame(b"S", b"")
         )
@@ -469,6 +470,68 @@ def test_extended_protocol_param_bind_refused_then_recovers(server):
         )
         msgs = _drain_until_ready(c)
         assert [p for k, p in msgs if k == b"C"] == [b"SELECT 1\x00"]
+    finally:
+        c.close()
+
+
+def _bind_text_params(*values):
+    """Bind payload: unnamed portal/statement, text format, params."""
+    body = b"\x00\x00" + _struct.pack("!h", 0) + _struct.pack("!h", len(values))
+    for v in values:
+        if v is None:
+            body += _struct.pack("!i", -1)
+        else:
+            body += _struct.pack("!i", len(v)) + v
+    return body + _struct.pack("!h", 0)
+
+
+def test_extended_protocol_text_params(server):
+    """Text-format $n parameters (the psycopg3/JDBC prepared path):
+    value substitution is quote-aware and type coercion follows
+    Spark's unknown-literal rules."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1"
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", _bind_text_params(b"3"))
+            + _frame(b"D", b"P\x00")
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"NATION_3"
+    finally:
+        c.close()
+
+
+def test_extended_protocol_param_quoting_null_and_literal_dollar(server):
+    """A value containing a quote survives (doubled, not spliced);
+    NULL binds as SQL NULL; '$1' INSIDE a string literal is data."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT $1 AS a, $2 AS b, '$1 literal' AS c"
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", _bind_text_params(b"O'Brien", None))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        pos = 2
+        cells = []
+        for _ in range(_struct.unpack("!h", row[:2])[0]):
+            ln = _struct.unpack("!i", row[pos : pos + 4])[0]
+            pos += 4
+            if ln < 0:
+                cells.append(None)
+            else:
+                cells.append(row[pos : pos + ln])
+                pos += ln
+        assert cells == [b"O'Brien", None, b"$1 literal"]
     finally:
         c.close()
 
