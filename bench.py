@@ -154,6 +154,15 @@ EXTRA = [
     "multimodal_jpeg_color_decode",  # 4:4:4 color JPEG (YCbCr MCU interleave)
     "multimodal_mjpg_frame_sample",  # Motion-JPEG AVI demux + per-frame JPEG
     "multimodal_jpeg_420_decode",    # 4:2:0 subsampled JPEG
+    "multimodal_ulaw_decode",    # G.711 mu-law companding
+    "multimodal_alaw_decode",    # G.711 A-law companding
+    "multimodal_adpcm_decode",   # IMA ADPCM 4-bit differential PCM
+    "multimodal_palette_png_decode",  # indexed-color PNG (PLTE)
+    "multimodal_interlaced_png_decode",  # Adam7 seven-pass PNG
+    "multimodal_progressive_jpeg_decode",  # SOF2 multi-scan JPEG
+    "multimodal_png16_decode",   # 16-bit (depth-16) PNG
+    "rag_chunking",              # sliding-window chunker + digests
+    "bpe_train",                 # full iterative BPE merge loop
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

