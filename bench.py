@@ -163,6 +163,7 @@ EXTRA = [
     "multimodal_png16_decode",   # 16-bit (depth-16) PNG
     "rag_chunking",              # sliding-window chunker + digests
     "bpe_train",                 # full iterative BPE merge loop
+    "bpe_tokenize_stats",        # learned-tokenizer apply + budget stats
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -1119,3 +1119,92 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank BIGINT, left STRING, right STRING, merged STRING,"
         " pair_count BIGINT",
     )
+
+
+def _bpe_apply_expr(col, merges: list[tuple[int, str, str, int]]):
+    """Chain the learned merges (in rank order) over a symbol-array
+    column — the APPLY side of BPE: the same left-to-right
+    non-overlapping fold the trainer used, once per merge."""
+    def make_fold(l_l, r_l, m_l):
+        def fold(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_l)
+                & (s == r_l),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m_l)
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    out = col
+    for _rank, left, right, _cnt in merges:
+        out = F.aggregate(
+            out, F.array().cast("array<string>"),
+            make_fold(F.lit(left), F.lit(right), F.lit(left + right)),
+        )
+    return out
+
+
+@register(
+    "bpe_tokenize_stats",
+    oracle=None,  # depends on the learned merge table (iterative) —
+    # pinned by tests/test_llm_pack.py parity against the pure-Python
+    # reference tokenizer applied with the same merges.
+    tags=("X4", "tokenizer"),
+    eager_build=True,  # training loop runs at construction
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: train 8 BPE merges, then
+    tokenize every document with them and report per-doc subword
+    counts — the token-budget accounting a training pipeline runs
+    with its real learned tokenizer rather than the chars/4 heuristic.
+
+    Scale: merges are a tiny driver-side list (n_merges rows);
+    tokenization runs over the DISTINCT-WORD vocabulary (Zipf-small)
+    and joins token counts back to word occurrences — the corpus pays
+    one word-explode shuffle, never per-occurrence array folds."""
+    docs = load(spark, sf_dir, "documents")
+    vocab_src = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_train_merges(spark, vocab_src, _BPE_N_MERGES)
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    word_tokens = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        # guard empty tokens from repeated separators: sequence(1, 0)
+        # is DESCENDING in Spark, so a 0-length word would fabricate
+        # two phantom symbols
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.collect_list("doc_id").alias("doc_ids"))
+        .select(
+            "doc_ids",
+            F.length("word").alias("n_chars"),
+            F.size(_bpe_apply_expr(chars, merges)).alias("n_sub"),
+        )
+        .select(
+            F.explode("doc_ids").alias("doc_id"), "n_chars", "n_sub"
+        )
+    )
+    return (
+        word_tokens.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars").cast("bigint").alias("n_word_chars"),
+            F.expr("sum(n_sub) * 10000 DIV sum(n_chars)")
+            .cast("bigint")
+            .alias("subwords_per_char_bp"),
+        )
+        .orderBy("doc_id")
+    )

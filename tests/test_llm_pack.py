@@ -561,3 +561,57 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     top = bpe_pair_counts(spark, sf_dir).first()
     assert got[0][1] + got[0][2] == top["pair"]
     assert got[0][3] == top["total_count"]
+
+
+def _reference_bpe_apply(word: str, merges) -> list[str]:
+    syms = list(word)
+    for _rank, l, r, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_tokenize_stats_matches_reference(spark, sf_dir):
+    """The vocab-joined APPLY path must equal tokenizing every doc
+    directly with the reference trainer's merges."""
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.operators.text_analysis import (
+        bpe_tokenize_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    merges = _reference_bpe({r["word"]: r["count"] for r in words}, 8)
+
+    expected = {}
+    for row in docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    ).collect():
+        ws = [w for w in row["text"].split(" ") if w]
+        n_sub = sum(len(_reference_bpe_apply(w, merges)) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        expected[row["doc_id"]] = (
+            len(ws), n_sub, n_chars, n_sub * 10000 // n_chars,
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_subwords"], r["n_word_chars"],
+            r["subwords_per_char_bp"],
+        )
+        for r in bpe_tokenize_stats(spark, sf_dir).collect()
+    }
+    assert got == expected
