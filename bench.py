@@ -153,6 +153,7 @@ EXTRA = [
     "multimodal_jpeg_decode",    # real baseline JPEG codec (DCT+Huffman)
     "multimodal_jpeg_color_decode",  # 4:4:4 color JPEG (YCbCr MCU interleave)
     "multimodal_mjpg_frame_sample",  # Motion-JPEG AVI demux + per-frame JPEG
+    "multimodal_mp4_frame_sample",   # MP4/ISO-BMFF sample-table walk + JPEG
     "multimodal_jpeg_420_decode",    # 4:2:0 subsampled JPEG
     "multimodal_ulaw_decode",    # G.711 mu-law companding
     "multimodal_alaw_decode",    # G.711 A-law companding
@@ -458,15 +459,23 @@ def scale_probe(
         k: build_replicated_corpus(spark, sf_dir, k, f"{workdir}/x{k}"),
     }
     times: dict[int, dict[str, float]] = {1: {}, k: {}}
+    # Min-of-2 per (scale, query): a single-pass probe measures
+    # whole-stage-codegen compilation + transient host steals, not
+    # scaling — observed pass-to-pass swings up to 2× inflated the r6
+    # single-pass ratios (minhash 5.9 vs 1.5 min-of-2). Same rule the
+    # headline suite uses; caches/shared index dropped per pass so
+    # each pass still pays full work.
     for kk, d in dirs.items():
-        spark.catalog.clearCache()
-        for t in list(_dedup._INDEX_MEMO):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _dedup._INDEX_MEMO.clear()
-        for name in queries:
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, d).collect()
-            times[kk][name] = round(time.perf_counter() - t0, 3)
+        for _pass in range(2):
+            spark.catalog.clearCache()
+            for t in list(_dedup._INDEX_MEMO):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _dedup._INDEX_MEMO.clear()
+            for name in queries:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, d).collect()
+                dt = round(time.perf_counter() - t0, 3)
+                times[kk][name] = min(times[kk].get(name, dt), dt)
     for name in queries:
         t1, tk = times[1][name], times[k][name]
         out[name] = {"t1": t1, f"t{k}": tk, "ratio": round(tk / t1, 2)}

@@ -1,15 +1,16 @@
 """Pure-Python media codecs for the multimodal pack (X5).
 
-The container ships no media libraries, but four ubiquitous PUBLIC
-formats need none: RIFF/WAVE PCM audio, uncompressed 24-bit BMP
-images, and DIB AVI video are fixed struct layouts decodable with
-``struct`` + numpy; PNG adds only stdlib ``zlib`` plus the five
-spec scanline filters. These are REAL codecs — they parse the
-actual container bytes (chunk walking, stride padding, bottom-up
-row order, filter reconstruction), not fakes. Entropy-coded
-formats (JPEG/MP4/OGG, MJPG-in-AVI) still raise
-``NotImplementedError`` by design — a DCT+Huffman pipeline is a
-library, not a struct walk.
+The container ships no media libraries, but the ubiquitous PUBLIC
+formats here need none: RIFF/WAVE PCM + G.711 + IMA ADPCM audio,
+24-bit BMP, PNG (stdlib zlib + the five spec scanline filters,
+palette/Adam7/16-bit included), GIF (hand-rolled variable-width
+LZW), baseline + progressive JPEG (numpy DCT, canonical Huffman,
+4:4:4 and 4:2:0), DIB/MJPG AVI, and the MP4/ISO-BMFF container
+(photo-JPEG tracks, stco and co64). These are REAL codecs — they
+parse the actual bytes (chunk/box walking, stride padding, filter
+reconstruction, entropy decode), not fakes. What still raises
+``NotImplementedError`` is the H.264/HEVC *bitstream* (CABAC +
+inter-frame prediction — a codec library, not a struct walk).
 
 Everything here is per-payload pure functions; the Spark side wraps
 them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
@@ -2172,7 +2173,322 @@ def sniff_format(payload: bytes) -> str:
     if payload[:4] == b"RIFF":
         kind = payload[8:12]
         return {b"WAVE": "wav", b"AVI ": "avi"}.get(kind, "riff")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     for magic, name in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return name
     return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO Base Media File Format (ISO/IEC 14496-12) container
+# ---------------------------------------------------------------------------
+#
+# The MP4 *container* is a struct walk — nested big-endian boxes and
+# the stbl sample tables (stsd/stts/stsc/stsz/stco|co64) that map
+# sample index → (file offset, size). With our pure-Python baseline
+# JPEG codec, a Motion-JPEG MP4 ('jpeg' VisualSampleEntry, the
+# QuickTime/ISO photo-JPEG shape) is fully decodable end-to-end:
+# demux here, per-sample JPEG decode via decode_jpeg_pixels. What
+# stays sanctioned is the H.264/HEVC *bitstream* (CABAC + inter
+# prediction — a codec library); 'avc1' tracks are detected and
+# raise. co64 (64-bit chunk offsets — the form >4 GB files need,
+# i.e. every real 100 TB-corpus shard) is supported on both sides.
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+_MP4_TIMESCALE = 600  # the classic ISO/QuickTime movie timescale
+
+
+def encode_mp4_mjpeg(
+    frames: np.ndarray, fps: int = 10, co64: bool = False
+) -> bytes:
+    """Minimal ISO BMFF writer: (n, h, w, 3) uint8 RGB frames, each
+    compressed as an independent 4:4:4 baseline JPEG sample in one
+    'vide' track with a 'jpeg' VisualSampleEntry (photo-JPEG). The
+    chunking is deliberately irregular — 2 samples in the first
+    chunk, 3 in later chunks, remainder in the last — so a reader
+    MUST run the real stsc run-length walk, not assume one sample
+    per chunk. ``co64=True`` writes 64-bit chunk offsets (the >4 GB
+    form)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    samples = [encode_jpeg_rgb(px) for px in fr]
+    sizes = [len(s) for s in samples]
+
+    # chunk plan: [2, 3, 3, ..., rem]
+    plan: list[int] = []
+    left = n
+    while left > 0:
+        spc = 2 if not plan else 3
+        spc = min(spc, left)
+        plan.append(spc)
+        left -= spc
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41")
+    mdat_body = b"".join(samples)
+    mdat_start = len(ftyp) + 8  # file offset of the first sample
+
+    chunk_offsets: list[int] = []
+    off = mdat_start
+    si = 0
+    for spc in plan:
+        chunk_offsets.append(off)
+        off += sum(sizes[si : si + spc])
+        si += spc
+
+    delta = _MP4_TIMESCALE // fps
+    duration = n * delta
+
+    stsd_entry = (
+        struct.pack(">I4s", 86, b"jpeg")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)       # data_reference_index
+        + b"\x00" * 16               # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)       # frame_count
+        + b"\x00" * 32               # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    # stsc: run-length encode the chunk plan
+    runs: list[tuple[int, int]] = []
+    for ci, spc in enumerate(plan, start=1):
+        if not runs or runs[-1][1] != spc:
+            runs.append((ci, spc))
+    stsc = _full_box(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    if co64:
+        stco = _full_box(
+            b"co64", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _full_box(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _full_box(b"url ", 0, 1, b"")  # flag 1: self-contained
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, _MP4_TIMESCALE, duration, 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    _identity = (
+        struct.pack(">iii", 0x00010000, 0, 0)
+        + struct.pack(">iii", 0, 0x00010000, 0)
+        + struct.pack(">iii", 0, 0, 0x40000000)
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)       # created, modified, track, rsvd
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)      # layer, group, volume, rsvd
+        + _identity
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">iHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8
+        + _identity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"dinf", b"stbl"}
+
+
+def _mp4_boxes(payload: bytes, pos: int, end: int):
+    """Yield (type, body_start, box_end) for each box in [pos, end) —
+    handles 64-bit largesize (size==1) and to-end boxes (size==0),
+    and refuses to loop on a corrupt zero-advance."""
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"corrupt box size {size} at offset {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Demux an ISO BMFF payload: recursive box walk to the first
+    'vide' track's sample tables, then the ISO 14496-12 §8.7 walk
+    composing per-sample (offset, size) from stsc (chunk runs) ×
+    stsz (sizes) × stco/co64 (chunk offsets). Returns width/height,
+    frame count/timing, the sample-entry fourcc as ``codec``
+    ('jpeg' decodable via ``decode_mp4_frame``; 'avc1'/'hvc1' raise
+    — the bitstream is a codec library), and the ``frames`` table.
+    Truncated tables degrade to the consistent prefix rather than
+    IndexError inside an executor task."""
+    if len(payload) < 12:
+        raise ValueError("not an ISO BMFF payload")
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no leading ftyp)")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    state = {"in_video": False, "found": False,
+             "timescale": 0, "duration": 0, "fourcc": "", "w": 0, "h": 0}
+
+    def walk(pos: int, end: int) -> None:
+        for btype, body, bend in _mp4_boxes(payload, pos, end):
+            if state["found"] and btype == b"trak":
+                continue  # first video track only
+            if btype in _MP4_CONTAINERS:
+                walk(body, bend)
+            elif btype == b"hdlr":
+                handler = payload[body + 8 : body + 12]
+                state["in_video"] = handler == b"vide"
+            elif btype == b"mdhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 12)
+                state["timescale"], state["duration"] = ts, dur
+            elif btype == b"stsd" and state["in_video"] and not state["found"]:
+                fourcc = payload[body + 12 : body + 16]
+                state["fourcc"] = fourcc.decode("latin-1").strip()
+                state["w"], state["h"] = struct.unpack_from(
+                    ">HH", payload, body + 40
+                )
+                state["found"] = True
+            elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64"):
+                if state["in_video"]:
+                    tables[btype] = (body, bend)
+
+    for btype, body, bend in top:
+        if btype == b"moov":
+            walk(body, bend)
+    if not state["found"]:
+        raise ValueError("MP4 has no video track")
+    if state["fourcc"] in ("avc1", "avc3", "hvc1", "hev1", "av01", "vp09"):
+        raise NotImplementedError(
+            f"{state['fourcc']} bitstream decoding is a codec library; "
+            "only photo-JPEG ('jpeg') MP4 tracks are decodable here"
+        )
+    for need in (b"stsc", b"stsz"):
+        if need not in tables:
+            raise ValueError(f"MP4 missing {need.decode()} sample table")
+    if b"stco" not in tables and b"co64" not in tables:
+        raise ValueError("MP4 missing chunk-offset table (stco/co64)")
+
+    # sample sizes
+    body, bend = tables[b"stsz"]
+    sample_size, n_samples = struct.unpack_from(">II", payload, body + 4)
+    if sample_size:
+        sizes = [sample_size] * n_samples
+    else:
+        avail = min(n_samples, (bend - body - 12) // 4)
+        sizes = list(
+            struct.unpack_from(f">{avail}I", payload, body + 12)
+        )
+    # chunk offsets
+    if b"co64" in tables:
+        body, bend = tables[b"co64"]
+        n_chunks = struct.unpack_from(">I", payload, body + 4)[0]
+        n_chunks = min(n_chunks, (bend - body - 8) // 8)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, body + 8))
+    else:
+        body, bend = tables[b"stco"]
+        n_chunks = struct.unpack_from(">I", payload, body + 4)[0]
+        n_chunks = min(n_chunks, (bend - body - 8) // 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", payload, body + 8))
+    # stsc runs → samples-per-chunk for every chunk
+    body, bend = tables[b"stsc"]
+    n_runs = struct.unpack_from(">I", payload, body + 4)[0]
+    n_runs = min(n_runs, (bend - body - 8) // 12)
+    runs = [
+        struct.unpack_from(">III", payload, body + 8 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]
+    frames: list[tuple[int, int]] = []
+    si = 0
+    for ci in range(len(offsets)):
+        spc = 0
+        for first_chunk, run_spc in runs:
+            if first_chunk <= ci + 1:
+                spc = run_spc
+            else:
+                break
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            frames.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    # declared timing
+    n_frames, delta = len(frames), 0
+    if b"stts" in tables:
+        body, bend = tables[b"stts"]
+        n_ent = struct.unpack_from(">I", payload, body + 4)[0]
+        n_ent = min(n_ent, (bend - body - 8) // 8)
+        declared = 0
+        for i in range(n_ent):
+            cnt, d = struct.unpack_from(">II", payload, body + 8 + 8 * i)
+            declared += cnt
+            delta = delta or d
+        n_frames = min(n_frames, declared) or n_frames
+    return {
+        "width": int(state["w"]),
+        "height": int(state["h"]),
+        "n_frames": int(n_frames),
+        "timescale": int(state["timescale"]),
+        "duration": int(state["duration"]),
+        "sample_delta": int(delta),
+        "codec": state["fourcc"],
+        "frames": frames[:n_frames],
+    }
+
+
+def decode_mp4_frame(payload: bytes, entry: tuple[int, int]) -> np.ndarray:
+    """Decode one photo-JPEG sample (located by ``entry`` from
+    ``decode_mp4``): the sample bytes ARE a standalone baseline
+    JPEG."""
+    off, size = entry
+    return decode_jpeg_pixels(payload[off : off + size])

@@ -1831,3 +1831,97 @@ def multimodal_progressive_jpeg_decode(
         F.col("sum_g").cast("bigint"),
         F.col("sum_b").cast("bigint"),
     )
+
+
+_MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("duration_ts", T.LongType()),
+        T.StructField("mean_gray", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_mp4_frame_sample",
+    oracle="""
+SELECT media_id, frame_idx,
+       CAST(media_id % 24 + 1 AS BIGINT) AS n_frames,
+       (media_id % 5) * 4 + 6 AS width,
+       (media_id % 4) + 2 AS height,
+       CAST((media_id % 24 + 1) * 60 AS BIGINT) AS duration_ts,
+       2 * ((media_id + 7 * frame_idx) % 128) AS mean_gray
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(range(0, CAST(doc_id % 24 + 1 AS BIGINT), 3)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 300
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) round trip (X5, r6): photo-JPEG samples in
+    a 'vide' track, demuxed through the stsc×stsz×stco sample-table
+    walk (irregular chunking — 2 then 3 samples per chunk — so the
+    run-length path is genuinely exercised; even media_ids write
+    co64, the 64-bit offset form >4 GB shards need). Frames are
+    gray-valued even solids (the lossless fixed line of the JPEG
+    pipeline), so sampling every 3rd sample and decoding yields
+    exact SQL-derivable means; `duration_ts` pins the mdhd timing
+    math (n_frames × 60 ticks at timescale 600). Closes the MP4
+    container line of the sanction list — only the H.264 bitstream
+    itself remains a library."""
+    from ..functions.codecs import (
+        decode_mp4,
+        decode_mp4_frame,
+        encode_mp4_mjpeg,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "video")
+        & (F.col("media_id") >= 150)
+        & (F.col("media_id") < 300)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n, w, h = m % 24 + 1, m % 5 * 4 + 6, m % 4 + 2
+                vals = [2 * ((m + 7 * f) % 128) for f in range(n)]
+                frames = np.stack(
+                    [np.full((h, w, 3), v, np.uint8) for v in vals]
+                )
+                payload = encode_mp4_mjpeg(frames, fps=10, co64=(m % 2 == 0))
+                d = decode_mp4(payload)
+                assert d["codec"] == "jpeg" and d["timescale"] == 600
+                for fi in range(0, d["n_frames"], 3):
+                    px = decode_mp4_frame(payload, d["frames"][fi])
+                    total = int(px.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            m, fi, d["n_frames"], d["width"], d["height"],
+                            d["duration"],
+                            total // (px.shape[0] * px.shape[1] * 3),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MP4_SAMPLE_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_MP4_SAMPLE_SCHEMA)
+        .select(
+            "media_id", "frame_idx", "n_frames", "width", "height",
+            "duration_ts", "mean_gray",
+        )
+    )
