@@ -154,6 +154,7 @@ EXTRA = [
     "multimodal_jpeg_color_decode",  # 4:4:4 color JPEG (YCbCr MCU interleave)
     "multimodal_mjpg_frame_sample",  # Motion-JPEG AVI demux + per-frame JPEG
     "multimodal_mp4_frame_sample",   # MP4/ISO-BMFF sample-table walk + JPEG
+    "multimodal_flac_decode",        # FLAC fixed-predictor + Rice round trip
     "multimodal_jpeg_420_decode",    # 4:2:0 subsampled JPEG
     "multimodal_ulaw_decode",    # G.711 mu-law companding
     "multimodal_alaw_decode",    # G.711 A-law companding

@@ -1925,3 +1925,87 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ts", "mean_gray",
         )
     )
+
+
+_FLAC_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("min_sample", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+        T.StructField("compressed", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_flac_decode",
+    oracle="""
+SELECT media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       n AS n_samples,
+       n * a + b * n * (n - 1) // 2 AS sum_samples,
+       LEAST(a, a + b * (n - 1)) AS min_sample,
+       GREATEST(a, a + b * (n - 1)) AS max_sample,
+       CAST(1 AS BIGINT) AS compressed
+FROM (
+  SELECT doc_id AS media_id,
+         1000 + (doc_id % 10) * 300 AS n,
+         (doc_id % 50) * 10 - 250 AS a,
+         (doc_id % 7) - 3 AS b
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id >= 200 AND doc_id < 350
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec round trip (X5, r6): linear-ramp signals
+    s[i] = a + b·i encoded through the fixed-predictor path (an
+    order-2 ramp's residual is all-zero past the warmup — the
+    maximally-compressible line Rice coding exists for; b=0 rows take
+    the CONSTANT subframe), decoded back through frame-sync walk +
+    CRC-8/CRC-16 verification. All decoded stats are closed-form in
+    (a, b, n), and `compressed` pins payload < the equivalent WAV —
+    the codec must actually compress, not just round-trip."""
+    from ..functions.codecs import decode_flac, encode_flac
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio")
+        & (F.col("media_id") >= 200)
+        & (F.col("media_id") < 350)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = 1000 + m % 10 * 300
+                a, b = m % 50 * 10 - 250, m % 7 - 3
+                sig = a + b * np.arange(n, dtype=np.int64)
+                payload = encode_flac(sig, 16000)
+                d = decode_flac(payload)
+                rows.append(
+                    (
+                        m, d["sample_rate"], d["n_samples"],
+                        d["sum_samples"], d["min_sample"], d["max_sample"],
+                        int(len(payload) < 2 * n + 44),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FLAC_DECODE_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_FLAC_DECODE_SCHEMA)
+        .select(
+            "media_id", "sample_rate", "n_samples", "sum_samples",
+            "min_sample", "max_sample", "compressed",
+        )
+    )

@@ -1068,3 +1068,166 @@ def test_mp4_zero_size_box_reads_to_end():
     d = decode_mp4(b)
     assert d["n_frames"] == 1
     assert np.array_equal(decode_mp4_frame(b, d["frames"][0]), frames[0])
+
+
+# ---------------------------------------------------------------------------
+# FLAC (fixed-predictor subset + Rice coding; decoder also LPC)
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _FlacBitWriter,
+    _flac_crc8,
+    _flac_crc16,
+    _flac_utf8,
+    decode_flac,
+    decode_flac_samples,
+    encode_flac,
+    encode_wav_pcm16,
+)
+
+
+def test_flac_roundtrip_shapes():
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros(10, np.int64),                       # CONSTANT
+        np.full(5000, 123, np.int64),                 # CONSTANT, 2 frames
+        (np.sin(np.arange(9000) * 0.01) * 12000).astype(np.int64),
+        rng.integers(-32768, 32768, 5000),            # noise → VERBATIM
+        np.arange(-2000, 2000, dtype=np.int64),       # ramp → FIXED(2)
+        np.array([5], np.int64),
+        np.array([], np.int64),
+        np.array([-32768, 32767] * 3000, np.int64),   # full-range toggle
+    ]
+    for i, s in enumerate(cases):
+        rate, got = decode_flac_samples(encode_flac(s, 44100))
+        assert rate == 44100 and np.array_equal(got, s), i
+
+
+@given(
+    n=st.integers(1, 9000),
+    a=st.integers(-250, 240),
+    b=st.integers(-3, 3),
+)
+@settings(max_examples=20, deadline=None)
+def test_flac_ramp_property(n, a, b):
+    s = a + b * np.arange(n, dtype=np.int64)
+    payload = encode_flac(s, 16000)
+    rate, got = decode_flac_samples(payload)
+    assert rate == 16000 and np.array_equal(got, s)
+    if n >= 64:  # order-2 residual is all-zero: must beat raw PCM
+        assert len(payload) < len(encode_wav_pcm16(s.astype("<i2"), 16000))
+
+
+def test_flac_decode_summary_exact():
+    s = np.int64(-7) + 2 * np.arange(100, dtype=np.int64)
+    d = decode_flac(encode_flac(s, 8000))
+    assert d == {
+        "sample_rate": 8000, "n_samples": 100,
+        "sum_samples": int(s.sum()), "sum_abs": int(np.abs(s).sum()),
+        "min_sample": -7, "max_sample": 191,
+    }
+
+
+def _hand_frame(n_total, body_bits_fn, bs):
+    """Assemble one FLAC stream with a hand-written subframe body —
+    the spec-stream pattern (decoder paths the encoder never emits)."""
+    hdr = bytearray()
+    hdr += b"\xff\xf8"
+    hdr.append(0b0111_0000)
+    hdr.append(0b0000_100_0)
+    hdr += _flac_utf8(0)
+    hdr += struct.pack(">H", bs - 1)
+    hdr.append(_flac_crc8(bytes(hdr)))
+    bw = _FlacBitWriter()
+    body_bits_fn(bw)
+    body = bytes(hdr) + bw.flush()
+    frame = body + struct.pack(">H", _flac_crc16(body))
+    si = bytearray()
+    si += struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+    si += ((16000 << 44) | (15 << 36) | n_total).to_bytes(8, "big")
+    si += b"\x00" * 16
+    return (
+        b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+        + frame
+    )
+
+
+def test_flac_lpc_subframe_decodes():
+    """Hand-built LPC subframe (the decoder-only path): order 1,
+    coefficient 2, shift 1 → prediction s[i-1] (a first-order
+    smoother); residuals chosen so samples follow s[i] = r + s[i-1]."""
+    warm, res = 10, [3, -2, 5, 0, 1, -1, 2]
+    bs = 1 + len(res)
+    expect = [warm]
+    for r in res:
+        expect.append(r + (2 * expect[-1] >> 1))
+
+    def body(bw):
+        bw.put(0, 1)
+        bw.put(0b100000, 6)   # LPC order-1 (0b1ooooo, o = order-1)
+        bw.put(0, 1)          # no wasted bits
+        bw.put(warm, 16)      # warmup
+        bw.put(3 - 1, 4)      # precision 3 (coef +2 needs 3 signed bits)
+        bw.put(1, 5)          # shift 1
+        bw.put(2, 3)          # coefficient +2
+        bw.put(0, 2)          # method: 4-bit rice
+        bw.put(0, 4)          # partition order 0
+        bw.put(3, 4)          # rice param
+        for r in res:
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            bw.unary(z >> 3)
+            bw.put(z, 3)
+
+    payload = _hand_frame(bs, body, bs)
+    rate, got = decode_flac_samples(payload)
+    assert rate == 16000
+    assert got.tolist() == expect
+
+
+def test_flac_partitioned_rice_with_escape():
+    """Partition order 1 with one Rice partition and one ESCAPE
+    (unencoded fixed-width) partition — both decoder-only paths."""
+    vals = [4, -3, 2, 0, 100, -100, 77, -1]  # bs=8, order-0 FIXED
+
+    def body(bw):
+        bw.put(0, 1); bw.put(0b001000, 6); bw.put(0, 1)  # FIXED order 0
+        bw.put(0, 2)      # 4-bit rice method
+        bw.put(1, 4)      # partition order 1 → two partitions of 4
+        bw.put(2, 4)      # partition 1: rice param 2
+        for r in vals[:4]:
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            bw.unary(z >> 2)
+            bw.put(z, 2)
+        bw.put(15, 4)     # partition 2: escape
+        bw.put(9, 5)      # 9-bit fixed-width residuals
+        for r in vals[4:]:
+            bw.put(r & 0x1FF, 9)
+
+    payload = _hand_frame(8, body, 8)
+    _, got = decode_flac_samples(payload)
+    assert got.tolist() == vals
+
+
+def test_flac_crc_tamper_detected():
+    s = np.arange(500, dtype=np.int64)
+    b = bytearray(encode_flac(s, 16000))
+    b[-3] ^= 0x01  # flip a bit inside the last frame's payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac_samples(bytes(b))
+
+
+def test_flac_rejects_non_flac():
+    with pytest.raises(ValueError, match="FLAC"):
+        decode_flac_samples(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_flac_sniffs_smaller_than_wav_on_speechlike():
+    """A smooth (speech-envelope-like) signal must compress; white
+    noise must still round-trip (via VERBATIM) even though it can't."""
+    t = np.arange(16000)
+    smooth = (8000 * np.sin(t / 50.0) * np.sin(t / 7.0)).astype(np.int64)
+    flac = encode_flac(smooth, 16000)
+    wav = encode_wav_pcm16(smooth.astype("<i2"), 16000)
+    assert len(flac) < 0.8 * len(wav)
+    _, got = decode_flac_samples(flac)
+    assert np.array_equal(got, smooth)
