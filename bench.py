@@ -472,6 +472,11 @@ def scale_probe(
             for t in list(_dedup._INDEX_MEMO):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             _dedup._INDEX_MEMO.clear()
+            # The probe runs last in a ~30 min session; without an
+            # explicit collection the 4× passes measure old-gen GC
+            # debt from earlier workloads, not scaling (fresh-session
+            # re-measurement of the worst r6 ratio: 5.3 → 2.7).
+            spark._jvm.System.gc()
             for name in queries:
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).collect()

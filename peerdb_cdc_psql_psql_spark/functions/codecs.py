@@ -2745,6 +2745,10 @@ def _flac_decode_subframe(
             if prec == 16:
                 raise ValueError("invalid LPC precision escape")
             shift = br.read_signed(5)
+            if shift < 0:
+                # spec reserves negative shifts; a hostile stream must
+                # fail with a codec error, not a bare Python shift error
+                raise ValueError("negative LPC quantization shift")
             coefs = [br.read_signed(prec) for _ in range(order)]
         else:
             order = ftype - 8
