@@ -2166,6 +2166,9 @@ _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
+    b"fLaC": "flac",
+    b"II*\x00": "tiff",
+    b"MM\x00*": "tiff",
 }
 
 
@@ -2867,4 +2870,324 @@ def decode_flac(payload: bytes) -> dict:
         "sum_abs": int(np.abs(samples).sum()) if len(samples) else 0,
         "min_sample": int(samples.min()) if len(samples) else 0,
         "max_sample": int(samples.max()) if len(samples) else 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 8-bit gray/RGB; None / PackBits / LZW compression)
+# ---------------------------------------------------------------------------
+#
+# TIFF is an IFD (tag directory) walk plus per-strip decompression.
+# Baseline scope: 8-bit grayscale and RGB, chunky planar config,
+# multiple strips, both byte orders on read ("II" written), and the
+# three compressions real scan corpora actually carry: none (1),
+# LZW (5 — MSB-first variable-width codes WITH the spec's EarlyChange
+# one-code-early width bump, which is what distinguishes TIFF-LZW
+# from GIF-LZW), and PackBits (32773 — Apple RLE). Tiled TIFFs,
+# predictors, and other bit depths raise.
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find a run
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of length j-i+1 >= 2
+            out.append(257 - (j - i + 1) & 0xFF)
+            out.append(row[i])
+            i = j + 1
+            continue
+        # literal stretch until the next run of >=3 (spec guidance)
+        j = i
+        while (
+            j + 2 < n
+            and not (row[j + 1] == row[j + 2] == row[j])
+            and j - i < 127
+        ):
+            j += 1
+        j = min(j, i + 127, n - 1)
+        out.append(j - i)
+        out += row[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_expected: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while len(out) < n_expected and i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # 128 is a no-op
+    if len(out) < n_expected:
+        raise ValueError("PackBits strip truncated")
+    return out[:n_expected]
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF §13 LZW: MSB-first, 9-bit start, Clear=256, EOI=257,
+    EarlyChange width bump (at table size 511/1023/2047 — one code
+    earlier than the GIF rule)."""
+    bw = _FlacBitWriter()
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bw.put(256, width)  # leading Clear per spec
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        bw.put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        if next_code == 4094:
+            bw.put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        bw.put(table[w], width)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    bw.put(257, width)  # EOI
+    return bw.flush()
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytearray:
+    br = _FlacBitReader(data)
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    while len(out) < n_expected:
+        code = br.read(width)
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt TIFF-LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EarlyChange, decoder side: the encoder has already assigned
+        # one more code than we have (our append lags its by one read),
+        # so bump when the NEXT encoder-assigned code would hit
+        # 2**width - 1 — i.e. at table sizes 510/1022/2046.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < n_expected:
+        raise ValueError("TIFF-LZW strip truncated")
+    return out[:n_expected]
+
+
+_TIFF_COMP = {"none": 1, "lzw": 5, "packbits": 32773}
+_TIFF_COMP_NAMES = {v: k for k, v in _TIFF_COMP.items()}
+
+
+def encode_tiff(
+    pixels: np.ndarray, compression: str = "none", rows_per_strip: int = 8
+) -> bytes:
+    """Little-endian baseline TIFF: (h, w) gray or (h, w, 3) RGB
+    uint8, strip layout with the requested compression."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ch = 1 if gray else px.shape[2]
+    comp = _TIFF_COMP[compression]
+    raw = px.tobytes()
+    row_bytes = w * ch
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        strip = raw[y0 * row_bytes : min(y0 + rows_per_strip, h) * row_bytes]
+        if compression == "packbits":
+            strip = _packbits_encode(strip)
+        elif compression == "lzw":
+            strip = _tiff_lzw_encode(strip)
+        strips.append(strip)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [bits array][strip offsets][counts] + data
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    aux = 8 + ifd_size
+    bits_off = aux
+    if not gray:
+        aux += 6  # 3 SHORT bits-per-sample values
+    so_off, sc_off = aux, aux + 4 * n_strips
+    # single-strip offset/count fit inline in the IFD entries
+    data_off = aux + (8 * n_strips if n_strips > 1 else 0)
+    offsets, counts = [], []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    if n_strips == 1:
+        so_entry = entry(273, 4, 1, long_val(offsets[0]))
+        sc_entry = entry(279, 4, 1, long_val(counts[0]))
+    else:
+        so_entry = entry(273, 4, n_strips, long_val(so_off))
+        sc_entry = entry(279, 4, n_strips, long_val(sc_off))
+    bits_entry = (
+        entry(258, 3, 1, short_val(8))
+        if gray
+        else entry(258, 3, 3, long_val(bits_off))
+    )
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, long_val(w))
+    ifd += entry(257, 4, 1, long_val(h))
+    ifd += bits_entry
+    ifd += entry(259, 3, 1, short_val(comp))
+    ifd += entry(262, 3, 1, short_val(1 if gray else 2))
+    ifd += so_entry
+    ifd += entry(277, 3, 1, short_val(ch))
+    ifd += entry(278, 4, 1, long_val(rows_per_strip))
+    ifd += sc_entry
+    ifd += struct.pack("<I", 0)  # next IFD
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8)) + ifd
+    if not gray:
+        out += struct.pack("<HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += b"".join(struct.pack("<I", o) for o in offsets)
+        out += b"".join(struct.pack("<I", c) for c in counts)
+    else:
+        assert len(out) == data_off
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF: IFD tag walk (both byte orders),
+    per-strip decompression (none/PackBits/LZW), chunky assembly."""
+    d = decode_tiff_meta(payload)
+    h, w, ch = d["height"], d["width"], d["n_channels"]
+    row_bytes = w * ch
+    raw = bytearray()
+    for (off, cnt), y0 in zip(
+        d["strips"], range(0, h, d["rows_per_strip"])
+    ):
+        n_rows = min(d["rows_per_strip"], h - y0)
+        n_expected = n_rows * row_bytes
+        strip = payload[off : off + cnt]
+        if d["compression"] == "none":
+            if len(strip) < n_expected:
+                raise ValueError("TIFF strip truncated")
+            raw += strip[:n_expected]
+        elif d["compression"] == "packbits":
+            raw += _packbits_decode(strip, n_expected)
+        else:
+            raw += _tiff_lzw_decode(strip, n_expected)
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    return arr.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+def decode_tiff_meta(payload: bytes) -> dict:
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(f"{bo}HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            f"{bo}HHI", payload, ifd_off + 2 + 12 * i
+        )
+        tags[tag] = (typ, count, ifd_off + 2 + 12 * i + 8)
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, count, vpos = tags[tag]
+        size = _SZ.get(typ)
+        if size is None:
+            raise NotImplementedError(f"TIFF tag type {typ}")
+        fmt = {1: "B", 2: "b", 3: "H", 4: "I"}[typ]
+        if size * count > 4:
+            (vpos,) = struct.unpack_from(f"{bo}I", payload, vpos)
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, vpos))
+
+    w, h = values(256)[0], values(257)[0]
+    comp = values(259, [1])[0]
+    if comp not in _TIFF_COMP_NAMES:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    bits = values(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    ch = values(277, [len(bits)])[0]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if values(317, [1])[0] != 1:
+        raise NotImplementedError("TIFF predictor")
+    if values(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF")
+    rps = values(278, [h])[0]
+    offs = values(273)
+    cnts = values(279)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_channels": int(ch),
+        "compression": _TIFF_COMP_NAMES[comp],
+        "rows_per_strip": int(min(rps, h)),
+        "strips": list(zip(offs, cnts)),
+        "byte_order": "little" if bo == "<" else "big",
+    }
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decoded-TIFF summary with exact integer channel sums (the
+    oracle contract shared with decode_png/decode_jpeg)."""
+    meta = decode_tiff_meta(payload)
+    px = decode_tiff_pixels(payload)
+    if px.ndim == 2:
+        total = int(px.astype(np.int64).sum())
+        sums = (total, total, total)
+    else:
+        s = px.reshape(-1, px.shape[2]).astype(np.int64).sum(axis=0)
+        sums = (int(s[0]), int(s[1]), int(s[2]))
+    return {
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_channels": meta["n_channels"],
+        "compression": meta["compression"],
+        "n_strips": len(meta["strips"]),
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
     }

@@ -101,9 +101,11 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             if not fake:
                 raise NotImplementedError(
                     "format-agnostic real decoding needs PIL/librosa/av; "
-                    "WAV/BMP/PNG/AVI payloads have real typed decoders — "
+                    "WAV/G.711/ADPCM/FLAC, BMP/PNG/GIF/JPEG, and "
+                    "AVI/MJPG/MP4 payloads have real typed decoders — "
                     "use decode_audio / decode_image / decode_pngs / "
-                    "sample_video_frames"
+                    "decode_jpegs / sample_video_frames, or the "
+                    "decode_* codec functions directly"
                 )
             payloads = pdf["payload"]
             sums = payloads.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
@@ -2008,4 +2010,140 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id", "sample_rate", "n_samples", "sum_samples",
             "min_sample", "max_sample", "compressed",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (X5): strip-layout scans with None / PackBits / TIFF-LZW
+# ---------------------------------------------------------------------------
+
+_TIFF_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("n_strips", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def decode_tiffs(df: DataFrame) -> DataFrame:
+    """REAL TIFF decode over mapInPandas: IFD tag walk, per-strip
+    decompression (none / PackBits RLE / TIFF-LZW with the spec's
+    EarlyChange width rule) → dimensions, compression, strip count,
+    exact integer channel sums."""
+
+    from ..functions.codecs import decode_tiff
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_tiff(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_channels"],
+                        d["compression"], d["n_strips"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TIFF_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_TIFF_DECODE_SCHEMA)
+
+
+def synthesize_tiff_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side TIFF synthesis: the PNG gradient fixture written
+    through the strip-TIFF encoder, compression rotated over
+    none/PackBits/LZW by ``(id // 3) % 3`` (image ids are all
+    ``id % 3 == 0``, so rotating on the raw id would pin one codec)."""
+
+    from ..functions.codecs import encode_tiff
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw")
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, m % 4 + 2
+                r0, g0, b0 = m % 200, m % 220, m * 13 % 256
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = r0 + np.arange(w)[None, :]
+                px[..., 1] = g0 + np.arange(h)[:, None]
+                px[..., 2] = b0
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        compression=comps[m // 3 % 3],
+                        rows_per_strip=_TIFF_ROWS_PER_STRIP,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CASE (doc_id // 3) % 3
+         WHEN 0 THEN 'none' WHEN 1 THEN 'packbits' ELSE 'lzw'
+       END AS compression,
+       ((doc_id % 4) + 2 + 3) // 4 AS n_strips,
+       ((doc_id % 4) + 2)
+         * ( ((doc_id % 8) * 4 + 5) * (doc_id % 200)
+           + ((doc_id % 8) * 4 + 5) * ((doc_id % 8) * 4 + 4) // 2 ) AS sum_r,
+       ((doc_id % 8) * 4 + 5)
+         * ( ((doc_id % 4) + 2) * (doc_id % 220)
+           + ((doc_id % 4) + 2) * ((doc_id % 4) + 1) // 2 ) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * ((doc_id * 13) % 256) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id < 200
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF codec round trip (X5): the PNG gradient fixture as a
+    multi-strip TIFF, compression rotated across none / PackBits /
+    TIFF-LZW (EarlyChange), re-parsed byte-for-byte by the IFD-walking
+    decoder. The oracle recomputes dimensions, strip count, the
+    compression assignment, and closed-form per-channel pixel sums —
+    a desync in either RLE or the LZW width schedule breaks exact
+    equality on every third fixture."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 200)
+    )
+    decoded = decode_tiffs(synthesize_tiff_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_channels").cast("bigint"),
+        "compression",
+        F.col("n_strips").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
     )

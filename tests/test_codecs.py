@@ -95,6 +95,8 @@ def test_sniff_format():
     assert sniff_format(encode_bmp24(np.zeros((1, 1, 3), np.uint8))) == "bmp"
     assert sniff_format(b"\x89PNG\r\n") == "png"
     assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"fLaC\x80\x00\x00\x22") == "flac"
+    assert sniff_format(b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00") == "mp4"
     assert sniff_format(b"whatever") == "unknown"
 
 
@@ -1231,3 +1233,145 @@ def test_flac_sniffs_smaller_than_wav_on_speechlike():
     assert len(flac) < 0.8 * len(wav)
     _, got = decode_flac_samples(flac)
     assert np.array_equal(got, smooth)
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import (  # noqa: E402
+    _packbits_decode,
+    _packbits_encode,
+    _tiff_lzw_decode,
+    _tiff_lzw_encode,
+    decode_tiff,
+    decode_tiff_meta,
+    decode_tiff_pixels,
+    encode_tiff,
+)
+
+
+def test_packbits_roundtrip_property():
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        n = int(rng.integers(0, 400))
+        # mix runs and literals: low-cardinality alphabet forces runs
+        raw = rng.integers(0, 4, n).astype(np.uint8).tobytes()
+        assert bytes(_packbits_decode(_packbits_encode(raw), n)) == raw
+    # degenerate: long run > 128, long literal > 128
+    run = b"\x07" * 300
+    assert bytes(_packbits_decode(_packbits_encode(run), 300)) == run
+    lit = bytes(range(256)) * 2
+    assert bytes(_packbits_decode(_packbits_encode(lit), 512)) == lit
+
+
+def test_tiff_lzw_roundtrip_property():
+    rng = np.random.default_rng(13)
+    for _ in range(25):
+        n = int(rng.integers(0, 6000))
+        raw = rng.integers(0, 7, n).astype(np.uint8).tobytes()
+        assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(raw), n)) == raw
+    # force table overflow past 4094 → mid-stream Clear
+    big = (b"ab" * 3 + b"c" + bytes(range(200))) * 120
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(big), len(big))) == big
+
+
+def test_tiff_lzw_early_change_differs_from_gif_rule():
+    """The EarlyChange bump must happen at table size 510 used codes
+    (next_code == 2**width - 1), one code before GIF's rule — pin it
+    by decoding a stream that crosses the 9→10 bit boundary."""
+    raw = bytes(range(256)) * 3  # 768 distinct-pair additions crosses 511
+    enc = _tiff_lzw_encode(raw)
+    assert bytes(_tiff_lzw_decode(enc, len(raw))) == raw
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("gray", [True, False])
+def test_tiff_roundtrip(comp, gray):
+    rng = np.random.default_rng(5)
+    shape = (11, 7) if gray else (11, 7, 3)
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    payload = encode_tiff(px, compression=comp, rows_per_strip=4)
+    assert sniff_format(payload) == "tiff"
+    got = decode_tiff_pixels(payload)
+    assert np.array_equal(got, px)
+    meta = decode_tiff_meta(payload)
+    assert meta["compression"] == comp
+    assert meta["n_channels"] == (1 if gray else 3)
+    assert len(meta["strips"]) == 3  # ceil(11/4)
+
+
+def test_tiff_single_strip_inline_offsets():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    payload = encode_tiff(px, rows_per_strip=64)
+    meta = decode_tiff_meta(payload)
+    assert len(meta["strips"]) == 1
+    assert np.array_equal(decode_tiff_pixels(payload), px)
+
+
+def test_tiff_big_endian_read():
+    """The decoder must honor the MM byte order even though the
+    encoder writes II — hand-build a minimal big-endian gray TIFF."""
+    import struct as _s
+
+    px = np.array([[1, 2, 3], [4, 5, 250]], np.uint8)
+    raw = px.tobytes()
+
+    def entry(tag, typ, count, value4):
+        return _s.pack(">HHI", tag, typ, count) + value4
+
+    n = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+    ifd = _s.pack(">H", n)
+    ifd += entry(256, 4, 1, _s.pack(">I", 3))
+    ifd += entry(257, 4, 1, _s.pack(">I", 2))
+    ifd += entry(258, 3, 1, _s.pack(">HH", 8, 0))
+    ifd += entry(259, 3, 1, _s.pack(">HH", 1, 0))
+    ifd += entry(273, 4, 1, _s.pack(">I", data_off))
+    ifd += entry(277, 3, 1, _s.pack(">HH", 1, 0))
+    ifd += entry(279, 4, 1, _s.pack(">I", len(raw)))
+    ifd += _s.pack(">I", 0)  # next-IFD pointer
+    payload = _s.pack(">2sHI", b"MM", 42, ifd_off) + ifd + raw
+    assert sniff_format(payload) == "tiff"
+    meta = decode_tiff_meta(payload)
+    assert meta["byte_order"] == "big"
+    assert (meta["width"], meta["height"]) == (3, 2)
+    assert np.array_equal(decode_tiff_pixels(payload), px)
+
+
+def test_tiff_decode_summary_exact():
+    px = np.zeros((3, 4, 3), np.uint8)
+    px[..., 0] = 10
+    px[..., 1] = 20
+    px[..., 2] = 30
+    d = decode_tiff(encode_tiff(px, compression="packbits"))
+    assert d["width"] == 4 and d["height"] == 3 and d["n_channels"] == 3
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (120, 240, 360)
+    g = decode_tiff(encode_tiff(np.full((2, 2), 5, np.uint8)))
+    assert g["sum_r"] == g["sum_g"] == g["sum_b"] == 20
+
+
+def test_tiff_rejects_unsupported():
+    px = np.zeros((2, 2), np.uint8)
+    good = encode_tiff(px)
+    with pytest.raises(ValueError):
+        decode_tiff_meta(b"XX" + good[2:])
+    with pytest.raises(ValueError):
+        decode_tiff_meta(good[:6])
+    # truncated strip data
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(good[:-2])
+    # unknown compression code (e.g. 7 = new-style JPEG)
+    import struct as _s
+
+    bad = bytearray(good)
+    # find the compression entry (tag 259) in the IFD and patch it
+    (n_entries,) = _s.unpack_from("<H", bad, 8)
+    for i in range(n_entries):
+        off = 8 + 2 + 12 * i
+        (tag,) = _s.unpack_from("<H", bad, off)
+        if tag == 259:
+            _s.pack_into("<H", bad, off + 8, 7)
+    with pytest.raises(NotImplementedError):
+        decode_tiff_meta(bytes(bad))
