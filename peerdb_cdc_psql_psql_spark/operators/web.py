@@ -1,0 +1,450 @@
+"""Web-crawl ingestion pack: WARC files → HTML → text.
+
+The front of every CommonCrawl-scale training-data pipeline. Three
+stages, each Spark-first:
+
+- **HTML → text** runs ENTIRELY JVM-side as a chained
+  ``regexp_replace`` / ``replace`` expression pipeline (script/style
+  elimination before tag stripping — the order that keeps ``var x =
+  1 < 2`` out of the text — then comment removal, tag strip, core
+  entity decode with ``&amp;`` last, whitespace collapse). Zero
+  Python in the hot path: extracting text from 100 TB of HTML is a
+  map over scan partitions inside WholeStageCodegen. Patterns stay
+  inside the RE2-compatible subset (no backreferences, no
+  lookaround) so the DuckDB oracle runs the LITERAL SAME chain — a
+  true differential test of the extraction rules, not a restatement.
+- **WARC parse/synthesis** runs executor-side over Arrow batches
+  (mapInPandas / applyInPandas): one crawl file is one group, record
+  grammar + gzip-member splitting from ``functions/warc.py``. The
+  oracle re-derives every byte count (HTTP head lengths, record
+  Content-Lengths, member counts) as closed-form SQL arithmetic —
+  the writer and parser must agree with the spec's framing to the
+  byte, twice.
+- **The composed crawl pipeline** chains file-grouped synthesis →
+  record explode → JVM extraction → quality gating, the shape a real
+  crawl ETL has (shuffle on crawl-file id only; bodies never shuffle
+  after decode).
+
+Reference parity: the reference stack ingests Postgres CDC, not web
+crawls; this pack extends the engine along the LLM-training-data
+axis the build brief lists as first-class.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# HTML → text: one rule set, two engines (Spark expressions + oracle SQL)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) chain — RE2-compatible subset so the DuckDB
+# oracle can run the identical rules. Order is load-bearing: script
+# and style BODIES must go before generic tag stripping (their text
+# content is not document text, and scripts legally contain '<').
+_HTML_REGEX_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+)
+
+# Core entity decode — plain string replaces, '&amp;' LAST so
+# double-escaped entities ('&amp;lt;') decode one level, not two.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_WS = r"\s+"
+
+
+def html_to_text(col: Column) -> Column:
+    """JVM-side HTML → text (the whole chain stays in codegen)."""
+    c = col
+    for pat, repl in _HTML_REGEX_CHAIN:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, _WS, " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The SAME chain as DuckDB SQL over ``expr``."""
+    c = expr
+    for pat, repl in _HTML_REGEX_CHAIN:
+        c = f"regexp_replace({c}, '{pat}', '{repl}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({c}, '{_WS}', ' ', 'g'))"
+
+
+# The synthesized page template, defined once as (spark expression,
+# SQL expression, python f-string) triples kept textually identical.
+_PAGE_PARTS: tuple[str, ...] = (
+    '<!DOCTYPE html><html><head><title>Doc {id} [{lang}]</title>'
+    '<style type="text/css">body { color: #222; }</style>'
+    '<script type="text/javascript">var doc = {id}; '
+    'if (doc < 9999 && doc > 0) { track("doc"); }</script></head>'
+    '<body><nav><a href="/home">Home</a> <a href="/docs">Docs</a></nav>'
+    "<!-- chrome ends --><h1>Doc {id}</h1><p>",
+    "</p><footer>Contact: admin &amp; webmaster "
+    "&lt;ops@example.com&gt;</footer></body></html>",
+)
+
+
+def synthesize_page(doc_id: Column, lang: Column, text: Column) -> Column:
+    head, tail = _PAGE_PARTS
+    a, b = head.split("{id}", 1)
+    b, c = b.split("{lang}", 1)
+    c, d = c.split("{id}", 1)
+    d, e = d.split("{id}", 1)
+    return F.concat(
+        F.lit(a), doc_id.cast("string"), F.lit(b), lang, F.lit(c),
+        doc_id.cast("string"), F.lit(d), doc_id.cast("string"), F.lit(e),
+        text, F.lit(tail),
+    )
+
+
+def synthesize_page_sql() -> str:
+    head, tail = _PAGE_PARTS
+    a, b = head.split("{id}", 1)
+    b, c = b.split("{lang}", 1)
+    c, d = c.split("{id}", 1)
+    d, e = d.split("{id}", 1)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return (
+        f"concat({q(a)}, CAST(doc_id AS VARCHAR), {q(b)}, lang, {q(c)}, "
+        f"CAST(doc_id AS VARCHAR), {q(d)}, CAST(doc_id AS VARCHAR), {q(e)}, "
+        f"text, {q(tail)})"
+    )
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+@register(
+    "html_text_extract",
+    oracle=f"""
+WITH pages AS (
+  SELECT doc_id, {synthesize_page_sql()} AS html
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+       CAST((length(html) - length(replace(html, '<a href', ''))) / 7
+            AS BIGINT) AS n_links,
+       CAST(length({html_to_text_sql('html')}) AS BIGINT) AS text_len,
+       CAST(length({html_to_text_sql('html')})
+            - length(replace({html_to_text_sql('html')}, ' ', '')) + 1
+            AS BIGINT) AS n_words,
+       md5({html_to_text_sql('html')}) AS text_md5
+FROM pages
+""",
+    tags=("X4", "web", "curation"),
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text as a pure JVM expression chain (web pack): pages
+    synthesized from `documents` with script/style/comment chrome and
+    escaped entities, then stripped by the shared rule chain. The
+    DuckDB oracle synthesizes the SAME pages and runs the LITERAL
+    SAME regex chain (RE2-compatible subset) — extraction-rule
+    drift between engines breaks md5 equality on every row."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = synthesize_page(F.col("doc_id"), F.col("lang"), F.col("text"))
+    text = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1).alias(
+            "title"
+        ),
+        _count_occurrences(html, "<a href").alias("n_links"),
+        F.length(text).cast("bigint").alias("text_len"),
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit(" "), F.lit("")))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.md5(text).alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC synthesis + parse over Arrow batches
+# ---------------------------------------------------------------------------
+
+_WARC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_warcinfo", T.LongType()),
+        T.StructField("n_requests", T.LongType()),
+        T.StructField("n_responses", T.LongType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("sum_content_length", T.LongType()),
+        T.StructField("sum_body_bytes", T.LongType()),
+        T.StructField("first_uri", T.StringType()),
+    ]
+)
+
+# Record synthesis lives in functions/warc.py (cloudpickle by-value;
+# see the note there) — imported here for the oracle's constants only.
+from ..functions.warc import CRAWL_HOST as _HOST  # noqa: E402
+from ..functions.warc import WARCINFO_PAYLOAD as _WARCINFO_PAYLOAD  # noqa: E402
+
+
+def warc_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Per document: write a 3-record `.warc.gz` (warcinfo + request
+    + response, one gzip member per record — the CommonCrawl layout),
+    re-parse it, and report the parser's byte accounting."""
+
+    from ..functions.warc import (
+        build_doc_records,
+        decode_warc,
+        encode_warc_gz,
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = str(text).encode("utf-8")
+                gz = encode_warc_gz(
+                    build_doc_records(int(doc_id), body, "text/plain")
+                )
+                d = decode_warc(gz)
+                rows.append(
+                    (
+                        int(doc_id), d["n_members"], d["n_records"],
+                        d["n_warcinfo"], d["n_requests"], d["n_responses"],
+                        d["http_status"], d["sum_content_length"],
+                        d["sum_body_bytes"], d["first_uri"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WARC_STATS_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema=_WARC_STATS_SCHEMA
+    )
+
+
+@register(
+    "warc_record_stats",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS body_len,
+         -- HTTP/1.1 head: status line 15+2, Content-Type line 24+2,
+         -- 'Content-Length: ' 16 + digits + 2, blank-line 2
+         63 + length(CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR))
+           AS http_head_len,
+         -- request payload: 'GET /doc/' 9 + id + ' HTTP/1.1' 9 + 2
+         --                + 'Host: {_HOST}' {6 + len(_HOST)} + 2 + 2
+         {9 + 9 + 2 + 6 + len(_HOST) + 2 + 2}
+           + length(CAST(doc_id AS VARCHAR)) AS request_len
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_members,
+       CAST(3 AS BIGINT) AS n_records,
+       CAST(1 AS BIGINT) AS n_warcinfo,
+       CAST(1 AS BIGINT) AS n_requests,
+       CAST(1 AS BIGINT) AS n_responses,
+       CAST(200 AS BIGINT) AS http_status,
+       CAST({len(_WARCINFO_PAYLOAD)} + request_len
+            + http_head_len + body_len AS BIGINT) AS sum_content_length,
+       CAST(body_len AS BIGINT) AS sum_body_bytes,
+       concat('http://{_HOST}/doc/', CAST(doc_id AS VARCHAR)) AS first_uri
+FROM sized
+""",
+    tags=("X4", "web", "codec"),
+)
+def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC writer+parser round trip (web pack): every document
+    becomes a 3-record CommonCrawl-layout `.warc.gz`; the oracle
+    re-derives the parser's byte accounting — gzip member count,
+    record Content-Lengths (HTTP head length arithmetic included) —
+    as closed-form SQL. A framing drift of a single CRLF anywhere in
+    the writer OR parser breaks `sum_content_length` on every row."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return warc_roundtrip_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Composed crawl pipeline: grouped WARC files → records → text → gate
+# ---------------------------------------------------------------------------
+
+_CRAWL_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_CRAWL_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_id", T.LongType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+_DOCS_PER_CRAWL_FILE = 16
+
+
+def synthesize_crawl_files(docs: DataFrame) -> DataFrame:
+    """Group documents into crawl files of `_DOCS_PER_CRAWL_FILE`
+    pages (shuffle key = crawl_id only; at 100 TB this is the one
+    shuffle the ingest pays) and write one multi-record `.warc.gz`
+    per file. Pages are the SAME template `html_text_extract` pins."""
+
+    from ..functions.warc import build_doc_records, encode_warc_gz
+
+    head, tail = _PAGE_PARTS
+
+    def build(pdf):
+        import pandas as pd
+
+        records = []
+        for doc_id, lang, text in sorted(
+            zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+        ):
+            page = (
+                head.replace("{id}", str(int(doc_id))).replace(
+                    "{lang}", str(lang)
+                )
+                + str(text)
+                + tail
+            )
+            records.extend(
+                build_doc_records(
+                    int(doc_id), page.encode("utf-8"), "text/html"
+                )
+            )
+        return pd.DataFrame(
+            {
+                "crawl_id": [int(pdf["crawl_id"].iloc[0])],
+                "payload": [encode_warc_gz(records)],
+            }
+        )
+
+    return (
+        docs.withColumn(
+            "crawl_id", (F.col("doc_id") / _DOCS_PER_CRAWL_FILE).cast("bigint")
+        )
+        .select("crawl_id", "doc_id", "lang", "text")
+        .groupBy("crawl_id")
+        .applyInPandas(build, schema=_CRAWL_FILE_SCHEMA)
+    )
+
+
+def parse_crawl_files(files: DataFrame) -> DataFrame:
+    """Explode crawl files into response records (one row per page).
+    Request/warcinfo records are read and counted but not emitted —
+    the text pipeline consumes responses only."""
+
+    from ..functions.warc import parse_warc
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for crawl_id, payload in zip(pdf["crawl_id"], pdf["payload"]):
+                for rec in parse_warc(bytes(payload)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    rows.append(
+                        (
+                            int(crawl_id),
+                            rec["target_uri"],
+                            rec.get("status"),
+                            rec["content_length"],
+                            rec["body"].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CRAWL_RECORD_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(batches, schema=_CRAWL_RECORD_SCHEMA)
+
+
+@register(
+    "warc_crawl_pipeline",
+    oracle=f"""
+WITH extracted AS (
+  SELECT (doc_id // {_DOCS_PER_CRAWL_FILE}) AS crawl_id,
+         doc_id,
+         -- closed form of the template extraction: title text, nav
+         -- labels, heading, body text, decoded footer — exactly what
+         -- the rule chain leaves of the synthesized page
+         concat('Doc ', CAST(doc_id AS VARCHAR), ' [', lang, '] ',
+                'Home Docs Doc ', CAST(doc_id AS VARCHAR), ' ', text,
+                ' Contact: admin & webmaster <ops@example.com>') AS txt
+  FROM documents WHERE doc_id < 300
+)
+SELECT crawl_id,
+       doc_id,
+       CAST(length(txt) AS BIGINT) AS text_len,
+       CAST(length(txt) - length(replace(txt, ' ', '')) + 1
+            AS BIGINT) AS n_words,
+       CAST(CASE WHEN length(txt) - length(replace(txt, ' ', '')) + 1
+                      >= 30 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       md5(txt) AS text_md5
+FROM extracted
+""",
+    tags=("X4", "web", "pipeline", "curation"),
+)
+def warc_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl ETL (web pack): documents → 16-page
+    `.warc.gz` crawl files (applyInPandas per file) → response-record
+    explode (mapInPandas) → JVM HTML→text chain → word-count quality
+    gate. The oracle states the END-TO-END closed form of what the
+    whole chain must produce per page — warc framing, gzip member
+    splitting, HTTP body recovery, and the extraction rules all have
+    to agree for the md5 to match."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    records = parse_crawl_files(synthesize_crawl_files(docs))
+    text = html_to_text(F.col("body"))
+    n_words = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("bigint")
+    return records.select(
+        "crawl_id",
+        F.regexp_extract(F.col("uri"), r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(text).cast("bigint").alias("text_len"),
+        n_words.alias("n_words"),
+        (n_words >= 30).cast("bigint").alias("keep"),
+        F.md5(text).alias("text_md5"),
+    )

@@ -672,3 +672,21 @@ def test_codec_decode_zero_shuffle(spark):
         plan = plan_string(_df(spark, name))
         assert "Exchange" not in plan, f"{name} shuffles payloads:\n{plan}"
         assert "MapInPandas" in plan, name
+
+
+def test_html_extract_zero_shuffle_no_python(spark):
+    """Web pack: HTML→text is a pure JVM expression chain — the plan
+    must have NO Exchange and NO Python evaluation node (extracting
+    text from 100 TB of pages is a map over scan partitions)."""
+    plan = plan_string(_df(spark, "html_text_extract"))
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_warc_crawl_pipeline_single_shuffle(spark):
+    """Web pack: the composed crawl ETL pays exactly ONE shuffle —
+    the crawl-file grouping. Decode, extraction, and the quality gate
+    all run map-side after it."""
+    plan = plan_string(_df(spark, "warc_crawl_pipeline"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
