@@ -166,6 +166,12 @@ EXTRA = [
     "rag_chunking",              # sliding-window chunker + digests
     "bpe_train",                 # full iterative BPE merge loop
     "bpe_tokenize_stats",        # learned-tokenizer apply + budget stats
+    "multimodal_tiff_decode",    # TIFF strips: PackBits + EarlyChange-LZW
+    "html_text_extract",         # JVM regexp HTML→text chain
+    "warc_record_stats",         # WARC writer+parser byte accounting
+    "warc_crawl_pipeline",       # crawl files → records → text → gate
+    "url_canonical_dedup",       # frontier URL canonicalization + dedup
+    "parquet_layout_report",     # distributed footer-only storage audit
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -768,3 +768,90 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout introspection (the 100 TB scan-health audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_layout_report",
+    oracle=r"""
+SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,
+       CAST(row_group_id AS BIGINT) AS row_group_id,
+       CAST(any_value(row_group_num_rows) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cols,
+       CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+       CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+       CAST(sum(total_compressed_size) * 10000
+            // sum(total_uncompressed_size) AS BIGINT) AS compression_bp
+FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+GROUP BY file_name, row_group_id
+""",
+    tags=("F19", "profiling", "storage"),
+)
+def parquet_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit (storage pack): per row group, the thrift
+    metadata a scan planner actually sees — row counts, column-chunk
+    count, exact compressed/uncompressed byte totals, compression
+    ratio in basis points. At 100 TB row-group sizing IS the scan
+    lever (too-small groups → footer/seek overhead and tiny tasks;
+    too-large → no intra-file parallelism and memory-heavy reads), so
+    the audit runs footer reads DISTRIBUTED: one task per file over
+    mapInPandas, reading ONLY footers (never data pages) with
+    pyarrow. The DuckDB oracle reads the same footers through its own
+    independent parquet implementation (`parquet_metadata()`), so the
+    two engines must agree on every thrift byte count. Oracle path is
+    pinned to the correctness-gate scale (sf0.01) — the only scale
+    the oracle contract evaluates; the Spark side follows sf_dir."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from ..catalog import FIXTURE_TABLES
+
+    schema = T.StructType(
+        [
+            T.StructField("tbl", T.StringType()),
+            T.StructField("row_group_id", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_cols", T.LongType()),
+            T.StructField("compressed_bytes", T.LongType()),
+            T.StructField("uncompressed_bytes", T.LongType()),
+            T.StructField("compression_bp", T.LongType()),
+        ]
+    )
+
+    files = spark.createDataFrame(
+        [(t, f"{sf_dir}/{t}.parquet") for t in FIXTURE_TABLES],
+        ["tbl", "path"],
+    ).repartition(len(FIXTURE_TABLES))
+
+    def footers(it: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for tbl, path in zip(pdf["tbl"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                for gi in range(md.num_row_groups):
+                    rg = md.row_group(gi)
+                    comp = sum(
+                        rg.column(ci).total_compressed_size
+                        for ci in range(rg.num_columns)
+                    )
+                    unc = sum(
+                        rg.column(ci).total_uncompressed_size
+                        for ci in range(rg.num_columns)
+                    )
+                    rows.append(
+                        (
+                            tbl, gi, rg.num_rows, rg.num_columns,
+                            comp, unc, comp * 10000 // unc,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files.mapInPandas(footers, schema=schema)

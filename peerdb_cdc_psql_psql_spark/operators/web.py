@@ -448,3 +448,169 @@ def warc_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_words >= 30).cast("bigint").alias("keep"),
         F.md5(text).alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl curation)
+# ---------------------------------------------------------------------------
+
+# Rules (the standard crawl-frontier canonicalization set):
+#   lowercase scheme+host · drop default port (http:80 / https:443) ·
+#   drop fragment · drop utm_* tracking params · sort remaining query
+#   params · strip one trailing slash (never the root '/') · empty
+#   path → '/'. Percent-encoding normalization is documented out of
+#   scope. Everything is regexp_extract + array expressions — the
+#   same chain states in Spark (JVM, codegen) and DuckDB SQL.
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+_URL_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+def url_canonicalize(col: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(col, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(col, _URL_HOST_RE, 1))
+    port = F.regexp_extract(col, _URL_PORT_RE, 1)
+    path = F.regexp_extract(col, _URL_PATH_RE, 1)
+    query = F.regexp_extract(col, _URL_QUERY_RE, 1)
+
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.substring(p, 1, 4) != "utm_") & (p != ""),
+        )
+    )
+    qnorm = F.array_join(params, "&")
+    norm_path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        norm_path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def url_canonicalize_sql(expr: str) -> str:
+    """The identical rule set as DuckDB SQL over ``expr``."""
+    scheme = f"lower(regexp_extract({expr}, '{_URL_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({expr}, '{_URL_HOST_RE}', 1))"
+    port = f"regexp_extract({expr}, '{_URL_PORT_RE}', 1)"
+    path = f"regexp_extract({expr}, '{_URL_PATH_RE}', 1)"
+    query = f"regexp_extract({expr}, '{_URL_QUERY_RE}', 1)"
+    keep_port = (
+        f"NOT ({port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443'))"
+    )
+    norm_path = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN length({path}) > 1 AND {path} LIKE '%/' "
+        f"THEN substring({path}, 1, length({path}) - 1) "
+        f"ELSE {path} END"
+    )
+    qnorm = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> substring(p, 1, 4) <> 'utm_' AND p <> '')), '&')"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, "
+        f"CASE WHEN {keep_port} THEN concat(':', {port}) ELSE '' END, "
+        f"{norm_path}, "
+        f"CASE WHEN {qnorm} <> '' THEN concat('?', {qnorm}) ELSE '' END)"
+    )
+
+
+# Four deterministic mess-ups of each doc's URL: clean, SHOUTING with
+# default port + fragment, trailing slash + tracking params, and a
+# reordered-query variant that canonicalizes DIFFERENTLY (a=1&b=2
+# survives) — collapse AND non-collapse both exercised.
+_URL_VARIANT_TEMPLATES_SQL = (
+    "concat('https://www.example', CAST(doc_id % 7 AS VARCHAR),"
+    " '.com/articles/item', CAST(doc_id AS VARCHAR))",
+    "concat('HTTPS://WWW.EXAMPLE', CAST(doc_id % 7 AS VARCHAR),"
+    " '.COM:443/articles/item', CAST(doc_id AS VARCHAR), '#section-2')",
+    "concat('https://www.example', CAST(doc_id % 7 AS VARCHAR),"
+    " '.com/articles/item', CAST(doc_id AS VARCHAR),"
+    " '/?utm_source=feed&utm_campaign=x')",
+    "concat('https://www.example', CAST(doc_id % 7 AS VARCHAR),"
+    " '.com/articles/item', CAST(doc_id AS VARCHAR),"
+    " '?b=2&a=1&utm_medium=email')",
+)
+
+
+def _url_variants(doc_id: Column) -> Column:
+    k = (doc_id % 7).cast("string")
+    i = doc_id.cast("string")
+    base = F.concat(F.lit("https://www.example"), k, F.lit(".com/articles/item"), i)
+    return F.array(
+        base,
+        F.concat(
+            F.lit("HTTPS://WWW.EXAMPLE"), k, F.lit(".COM:443/articles/item"),
+            i, F.lit("#section-2"),
+        ),
+        F.concat(base, F.lit("/?utm_source=feed&utm_campaign=x")),
+        F.concat(base, F.lit("?b=2&a=1&utm_medium=email")),
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+WITH variants AS (
+  SELECT doc_id, unnest([
+    {_URL_VARIANT_TEMPLATES_SQL[0]},
+    {_URL_VARIANT_TEMPLATES_SQL[1]},
+    {_URL_VARIANT_TEMPLATES_SQL[2]},
+    {_URL_VARIANT_TEMPLATES_SQL[3]}
+  ]) AS url
+  FROM documents WHERE doc_id < 400
+),
+canon AS (
+  SELECT doc_id, url, {url_canonicalize_sql('url')} AS canonical
+  FROM variants
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       min(canonical) AS canonical_url
+FROM canon
+GROUP BY doc_id
+""",
+    tags=("X1", "web", "curation"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (web pack): four deterministic
+    variants per document URL (case noise, default port, fragment,
+    trailing slash, tracking params, reordered query) canonicalized
+    by the shared rule chain — three must collapse to one canonical
+    form and the reordered-query variant must NOT. The DuckDB oracle
+    canonicalizes with the identical rule set, so a drift in any
+    single rule (port dropping, utm filtering, param sort, slash
+    strip) breaks `n_canonical` or `canonical_url` on every row.
+    All JVM expressions — canonicalizing 100 TB of frontier URLs is
+    a map; the dedup itself is one groupBy on the canonical key."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    exploded = docs.select(
+        "doc_id", F.explode(_url_variants(F.col("doc_id"))).alias("url")
+    )
+    canon = exploded.select(
+        "doc_id", url_canonicalize(F.col("url")).alias("canonical")
+    )
+    return canon.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
+        F.min("canonical").alias("canonical_url"),
+    )

@@ -690,3 +690,25 @@ def test_warc_crawl_pipeline_single_shuffle(spark):
     all run map-side after it."""
     plan = plan_string(_df(spark, "warc_crawl_pipeline"), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_url_dedup_jvm_only_single_agg_shuffle(spark):
+    """Web pack: URL canonicalization is pure JVM expressions — no
+    Python eval nodes; the dedup pays one aggregation shuffle."""
+    plan = plan_string(_df(spark, "url_canonical_dedup"), mode="simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    # COUNT(DISTINCT canonical) is a two-phase distinct aggregate:
+    # one exchange on (doc_id, canonical), one on doc_id — both keyed,
+    # both partial-combined. Anything beyond those two is a regression.
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_parquet_layout_footer_reads_are_distributed(spark):
+    """Storage audit: footer reads run inside MapInPandas tasks, not
+    on the driver — the plan must carry the Python stage and a
+    round-robin repartition (one file per task), and the collected
+    output stays tiny (row-group metadata, not data)."""
+    plan = plan_string(_df(spark, "parquet_layout_report"), mode="simple")
+    assert "MapInPandas" in plan
+    assert "Exchange RoundRobinPartitioning" in plan

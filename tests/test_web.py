@@ -1,0 +1,77 @@
+"""Web-pack semantics: HTML→text rule edge cases and URL
+canonicalization laws, run through the REAL Spark expressions (the
+oracle parity test covers the fixtures; these cover the corners the
+fixtures can't reach)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_psql_spark.operators.web import (
+    html_to_text,
+    url_canonicalize,
+)
+
+
+def _apply(spark, col_fn, values: list[str]) -> list[str]:
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return [r["out"] for r in df.select(col_fn(F.col("v")).alias("out")).collect()]
+
+
+HTML_CASES = [
+    # scripts legally contain '<' — must vanish wholesale, not leak
+    ('<script>if (a < b && c > d) { x("</div>"); }</script>hello', "hello"),
+    # style bodies are not text
+    ("<style>p { color: red; } a:hover { x: 1; }</style>text", "text"),
+    # comments with markup inside
+    ("before<!-- <p>not text</p> -->after", "before after"),
+    # attribute-bearing tags, uppercase tags
+    ('<A HREF="x" data-y="1">link</A>', "link"),
+    # entity decode, &amp; last (double-escape decodes ONE level)
+    ("fish &amp;amp; chips &lt;b&gt;", "fish &amp; chips <b>"),
+    ("a&nbsp;b &quot;q&quot; &#39;s&#39;", 'a b "q" \'s\''),
+    # whitespace collapse + trim
+    ("  <p>a</p>\n\n<p>b</p>  ", "a b"),
+    # no markup at all — identity modulo trim
+    ("plain text stays", "plain text stays"),
+]
+
+
+@pytest.mark.parametrize("html,expected", HTML_CASES)
+def test_html_to_text_edges(spark, html, expected):
+    assert _apply(spark, html_to_text, [html]) == [expected]
+
+
+URL_CASES = [
+    # case + default port + fragment
+    ("HTTPS://WWW.Example.COM:443/A/b#frag", "https://www.example.com/A/b"),
+    ("http://host.com:80/x", "http://host.com/x"),
+    # NON-default port survives
+    ("http://host.com:8080/x", "http://host.com:8080/x"),
+    # empty path → '/', root slash survives
+    ("https://host.com", "https://host.com/"),
+    ("https://host.com/", "https://host.com/"),
+    # trailing slash stripped on deeper paths
+    ("https://host.com/a/b/", "https://host.com/a/b"),
+    # utm filtered, rest sorted; all-utm query drops the '?'
+    ("https://h.com/p?utm_source=x&b=2&a=1", "https://h.com/p?a=1&b=2"),
+    ("https://h.com/p?utm_a=1&utm_b=2", "https://h.com/p"),
+    # path CASE is preserved (paths are case-sensitive; hosts are not)
+    ("https://H.com/CaseSensitive", "https://h.com/CaseSensitive"),
+]
+
+
+@pytest.mark.parametrize("url,expected", URL_CASES)
+def test_url_canonicalize_cases(spark, url, expected):
+    assert _apply(spark, url_canonicalize, [url]) == [expected]
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) — the law that makes incremental
+    frontier dedup sound (already-canonical URLs re-entering the
+    pipeline must not drift)."""
+    urls = [u for u, _ in URL_CASES]
+    once = _apply(spark, url_canonicalize, urls)
+    twice = _apply(spark, url_canonicalize, once)
+    assert twice == once
