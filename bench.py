@@ -474,16 +474,25 @@ def scale_probe(
     # each pass still pays full work.
     for kk, d in dirs.items():
         for _pass in range(2):
-            spark.catalog.clearCache()
-            for t in list(_dedup._INDEX_MEMO):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            _dedup._INDEX_MEMO.clear()
-            # The probe runs last in a ~30 min session; without an
-            # explicit collection the 4× passes measure old-gen GC
-            # debt from earlier workloads, not scaling (fresh-session
-            # re-measurement of the worst r6 ratio: 5.3 → 2.7).
-            spark._jvm.System.gc()
             for name in queries:
+                # Hygiene PER QUERY, not per pass: several probed
+                # operators persist() query-scoped intermediates
+                # (shingle index, oriented edge tables, baskets) with
+                # no caller-side lifecycle, so a per-pass clear lets
+                # query N's 4× cache inflate query N+1's measurement —
+                # the r6 basket-similarity ratio read 5.5 under a
+                # neighbor's leaked cache and 2.3 clean. Each query
+                # pays its own full work against a quiet heap.
+                spark.catalog.clearCache()
+                for t in list(_dedup._INDEX_MEMO):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                _dedup._INDEX_MEMO.clear()
+                # The probe runs last in a ~30 min session; without an
+                # explicit collection the 4× passes measure old-gen GC
+                # debt from earlier workloads, not scaling (fresh-
+                # session re-measurement of the worst r6 ratio:
+                # 5.3 → 2.7).
+                spark._jvm.System.gc()
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).collect()
                 dt = round(time.perf_counter() - t0, 3)

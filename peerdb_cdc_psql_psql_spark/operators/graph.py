@@ -251,8 +251,16 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # SHUFFLE_HASH on the per-node degree side: sort-merge here sorts
+    # the full edge set twice; degrees are SF-proportional (no
+    # broadcast — L82) but hash-building the one-row-per-node side
+    # partition-wise is safe at any SF.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du")).hint(
+        "shuffle_hash"
+    )
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv")).hint(
+        "shuffle_hash"
+    )
     ed = edges.join(du, "u").join(dv, "v")
     src_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -264,8 +272,11 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
     wedge_pairs = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    # hash-build the canonical edge set rather than sorting the wedge
+    # stream (the largest intermediate in the whole query, O(E^1.5))
     tri = wedge_pairs.join(
-        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+        edges.hint("shuffle_hash"),
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     nodes = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
