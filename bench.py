@@ -172,6 +172,7 @@ EXTRA = [
     "warc_crawl_pipeline",       # crawl files → records → text → gate
     "url_canonical_dedup",       # frontier URL canonicalization + dedup
     "parquet_layout_report",     # distributed footer-only storage audit
+    "simhash_md5_pairs",         # oracle-checked SimHash LSH candidates
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

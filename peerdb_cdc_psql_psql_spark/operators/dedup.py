@@ -1357,3 +1357,153 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked SimHash (md5-keyed twin of dedup_simhash)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MD5_BITS = 48       # 12 hex chars of md5 — exact in BIGINT both engines
+_SIMHASH_MD5_BANDS = 4       # 4 × 12-bit bands
+_SIMHASH_MD5_SEED = "sh42:"
+_SIMHASH_MD5_MAXHAM = 24
+
+
+def _simhash_md5_oracle() -> str:
+    """Generate the DuckDB twin: the identical 48 per-bit vote sums,
+    sign-aggregated signature, 12-bit banding, and bit_count(xor)
+    hamming — stated column-for-column from the same constants."""
+    h = (
+        f"CAST(concat('0x', substr(md5('{_SIMHASH_MD5_SEED}' || token), 1, 12)) "
+        f"AS BIGINT)"
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_MD5_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(_SIMHASH_MD5_BITS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * 12}) & 4095 AS band_val FROM sigs"
+        for i in range(_SIMHASH_MD5_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM votes),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MD5_MAXHAM}
+"""
+
+
+@register(
+    "simhash_md5_pairs",
+    oracle=_simhash_md5_oracle(),
+    tags=("X2", "dedup", "simhash"),
+)
+def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash near-dup candidates (X2): the md5-keyed
+    twin of `dedup_simhash` — token hashes are the first 48 bits of a
+    seeded md5, so DuckDB recomputes the ENTIRE construction (per-bit
+    ±1 vote sums, sign-aggregated 48-bit signature, 4 × 12-bit LSH
+    bands, band-collision join, bit_count(xor) hamming) from the same
+    constants and the candidate set must match pair-for-pair. The
+    production form (`dedup_simhash`) keeps xxhash64 — one JVM hash
+    per token vs md5's digest cost — and stays rows-only only because
+    xxhash64 has no DuckDB twin; THIS query proves the algorithm.
+
+    100 TB: identical posture to `dedup_simhash` — per-band equi
+    joins shuffle (band_val, doc_id, simhash) only; widen bands/bits
+    to hold the per-bucket expectation flat as the corpus grows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_SIMHASH_MD5_SEED), F.col("token"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_MD5_BITS)
+        ]
+    )
+    sigs = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(_SIMHASH_MD5_BITS)
+            ]
+        ).alias("simhash"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 12)
+                        .bitwiseAND(F.lit(4095))
+                        .alias("band_val"),
+                    )
+                    for i in range(_SIMHASH_MD5_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
