@@ -173,6 +173,7 @@ EXTRA = [
     "url_canonical_dedup",       # frontier URL canonicalization + dedup
     "parquet_layout_report",     # distributed footer-only storage audit
     "simhash_md5_pairs",         # oracle-checked SimHash LSH candidates
+    "minhash_md5_pairs",         # oracle-checked MinHash-LSH candidates
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -1507,3 +1507,154 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked MinHash-LSH (md5-keyed twin of dedup_minhash_lsh)
+# ---------------------------------------------------------------------------
+
+_MINHASH_MD5_K = 16          # signature components
+_MINHASH_MD5_BANDS = 4       # 4 bands × 4 rows
+_MINHASH_MD5_SEED = "mh"
+
+
+def _minhash_md5_oracle() -> str:
+    """Generate the DuckDB twin from the same constants: 16 seeded-md5
+    shingle hashes → per-doc minima → 4-row band keys → band-collision
+    join → component-match Jaccard estimate."""
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    mins = ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5('{_MINHASH_MD5_SEED}{i}:' || shingle), 1, 12)) AS BIGINT)) AS m{i}"
+        for i in range(_MINHASH_MD5_K)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {} AS band, concat({}) AS band_key FROM sigs".format(
+            j,
+            ", ':', ".join(
+                f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_MD5_K)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({matches} AS BIGINT) AS n_matching,
+       CAST(({matches}) * 10000 // {_MINHASH_MD5_K} AS BIGINT) AS est_jaccard_bp
+FROM pairs p
+JOIN sigs sa ON p.doc_a = sa.doc_id
+JOIN sigs sb ON p.doc_b = sb.doc_id
+"""
+
+
+@register(
+    "minhash_md5_pairs",
+    oracle=_minhash_md5_oracle(),
+    tags=("X2", "dedup", "minhash"),
+)
+def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash-LSH candidates (X2): the md5-keyed twin
+    of `dedup_minhash_lsh` — each of the 16 signature components is
+    the per-document MIN of a seeded 48-bit md5 over word-3-gram
+    shingles, banded 4×4, candidates on band-key equality, similarity
+    estimated as the matching-component fraction. DuckDB recomputes
+    the whole construction from the same constants, so the candidate
+    set AND every signature-derived estimate must match exactly. The
+    Spark-ML production form (`dedup_minhash_lsh`) stays rows-only —
+    its hash family isn't reproducible outside Spark; THIS query
+    proves the MinHash/banding algorithm itself.
+
+    100 TB: reads the shared bucketed shingle index (one text parse
+    per corpus, Exchange-free on the index side); the only shuffles
+    are the 16-way min agg keyed by doc and the band-key equi joins
+    carrying (band_key, doc_id) — never shingle text."""
+    sh = shingle_index(spark, sf_dir)
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    hashes = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_MINHASH_MD5_SEED}{i}:"), F.col("shingle")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for i in range(_MINHASH_MD5_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(hashes[i]).alias(f"m{i}") for i in range(_MINHASH_MD5_K)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(_MINHASH_MD5_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{j * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for j in range(_MINHASH_MD5_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(_MINHASH_MD5_K)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MINHASH_MD5_K)],
+        "band",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MINHASH_MD5_K)],
+        "band",
+        "band_key",
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("band", "band_key")
+        .distinct()
+    )
+    matching = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_MINHASH_MD5_K)
+        ]
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        matching.cast("bigint").alias("n_matching"),
+        F.expr(
+            f"CAST(({' + '.join(f'CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END' for i in range(_MINHASH_MD5_K))}) * 10000 div {_MINHASH_MD5_K} AS BIGINT)"
+        ).alias("est_jaccard_bp"),
+    )

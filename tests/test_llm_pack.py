@@ -615,3 +615,29 @@ def test_bpe_tokenize_stats_matches_reference(spark, sf_dir):
         for r in bpe_tokenize_stats(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_minhash_md5_recovers_exact_jaccard_pairs(spark):
+    """The oracle-checked md5-MinHash twin must match the ML variant's
+    recall standard: planted j≈0.99 pairs share all 16 minima with
+    near-certainty, so every band collides."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import minhash_md5_pairs
+
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    assert exact
+    approx = _pairs(minhash_md5_pairs(spark, SF))
+    missed = exact - approx
+    assert len(missed) / len(exact) <= 0.1, f"md5-minhash missed {missed}"
+
+
+def test_simhash_md5_recovers_planted_pairs(spark):
+    """The oracle-checked md5-SimHash twin must match the xxhash64
+    variant's recall standard on the planted near-dup pairs."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import simhash_md5_pairs
+
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    sim = _pairs(simhash_md5_pairs(spark, SF))
+    found = exact & sim
+    assert len(found) / len(exact) >= 0.8, (
+        f"md5-simhash recall {len(found)}/{len(exact)}"
+    )
