@@ -174,6 +174,7 @@ EXTRA = [
     "parquet_layout_report",     # distributed footer-only storage audit
     "simhash_md5_pairs",         # oracle-checked SimHash LSH candidates
     "minhash_md5_pairs",         # oracle-checked MinHash-LSH candidates
+    "cosine_lsh_md5_pairs",      # oracle-checked hyperplane cosine-LSH
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

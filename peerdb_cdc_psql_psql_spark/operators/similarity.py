@@ -941,3 +941,168 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", F.col("c_label").alias("assigned_label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked cosine-LSH (md5-seeded hyperplanes, integer-exact signs)
+# ---------------------------------------------------------------------------
+
+_CLSH_TABLES = 4
+_CLSH_PLANES = 4  # per table → 4-bit buckets, 4 independent tables
+_CLSH_DIM = 64
+_CLSH_MIN_COS = 0.2
+
+
+def _clsh_signs() -> list[list[int]]:
+    """Rademacher (±1) hyperplanes derived from md5 — one flat list
+    per (table, plane), shared verbatim by the Spark expressions and
+    the generated oracle SQL, so both engines project through the
+    IDENTICAL planes."""
+    import hashlib
+
+    out = []
+    for t in range(_CLSH_TABLES):
+        for p in range(_CLSH_PLANES):
+            row = [
+                1
+                if int(hashlib.md5(f"hp{t}:{p}:{d}".encode()).hexdigest()[:2], 16) & 1
+                else -1
+                for d in range(_CLSH_DIM)
+            ]
+            out.append(row)
+    return out
+
+
+_CLSH_SIGN_ROWS = _clsh_signs()
+
+
+def _cosine_lsh_md5_oracle() -> str:
+    q = (
+        "[CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) "
+        "FOR x IN CAST(embedding AS DOUBLE[])]"
+    )
+    dots = ", ".join(
+        f"CAST(list_dot_product(q, {_CLSH_SIGN_ROWS[t * _CLSH_PLANES + p]}) AS BIGINT)"
+        f" AS dot_{t}_{p}"
+        for t in range(_CLSH_TABLES)
+        for p in range(_CLSH_PLANES)
+    )
+    buckets = " UNION ALL ".join(
+        "SELECT vec_id, {} AS tbl, {} AS bucket FROM dots".format(
+            t,
+            " + ".join(
+                f"CASE WHEN dot_{t}_{p} > 0 THEN {1 << p} ELSE 0 END"
+                for p in range(_CLSH_PLANES)
+            ),
+        )
+        for t in range(_CLSH_TABLES)
+    )
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH qv AS (SELECT vec_id, embedding, {q} AS q FROM embeddings),
+dots AS (SELECT vec_id, {dots} FROM qv),
+buckets AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b, ROUND({cos}, 6) AS cosine
+FROM pairs p
+JOIN embeddings ea ON p.vec_a = ea.vec_id
+JOIN embeddings eb ON p.vec_b = eb.vec_id
+WHERE {cos} >= {_CLSH_MIN_COS}
+"""
+
+
+@register(
+    "cosine_lsh_md5_pairs",
+    oracle=_cosine_lsh_md5_oracle(),
+    tags=("X3", "similarity", "lsh"),
+)
+def cosine_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked cosine-LSH candidates (X3): the engine-portable
+    twin of `similarity_lsh_bucketed` — 4 hash tables of 4 Rademacher
+    (±1) hyperplanes derived from md5 constants shared verbatim with
+    the oracle, vectors quantized to integer micros with the portable
+    FLOOR(x·1e6 + 0.5) rounding so every projection SIGN is exact
+    integer arithmetic on both engines (a float-fold sign near zero
+    could differ; an integer dot cannot). Candidates collide in ≥1
+    table; survivors are scored with the exact sequential-fold cosine
+    and gated at {_CLSH_MIN_COS}. The Spark-ML form stays rows-only —
+    its hyperplanes come from a JVM RNG; THIS query proves the
+    random-hyperplane LSH construction itself.
+
+    100 TB: per-table equi joins on 4-bit buckets (widen planes/tables
+    to hold bucket occupancy flat); projections are a map over scan
+    partitions; vectors never shuffle for bucketing — only
+    (tbl, bucket, vec_id)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000000 + 0.5).cast("long"),
+    )
+    docs = emb.select("vec_id", "embedding", qv.alias("q"))
+    dot_cols = []
+    for t in range(_CLSH_TABLES):
+        for p in range(_CLSH_PLANES):
+            signs = F.array(
+                *[
+                    F.lit(s).cast("long")
+                    for s in _CLSH_SIGN_ROWS[t * _CLSH_PLANES + p]
+                ]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            )
+            dot_cols.append(dot.alias(f"dot_{t}_{p}"))
+    dots = docs.select("vec_id", *dot_cols)
+    buckets = dots.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sum(
+                            [
+                                F.when(
+                                    F.col(f"dot_{t}_{p}") > 0, F.lit(1 << p)
+                                ).otherwise(F.lit(0))
+                                for p in range(_CLSH_PLANES)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for t in range(_CLSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _CLSH_MIN_COS)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )

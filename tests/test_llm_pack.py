@@ -641,3 +641,32 @@ def test_simhash_md5_recovers_planted_pairs(spark):
     assert len(found) / len(exact) >= 0.8, (
         f"md5-simhash recall {len(found)}/{len(exact)}"
     )
+
+
+def test_cosine_lsh_md5_recall(spark):
+    """The oracle-checked md5-hyperplane LSH must meet the ML
+    variant's recall standard: the exact top-1 neighbor survives
+    bucketing in >=1 of the 4 tables for a comparable share of
+    queries."""
+    from peerdb_cdc_psql_psql_spark.operators.similarity import (
+        cosine_lsh_md5_pairs,
+        similarity_topk_cosine,
+    )
+
+    exact = similarity_topk_cosine(spark, SF).filter("cosine >= 0.2")
+    rows = exact.collect()
+    best = {}
+    for r in rows:
+        if r["vec_id"] is None:
+            continue
+        cur = best.get(r["query_id"])
+        if cur is None or r["cosine"] > cur[1]:
+            best[r["query_id"]] = (r["vec_id"], r["cosine"])
+    top1 = {(q, v) for q, (v, _) in best.items()}
+    cand = {
+        (r["vec_a"], r["vec_b"]) for r in cosine_lsh_md5_pairs(spark, SF).collect()
+    }
+    cand_sym = cand | {(b, a) for a, b in cand}
+    if top1:
+        hit = sum(1 for p in top1 if p in cand_sym)
+        assert hit / len(top1) >= 0.4, f"md5-lsh recall {hit}/{len(top1)}"
