@@ -3191,3 +3191,62 @@ def decode_tiff(payload: bytes) -> dict:
         "sum_g": sums[1],
         "sum_b": sums[2],
     }
+
+
+# ---------------------------------------------------------------------------
+# Format-agnostic dispatch: sniff → typed decoder → normalized summary
+# ---------------------------------------------------------------------------
+
+
+def decode_any(payload: bytes) -> dict:
+    """Sniff the container magic and decode with the matching REAL
+    codec, normalizing the heterogeneous per-format summaries to one
+    schema: (fmt, kind, ok, width, height, n_channels, n_frames,
+    n_samples, sample_rate). Container-only work for video (frame
+    DIRECTORY from the demux, no per-frame pixel decode — the bulk
+    stage for that is sample_video_frames). Unknown or corrupt
+    payloads return ok=False rather than raising: at corpus scale a
+    foreign blob must degrade to a row, not kill the task."""
+    fmt = sniff_format(payload)
+    base = {
+        "fmt": fmt, "kind": "unknown", "ok": False, "width": 0,
+        "height": 0, "n_channels": 0, "n_frames": 0, "n_samples": 0,
+        "sample_rate": 0,
+    }
+    try:
+        if fmt == "wav":
+            d = decode_wav(payload)
+            base.update(
+                kind="audio", ok=True, n_channels=d["n_channels"],
+                n_samples=d["n_samples"], sample_rate=d["sample_rate"],
+            )
+        elif fmt == "flac":
+            d = decode_flac(payload)
+            base.update(
+                kind="audio", ok=True, n_channels=1,
+                n_samples=d["n_samples"], sample_rate=d["sample_rate"],
+            )
+        elif fmt in ("bmp", "png", "gif", "jpeg", "tiff"):
+            d = {
+                "bmp": decode_bmp, "png": decode_png, "gif": decode_gif,
+                "jpeg": decode_jpeg, "tiff": decode_tiff,
+            }[fmt](payload)
+            base.update(
+                kind="image", ok=True, width=d["width"], height=d["height"],
+                n_channels=int(d.get("n_channels", 3)), n_frames=1,
+            )
+        elif fmt == "avi":
+            d = decode_avi(payload)
+            base.update(
+                kind="video", ok=True, width=d["width"], height=d["height"],
+                n_channels=3, n_frames=d["n_frames"],
+            )
+        elif fmt == "mp4":
+            d = decode_mp4(payload)
+            base.update(
+                kind="video", ok=True, width=d["width"], height=d["height"],
+                n_channels=3, n_frames=d["n_frames"],
+            )
+    except (ValueError, NotImplementedError, struct.error):
+        base["ok"] = False
+    return base

@@ -86,27 +86,64 @@ def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODE_ANY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+    ]
+)
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract stage over mapInPandas (Arrow batches).
 
     ``fake=True`` runs the deterministic stand-in decoder (byte stats
     per payload — numpy-vectorized inside the batch). ``fake=False``
-    is the real-codec path, STUBBED: raises NotImplementedError (no
-    image/audio libraries in this container)."""
+    is the REAL format-agnostic path (the r5 sanction closed in r6):
+    `codecs.decode_any` sniffs the container magic and dispatches to
+    the matching real decoder (WAV/G.711/ADPCM/FLAC audio;
+    BMP/PNG/GIF/JPEG/TIFF images; AVI/MP4 container demux), emitting
+    one normalized metadata row per blob; unknown/corrupt payloads
+    degrade to ok=false rows, never a task failure. Note the schemas
+    differ: byte stats for the stand-in, typed media metadata for the
+    real path."""
+
+    if not fake:
+        from ..functions.codecs import decode_any
+
+        def real_batches(it: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    d = decode_any(bytes(payload))
+                    rows.append(
+                        (
+                            int(mid), d["fmt"], d["kind"], bool(d["ok"]),
+                            d["width"], d["height"], d["n_channels"],
+                            d["n_frames"], d["n_samples"], d["sample_rate"],
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in _DECODE_ANY_SCHEMA.fields],
+                )
+
+        return df.mapInPandas(real_batches, schema=_DECODE_ANY_SCHEMA)
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "format-agnostic real decoding needs PIL/librosa/av; "
-                    "WAV/G.711/ADPCM/FLAC, BMP/PNG/GIF/JPEG, and "
-                    "AVI/MJPG/MP4 payloads have real typed decoders — "
-                    "use decode_audio / decode_image / decode_pngs / "
-                    "decode_jpegs / sample_video_frames, or the "
-                    "decode_* codec functions directly"
-                )
             payloads = pdf["payload"]
             sums = payloads.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
             lens = payloads.map(len)

@@ -176,13 +176,49 @@ def test_decode_media_streams(spark, tmp_path):
     assert got == exp and len(got) == 30
 
 
-def test_decode_media_real_path_is_stubbed(spark):
+def test_decode_media_real_path_degrades_on_foreign_blobs(spark):
+    """r6: fake=False is REAL (sniff → typed codec dispatch). The
+    manifest's stand-in payloads are text bytes, not media — they must
+    degrade to ok=false rows, never a task failure."""
     m = media_manifest(spark, SF).filter(F.col("media_id") < 5)
-    with pytest.raises(Exception) as ei:
-        decode_media(m, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    rows = decode_media(m, fake=False).collect()
+    assert len(rows) == 5
+    assert all(not r["ok"] and r["fmt"] == "unknown" for r in rows)
+
+
+def test_decode_media_real_path_decodes_every_format(spark):
+    """fake=False dispatches each container magic to its real codec
+    and normalizes the metadata row."""
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions import codecs as C
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    pal = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    payloads = {
+        "wav": C.encode_wav_pcm16(np.zeros(160, "<i2"), 16000),
+        "flac": C.encode_flac(np.arange(100, dtype=np.int64), 8000),
+        "bmp": C.encode_bmp24(px),
+        "png": C.encode_png(px),
+        "tiff": C.encode_tiff(px, compression="lzw"),
+        "gif": C.encode_gif(np.zeros((2, 4), np.uint8), pal),
+    }
+    df = spark.createDataFrame(
+        [(i, fmt, v) for i, (fmt, v) in enumerate(payloads.items())],
+        "media_id long, want_fmt string, payload binary",
     )
+    got = {
+        r["fmt"]: r for r in decode_media(df, fake=False).collect()
+    }
+    assert set(got) == set(payloads)
+    for fmt, r in got.items():
+        assert r["ok"], fmt
+    assert got["wav"]["kind"] == "audio" and got["wav"]["n_samples"] == 160
+    assert got["flac"]["sample_rate"] == 8000
+    for fmt in ("bmp", "png", "tiff"):
+        assert (got[fmt]["width"], got[fmt]["height"]) == (4, 2), fmt
+        assert got[fmt]["kind"] == "image"
+    assert got["gif"]["n_frames"] == 1
 
 
 def test_session_window_native_matches_manual(spark):
