@@ -3247,6 +3247,15 @@ def decode_any(payload: bytes) -> dict:
                 kind="video", ok=True, width=d["width"], height=d["height"],
                 n_channels=3, n_frames=d["n_frames"],
             )
-    except (ValueError, NotImplementedError, struct.error):
+    except Exception:  # noqa: BLE001
+        # The contract is "degrade, never kill the task": a foreign or
+        # truncated container can surface ANY parse-failure type from
+        # the typed decoders (struct.error, ValueError, IndexError on
+        # short bit-streams, KeyError on unknown table ids, zlib.error
+        # in PNG/TIFF inflate, EOFError) — at corpus scale every one
+        # must become an ok=false row, not a task retry storm. The
+        # typed decode_* functions keep raising (callers asked for
+        # that exact format); only this sniff-dispatch entry point
+        # absorbs. Fuzz-pinned in test_codecs.py.
         base["ok"] = False
     return base

@@ -56,7 +56,12 @@ def split_gzip_members(data: bytes) -> list[bytes]:
         if rest[:2] != _GZIP_MAGIC:
             raise ValueError("not a gzip member boundary")
         do = zlib.decompressobj(31)
-        out.append(do.decompress(rest))
+        try:
+            out.append(do.decompress(rest))
+        except zlib.error as e:
+            # normalize: parse_warc's one documented failure type is
+            # ValueError, so per-file degrade guards stay single-type
+            raise ValueError(f"corrupt gzip member: {e}") from e
         if not do.eof:
             raise ValueError("truncated gzip member")
         rest = do.unused_data

@@ -379,7 +379,13 @@ def parse_crawl_files(files: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for crawl_id, payload in zip(pdf["crawl_id"], pdf["payload"]):
-                for rec in parse_warc(bytes(payload)):
+                try:
+                    recs = list(parse_warc(bytes(payload)))
+                except ValueError:
+                    # corrupt/foreign crawl file → zero records (same
+                    # degrade-not-die contract as the streaming twin)
+                    continue
+                for rec in recs:
                     if rec["warc_type"] != "response":
                         continue
                     rows.append(
@@ -388,7 +394,9 @@ def parse_crawl_files(files: DataFrame) -> DataFrame:
                             rec["target_uri"],
                             rec.get("status"),
                             rec["content_length"],
-                            rec["body"].decode("utf-8"),
+                            # "replace" matches the streaming twin —
+                            # a foreign body must not kill the task
+                            rec["body"].decode("utf-8", "replace"),
                         )
                     )
             yield pd.DataFrame(

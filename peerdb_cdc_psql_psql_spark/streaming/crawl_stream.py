@@ -55,7 +55,15 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc(bytes(content)):
+                try:
+                    recs = list(parse_warc(bytes(content)))
+                except ValueError:
+                    # Corrupt/foreign file in the drop dir → zero
+                    # records, NOT a task failure: the file source
+                    # would otherwise re-read the same file on every
+                    # restart and wedge the stream permanently.
+                    continue
+                for rec in recs:
                     if rec["warc_type"] != "response":
                         continue
                     rows.append(

@@ -1375,3 +1375,60 @@ def test_tiff_rejects_unsupported():
             _s.pack_into("<H", bad, off + 8, 7)
     with pytest.raises(NotImplementedError):
         decode_tiff_meta(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# decode_any: the sniff-dispatch entry point NEVER raises (corpus
+# contract — a foreign/corrupt blob degrades to an ok=false row; the
+# broad catch exists because truncated bit-streams surface
+# IndexError/KeyError/zlib.error from deep inside the typed decoders,
+# caught live by this fuzz: FLAC and GIF leaked IndexError)
+# ---------------------------------------------------------------------------
+
+from peerdb_cdc_psql_psql_spark.functions.codecs import decode_any  # noqa: E402
+
+
+def test_decode_any_never_raises_on_corrupt_payloads():
+    import random
+
+    magics = {
+        "wav": b"RIFF\x24\x00\x00\x00WAVE",
+        "flac": b"fLaC",
+        "bmp": b"BM",
+        "png": b"\x89PNG\r\n\x1a\n",
+        "gif": b"GIF89a",
+        "jpeg": b"\xff\xd8\xff\xe0",
+        "tiff": b"II*\x00",
+        "avi": b"RIFF\x24\x00\x00\x00AVI ",
+        "mp4": b"\x00\x00\x00\x18ftypisom",
+    }
+    rng = random.Random(0xC0DEC)
+    for fmt, magic in magics.items():
+        for _ in range(200):
+            payload = magic + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 300))
+            )
+            d = decode_any(payload)  # must not raise
+            assert d["fmt"] == fmt and isinstance(d["ok"], bool)
+    # junk with no recognizable magic → fmt=unknown, ok=false
+    d = decode_any(b"\x00\x01\x02 not media")
+    assert d["fmt"] == "unknown" and d["ok"] is False
+
+
+def test_decode_any_never_raises_on_truncated_real_media():
+    """Every prefix of a well-formed container must degrade, not
+    raise — truncation mid-stream is the common corruption at scale."""
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    pal = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    wholes = [
+        encode_wav_pcm16(np.zeros(16, "<i2"), 8000),
+        encode_flac(np.arange(64, dtype=np.int64), 8000),
+        encode_bmp24(px),
+        encode_png(px),
+        encode_tiff(px, compression="lzw"),
+        encode_gif(np.zeros((2, 4), np.uint8), pal),
+    ]
+    for whole in wholes:
+        for cut in range(len(whole)):
+            d = decode_any(whole[:cut])  # must not raise
+            assert isinstance(d["ok"], bool)

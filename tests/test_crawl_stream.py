@@ -108,3 +108,24 @@ def test_crawl_stream_incremental_and_chained_dedup(spark, tmp_path):
     # stateless; DEDUP is the stage that owns admission)
     n_extracted = spark.read.parquet(out).count()
     assert n_extracted == 32 + 32
+
+
+def test_crawl_stream_survives_corrupt_drop_file(spark, tmp_path):
+    """A corrupt/foreign .warc.gz in the drop dir degrades to zero
+    records — the stream finishes and emits the VALID files' docs.
+    Without the per-file guard the file source would re-read the same
+    corrupt file on every restart and wedge the stream permanently."""
+    sf = str(tmp_path / "sf")
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _mini_docs(spark, range(12))
+    _write_fixture(spark, docs, sf, drop, "c1")
+    with open(f"{drop}/crawl-corrupt-999999.warc.gz", "wb") as f:
+        f.write(b"\x1f\x8b not actually gzip \x00\x01\x02")
+
+    q = start_crawl_ingest(spark, drop, out, ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(range(12))

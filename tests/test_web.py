@@ -75,3 +75,25 @@ def test_url_canonicalize_idempotent(spark):
     once = _apply(spark, url_canonicalize, urls)
     twice = _apply(spark, url_canonicalize, once)
     assert twice == once
+
+
+def test_parse_crawl_files_skips_corrupt_payloads(spark):
+    """Batch twin of the stream's degrade-not-die contract: a corrupt
+    crawl payload contributes zero records; valid files still parse."""
+    from peerdb_cdc_psql_psql_spark.operators.web import (
+        parse_crawl_files,
+        synthesize_crawl_files,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"hello world doc{i} " * 4, "en", "src0", 0) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    good = synthesize_crawl_files(docs)
+    bad = spark.createDataFrame(
+        [(999, bytearray(b"\x1f\x8b junk, not a warc"))],
+        "crawl_id long, payload binary",
+    )
+    recs = parse_crawl_files(good.unionByName(bad)).collect()
+    assert all(r["crawl_id"] != 999 for r in recs)
+    assert len(recs) == 3
