@@ -449,6 +449,15 @@ SCALE_PROBE_QUERIES = [
     # disjoint-key lineitem/orders.
     "part_triangle_stats",
     "customer_similarity_topk",
+    # r6 oracle-checked LSH twins — full-corpus document ops whose
+    # 100 TB story is band-bucketed (never all-pairs) joins. The fixed
+    # 4×12-bit SimHash banding is supra-k BY CONSTRUCTION (bucket
+    # occupancy grows with the corpus); simhash_adaptive_bands makes
+    # the widen-with-corpus lever part of the plan — the two run side
+    # by side so the ratio difference is driver-recorded.
+    "simhash_md5_pairs",
+    "simhash_adaptive_bands",
+    "minhash_md5_pairs",
 ]
 
 

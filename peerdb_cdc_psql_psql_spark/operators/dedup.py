@@ -1369,10 +1369,10 @@ _SIMHASH_MD5_SEED = "sh42:"
 _SIMHASH_MD5_MAXHAM = 24
 
 
-def _simhash_md5_oracle() -> str:
-    """Generate the DuckDB twin: the identical 48 per-bit vote sums,
-    sign-aggregated signature, 12-bit banding, and bit_count(xor)
-    hamming — stated column-for-column from the same constants."""
+def _simhash_md5_sig_ctes() -> str:
+    """The shared toks → votes → sigs CTE chain of the SimHash SQL
+    twins: identical 48 per-bit vote sums and the sign-aggregated
+    signature, stated column-for-column from the same constants."""
     h = (
         f"CAST(concat('0x', substr(md5('{_SIMHASH_MD5_SEED}' || token), 1, 12)) "
         f"AS BIGINT)"
@@ -1385,20 +1385,26 @@ def _simhash_md5_oracle() -> str:
         f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         for b in range(_SIMHASH_MD5_BITS)
     )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band, "
-        f"(simhash >> {i * 12}) & 4095 AS band_val FROM sigs"
-        for i in range(_SIMHASH_MD5_BANDS)
-    )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {h} AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents)
   WHERE token <> ''
 ),
 votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
-sigs AS (SELECT doc_id, {sig} AS simhash FROM votes),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)"""
+
+
+def _simhash_md5_oracle() -> str:
+    """Generate the DuckDB twin: the shared signature CTEs plus 12-bit
+    banding and bit_count(xor) hamming."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * 12}) & 4095 AS band_val FROM sigs"
+        for i in range(_SIMHASH_MD5_BANDS)
+    )
+    return f"""
+WITH {_simhash_md5_sig_ctes()},
 bands AS ({band_rows}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1413,26 +1419,10 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MD5_MAXHAM}
 """
 
 
-@register(
-    "simhash_md5_pairs",
-    oracle=_simhash_md5_oracle(),
-    tags=("X2", "dedup", "simhash"),
-)
-def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked SimHash near-dup candidates (X2): the md5-keyed
-    twin of `dedup_simhash` — token hashes are the first 48 bits of a
-    seeded md5, so DuckDB recomputes the ENTIRE construction (per-bit
-    ±1 vote sums, sign-aggregated 48-bit signature, 4 × 12-bit LSH
-    bands, band-collision join, bit_count(xor) hamming) from the same
-    constants and the candidate set must match pair-for-pair. The
-    production form (`dedup_simhash`) keeps xxhash64 — one JVM hash
-    per token vs md5's digest cost — and stays rows-only only because
-    xxhash64 has no DuckDB twin; THIS query proves the algorithm.
-
-    100 TB: identical posture to `dedup_simhash` — per-band equi
-    joins shuffle (band_val, doc_id, simhash) only; widen bands/bits
-    to hold the per-bucket expectation flat as the corpus grows."""
-    docs = load(spark, sf_dir, "documents")
+def _simhash_md5_sigs(docs: DataFrame) -> DataFrame:
+    """Shared Spark half of the SimHash signature: whitespace tokens →
+    seeded-md5 48-bit hashes → per-bit ±1 vote sums → sign-aggregated
+    BIGINT signature (one groupBy shuffle carrying doc_id + 48 ints)."""
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -1461,7 +1451,7 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIMHASH_MD5_BITS)
         ]
     )
-    sigs = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
@@ -1472,6 +1462,31 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     )
+
+
+@register(
+    "simhash_md5_pairs",
+    oracle=_simhash_md5_oracle(),
+    tags=("X2", "dedup", "simhash"),
+)
+def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash near-dup candidates (X2): the md5-keyed
+    twin of `dedup_simhash` — token hashes are the first 48 bits of a
+    seeded md5, so DuckDB recomputes the ENTIRE construction (per-bit
+    ±1 vote sums, sign-aggregated 48-bit signature, 4 × 12-bit LSH
+    bands, band-collision join, bit_count(xor) hamming) from the same
+    constants and the candidate set must match pair-for-pair. The
+    production form (`dedup_simhash`) keeps xxhash64 — one JVM hash
+    per token vs md5's digest cost — and stays rows-only only because
+    xxhash64 has no DuckDB twin; THIS query proves the algorithm.
+
+    100 TB: identical posture to `dedup_simhash` — per-band equi
+    joins shuffle (band_val, doc_id, simhash) only; widen bands/bits
+    to hold the per-bucket expectation flat as the corpus grows
+    (`simhash_adaptive_bands` below makes that lever part of the
+    plan itself)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = _simhash_md5_sigs(docs)
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -1506,6 +1521,141 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
+
+
+# Adaptive banding: the corpus-size ladder, stated once and shared
+# verbatim by the Spark expression and the SQL twin. Band width w
+# doubles the per-band bucket count every corpus doubling past 10k
+# docs, holding E[docs per bucket] — and so candidate volume — flat;
+# band count b = 48 div w (trailing signature bits beyond b·w go
+# unbanded; they still count in the hamming check).
+_SIMHASH_ADAPT_LADDER = (
+    (80_000, 16),
+    (40_000, 15),
+    (20_000, 14),
+    (10_000, 13),
+)
+_SIMHASH_ADAPT_MAX_BANDS = _SIMHASH_MD5_BITS // min(
+    w for _, w in _SIMHASH_ADAPT_LADDER + ((0, 12),)
+)
+
+
+def _simhash_adaptive_oracle() -> str:
+    ladder = " ".join(
+        f"WHEN n >= {t} THEN {w}" for t, w in _SIMHASH_ADAPT_LADDER
+    )
+    band_values = ", ".join(
+        f"({i})" for i in range(_SIMHASH_ADAPT_MAX_BANDS)
+    )
+    return f"""
+WITH {_simhash_md5_sig_ctes()},
+params AS (
+  SELECT n, CASE {ladder} ELSE 12 END AS w
+  FROM (SELECT COUNT(*) AS n FROM documents)
+),
+p2 AS (SELECT n, w, {_SIMHASH_MD5_BITS} // w AS b FROM params),
+bands AS (
+  SELECT s.doc_id, s.simhash, t.band, p.w AS band_width,
+         (s.simhash >> (t.band * p.w)) & CAST((1 << p.w) - 1 AS BIGINT)
+           AS band_val
+  FROM sigs s, p2 p, (VALUES {band_values}) AS t(band)
+  WHERE t.band < p.b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b, a.band_width
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming,
+       CAST(band_width AS BIGINT) AS band_width
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MD5_MAXHAM}
+"""
+
+
+@register(
+    "simhash_adaptive_bands",
+    oracle=_simhash_adaptive_oracle(),
+    tags=("X2", "dedup", "simhash", "scale"),
+)
+def simhash_adaptive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with CORPUS-ADAPTIVE banding (X2):
+    the fixed-width twin (`simhash_md5_pairs`) showed the one supra-k
+    scale-probe ratio — 4×12-bit bands mean bucket occupancy, and so
+    candidate volume, grows with the corpus. This query makes the
+    documented "widen bands with the corpus" lever PART OF THE PLAN:
+    band width w follows an exact integer ladder on the corpus row
+    count (12 bits below 10k docs, +1 bit per doubling, capped at 16),
+    band count b = 48 div w. The ladder is evaluated inside the query
+    (1-row count aggregate broadcast onto the signature stream — no
+    driver round-trip), and the SAME ladder runs in the DuckDB twin,
+    so the adaptive construction itself is oracle-checked: at sf0.01
+    (500 docs) it degenerates to exactly `simhash_md5_pairs` plus a
+    constant band_width=12 column — pinned by a pytest equivalence —
+    while the scale probe's 4× corpus (20k docs) self-widens to
+    3×14-bit bands.
+
+    100 TB: E[docs per bucket] stays constant as the corpus doubles,
+    so per-band join fan-out stays flat where the fixed-width form
+    quadruples; the probe records the ratio difference side by side.
+    Beyond the 16-bit cap a production deployment widens the
+    signature itself (64/128-bit) — the ladder keeps the oracle twin
+    in exact-BIGINT territory."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = _simhash_md5_sigs(docs)
+    w = F.lit(12)
+    for threshold, width in reversed(_SIMHASH_ADAPT_LADDER):
+        w = F.when(F.col("n") >= threshold, width).otherwise(w)
+    params = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("n", w.cast("int").alias("w"))
+        .withColumn("b", F.expr(f"{_SIMHASH_MD5_BITS} div w"))
+    )
+    bands = (
+        sigs.crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("w").alias("band_width"),
+            "b",
+            F.explode(
+                F.array(
+                    *[F.lit(i) for i in range(_SIMHASH_ADAPT_MAX_BANDS)]
+                )
+            ).alias("band"),
+        )
+        .filter(F.col("band") < F.col("b"))
+        .withColumn(
+            "band_val",
+            F.expr(
+                "shiftright(simhash, band * band_width) & "
+                "CAST(shiftleft(1, band_width) - 1 AS BIGINT)"
+            ),
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_val", "band_width",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "band_width")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        ham.cast("bigint").alias("hamming"),
+        F.col("band_width").cast("bigint").alias("band_width"),
     ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
 
 

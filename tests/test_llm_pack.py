@@ -706,3 +706,50 @@ def test_cosine_lsh_md5_recall(spark):
     if top1:
         hit = sum(1 for p in top1 if p in cand_sym)
         assert hit / len(top1) >= 0.4, f"md5-lsh recall {hit}/{len(top1)}"
+
+
+def test_simhash_adaptive_degenerates_to_fixed_below_ladder(spark):
+    """Below 10k docs the adaptive ladder pins band_width=12, so the
+    query must equal `simhash_md5_pairs` exactly (plus the constant
+    band_width column) — the property the oracle twin relies on at
+    the sf0.01 gate."""
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        simhash_adaptive_bands,
+        simhash_md5_pairs,
+    )
+
+    fixed = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_md5_pairs(spark, SF).collect()
+    }
+    rows = simhash_adaptive_bands(spark, SF).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows} == fixed
+    assert {r["band_width"] for r in rows} == {12}
+
+
+def test_simhash_adaptive_ladder_engages_past_10k_docs(spark, tmp_path):
+    """At 12k docs the in-plan ladder must widen bands to 13 bits
+    (b = 48 div 13 = 3 bands) without any driver-side parameter —
+    the corpus-size count is a broadcast 1-row aggregate."""
+    import pyspark.sql.functions as F
+    from peerdb_cdc_psql_psql_spark.operators.dedup import (
+        simhash_adaptive_bands,
+    )
+
+    sf = str(tmp_path / "sf")
+    docs = (
+        spark.range(12_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok"), (F.col("id") % 37).cast("string"),
+                     F.lit(" w"), (F.col("id") % 11).cast("string")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.lit(10).cast("long").alias("n_chars"),
+        )
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = simhash_adaptive_bands(spark, sf).limit(50).collect()
+    got = simhash_adaptive_bands(spark, sf).select("band_width").distinct().collect()
+    assert [r["band_width"] for r in got] == [13]
+    assert all(r["hamming"] <= 24 for r in rows)
