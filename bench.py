@@ -695,9 +695,14 @@ def main() -> None:
             (v["ratio"] for v in probe.values()), default=None
         ),
         "insert_stress_ops_per_sec": stress["ops_per_sec"],
+        # median per-batch rate: host-noise-robust twin (a transient
+        # scheduler steal poisons wall-clock ops/s but not the median
+        # batch; divergence between the two flags noise, not engine)
+        "insert_stress_median_ops_per_sec": stress["median_ops_per_sec"],
         "insert_stress_success_rate_pct": stress["success_rate_pct"],
         "insert_stress_avg_batch_ms": stress["avg_batch_ms"],
         "insert_stress_end_ops_per_sec": stress_end["ops_per_sec"],
+        "insert_stress_end_median_ops_per_sec": stress_end["median_ops_per_sec"],
         "cpus": CPUS,
     }
     line = json.dumps(out)

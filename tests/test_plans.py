@@ -712,3 +712,22 @@ def test_parquet_layout_footer_reads_are_distributed(spark):
     plan = plan_string(_df(spark, "parquet_layout_report"), mode="simple")
     assert "MapInPandas" in plan
     assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_simhash_adaptive_banding_stays_equi_join(spark):
+    """X2 scale lever: the adaptive-band candidate join must remain a
+    keyed equi join on (band, band_val) — the ONLY nested-loop node
+    allowed is the broadcast of the 1-row (n, w, b) params onto the
+    signature stream. A regression that turns the pair join itself
+    into a nested loop would melt exactly at the scale the adaptive
+    ladder exists for."""
+    plan = plan_string(_df(spark, "simhash_adaptive_bands"), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the sanctioned nested-loop nodes are the 1-row params broadcast,
+    # which appears once per side of the pair self-join (the bands
+    # subtree is not reused across sides); a third would mean the
+    # pair join itself degenerated
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the pair join itself is keyed on (band, band_val): hash join at
+    # test scale (broadcast), shuffled-hash/sort-merge at corpus scale
+    assert "HashJoin [band#" in plan or "SortMergeJoin [band#" in plan

@@ -333,6 +333,13 @@ def test_insert_stress_driver(spark, tmp_path):
     assert m["batches"] == 10
     assert m["ops_per_sec"] > 1.04  # beat the reference's sample run
     assert m["min_batch_ms"] <= m["avg_batch_ms"] <= m["max_batch_ms"]
+    # the noise-robust twin brackets inside the per-batch extremes
+    assert m["median_ops_per_sec"] > 1.04
+    assert (
+        50 / m["max_batch_ms"] * 1000
+        <= m["median_ops_per_sec"]
+        <= 50 / m["min_batch_ms"] * 1000
+    )
     # and the log actually contains the events
     n = spark.read.parquet(str(tmp_path / "wal")).count()
     assert n == 500
