@@ -1512,16 +1512,17 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
         "band", "band_val",
     )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming gate BEFORE the distinct: the filter commutes with
+    # dedup, and applying it map-side after the band join keeps
+    # gate-failing candidates out of the distinct's shuffle entirely
     pairs = (
         a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= _SIMHASH_MD5_MAXHAM))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.select(
-        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
-    ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
+    return pairs.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
 
 
 # Adaptive banding: the corpus-size ladder, stated once and shared
@@ -1644,19 +1645,21 @@ def simhash_adaptive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
         "band", "band_val",
     )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # same pre-distinct hamming gate as the fixed-width twin: the
+    # filter commutes with dedup and thins the distinct's shuffle
     pairs = (
         a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= _SIMHASH_MD5_MAXHAM))
         .select("doc_a", "doc_b", "sim_a", "sim_b", "band_width")
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select(
         "doc_a",
         "doc_b",
         ham.cast("bigint").alias("hamming"),
         F.col("band_width").cast("bigint").alias("band_width"),
-    ).filter(F.col("hamming") <= _SIMHASH_MD5_MAXHAM)
+    )
 
 
 # ---------------------------------------------------------------------------
