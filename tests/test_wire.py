@@ -561,3 +561,216 @@ def test_psql_insert_string_with_parens(server):
     )
     assert r.returncode == 0, r.stderr
     assert "INSERT 0 2" in r.stdout
+
+
+# -- dollar-quoting + parameter scanners (VERDICT r6 #8 / ADVICE r7) --
+
+from peerdb_cdc_psql_psql_spark.wire import (  # noqa: E402
+    WireServer as _WS,
+    _count_params,
+    _err_line,
+    _substitute_params,
+)
+
+_split = _WS._split_statements
+
+
+def test_split_semicolon_inside_dollar_quotes_opaque():
+    """';' inside $$…$$ and $tag$…$tag$ bodies must not cut the
+    statement (VERDICT r6 #8)."""
+    assert _split("SELECT $$a;b$$ AS s") == ["SELECT $$a;b$$ AS s"]
+    assert _split("SELECT $fn$x; y; z$fn$ AS s; SELECT 2") == [
+        "SELECT $fn$x; y; z$fn$ AS s",
+        "SELECT 2",
+    ]
+
+
+def test_split_nested_tag_and_unterminated_dollar_quote():
+    # a $$-body containing a different $tag$ opener is plain text
+    assert _split("SELECT $$ has $inner$ marker; $$ AS s") == [
+        "SELECT $$ has $inner$ marker; $$ AS s"
+    ]
+    # unterminated quote consumes the rest — one statement, no split
+    assert _split("SELECT $$never closed; SELECT 2") == [
+        "SELECT $$never closed; SELECT 2"
+    ]
+
+
+def test_split_dollar_in_identifier_not_a_quote():
+    """ADVICE r7: a$$b / col$x$y are Postgres-legal identifiers; the
+    embedded $ must not open a dollar quote (which would swallow the
+    ';' and merge the statements)."""
+    assert _split("SELECT a$$b FROM t; SELECT 2") == [
+        "SELECT a$$b FROM t",
+        "SELECT 2",
+    ]
+    assert _split("SELECT col$x$y FROM t; SELECT 2") == [
+        "SELECT col$x$y FROM t",
+        "SELECT 2",
+    ]
+
+
+def test_substitute_params_dollar_quote_opaque():
+    # $1 inside a dollar-quoted body is literal text
+    assert _substitute_params("SELECT $$keep $1$$ AS s", ["X"]) == (
+        "SELECT $$keep $1$$ AS s"
+    )
+    assert _substitute_params("SELECT $t$ $2 $t$, $1 AS p", ["v"]) == (
+        "SELECT $t$ $2 $t$, 'v' AS p"
+    )
+    # unterminated body: everything after the opener is opaque
+    assert _substitute_params("SELECT $$ $1 never closed", []) == (
+        "SELECT $$ $1 never closed"
+    )
+
+
+def test_substitute_params_identifier_adjacent_dollar():
+    # a$1 is one identifier in Postgres — no substitution applies
+    assert _substitute_params("SELECT a$1 FROM t WHERE x = $1", ["9"]) == (
+        "SELECT a$1 FROM t WHERE x = '9'"
+    )
+
+
+def test_count_params_cases():
+    assert _count_params("SELECT 1") == 0
+    assert _count_params("SELECT $1, $2 WHERE a = $1") == 2
+    assert _count_params("SELECT $3") == 3          # highest index wins
+    assert _count_params("SELECT '$1'") == 0        # quoted = literal
+    assert _count_params("SELECT $$ $7 $$, $2") == 2  # dollar-quoted opaque
+    assert _count_params("SELECT a$5 FROM t") == 0  # identifier-adjacent
+    assert _count_params("SELECT $$open $9") == 0   # unterminated body
+
+
+def test_err_line_empty_exception_message():
+    """ADVICE r6 low: a bare ValueError() must yield a usable error
+    line, not IndexError."""
+    assert _err_line(ValueError()) == "ValueError"
+    assert _err_line(ValueError("boom\ndetail")) == "boom"
+    assert len(_err_line(ValueError("x" * 2000))) == 500
+
+
+def test_wire_error_response_on_empty_exception(server, monkeypatch):
+    """e2e: an engine exception with an EMPTY message still produces a
+    clean ErrorResponse (not a dead connection thread)."""
+    monkeypatch.setattr(
+        WireServer,
+        "_sql_with_mirror_targets",
+        lambda self, stmt: (_ for _ in ()).throw(ValueError()),
+    )
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(_frame(b"Q", b"SELECT 1\x00"))
+        msgs = _drain_until_ready(c)
+        errs = [p for k, p in msgs if k == b"E"]
+        assert len(errs) == 1 and b"ValueError" in errs[0]
+        # connection thread survived: ReadyForQuery arrived
+        assert msgs[-1][0] == b"Z"
+    finally:
+        c.close()
+
+
+def test_dollar_quoted_body_one_statement_one_error(server):
+    """VERDICT r6 #8 gate: a $$…;…$1…$$ statement arrives at Spark
+    unsplit and unsubstituted — Spark rejects the (non-Spark) dollar
+    syntax with exactly ONE error, and the session stays alive."""
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(_frame(b"Q", b"SELECT $$a; b $1 c$$ AS s\x00"))
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert kinds.count(b"E") == 1     # ONE statement, ONE error
+        assert b"C" not in kinds          # nothing completed
+        c.sendall(_frame(b"Q", b"SELECT 7 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"7"
+    finally:
+        c.close()
+
+
+def test_describe_statement_reports_param_count(server):
+    """ADVICE r6 medium: Describe('S') of a 2-parameter statement must
+    send ParameterDescription with 2 text OIDs (hardcoding 0 makes
+    psycopg3/pgjdbc reject their own binds), then the row shape from
+    the all-NULL binding."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1 OR n_name = $2"
+        c.sendall(
+            _frame(b"P", b"ps2\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"D", b"Sps2\x00")
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        pd = next(p for k, p in msgs if k == b"t")
+        n = _struct.unpack("!h", pd[:2])[0]
+        assert n == 2
+        oids = _struct.unpack("!2i", pd[2:10])
+        assert oids == (25, 25)           # text OID for unknown-typed
+        assert any(k == b"T" for k, _ in msgs)  # row shape still described
+    finally:
+        c.close()
+
+
+def test_extended_protocol_insert_executes_exactly_once(server, spark):
+    """VERDICT r7 #1 (the wrong-answer-class bug): the pgjdbc-shaped
+    Parse/Bind/Describe(S)/Describe(P)/Execute/Sync flow of an INSERT
+    must apply it EXACTLY once — previously Describe and Execute each
+    ran the eager spark.sql command, landing the row 2-3×."""
+    import uuid as _uuid
+
+    tbl = f"w8_once_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT) USING parquet")
+    try:
+        q = f"INSERT INTO {tbl} VALUES (41)".encode()
+        c = _connect_raw(server.port)
+        try:
+            c.sendall(
+                _frame(b"P", b"ins\x00" + q + b"\x00" + _struct.pack("!h", 0))
+                + _frame(b"D", b"Sins\x00")
+                + _frame(b"B", b"\x00ins\x00" + _struct.pack("!hhh", 0, 0, 0))
+                + _frame(b"D", b"P\x00")
+                + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+                + _frame(b"S", b"")
+            )
+            msgs = _drain_until_ready(c)
+            kinds = [k for k, _ in msgs]
+            assert b"E" not in kinds, msgs
+            assert kinds.count(b"n") == 2          # NoData at both Describes
+            assert any(k == b"C" for k in kinds)   # CommandComplete
+        finally:
+            c.close()
+        assert spark.sql(f"SELECT COUNT(*) FROM {tbl}").first()[0] == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_extended_protocol_dml_event_executes_exactly_once(server, spark):
+    """Same exactly-once gate for the mirror DML path: an extended-
+    protocol INSERT against a mirrored source table must append ONE
+    change event to the WAL dir, not 2-3."""
+    event_dir = server.mirror_env["event_dir"]
+    before = spark.read.parquet(event_dir).count()
+    q = (
+        b"INSERT INTO orders (id, quantity, purchaser, product_id, "
+        b"order_date) VALUES (501, 3, 11, 2, '2024-01-05')"
+    )
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"D", b"P\x00")
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" not in kinds, msgs
+        assert b"n" in kinds                       # NoData at Describe
+        complete = [p for k, p in msgs if k == b"C"]
+        assert complete == [b"INSERT 0 1\x00"]
+    finally:
+        c.close()
+    assert spark.read.parquet(event_dir).count() == before + 1
