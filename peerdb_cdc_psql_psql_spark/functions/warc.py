@@ -191,7 +191,10 @@ def parse_warc(data: bytes) -> list[dict]:
         pos = 0
         while pos < len(chunk):
             rec, pos = parse_warc_record(chunk, pos)
-            if rec["content_type"].startswith("application/http"):
+            # MIME types are case-insensitive — CommonCrawl emits
+            # lowercase but 'Application/HTTP; msgtype=response' is
+            # legal and must still parse (ADVICE r6 low)
+            if rec["content_type"].lower().startswith("application/http"):
                 rec.update(parse_http_payload(rec["payload"]))
             records.append(rec)
     return records

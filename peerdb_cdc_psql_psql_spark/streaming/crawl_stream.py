@@ -66,12 +66,20 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
                 for rec in recs:
                     if rec["warc_type"] != "response":
                         continue
+                    # a response record whose Content-Type header
+                    # didn't parse as application/http has no 'body'
+                    # key — fall back to the raw payload instead of
+                    # KeyError-ing the task (which the file source
+                    # would replay forever, wedging the stream —
+                    # ADVICE r6 low)
                     rows.append(
                         (
                             os.path.basename(str(path)),
-                            rec["target_uri"],
+                            rec.get("target_uri"),
                             rec.get("status"),
-                            rec["body"].decode("utf-8", "replace"),
+                            rec.get("body", rec["payload"]).decode(
+                                "utf-8", "replace"
+                            ),
                         )
                     )
             yield pd.DataFrame(

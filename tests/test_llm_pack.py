@@ -753,3 +753,59 @@ def test_simhash_adaptive_ladder_engages_past_10k_docs(spark, tmp_path):
     got = simhash_adaptive_bands(spark, sf).select("band_width").distinct().collect()
     assert [r["band_width"] for r in got] == [13]
     assert all(r["hamming"] <= 24 for r in rows)
+
+
+def test_cosine_lsh_adaptive_degenerates_to_fixed_below_ladder(spark):
+    """Below 1k vectors the adaptive ladder pins planes=4, and planes
+    0-3 per table are byte-identical md5 constants with the fixed
+    form's — so the candidate/cosine set must equal
+    `cosine_lsh_md5_pairs` exactly (plus the constant planes column),
+    the property the oracle twin relies on at the sf0.01 gate."""
+    from peerdb_cdc_psql_psql_spark.operators.similarity import (
+        cosine_lsh_adaptive_planes,
+        cosine_lsh_md5_pairs,
+    )
+
+    fixed = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in cosine_lsh_md5_pairs(spark, SF).collect()
+    }
+    rows = cosine_lsh_adaptive_planes(spark, SF).collect()
+    assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in rows} == fixed
+    assert {r["planes"] for r in rows} == {4}
+
+
+def test_cosine_lsh_adaptive_ladder_engages_past_2k_vectors(spark, tmp_path):
+    """At 2,400 vectors the in-plan ladder must widen to 6 planes (64
+    buckets/table) without any driver-side parameter — the corpus
+    count is a broadcast 1-row aggregate — and the wider tables must
+    emit FEWER candidate pairs than the fixed 4-plane form on the
+    same corpus (the whole point of the ladder)."""
+    import pyspark.sql.functions as F
+    from peerdb_cdc_psql_psql_spark.operators.similarity import (
+        cosine_lsh_adaptive_planes,
+        cosine_lsh_md5_pairs,
+    )
+
+    sf = str(tmp_path / "sf")
+    # deterministic synthetic vectors: 64 dims from a seeded md5-free
+    # expression (sin spreads signs; exact values are irrelevant —
+    # only bucket geometry matters)
+    vecs = spark.range(2_400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("id") * (d + 1) * 0.7 + d).cast("float")
+                for d in range(64)
+            ]
+        ).alias("embedding"),
+        F.lit("synthetic").alias("source"),
+    )
+    vecs.write.parquet(f"{sf}/embeddings.parquet")
+    adapt = cosine_lsh_adaptive_planes(spark, sf)
+    assert [
+        r["planes"] for r in adapt.select("planes").distinct().collect()
+    ] == [6]
+    n_adapt = adapt.count()
+    n_fixed = cosine_lsh_md5_pairs(spark, sf).count()
+    assert n_adapt < n_fixed, (n_adapt, n_fixed)

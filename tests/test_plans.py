@@ -731,3 +731,13 @@ def test_simhash_adaptive_banding_stays_equi_join(spark):
     # the pair join itself is keyed on (band, band_val): hash join at
     # test scale (broadcast), shuffled-hash/sort-merge at corpus scale
     assert "HashJoin [band#" in plan or "SortMergeJoin [band#" in plan
+
+
+def test_cosine_lsh_adaptive_stays_equi_join(spark):
+    """X3 scale lever: the adaptive-plane candidate join must remain
+    a keyed equi join on (tbl, bucket) — the only nested-loop node
+    allowed is the broadcast of the 1-row (n, planes) params onto the
+    projection stream (once per side of the pair self-join)."""
+    plan = plan_string(_df(spark, "cosine_lsh_adaptive_planes"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
