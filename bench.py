@@ -375,6 +375,65 @@ def bench_stream_neardup(spark, n_docs: int = 1500) -> tuple[float, int, int]:
     return dt, n_labeled, n_clusters
 
 
+def bench_stream_crawl(spark, n_docs: int = 960) -> tuple[float, int, int]:
+    """Chained crawl→dedup ingest throughput (VERDICT r6 #3 / r7 #7):
+    the first `n_docs` of the sf corpus synthesized into multi-record
+    `.warc.gz` drop files (16 docs/file — operators/web's layout),
+    drained through BOTH continuous stages back to back exactly as the
+    equivalence test composes them (streaming/crawl_stream.py:
+    binaryFile → WARC parse → JVM extract → parquet, then
+    dedup_stream's fingerprint-store admission over the crawl output).
+    Pacing honesty: each stage is paced to ≥3 real micro-batches and
+    the progress log is ASSERTED on, so the metric can't silently
+    degrade to a one-gulp batch. Returns (seconds, docs ingested,
+    unique docs admitted)."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_psql_spark.operators.web import (
+        synthesize_crawl_files,
+    )
+    from peerdb_cdc_psql_psql_spark.streaming.crawl_stream import (
+        start_crawl_ingest,
+    )
+    from peerdb_cdc_psql_psql_spark.streaming.dedup_stream import (
+        read_unique,
+        start_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < n_docs
+    )
+    n = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        drop = f"{tmp}/drop"
+        os.makedirs(drop)
+        files = synthesize_crawl_files(docs).collect()
+        for r in files:
+            with open(f"{drop}/crawl-{r['crawl_id']:06d}.warc.gz", "wb") as f:
+                f.write(bytes(r["payload"]))
+        per_trigger = max(1, len(files) // 3)
+        t0 = time.perf_counter()
+        q1 = start_crawl_ingest(
+            spark, drop, f"{tmp}/docs", f"{tmp}/ckpt1",
+            max_files_per_trigger=per_trigger,
+        )
+        q1.awaitTermination(timeout=600)
+        b1 = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
+        q2 = start_incremental_dedup(
+            spark, f"{tmp}/docs", f"{tmp}/dedup", f"{tmp}/ckpt2",
+            max_files_per_trigger=max(
+                1, len(os.listdir(f"{tmp}/docs")) // 4
+            ),
+        )
+        q2.awaitTermination(timeout=600)
+        b2 = sum(1 for p in q2.recentProgress if p["numInputRows"] > 0)
+        uniq = read_unique(spark, f"{tmp}/dedup").count()
+        dt = time.perf_counter() - t0
+    assert b1 >= 3, f"crawl stage gulped the backlog in {b1} batches"
+    assert b2 >= 2, f"dedup stage gulped the backlog in {b2} batches"
+    return dt, n, uniq
+
+
 def build_replicated_corpus(spark, sf_dir: str, k: int, out_dir: str) -> str:
     """Materialize a k× corpus layout under ``out_dir``: documents
     replicated k times with per-replica DISJOINT vocabularies (every
@@ -423,9 +482,44 @@ def build_replicated_corpus(spark, sf_dir: str, k: int, out_dir: str) -> str:
         reps.repartition(4 * k).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
+    # Embeddings replicated with per-replica DETERMINISTIC sign flips
+    # (element d of replica i multiplied by ±1 from md5(f"er{i}:{d}"),
+    # replica 0 = identity) and vec_ids offset by i×10⁹: within-
+    # replica geometry (pairwise dots, norms) is preserved exactly,
+    # while cross-replica vectors decorrelate — identical copies would
+    # collide into the same LSH buckets with cosine 1.0 and fake a k²
+    # candidate blow-up that no real corpus has.
+    import hashlib as _hl
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+    reps = None
+    for i in range(k):
+        if i == 0:
+            r = base
+        else:
+            signs = F.array(*[
+                F.lit(
+                    1.0
+                    if int(_hl.md5(f"er{i}:{d}".encode()).hexdigest()[:2], 16) & 1
+                    else -1.0
+                )
+                for d in range(dim)
+            ])
+            r = base.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), signs,
+                    lambda x, s: x * s,
+                ).cast("array<float>"),
+            )
+        r = r.withColumn("vec_id", F.col("vec_id") + i * 10**9)
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(2 * k).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
     for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "events", "embeddings",
+        "region", "nation", "customer", "supplier", "part", "events",
     ):
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
@@ -458,6 +552,15 @@ SCALE_PROBE_QUERIES = [
     "simhash_md5_pairs",
     "simhash_adaptive_bands",
     "minhash_md5_pairs",
+    # r8: corpus-adaptive cosine-LSH on the sign-flip-replicated
+    # embeddings (1× = 2k vectors → 6 planes, 4× = 8k → 8 planes; the
+    # ladder holds E[vectors/bucket] flat). Its fixed 4-plane sibling
+    # (cosine_lsh_md5_pairs) is deliberately NOT probed: 16 buckets
+    # forever means ~k² candidate growth at k=4 — the gate-breaking
+    # quadratic the adaptive form exists to replace (the SimHash
+    # fixed/adaptive pair above already records that contrast; the
+    # cosine fixed form's occupancy at probe scale is ~30× SimHash's).
+    "cosine_lsh_adaptive_planes",
 ]
 
 
@@ -477,15 +580,16 @@ def scale_probe(
         1: build_replicated_corpus(spark, sf_dir, 1, f"{workdir}/x1"),
         k: build_replicated_corpus(spark, sf_dir, k, f"{workdir}/x{k}"),
     }
-    times: dict[int, dict[str, float]] = {1: {}, k: {}}
-    # Min-of-2 per (scale, query): a single-pass probe measures
-    # whole-stage-codegen compilation + transient host steals, not
-    # scaling — observed pass-to-pass swings up to 2× inflated the r6
-    # single-pass ratios (minhash 5.9 vs 1.5 min-of-2). Same rule the
-    # headline suite uses; caches/shared index dropped per pass so
-    # each pass still pays full work.
+    samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
+    # Median-of-3 per (scale, query) (VERDICT r7 #9): r7 proved the
+    # probe swings ~2× on byte-identical code
+    # (customer_similarity_topk t4 29.1 → 15.4 s), which made the ≤4
+    # ratio gate a coin flip near the boundary. Three passes, the
+    # RATIO reads the medians (min still recorded for comparability
+    # with r6/r7). Caches/shared index dropped per pass so each pass
+    # still pays full work.
     for kk, d in dirs.items():
-        for _pass in range(2):
+        for _pass in range(3):
             for name in queries:
                 # Hygiene PER QUERY, not per pass: several probed
                 # operators persist() query-scoped intermediates
@@ -508,10 +612,17 @@ def scale_probe(
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).collect()
                 dt = round(time.perf_counter() - t0, 3)
-                times[kk][name] = min(times[kk].get(name, dt), dt)
+                samples[kk].setdefault(name, []).append(dt)
+    import statistics as _stats
+
     for name in queries:
-        t1, tk = times[1][name], times[k][name]
-        out[name] = {"t1": t1, f"t{k}": tk, "ratio": round(tk / t1, 2)}
+        m1 = round(_stats.median(samples[1][name]), 3)
+        mk = round(_stats.median(samples[k][name]), 3)
+        out[name] = {
+            "t1": min(samples[1][name]), f"t{k}": min(samples[k][name]),
+            "t1_median": m1, f"t{k}_median": mk,
+            "ratio": round(mk / m1, 2),
+        }
     return out
 
 
@@ -602,6 +713,17 @@ def main() -> None:
         (bench_stream_neardup(spark) for _ in range(2)), key=lambda t: t[0]
     )
 
+    # Chained crawl→dedup metric (VERDICT r7 #7): the composed two-
+    # stage ingest existed and was equivalence-tested but had no
+    # recorded number, so it could regress invisibly.
+    try:
+        cr_sec, cr_docs, cr_uniq = min(
+            (bench_stream_crawl(spark) for _ in range(2)), key=lambda t: t[0]
+        )
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "stream_crawl_error", "err": str(e)[:300]}))
+        cr_sec, cr_docs, cr_uniq = float("inf"), 0, 0
+
     # Batch-size amortization point (r6 profile: ~4.5 s/batch is FIXED
     # job/stage/plan latency — pairs pipeline stages, label fold,
     # snapshot write — not per-doc work; 500-doc batches price that
@@ -663,14 +785,20 @@ def main() -> None:
          " went 24.8 -> ~68 docs/s via small-batch AQE gating, posting-"
          "list pair generation, O(overlap) store admission, and a"
          " driver union-find fold)"},
+        {"name": "stream_crawl", "docs": 960, "docs_per_file": 16,
+         "passes": 2, "agg": "min", "stages": "crawl ingest (>=3 "
+         "batches, asserted) then fingerprint dedup (>=2 batches, "
+         "asserted), both availableNow, wall = both drains"},
         {"name": "stream_neardup_big_batch", "batches": 3, "docs": 4500,
          "max_files_per_trigger": 4, "passes": 1,
          "basis_note": "same paced path at 3x the batch size — the "
          "per-batch cost is fixed latency, so docs/s should scale "
          "near-linearly with batch size (the 100 TB sizing lever)"},
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
-         "passes": 2, "agg": "min per (scale, query)",
-         "corpus": "documents ×k disjoint vocab"},
+         "passes": 3, "agg": "ratio of medians per (scale, query); "
+         "min also recorded (r6/r7 comparability)",
+         "corpus": "documents ×k disjoint vocab; lineitem/orders ×k "
+         "disjoint keys; embeddings ×k sign-flip decorrelated"},
     ]
     print(json.dumps({"detail": "workloads", "workloads": manifest}))
     print(json.dumps({"detail": "extra_queries", "extra_queries": extra_times}))
@@ -690,6 +818,8 @@ def main() -> None:
         "stream_dedup_docs_per_sec": round(sd_docs / sd_sec, 1),
         "stream_neardup_docs_per_sec": round(nd_docs / nd_sec, 1),
         "stream_neardup_big_batch_docs_per_sec": round(ndb_docs / ndb_sec, 1),
+        "stream_crawl_docs_per_sec": round(cr_docs / cr_sec, 1),
+        "stream_crawl_unique_docs": cr_uniq,
         "scale_probe_k": 4,
         "scale_probe_max_ratio": max(
             (v["ratio"] for v in probe.values()), default=None
