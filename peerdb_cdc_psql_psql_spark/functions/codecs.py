@@ -917,11 +917,11 @@ def decode_avi_mjpg_frame(payload: bytes, entry: tuple[int, int]) -> np.ndarray:
 #
 # GIF's only "compression" is LZW with variable-width codes — ~50
 # lines of plain Python, not a library. Scope: single-image GIF with
-# a global color table, no interlace (the overwhelming shape of
-# static GIFs in real corpora); animation/local-palette/interlaced
-# images raise. Encoder writes clear-code-free streams the hard way
-# (emitting a Clear when the table fills) so the decoder's table-
-# growth path is genuinely exercised.
+# a global OR local color table, sequential or interlaced row order
+# (r8 — both appear in real static-GIF corpora); animation and
+# sub-rectangle frames raise. Encoder writes clear-code-free streams
+# the hard way (emitting a Clear when the table fills) so the
+# decoder's table-growth path is genuinely exercised.
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
@@ -1023,10 +1023,26 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(pixels: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 89a §20 four-pass interlace row schedule: rows 0,8,16…,
+    then 4,12…, then 2,6,10…, then the odd rows."""
+    return [
+        y
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, h, step)
+    ]
+
+
+def encode_gif(
+    pixels: np.ndarray, palette: np.ndarray | None = None,
+    local_palette: bool = False, interlace: bool = False,
+) -> bytes:
     """Minimal GIF89a writer: (h, w) uint8 INDEX array + (n, 3)
-    palette (default: 256-gray) → single-image GIF with a global
-    color table."""
+    palette (default: 256-gray) → single-image GIF. The palette is a
+    GLOBAL color table by default; ``local_palette=True`` writes it
+    as the image's LOCAL table instead (no global one — the other
+    legal layout, r8). ``interlace=True`` stores rows in the §20
+    four-pass order and sets the interlace flag."""
     idx = np.asarray(pixels, dtype=np.uint8)
     h, w = idx.shape
     if palette is None:
@@ -1038,38 +1054,55 @@ def encode_gif(pixels: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     table = np.zeros((full, 3), np.uint8)
     table[:n_colors] = pal
     min_code = max(2, depth)
-    lzw = _lzw_encode(idx.tobytes(), min_code)
+    rows = idx[_gif_interlace_order(h)] if interlace else idx
+    lzw = _lzw_encode(rows.tobytes(), min_code)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)
+    if local_palette:
+        screen_flags = 0  # no global color table
+        global_tbl = b""
+        iflags = 0x80 | ((depth - 1) & 7)
+        local_tbl = table.tobytes()
+    else:
+        screen_flags = 0x80 | ((depth - 1) & 7) << 4 | (depth - 1)
+        global_tbl = table.tobytes()
+        iflags = 0
+        local_tbl = b""
+    if interlace:
+        iflags |= 0x40
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7) << 4 | (depth - 1), 0, 0)
-        + table.tobytes()
-        + struct.pack("<sHHHHB", b",", 0, 0, w, h, 0)
+        + struct.pack("<HHBBB", w, h, screen_flags, 0, 0)
+        + global_tbl
+        + struct.pack("<sHHHHB", b",", 0, 0, w, h, iflags)
+        + local_tbl
         + bytes([min_code])
         + bytes(blocks)
         + b";"
     )
 
 
-def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Parse a GIF payload → (index array (h, w), palette (n, 3)).
-    Single-image, global-color-table, non-interlaced only."""
+def _decode_gif_full(
+    payload: bytes,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Parse a GIF payload → (index array (h, w), palette (n, 3),
+    layout info). Single full-frame image; global or local color
+    table; sequential or interlaced."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    if not flags & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    n_colors = 2 << (flags & 7)
-    palette = np.frombuffer(
-        payload, np.uint8, count=3 * n_colors, offset=pos
-    ).reshape(n_colors, 3)
-    pos += 3 * n_colors
+    palette = None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 7)
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n_colors, offset=pos
+        ).reshape(n_colors, 3)
+        pos += 3 * n_colors
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension block: label + sub-blocks
@@ -1080,10 +1113,18 @@ def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         elif b == 0x2C:  # image descriptor
             ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
-            if iflags & 0x80:
-                raise NotImplementedError("GIF local color tables")
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
+            local = bool(iflags & 0x80)
+            if local:  # local color table overrides the global (r8)
+                n_colors = 2 << (iflags & 7)
+                palette = np.frombuffer(
+                    payload, np.uint8, count=3 * n_colors, offset=pos
+                ).reshape(n_colors, 3)
+                pos += 3 * n_colors
+            if palette is None:
+                raise ValueError(
+                    "GIF image with neither global nor local color table"
+                )
+            interlaced = bool(iflags & 0x40)
             if (ix, iy, iw, ih) != (0, 0, w, h):
                 raise NotImplementedError("GIF sub-rectangle frames")
             min_code = payload[pos]
@@ -1097,10 +1138,16 @@ def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             idx = _lzw_decode(bytes(data), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
-            return (
-                np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w),
-                palette,
-            )
+            grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+            if interlaced:
+                # stored row i is original row order[i] (§20):
+                # scatter the stored rows back to their positions
+                out = np.empty_like(grid)
+                out[_gif_interlace_order(h)] = grid
+                grid = out
+            return grid, palette, {
+                "local_table": local, "interlaced": interlaced,
+            }
         elif b == 0x3B:  # trailer
             break
         else:
@@ -1108,21 +1155,36 @@ def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     raise ValueError("GIF missing image data")
 
 
+def decode_gif_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a GIF payload → (de-interlaced index array (h, w),
+    effective palette (n, 3))."""
+    idx, palette, _info = _decode_gif_full(payload)
+    return idx, palette
+
+
 def decode_gif(payload: bytes) -> dict:
-    """Decoded GIF summary: dimensions, palette size, and exact
-    integer per-channel pixel SUMS through the palette lookup."""
-    idx, palette = decode_gif_pixels(payload)
+    """Decoded GIF summary: dimensions, palette size, layout flags,
+    and exact integer per-channel pixel SUMS through the palette
+    lookup, plus the row-position-weighted red sum Σ y·rowsum_r —
+    sums alone are permutation-invariant, so this is the statistic
+    that actually pins de-interlacing to the §20 schedule."""
+    idx, palette, info = _decode_gif_full(payload)
     h, w = idx.shape
     rgb = palette[idx.reshape(-1)].astype(np.int64)
     sums = rgb.sum(axis=0)
+    row_r = palette[idx, 0].astype(np.int64).sum(axis=1)
+    weighted_r = int((np.arange(h, dtype=np.int64) * row_r).sum())
     return {
         "width": int(w),
         "height": int(h),
         "n_pixels": int(w * h),
         "n_colors": int(len(palette)),
+        "local_table": bool(info["local_table"]),
+        "interlaced": bool(info["interlaced"]),
         "sum_r": int(sums[0]),
         "sum_g": int(sums[1]),
         "sum_b": int(sums[2]),
+        "row_weighted_r": weighted_r,
     }
 
 
@@ -2748,13 +2810,72 @@ def _best_rice(res: np.ndarray) -> tuple[int, int]:
     return best
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
-    """16-bit mono FLAC: fLaC marker + STREAMINFO, then fixed-4096
-    frames; per block the cheapest of CONSTANT / FIXED(0-2) /
-    VERBATIM by exact Rice bit cost (partition order 0)."""
+def _flac_encode_subframe(
+    bw: _FlacBitWriter, blk: np.ndarray, bps: int
+) -> None:
+    """Encode one channel's block as the cheapest of CONSTANT /
+    FIXED(0-2) / VERBATIM by exact Rice bit cost (partition order 0).
+    ``bps`` is 16 for plain channels, 17 for a stereo SIDE channel."""
+    bs = len(blk)
+    if (blk == blk[0]).all():
+        bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)  # CONSTANT
+        bw.put(int(blk[0]), bps)
+        return
+    best = None
+    for order in (0, 1, 2):
+        if bs <= order:
+            continue
+        res = blk.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        p, cost = _best_rice(res)
+        cost += bps * order + 2 + 4 + 4
+        if best is None or cost < best[0]:
+            best = (cost, order, res, p)
+    cost, order, res, p = best
+    if cost >= bps * bs:
+        bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)  # VERBATIM
+        for v in blk:
+            bw.put(int(v), bps)
+    else:
+        bw.put(0, 1); bw.put(0b001000 | order, 6); bw.put(0, 1)
+        for v in blk[:order]:
+            bw.put(int(v), bps)  # warmup
+        bw.put(0, 2)  # residual coding: 4-bit Rice params
+        bw.put(0, 4)  # partition order 0
+        bw.put(p, 4)
+        for r in res:
+            z = (abs(int(r)) << 1) - (1 if r < 0 else 0)  # zigzag
+            bw.unary(z >> p)
+            bw.put(z, p)
+
+
+# frame-header channel-assignment codes (FLAC §9.1.3)
+_FLAC_STEREO_MODES = {
+    "independent": 0b0001,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """16-bit FLAC: fLaC marker + STREAMINFO, then fixed-4096 frames.
+    ``samples`` is (n,) mono or (n, 2) STEREO (r8 — VERDICT r6 #7);
+    stereo frames use ``stereo_mode`` channel decorrelation
+    (independent, left/side, right/side, or mid/side — the side
+    channel carries 17 bits per §9.1.3), so every decoder
+    reconstruction path has an in-repo producer."""
     s = np.asarray(samples, dtype=np.int64)
+    stereo = s.ndim == 2
+    if stereo and s.shape[1] != 2:
+        raise NotImplementedError("only mono or 2-channel FLAC")
     if s.size and (s.max() > 32767 or s.min() < -32768):
         raise ValueError("samples out of int16 range")
+    ch_code = _FLAC_STEREO_MODES[stereo_mode] if stereo else 0
     n_total = len(s)
     frames = bytearray()
     for fi, start in enumerate(range(0, n_total, _FLAC_BLOCK)):
@@ -2763,50 +2884,39 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
         hdr = bytearray()
         hdr += b"\xff\xf8"        # sync(14) + reserved(1) + fixed blocking(1)
         hdr.append(0b0111_0000)   # blocksize: 16-bit-1 at end; rate: STREAMINFO
-        hdr.append(0b0000_100_0)  # mono, 16-bit, reserved
+        hdr.append(ch_code << 4 | 0b100 << 1)  # channels, 16-bit, reserved
         hdr += _flac_utf8(fi)
         hdr += struct.pack(">H", bs - 1)
         hdr.append(_flac_crc8(bytes(hdr)))
 
         bw = _FlacBitWriter()
-        if (blk == blk[0]).all():
-            bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)  # CONSTANT
-            bw.put(int(blk[0]), 16)
+        if not stereo:
+            _flac_encode_subframe(bw, blk, 16)
         else:
-            best = None
-            for order in (0, 1, 2):
-                if bs <= order:
-                    continue
-                res = blk.copy()
-                for _ in range(order):
-                    res = np.diff(res)
-                p, cost = _best_rice(res)
-                cost += 16 * order + 2 + 4 + 4
-                if best is None or cost < best[0]:
-                    best = (cost, order, res, p)
-            cost, order, res, p = best
-            if cost >= 16 * bs:
-                bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)  # VERBATIM
-                for v in blk:
-                    bw.put(int(v), 16)
-            else:
-                bw.put(0, 1); bw.put(0b001000 | order, 6); bw.put(0, 1)
-                for v in blk[:order]:
-                    bw.put(int(v), 16)  # warmup
-                bw.put(0, 2)  # residual coding: 4-bit Rice params
-                bw.put(0, 4)  # partition order 0
-                bw.put(p, 4)
-                for r in res:
-                    z = (abs(int(r)) << 1) - (1 if r < 0 else 0)  # zigzag
-                    bw.unary(z >> p)
-                    bw.put(z, p)
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "independent":
+                chans = [(left, 16), (right, 16)]
+            elif stereo_mode == "left_side":
+                chans = [(left, 16), (side, 17)]
+            elif stereo_mode == "right_side":
+                chans = [(side, 17), (right, 16)]
+            else:  # mid_side
+                chans = [((left + right) >> 1, 16), (side, 17)]
+            for arr, bps in chans:
+                _flac_encode_subframe(bw, arr, bps)
         body = bytes(hdr) + bw.flush()
         frames += body + struct.pack(">H", _flac_crc16(body))
 
     streaminfo = bytearray()
     streaminfo += struct.pack(">HH", _FLAC_BLOCK, _FLAC_BLOCK)
     streaminfo += b"\x00\x00\x00" * 2             # frame sizes unknown
-    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n_total
+    packed = (
+        (sample_rate << 44)
+        | ((2 - 1 if stereo else 0) << 41)
+        | (15 << 36)
+        | n_total
+    )
     streaminfo += packed.to_bytes(8, "big")       # rate/ch/bps/total
     streaminfo += b"\x00" * 16                    # md5 unset
     meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + bytes(streaminfo)
@@ -2878,14 +2988,17 @@ def _flac_decode_subframe(
 
 
 def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a mono FLAC payload → (sample_rate, int64 samples).
-    Verifies the fLaC marker, STREAMINFO, every frame-header CRC-8
-    and frame CRC-16."""
+    """Decode a FLAC payload → (sample_rate, int64 samples) — (n,)
+    for mono, (n, 2) for stereo (r8: independent, left/side,
+    right/side, and mid/side channel assignments all reconstruct; the
+    side subframe reads bps+1 bits per §9.1.3). Verifies the fLaC
+    marker, STREAMINFO, every frame-header CRC-8 and frame CRC-16."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos, last = 4, False
     rate = bps = 0
     n_total = 0
+    n_ch = 1
     while not last:
         hdr = payload[pos]
         last, btype = bool(hdr & 0x80), hdr & 0x7F
@@ -2897,11 +3010,14 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
             n_ch = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             n_total = packed & ((1 << 36) - 1)
-            if n_ch != 1:
-                raise NotImplementedError("only mono FLAC is supported")
+            if n_ch > 2:
+                raise NotImplementedError(
+                    "only mono and stereo FLAC are supported"
+                )
         pos = body + length
     out: list[np.ndarray] = []
-    while pos < len(payload) and sum(len(o) for o in out) < n_total:
+    n_done = 0
+    while pos < len(payload) and n_done < n_total:
         frame_start = pos
         br = _FlacBitReader(payload, pos)
         sync = br.read(14)
@@ -2912,8 +3028,12 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
         bs_bits, sr_bits = br.read(4), br.read(4)
         ch_bits, ss_bits = br.read(4), br.read(3)
         br.read(1)
-        if ch_bits != 0:
-            raise NotImplementedError("only mono frames are supported")
+        if ch_bits not in (0, 1, 8, 9, 10):
+            raise NotImplementedError(
+                f"FLAC channel assignment {ch_bits:#06b}"
+            )
+        if (ch_bits == 0) != (n_ch == 1):
+            raise ValueError("frame channel count contradicts STREAMINFO")
         _flac_read_utf8(br)
         if bs_bits == 0b0110:
             bs = br.read(8) + 1
@@ -2933,30 +3053,75 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
         hdr_end = br.byte_pos()
         if _flac_crc8(payload[frame_start : hdr_end - 1]) != crc8:
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        out.append(_flac_decode_subframe(br, bs, bps))
+        if ch_bits == 0:  # mono
+            frame = _flac_decode_subframe(br, bs, bps)
+        elif ch_bits == 1:  # independent stereo
+            left = _flac_decode_subframe(br, bs, bps)
+            right = _flac_decode_subframe(br, bs, bps)
+            frame = np.stack([left, right], axis=1)
+        elif ch_bits == 8:  # left/side: ch1 = left - right
+            left = _flac_decode_subframe(br, bs, bps)
+            side = _flac_decode_subframe(br, bs, bps + 1)
+            frame = np.stack([left, left - side], axis=1)
+        elif ch_bits == 9:  # right/side: ch0 is the SIDE channel
+            side = _flac_decode_subframe(br, bs, bps + 1)
+            right = _flac_decode_subframe(br, bs, bps)
+            frame = np.stack([right + side, right], axis=1)
+        else:  # mid/side: mid = (l+r)>>1, side = l-r; the dropped
+            # low bit of the sum is side's parity bit (§9.1.3)
+            mid = _flac_decode_subframe(br, bs, bps)
+            side = _flac_decode_subframe(br, bs, bps + 1)
+            mid2 = (mid << 1) | (side & 1)
+            frame = np.stack([(mid2 + side) >> 1, (mid2 - side) >> 1], axis=1)
+        out.append(frame)
+        n_done += bs
         # zero-padding to byte alignment precedes the frame CRC-16
         br.align()
         crc16 = struct.unpack_from(">H", payload, br.byte_pos())[0]
         if _flac_crc16(payload[frame_start : br.byte_pos()]) != crc16:
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = br.byte_pos() + 2
-    samples = (
-        np.concatenate(out) if out else np.array([], dtype=np.int64)
-    )
+    if out:
+        samples = np.concatenate(out)
+    else:
+        samples = np.array([], dtype=np.int64)
+        if n_ch == 2:
+            samples = samples.reshape(0, 2)
     return rate, samples[:n_total] if n_total else samples
+
+
+def _flac_first_frame_mode(payload: bytes) -> str:
+    """Channel-assignment name of the first audio frame (walks past
+    the metadata blocks; byte 3 of the frame header carries the
+    assignment code in its top nibble)."""
+    pos, last = 4, False
+    while not last:
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        pos += 4 + int.from_bytes(payload[pos + 1 : pos + 4], "big")
+    if pos + 3 >= len(payload):
+        return "none"
+    code = payload[pos + 3] >> 4
+    return {
+        0: "mono", 1: "independent", 8: "left_side",
+        9: "right_side", 10: "mid_side",
+    }.get(code, f"reserved_{code}")
 
 
 def decode_flac(payload: bytes) -> dict:
     """Decoded-FLAC summary with the exact-integer stats the oracle
-    checks (same contract as decode_wav)."""
+    checks (same contract as decode_wav). ``n_samples`` counts
+    inter-channel sample FRAMES; the stats fold over all channels."""
     rate, samples = decode_flac_samples(payload)
     return {
         "sample_rate": int(rate),
+        "n_channels": 2 if samples.ndim == 2 else 1,
+        "channel_mode": _flac_first_frame_mode(payload),
         "n_samples": int(len(samples)),
-        "sum_samples": int(samples.sum()) if len(samples) else 0,
-        "sum_abs": int(np.abs(samples).sum()) if len(samples) else 0,
-        "min_sample": int(samples.min()) if len(samples) else 0,
-        "max_sample": int(samples.max()) if len(samples) else 0,
+        "sum_samples": int(samples.sum()) if samples.size else 0,
+        "sum_abs": int(np.abs(samples).sum()) if samples.size else 0,
+        "min_sample": int(samples.min()) if samples.size else 0,
+        "max_sample": int(samples.max()) if samples.size else 0,
     }
 
 
@@ -3334,7 +3499,7 @@ def decode_any(payload: bytes) -> dict:
         elif fmt == "flac":
             d = decode_flac(payload)
             base.update(
-                kind="audio", ok=True, n_channels=1,
+                kind="audio", ok=True, n_channels=d["n_channels"],
                 n_samples=d["n_samples"], sample_rate=d["sample_rate"],
             )
         elif fmt in ("bmp", "png", "gif", "jpeg", "tiff"):

@@ -478,7 +478,16 @@ def synthesize_gif_payloads(ids: DataFrame) -> DataFrame:
                 c0, c1 = m % _GIF_COLORS, (m * 7 + 1) % _GIF_COLORS
                 yy, xx = np.indices((h, w))
                 idx = np.where((xx + yy) % 2 == 0, c0, c1).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal))
+                # rotate the two r8 layout levers (combined cycle 6
+                # covers all 4 combos): palette placement and §20
+                # interlaced row order
+                payloads.append(
+                    encode_gif(
+                        idx, pal,
+                        local_palette=(m // 3) % 3 == 2,
+                        interlace=(m // 3) % 2 == 1,
+                    )
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -493,9 +502,12 @@ _GIF_DECODE_SCHEMA = T.StructType(
         T.StructField("height", T.LongType()),
         T.StructField("n_pixels", T.LongType()),
         T.StructField("n_colors", T.LongType()),
+        T.StructField("local_table", T.BooleanType()),
+        T.StructField("interlaced", T.BooleanType()),
         T.StructField("sum_r", T.LongType()),
         T.StructField("sum_g", T.LongType()),
         T.StructField("sum_b", T.LongType()),
+        T.StructField("row_weighted_r", T.LongType()),
     ]
 )
 
@@ -517,7 +529,9 @@ def decode_gifs(df: DataFrame) -> DataFrame:
                 rows.append(
                     (
                         mid, d["width"], d["height"], d["n_pixels"],
-                        d["n_colors"], d["sum_r"], d["sum_g"], d["sum_b"],
+                        d["n_colors"], d["local_table"], d["interlaced"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                        d["row_weighted_r"],
                     )
                 )
             yield pd.DataFrame(
@@ -533,18 +547,32 @@ def decode_gifs(df: DataFrame) -> DataFrame:
 SELECT media_id, width, height,
        width * height AS n_pixels,
        CAST(16 AS BIGINT) AS n_colors,
+       local_table, interlaced,
        n0 * ((c0 * 17) % 256)
          + (width * height - n0) * ((c1 * 17) % 256) AS sum_r,
        n0 * ((c0 * 13) % 256)
          + (width * height - n0) * ((c1 * 13) % 256) AS sum_g,
        n0 * ((c0 * 29) % 256)
-         + (width * height - n0) * ((c1 * 29) % 256) AS sum_b
+         + (width * height - n0) * ((c1 * 29) % 256) AS sum_b,
+       -- row-position-weighted red sum: even rows carry
+       -- a = ceil(w/2)·r0 + floor(w/2)·r1, odd rows the swap;
+       -- Σ even y = k(k-1) with k = ceil(h/2), Σ odd y = j² with
+       -- j = floor(h/2). Pins the §20 de-interlace row placement
+       -- (plain sums are permutation-invariant).
+       ( ((width + 1) // 2 * ((c0 * 17) % 256)
+            + width // 2 * ((c1 * 17) % 256))
+          * (((height + 1) // 2) * ((height + 1) // 2 - 1))
+       + (width // 2 * ((c0 * 17) % 256)
+            + (width + 1) // 2 * ((c1 * 17) % 256))
+          * ((height // 2) * (height // 2)) ) AS row_weighted_r
 FROM (
   SELECT doc_id AS media_id,
          (doc_id % 8) * 4 + 5 AS width,
          (doc_id % 4) + 2 AS height,
          doc_id % 16 AS c0,
          (doc_id * 7 + 1) % 16 AS c1,
+         (doc_id // 3) % 3 = 2 AS local_table,
+         (doc_id // 3) % 2 = 1 AS interlaced,
          -- checkerboard even-cell count:
          -- ceil(h/2)*ceil(w/2) + floor(h/2)*floor(w/2)
          (((doc_id % 4) + 3) // 2) * (((doc_id % 8) * 4 + 6) // 2)
@@ -556,13 +584,17 @@ FROM (
     tags=("X5", "multimodal", "codec"),
 )
 def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL GIF codec round trip (X5, r6): checkerboard 16-color
-    images LZW-compressed through the pure-Python variable-width
-    encoder, then re-parsed (block walk, sub-block reassembly, string
-    table growth, palette lookup). The oracle recomputes dimensions
-    and per-channel sums from the checkerboard counting identity —
-    n_even(w,h) = ceil(h/2)*ceil(w/2) + floor(h/2)*floor(w/2) — so
-    any LZW width-bump or table desync breaks exact equality.
+    """REAL GIF codec round trip (X5, r6; layouts r8): checkerboard
+    16-color images LZW-compressed through the pure-Python variable-
+    width encoder, then re-parsed (block walk, sub-block reassembly,
+    string table growth, palette lookup). Fixtures rotate the two r8
+    layout levers — palette as a LOCAL color table (no global one)
+    and §20 four-pass INTERLACED row order — so all four combinations
+    decode in every window. The oracle recomputes dimensions,
+    per-channel sums from the checkerboard counting identity, the
+    layout-flag assignments, AND the row-position-weighted red sum
+    (plain sums are row-permutation-invariant; the weighted sum
+    breaks if de-interlacing scatters any row to the wrong place).
 
     Note the odd fixture widths make the two checkerboard colors
     unbalanced per row, pinning the row-major pixel order too."""
@@ -576,9 +608,12 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint"),
         F.col("n_pixels").cast("bigint"),
         F.col("n_colors").cast("bigint"),
+        "local_table",
+        "interlaced",
         F.col("sum_r").cast("bigint"),
         F.col("sum_g").cast("bigint"),
         F.col("sum_b").cast("bigint"),
+        F.col("row_weighted_r").cast("bigint"),
     )
 
 
@@ -2135,6 +2170,101 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id", "sample_rate", "n_samples", "sum_samples",
             "min_sample", "max_sample", "compressed",
+        )
+    )
+
+
+_FLAC_STEREO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("channel_mode", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("min_sample", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_flac_stereo_decode",
+    oracle="""
+SELECT media_id,
+       CAST(2 AS BIGINT) AS n_channels,
+       CASE media_id % 4
+         WHEN 0 THEN 'independent' WHEN 1 THEN 'left_side'
+         WHEN 2 THEN 'right_side' ELSE 'mid_side'
+       END AS channel_mode,
+       n AS n_samples,
+       n * (a + a2) + (b + b2) * n * (n - 1) // 2 AS sum_samples,
+       LEAST(a, a + b * (n - 1), a2, a2 + b2 * (n - 1)) AS min_sample,
+       GREATEST(a, a + b * (n - 1), a2, a2 + b2 * (n - 1)) AS max_sample
+FROM (
+  SELECT doc_id AS media_id,
+         800 + (doc_id % 9) * 250 AS n,
+         (doc_id % 40) * 12 - 240 AS a,
+         (doc_id % 7) - 3 AS b,
+         (doc_id % 30) * 9 - 130 AS a2,
+         (doc_id % 5) - 2 AS b2
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id >= 350 AND doc_id < 500
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_flac_stereo_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL STEREO FLAC round trip (X5, r8 — VERDICT r6 #7):
+    per-channel linear ramps encoded through all four §9.1.3 channel
+    assignments (independent, left/side, right/side, mid/side —
+    rotated by id, the side subframe carrying bps+1 bits), decoded
+    back through frame-sync walk + CRC verification + channel
+    reconstruction. Stats are closed-form in (a, b, a2, b2, n), and
+    channel_mode is re-read from the FRAME HEADER of the emitted
+    bytes, so the oracle pins both the reconstruction arithmetic and
+    the mode actually written."""
+    from ..functions.codecs import decode_flac, encode_flac
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio")
+        & (F.col("media_id") >= 350)
+        & (F.col("media_id") < 500)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        modes = ("independent", "left_side", "right_side", "mid_side")
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = 800 + m % 9 * 250
+                a, b = m % 40 * 12 - 240, m % 7 - 3
+                a2, b2 = m % 30 * 9 - 130, m % 5 - 2
+                i = np.arange(n, dtype=np.int64)
+                sig = np.stack([a + b * i, a2 + b2 * i], axis=1)
+                payload = encode_flac(sig, 16000, stereo_mode=modes[m % 4])
+                d = decode_flac(payload)
+                rows.append(
+                    (
+                        m, d["n_channels"], d["channel_mode"],
+                        d["n_samples"], d["sum_samples"],
+                        d["min_sample"], d["max_sample"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FLAC_STEREO_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_FLAC_STEREO_SCHEMA)
+        .select(
+            "media_id", "n_channels", "channel_mode", "n_samples",
+            "sum_samples", "min_sample", "max_sample",
         )
     )
 

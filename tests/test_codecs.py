@@ -411,8 +411,12 @@ def test_gif_kwkwk_case():
 def test_gif_rejects_unsupported():
     idx = np.zeros((2, 2), np.uint8)
     b = bytearray(encode_gif(idx))
-    b[10] &= 0x7F  # clear the global-color-table flag
-    with pytest.raises(NotImplementedError, match="global color table"):
+    # clearing the global-table flag with no local table present is a
+    # MALFORMED file (r8: local tables are now supported, so this is
+    # a ValueError, not a scope boundary) — the palette data is still
+    # in the stream, so the parser hits it as an unknown block
+    b[10] &= 0x7F
+    with pytest.raises(ValueError):
         decode_gif_pixels(bytes(b))
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif_pixels(b"PNG?")
@@ -1125,6 +1129,7 @@ def test_flac_decode_summary_exact():
     d = decode_flac(encode_flac(s, 8000))
     assert d == {
         "sample_rate": 8000, "n_samples": 100,
+        "n_channels": 1, "channel_mode": "mono",
         "sum_samples": int(s.sum()), "sum_abs": int(np.abs(s).sum()),
         "min_sample": -7, "max_sample": 191,
     }
@@ -1555,3 +1560,123 @@ def test_tiff_unsupported_predictor_still_raises():
     data[i + 8] = 3  # value 2 -> 3 (floating-point predictor)
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_tiff_meta(bytes(data))
+
+
+# -- GIF local color tables + interlace (r8, VERDICT r6 #6) -----------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    local=st.booleans(),
+    inter=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_layout_matrix_roundtrip_property(w, h, local, inter, seed):
+    """{global, local} × {sequential, interlaced} all round-trip to
+    the identical index array and effective palette."""
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    data = encode_gif(idx, pal, local_palette=local, interlace=inter)
+    gi, gp = decode_gif_pixels(data)
+    assert np.array_equal(gi, idx)
+    assert np.array_equal(gp[:16], pal)
+    d = decode_gif(data)
+    assert d["local_table"] == local and d["interlaced"] == inter
+
+
+def test_gif_interlace_actually_permutes_the_stream():
+    """An interlaced file must carry rows in the §20 pass order — a
+    decoder that ignored the flag would read a DIFFERENT image (for
+    h>4), and the de-interlaced result must equal the original."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _gif_interlace_order,
+    )
+
+    assert _gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    pal = np.repeat(np.arange(16, dtype=np.uint8)[:, None] * 16, 3, axis=1)
+    idx = (np.arange(80, dtype=np.uint8) % 16).reshape(10, 8)
+    inter = encode_gif(idx, pal, interlace=True)
+    # the stored (pre-de-interlace) row order differs from the image
+    naive = encode_gif(idx[_gif_interlace_order(10)], pal)
+    raw, _ = decode_gif_pixels(naive)
+    assert not np.array_equal(raw, idx)
+    got, _ = decode_gif_pixels(inter)
+    assert np.array_equal(got, idx)
+
+
+def test_gif_local_table_overrides_absent_global():
+    """local_palette=True writes NO global table; the image's own
+    table drives the lookup."""
+    pal = np.zeros((4, 3), np.uint8)
+    pal[:, 0] = [10, 20, 30, 40]
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    data = encode_gif(idx, pal, local_palette=True)
+    assert not data[10] & 0x80  # screen descriptor: no global table
+    d = decode_gif(data)
+    assert d["local_table"] and d["sum_r"] == 100
+
+
+# -- stereo FLAC (r8, VERDICT r6 #7) ----------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=9000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+)
+def test_flac_stereo_roundtrip_property(n, seed, mode):
+    """All four §9.1.3 channel assignments are bit-exact lossless,
+    including blocks shorter than and spanning the 4096 boundary."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    st2 = rng.integers(-32768, 32768, (n, 2)).astype(np.int64)
+    rate, got = decode_flac_samples(encode_flac(st2, 48000, stereo_mode=mode))
+    assert rate == 48000 and got.shape == (n, 2)
+    assert np.array_equal(got, st2)
+
+
+def test_flac_stereo_mode_written_to_frame_header():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sig = np.stack(
+        [np.arange(5000) % 997 - 500, np.arange(5000) % 883 - 400], axis=1
+    ).astype(np.int64)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        d = decode_flac(encode_flac(sig, 8000, stereo_mode=mode))
+        assert d["channel_mode"] == mode and d["n_channels"] == 2
+    d = decode_flac(encode_flac(sig[:, 0], 8000))
+    assert d["channel_mode"] == "mono" and d["n_channels"] == 1
+
+
+def test_flac_mid_side_parity_bit():
+    """mid/side drops the low bit of (l+r); reconstruction recovers
+    it from side's parity — odd-sum pairs are the regression case."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    st2 = np.array([[1, 2], [3, -4], [-5, 2], [7, 0], [32767, -32768]],
+                   dtype=np.int64)
+    _, got = decode_flac_samples(encode_flac(st2, 8000, stereo_mode="mid_side"))
+    assert np.array_equal(got, st2)
+
+
+def test_flac_three_channels_still_raises():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_flac
+
+    with pytest.raises(NotImplementedError, match="mono or 2-channel"):
+        encode_flac(np.zeros((10, 3), np.int64), 8000)
