@@ -1210,6 +1210,33 @@ def merge_new_edges(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
     graph's minima are exactly the merged components' minima — the
     output contract (`cluster_id = min doc_id`) is preserved, pinned
     by the full-recompute equivalence test."""
+    remap = label_remap(labels, new_edges)
+    if remap is None:
+        return labels
+    relabeled = labels.join(remap, "cluster_id", "left").select(
+        "doc_id", F.coalesce(F.col("new_id"), F.col("cluster_id")).alias("cluster_id")
+    )
+    # docs seen only in new_edges (absent from labels) get their own row
+    known = labels.select("doc_id")
+    new_nodes = (
+        new_edges.select(F.col("src").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .join(known, "doc_id", "left_anti")
+    )
+    new_rows = new_nodes.join(
+        remap.select(F.col("cluster_id").alias("doc_id"), "new_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce(F.col("new_id"), F.col("doc_id")).alias("cluster_id"))
+    return relabeled.unionByName(new_rows)
+
+
+def label_remap(labels: DataFrame, new_edges: DataFrame) -> DataFrame | None:
+    """The (cluster_id → new_id) relabeling that folding ``new_edges``
+    into ``labels`` induces — `merge_new_edges`' contraction step,
+    exposed so incremental consumers (the near-dup stream's delta
+    store) can derive CHANGED rows with one broadcast join instead of
+    re-evaluating the full labeling. None means the edges merge
+    nothing (every edge lands inside an existing component)."""
     la = labels.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("la"))
     lb = labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lb"))
     contracted = (
@@ -1232,7 +1259,7 @@ def merge_new_edges(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
     # path takes over unchanged.
     head = contracted.limit(_CC_COLLECT_EDGES + 1).collect()
     if not head:
-        return labels
+        return None
     if len(head) <= _CC_COLLECT_EDGES:
         parent: dict = {}
 
@@ -1266,21 +1293,7 @@ def merge_new_edges(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
             F.col("doc_id").alias("cluster_id"),
             F.col("cluster_id").alias("new_id"),
         )
-    relabeled = labels.join(remap, "cluster_id", "left").select(
-        "doc_id", F.coalesce(F.col("new_id"), F.col("cluster_id")).alias("cluster_id")
-    )
-    # docs seen only in new_edges (absent from labels) get their own row
-    known = labels.select("doc_id")
-    new_nodes = (
-        new_edges.select(F.col("src").alias("doc_id"))
-        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
-        .distinct()
-        .join(known, "doc_id", "left_anti")
-    )
-    new_rows = new_nodes.join(
-        remap.select(F.col("cluster_id").alias("doc_id"), "new_id"), "doc_id", "left"
-    ).select("doc_id", F.coalesce(F.col("new_id"), F.col("doc_id")).alias("cluster_id"))
-    return relabeled.unionByName(new_rows)
+    return remap
 
 
 @register(

@@ -1047,3 +1047,66 @@ def test_neardup_state_maintenance(spark, tmp_path):
     ptr = _fs.read_text(spark, _labels_pointer(root)).strip()
     assert _fs.exists(spark, f"{root}/labels/{ptr}")
     assert {r["doc_id"] for r in read_labels(spark, root).collect()} == {1, 2, 3}
+
+
+def test_neardup_label_delta_chain_and_compaction(spark, tmp_path):
+    """r8 label store: per-batch label writes are DELTAS (only
+    touched clusters), the chain caps at _LABELS_COMPACT_EVERY deltas
+    with an automatic base rewrite, read_labels folds base+deltas
+    last-wins, and vacuum_labels folds + sweeps dead segments —
+    across 10 micro-batches with cross-batch merges."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        _LABELS_COMPACT_EVERY,
+        _label_chain,
+        read_labels,
+        start_neardup_clustering,
+        vacuum_labels,
+    )
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src, root = str(tmp_path / "in"), str(tmp_path / "st")
+    os.makedirs(src, exist_ok=True)
+    # batch i carries doc 2i (near-dup of doc 0's text) and doc 2i+1
+    # (unique text) — every batch merges into the doc-0 component AND
+    # adds a singleton
+    for i in range(10):
+        rows = [
+            (2 * i, w, "en", "s", len(w)),
+            (2 * i + 1, f"uniq{i} " * 10, "en", "s", 60),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = start_neardup_clustering(
+        spark, src, root, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    _drain(q)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in read_labels(spark, root).collect()}
+    want = {2 * i: 0 for i in range(10)} | {2 * i + 1: 2 * i + 1 for i in range(10)}
+    assert got == want, got
+
+    chain = _label_chain(spark, root)
+    # batch 0 wrote the first base; batches 1..8 deltas; batch 9 found
+    # the chain over the cap and rewrote a base
+    assert chain[0].endswith("b")
+    assert 1 <= len(chain) <= _LABELS_COMPACT_EVERY + 1
+    assert chain[-1] == "v_00000009b"
+    # deltas are O(touched): a delta segment holds far fewer rows
+    # than the corpus labeling
+    delta_dirs = [
+        d for d in os.listdir(f"{root}/labels") if d.endswith("d")
+    ]
+    assert delta_dirs
+    biggest = max(
+        spark.read.parquet(f"{root}/labels/{d}").count() for d in delta_dirs
+    )
+    assert biggest <= 12, biggest  # doc-0 component (<=10) + 2 batch docs
+
+    removed = vacuum_labels(spark, root, keep=0)
+    assert removed >= 1
+    got2 = {r["doc_id"]: r["cluster_id"] for r in read_labels(spark, root).collect()}
+    assert got2 == want
