@@ -11,9 +11,15 @@ mode: ``$1..$n`` are inlined as quoted SQL literals at Bind time
 (quote-aware, never spliced raw), relying on Spark's
 implicit-coercion rules the way Postgres treats unknown-type
 parameters. Binary-format parameters are refused with SQLSTATE
-0A000; Execute's max-row count is ignored (all rows stream,
-then CommandComplete — no PortalSuspended, so cursor-style paging
-clients should use LIMIT). The simple-query dialect is exactly the surface the
+0A000; Execute honors the max-row count (r8): a positive count
+streams that many rows then PortalSuspended, and re-Executing the
+same portal resumes its server-side iterator — the pgjdbc
+``setFetchSize`` / libpq cursor paging flow; count 0 streams all
+rows then CommandComplete. CommandComplete's SELECT tag counts the
+rows of the FINAL Execute call (clients treat it as informational).
+Portals survive Sync (the frontend has no transactions to scope
+them to); Close('P') discards the iterator.
+The simple-query dialect is exactly the surface the
 reference's nexus uses for `CREATE/DROP/PAUSE/RESUME MIRROR`,
 `SHOW MIRRORS`, and ad-hoc SELECTs (docker-compose.yml:155-170).
 
@@ -153,10 +159,12 @@ def _dollar_quote_end(sql: str, i: int) -> int | None:
 class _ExtState:
     """Per-connection extended-protocol state: named prepared
     statements, bound portals (statement text + lazily resolved
-    result frame), and the post-error skip-until-Sync flag."""
+    result frame + the row iterator of a suspended Execute), and the
+    post-error skip-until-Sync flag."""
 
     prepared: dict = field(default_factory=dict)
-    portals: dict = field(default_factory=dict)  # name -> [sql, df|None]
+    # name -> {"sql": str, "df": DataFrame|None, "iter": iterator|None}
+    portals: dict = field(default_factory=dict)
     skip_to_sync: bool = False
 
 
@@ -247,6 +255,84 @@ def _count_params(sql: str) -> int:
                 continue
         i += 1
     return high
+
+
+_COPY_RE = re.compile(
+    r"^\s*copy\s+"
+    r"(?:\(\s*(?P<query>.+?)\s*\)|(?P<table>[A-Za-z_][\w$.]*))"
+    r"\s*(?:\(\s*(?P<cols>[^)]*?)\s*\))?"
+    r"\s+(?P<dir>from\s+stdin|to\s+stdout)"
+    r"(?P<opts>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_COPY_UNESCAPE = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r",
+    "b": "\b", "f": "\f", "v": "\v",
+}
+
+
+def _copy_text_unescape(field: str) -> str:
+    out, i, n = [], 0, len(field)
+    while i < n:
+        c = field[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_COPY_UNESCAPE.get(field[i + 1], field[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _copy_text_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _copy_parse_rows(
+    data: str, fmt: str, header: bool
+) -> list[list[str | None]]:
+    """COPY payload → rows of text cells (None = NULL). Text format:
+    tab-separated with backslash escapes, ``\\N`` null, ``\\.`` EOF
+    line. CSV: stdlib csv; an empty cell reads as NULL (the quoted-
+    empty-string distinction is not recoverable from csv.reader)."""
+    rows: list[list[str | None]] = []
+    if fmt == "csv":
+        import csv as _csv
+        import io as _io
+
+        rdr = _csv.reader(_io.StringIO(data))
+        for i, rec in enumerate(rdr):
+            if header and i == 0:
+                continue
+            if not rec:
+                continue
+            rows.append([c if c != "" else None for c in rec])
+        return rows
+    first = True
+    for line in data.split("\n"):
+        if line.endswith("\r"):
+            line = line[:-1]
+        if line == "\\.":
+            break
+        if line == "":
+            continue
+        if header and first:
+            first = False
+            continue
+        first = False
+        rows.append(
+            [
+                None if f == "\\N" else _copy_text_unescape(f)
+                for f in line.split("\t")
+            ]
+        )
+    return rows
 
 
 def _cstr_split(payload: bytes, n: int) -> tuple[list[str], bytes]:
@@ -531,6 +617,9 @@ class WireServer:
         # verb dispatch ignores comments (`/* hint */ INSERT …` routes
         # to the DML path), but the dispatched text keeps them
         low = " ".join(self._strip_comments(stmt).lower().split())
+        if low.startswith("copy "):
+            self._copy_command(conn, stmt)
+            return
         kind = self._statement_kind(stmt)
         if kind == "dml":
             # DML against a mirrored source table = change-event
@@ -566,6 +655,197 @@ class WireServer:
             # empty-schema frame; complete with the leading keyword
             df.collect()
             conn.sendall(_msg(b"C", _cstr(stmt.split()[0].upper())))
+
+    # -- COPY (bulk load/export over the wire — r8) ---------------------
+    def _copy_command(self, conn: socket.socket, stmt: str) -> None:
+        """``COPY tbl [(cols)] FROM STDIN [WITH (FORMAT text|csv
+        [, HEADER])]`` and ``COPY tbl|(query) TO STDOUT [...]`` — the
+        protocol's bulk path (CopyInResponse/CopyData/CopyDone and
+        the Out mirror). FROM STDIN applies to a MIRRORED source
+        table as change events (the reference's insert.ps1 bulk load,
+        but one round-trip instead of per-batch statements) or to a
+        catalog table via a schema-cast append; TO STDOUT streams any
+        table or query in text/csv through toLocalIterator (constant
+        frontend memory, like every other result path)."""
+        m = _COPY_RE.match(self._strip_comments(stmt).strip())
+        if not m:
+            raise ValueError(
+                "syntax: COPY table [(cols)] FROM STDIN | "
+                "COPY table|(query) TO STDOUT [WITH (FORMAT text|csv"
+                "[, HEADER])]"
+            )
+        opts = m.group("opts") or ""
+        fmt = "csv" if re.search(r"\bcsv\b", opts, re.IGNORECASE) else "text"
+        header = bool(
+            re.search(r"\bheader\b(?!\s*(false|off|0))", opts, re.IGNORECASE)
+        )
+        cols = [
+            c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
+        ]
+        if m.group("dir").lower().startswith("from"):
+            if m.group("query"):
+                raise ValueError("COPY FROM STDIN requires a table name")
+            self._copy_in(conn, m.group("table"), cols, fmt, header)
+        else:
+            source = (
+                m.group("query")
+                if m.group("query")
+                else "SELECT {} FROM {}".format(
+                    ", ".join(cols) if cols else "*", m.group("table")
+                )
+            )
+            self._copy_out(conn, self._sql_with_mirror_targets(source), fmt, header)
+
+    def _copy_in(
+        self, conn: socket.socket, table: str, cols: list[str],
+        fmt: str, header: bool,
+    ) -> None:
+        ncols = len(cols) if cols else len(self._copy_target_columns(table))
+        conn.sendall(
+            _msg(b"G", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
+        )
+        buf = bytearray()
+        failed = False
+        while True:
+            head = self._read_exact(conn, 5)
+            if head is None:
+                raise OSError("connection closed during COPY")
+            kind, length = head[0:1], struct.unpack("!i", head[1:5])[0]
+            if not 4 <= length <= _MAX_MESSAGE_LEN:
+                raise ValueError(f"invalid COPY message length {length}")
+            payload = self._read_exact(conn, length - 4)
+            if payload is None:
+                raise OSError("connection closed during COPY")
+            if kind == b"d":  # CopyData
+                buf += payload
+            elif kind == b"c":  # CopyDone
+                break
+            elif kind == b"f":  # CopyFail
+                failed = True
+                break
+            elif kind in (b"H", b"S"):  # Flush/Sync mid-copy: ignore
+                continue
+            else:
+                raise ValueError(
+                    f"unexpected message {kind!r} during COPY FROM STDIN"
+                )
+        if failed:
+            raise ValueError("COPY from stdin failed (client CopyFail)")
+        rows = _copy_parse_rows(buf.decode("utf-8", "replace"), fmt, header)
+        n = self._apply_copy_rows(table, cols, rows)
+        conn.sendall(_msg(b"C", _cstr(f"COPY {n}")))
+
+    def _copy_target_columns(self, table: str) -> list[str]:
+        schemas = self.mirror_env.get("schemas") or {}
+        if table in schemas:
+            return [f.name for f in schemas[table].fields]
+        return self.spark.table(table).columns
+
+    def _apply_copy_rows(
+        self, table: str, cols: list[str], rows: list[list[str | None]]
+    ) -> int:
+        if not rows:
+            return 0
+        schemas = self.mirror_env.get("schemas") or {}
+        if table in schemas and self.mirror_env.get("event_dir"):
+            # mirrored source table: COPY is bulk change-event
+            # production — synthesize one multi-row INSERT and reuse
+            # the (tested) DML literal path
+            from .operators.sql_frontend import execute_dml_command
+
+            def lit(v: str | None) -> str:
+                return (
+                    "NULL" if v is None
+                    else "'" + v.replace("'", "''") + "'"
+                )
+
+            col_sql = f" ({', '.join(cols)})" if cols else ""
+            values = ", ".join(
+                "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+            )
+            execute_dml_command(
+                self.spark,
+                f"INSERT INTO {table}{col_sql} VALUES {values}",
+                schemas=schemas,
+                event_dir=self.mirror_env["event_dir"],
+                key_column=self.mirror_env.get("key_column", "id"),
+            )
+            return len(rows)
+        # catalog table: build an all-string frame in FULL table
+        # column order (unnamed cells -> NULL), cast to the target
+        # schema, positional insertInto
+        tdf = self.spark.table(table)
+        names = cols or tdf.columns
+        if any(c not in tdf.columns for c in names):
+            bad = [c for c in names if c not in tdf.columns]
+            raise ValueError(f"COPY columns not in {table}: {bad}")
+        idx = {c: i for i, c in enumerate(names)}
+        aligned = []
+        for r in rows:
+            if len(r) != len(names):
+                raise ValueError(
+                    f"COPY row has {len(r)} fields, expected {len(names)}"
+                )
+            aligned.append(
+                tuple(
+                    r[idx[c]] if c in idx else None for c in tdf.columns
+                )
+            )
+        from pyspark.sql import types as _T
+
+        src = self.spark.createDataFrame(
+            aligned,
+            _T.StructType(
+                [_T.StructField(c, _T.StringType()) for c in tdf.columns]
+            ),
+        )
+        casted = src.selectExpr(
+            *[f"CAST(`{c}` AS {t}) AS `{c}`" for c, t in tdf.dtypes]
+        )
+        casted.write.insertInto(table)
+        return len(rows)
+
+    def _copy_out(
+        self, conn: socket.socket, df: DataFrame, fmt: str, header: bool
+    ) -> None:
+        ncols = len(df.columns)
+        conn.sendall(
+            _msg(b"H", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
+        )
+        import csv as _csv
+        import io as _io
+
+        def render(row) -> bytes:
+            if fmt == "csv":
+                sio = _io.StringIO()
+                _csv.writer(sio, lineterminator="\n").writerow(
+                    ["" if v is None else _text(v) for v in row]
+                )
+                return sio.getvalue().encode()
+            return (
+                "\t".join(
+                    "\\N" if v is None else _copy_text_escape(_text(v))
+                    for v in row
+                )
+                + "\n"
+            ).encode()
+
+        def _text(v) -> str:
+            r = _render(v)
+            return r.decode("utf-8", "replace") if r is not None else ""
+
+        chunk = bytearray()
+        if header:
+            chunk += _msg(b"d", render(df.columns))
+        n = 0
+        for row in df.toLocalIterator():
+            chunk += _msg(b"d", render(row))
+            n += 1
+            if len(chunk) >= 1 << 16:
+                conn.sendall(bytes(chunk))
+                chunk.clear()
+        chunk += _msg(b"c", b"") + _msg(b"C", _cstr(f"COPY {n}"))
+        conn.sendall(bytes(chunk))
 
     def _sql_with_mirror_targets(self, stmt: str) -> DataFrame:
         """spark.sql with mirror-target resolution: a reference user's
@@ -636,7 +916,7 @@ class WireServer:
                     values.append(rest[4 : 4 + vlen].decode("utf-8"))
                     rest = rest[4 + vlen :]
             sql = _substitute_params(ext.prepared[stmt], values)
-            ext.portals[portal] = [sql, None]
+            ext.portals[portal] = {"sql": sql, "df": None, "iter": None}
             conn.sendall(_msg(b"2", b""))
         elif kind == b"D":  # Describe: 'S'|'P' + name
             what, name = payload[0:1], payload[1:].split(b"\x00")[0].decode()
@@ -664,12 +944,21 @@ class WireServer:
             else:
                 if name not in ext.portals:
                     raise ValueError(f"unknown portal {name!r}")
-                self._describe_sql(conn, ext.portals[name][0], ext.portals[name])
+                self._describe_sql(
+                    conn, ext.portals[name]["sql"], ext.portals[name]
+                )
         elif kind == b"E":  # Execute: portal, max rows (0 = all)
-            name = payload.split(b"\x00")[0].decode()
+            zero = payload.index(b"\x00")
+            name = payload[:zero].decode()
+            (max_rows,) = struct.unpack_from("!i", payload, zero + 1)
             if name not in ext.portals:
                 raise ValueError(f"unknown portal {name!r}")
-            stmt, df = ext.portals[name]
+            portal = ext.portals[name]
+            if portal["iter"] is not None:
+                # resume a suspended portal (cursor paging)
+                self._send_portal_rows(conn, portal, max_rows)
+                return
+            stmt, df = portal["sql"], portal["df"]
             if (
                 df is None
                 and self._statement_kind(stmt) == "sql"
@@ -679,10 +968,17 @@ class WireServer:
                 # here would run once now and again in _run_statement
                 # (VERDICT r7 #1 — JDBC INSERT applied 2-3x)
                 df = self._sql_with_mirror_targets(stmt)
+                portal["df"] = df
             if df is not None and df.columns:
-                # RowDescription was sent at Describe (or the client
-                # knows the shape) — Execute ships only DataRows
-                self._send_result(conn, df, desc=False)
+                if max_rows > 0:
+                    # row-limited Execute: open the portal's iterator
+                    # and suspend when the budget is exhausted
+                    portal["iter"] = df.toLocalIterator()
+                    self._send_portal_rows(conn, portal, max_rows)
+                else:
+                    # RowDescription was sent at Describe (or the
+                    # client knows the shape) — ship only DataRows
+                    self._send_result(conn, df, desc=False)
             else:
                 self._run_statement(conn, stmt)
         elif kind == b"C":  # Close: 'S'|'P' + name
@@ -745,7 +1041,7 @@ class WireServer:
             conn.sendall(_msg(b"n", b""))
             return
         if portal is not None:
-            portal[1] = df
+            portal["df"] = df
         conn.sendall(_msg(b"T", self._row_description(df)))
 
     @staticmethod
@@ -758,6 +1054,18 @@ class WireServer:
             )
         return desc
 
+    @staticmethod
+    def _data_row(row) -> bytes:
+        cells = [_render(v) for v in row]
+        body = struct.pack("!h", len(cells))
+        for c in cells:
+            body += (
+                struct.pack("!i", -1)
+                if c is None
+                else struct.pack("!i", len(c)) + c
+            )
+        return _msg(b"D", body)
+
     def _send_result(
         self, conn: socket.socket, df: DataFrame, desc: bool = True
     ) -> None:
@@ -768,20 +1076,40 @@ class WireServer:
         # toLocalIterator: one partition in flight — constant frontend
         # memory however large the result
         for row in df.toLocalIterator():
-            cells = [_render(v) for v in row]
-            body = struct.pack("!h", len(cells))
-            for c in cells:
-                body += (
-                    struct.pack("!i", -1)
-                    if c is None
-                    else struct.pack("!i", len(c)) + c
-                )
-            chunk += _msg(b"D", body)
+            chunk += self._data_row(row)
             n += 1
             if len(chunk) >= 1 << 16:
                 conn.sendall(bytes(chunk))
                 chunk.clear()
         chunk += _msg(b"C", _cstr(f"SELECT {n}"))
+        conn.sendall(bytes(chunk))
+
+    def _send_portal_rows(
+        self, conn: socket.socket, portal: dict, max_rows: int
+    ) -> None:
+        """Stream up to ``max_rows`` rows from the portal's open
+        iterator (0 = drain): PortalSuspended when the budget runs
+        out with rows left, CommandComplete when the iterator is
+        exhausted — the libpq/pgjdbc cursor-paging contract. The
+        iterator holds one Spark partition in flight, so a suspended
+        TB-sized result costs the frontend constant memory."""
+        it = portal["iter"]
+        chunk = bytearray()
+        n = 0
+        while max_rows <= 0 or n < max_rows:
+            try:
+                row = next(it)
+            except StopIteration:
+                portal["iter"] = None
+                chunk += _msg(b"C", _cstr(f"SELECT {n}"))
+                conn.sendall(bytes(chunk))
+                return
+            chunk += self._data_row(row)
+            n += 1
+            if len(chunk) >= 1 << 16:
+                conn.sendall(bytes(chunk))
+                chunk.clear()
+        chunk += _msg(b"s", b"")  # PortalSuspended — more rows remain
         conn.sendall(bytes(chunk))
 
 

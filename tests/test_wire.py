@@ -774,3 +774,160 @@ def test_extended_protocol_dml_event_executes_exactly_once(server, spark):
     finally:
         c.close()
     assert spark.read.parquet(event_dir).count() == before + 1
+
+
+def test_extended_protocol_portal_suspended_paging(server):
+    """r8: Execute's max-row count opens a resumable portal — the
+    pgjdbc setFetchSize / libpq cursor flow: rows stream in budgeted
+    pages with PortalSuspended between them, CommandComplete when the
+    iterator drains, and the page boundary never duplicates or drops
+    a row."""
+    c = _connect_raw(server.port)
+    try:
+        q = (
+            b"SELECT n_nationkey FROM nation "
+            b"WHERE n_nationkey < 5 ORDER BY n_nationkey"
+        )
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"D", b"P\x00")
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 2))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 2))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 2))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert kinds.count(b"s") == 2          # two suspended pages
+        assert kinds.count(b"D") == 5          # every row exactly once
+        complete = [p for k, p in msgs if k == b"C"]
+        assert complete == [b"SELECT 1\x00"]   # final page had 1 row
+        vals = []
+        for k, p in msgs:
+            if k == b"D":
+                ln = _struct.unpack("!i", p[2:6])[0]
+                vals.append(p[6 : 6 + ln])
+        assert vals == [b"0", b"1", b"2", b"3", b"4"]
+        # page order: T, D, D, s, D, D, s, D, C
+        seq = [k for k in kinds if k in (b"T", b"D", b"s", b"C")]
+        assert seq == [b"T", b"D", b"D", b"s", b"D", b"D", b"s", b"D", b"C"]
+        # a fresh Bind resets the portal: full drain works again
+        c.sendall(
+            _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        assert [p for k, p in msgs if k == b"C"] == [b"SELECT 5\x00"]
+    finally:
+        c.close()
+
+
+def test_extended_protocol_exact_budget_then_empty_page(server):
+    """A page budget that exactly exhausts the result still suspends
+    (the server cannot know no rows remain); the next Execute
+    completes with SELECT 0 — Postgres's observable behavior."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_nationkey FROM nation WHERE n_nationkey < 3"
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 3))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 3))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert kinds.count(b"D") == 3 and kinds.count(b"s") == 1
+        assert [p for k, p in msgs if k == b"C"] == [b"SELECT 0\x00"]
+    finally:
+        c.close()
+
+
+# -- COPY (bulk load/export over the wire — r8) -----------------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_copy_to_stdout_text_and_csv(server):
+    r = _psql(
+        server.port,
+        "COPY (SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_nationkey < 3 ORDER BY n_nationkey) TO STDOUT",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines() == [
+        "0\tNATION_0", "1\tNATION_1", "2\tNATION_2"
+    ]
+    r = _psql(
+        server.port,
+        "COPY (SELECT n_nationkey, CAST(NULL AS STRING) AS x FROM nation "
+        "WHERE n_nationkey = 0) TO STDOUT WITH (FORMAT csv, HEADER)",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines() == ["n_nationkey,x", "0,"]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_copy_from_stdin_mirrored_table(server, spark):
+    """\\copy into a mirrored source table produces change events —
+    the reference's insert.ps1 bulk load in ONE round-trip."""
+    import subprocess as _sp
+
+    event_dir = server.mirror_env["event_dir"]
+    before = spark.read.parquet(event_dir).count()
+    data = "7001,9,11,2,2024-02-01\n7002,4,12,1,2024-02-02\n"
+    r = _sp.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={server.port} user=u dbname=d "
+            "sslmode=disable",
+            "-c",
+            "\\copy orders (id, quantity, purchaser, product_id, "
+            "order_date) from stdin with (format csv)",
+        ],
+        input=data, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "COPY 2" in r.stdout
+    assert spark.read.parquet(event_dir).count() == before + 2
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_copy_from_stdin_catalog_table_text_format(server, spark):
+    """COPY text format (tab-separated, \\N nulls, backslash escapes)
+    into a plain catalog table — schema-cast append."""
+    import subprocess as _sp
+    import uuid as _uuid
+
+    tbl = f"w8_copy_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT, s STRING) USING parquet")
+    try:
+        data = "1\thello\n2\t\\N\n3\ttab\\there\n"
+        r = _sp.run(
+            [
+                "psql",
+                f"host=127.0.0.1 port={server.port} user=u dbname=d "
+                "sslmode=disable",
+                "-c", f"\\copy {tbl} from stdin",
+            ],
+            input=data, capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "COPY 3" in r.stdout
+        got = {
+            r2["x"]: r2["s"]
+            for r2 in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert got == {1: "hello", 2: None, 3: "tab\there"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_copy_errors_keep_session_alive(server):
+    r = _psql(server.port, "COPY definitely_not_a_table TO STDOUT")
+    assert r.returncode != 0 and "ERROR" in r.stderr
+    r = _psql(server.port, "SELECT 5 AS ok")
+    assert r.returncode == 0 and r.stdout.strip() == "5"
