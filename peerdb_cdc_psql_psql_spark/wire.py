@@ -70,6 +70,99 @@ _OID = {
 }
 _TEXT_OID = 25
 
+# Parameter typing (r8): Parse may declare per-parameter type OIDs;
+# honoring them matters twice. (1) ParameterDescription must echo the
+# declared OID or count-validating clients re-Parse in a loop. (2) a
+# numeric/bool parameter inlined as a QUOTED string still compares
+# correctly under Spark's implicit coercion, but the cast lands on the
+# COLUMN side in some plans and blocks predicate pushdown — a typed
+# unquoted literal keeps `l_orderkey = $1` a pushable int predicate.
+_INT_OIDS = frozenset((20, 21, 23, 26))      # int8, int2, int4, oid
+_FLOAT_OIDS = frozenset((700, 701))          # float4, float8
+_NUMERIC_OID = 1700
+_BOOL_OID = 16
+_BYTEA_OID = 17
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_NUM_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_BOOL_TEXT = {
+    "t": "TRUE", "true": "TRUE", "yes": "TRUE", "on": "TRUE", "1": "TRUE",
+    "f": "FALSE", "false": "FALSE", "no": "FALSE", "off": "FALSE",
+    "0": "FALSE",
+}
+
+
+def _typed_literal(value: str, oid: int) -> str:
+    """Render one text-format parameter value as a SQL literal under
+    its declared type OID. Unknown/undeclared OIDs take the quoted-
+    string path (Postgres unknown-param semantics, Spark coerces); a
+    value that does not lex as its declared type raises — matching
+    Postgres, which errors at Bind rather than guessing (22P02)."""
+    if oid in _INT_OIDS:
+        if not _INT_RE.match(value.strip()):
+            raise ValueError(
+                f"invalid integer parameter value {value!r}"
+            )
+        return value.strip()
+    if oid in _FLOAT_OIDS or oid == _NUMERIC_OID:
+        v = value.strip()
+        if not _NUM_RE.match(v):
+            raise ValueError(
+                f"invalid numeric parameter value {value!r}"
+            )
+        # float4/float8 get a typed DOUBLE literal; numeric stays
+        # verbatim (Spark lexes bare decimals as DECIMAL — exact)
+        return f"CAST({v} AS DOUBLE)" if oid in _FLOAT_OIDS else v
+    if oid == _BOOL_OID:
+        lit = _BOOL_TEXT.get(value.strip().lower())
+        if lit is None:
+            raise ValueError(
+                f"invalid boolean parameter value {value!r}"
+            )
+        return lit
+    if oid == _BYTEA_OID:
+        v = value.strip()
+        if v.startswith("\\x"):
+            v = v[2:]
+        if not re.fullmatch(r"(?:[0-9a-fA-F]{2})*", v):
+            raise ValueError(f"invalid bytea parameter value {value!r}")
+        return f"X'{v}'"
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _decode_binary_param(data: bytes, oid: int) -> str:
+    """Binary-format bind value → its text-format equivalent (then the
+    normal typed-literal path applies). Only OIDs with a fixed wire
+    encoding are accepted; anything else is refused with a clear error
+    instead of misreading bytes (pgjdbc binary-transfer mode sends
+    int/float/bool/bytea binary by default)."""
+    try:
+        if oid in (21, 23, 20):  # int2/int4/int8
+            fmt = {21: "!h", 23: "!i", 20: "!q"}[oid]
+            if len(data) != struct.calcsize(fmt):
+                raise ValueError("length")
+            return str(struct.unpack(fmt, data)[0])
+        if oid in (700, 701):  # float4/float8
+            fmt = "!f" if oid == 700 else "!d"
+            if len(data) != struct.calcsize(fmt):
+                raise ValueError("length")
+            return repr(struct.unpack(fmt, data)[0])
+        if oid == _BOOL_OID:
+            if len(data) != 1:
+                raise ValueError("length")
+            return "t" if data[0] else "f"
+        if oid == _BYTEA_OID:
+            return "\\x" + data.hex()
+        if oid in (_TEXT_OID, 1043, 18, 19):  # text/varchar/char/name
+            return data.decode("utf-8")
+    except ValueError:
+        raise ValueError(
+            f"malformed binary parameter for type OID {oid}"
+        ) from None
+    raise ValueError(
+        f"binary-format parameters of type OID {oid} are not supported"
+    )
+
 
 def _oid_for(spark_type: str) -> int:
     base = spark_type.split("(")[0].split("<")[0].strip().lower()
@@ -158,26 +251,32 @@ def _dollar_quote_end(sql: str, i: int) -> int | None:
 @dataclass
 class _ExtState:
     """Per-connection extended-protocol state: named prepared
-    statements, bound portals (statement text + lazily resolved
-    result frame + the row iterator of a suspended Execute), and the
-    post-error skip-until-Sync flag."""
+    statements (query text + Parse-declared parameter-type OIDs),
+    bound portals (statement text + lazily resolved result frame +
+    the row iterator of a suspended Execute), and the post-error
+    skip-until-Sync flag."""
 
     prepared: dict = field(default_factory=dict)
+    # name -> {"sql": str, "oids": tuple[int, ...]}
     # name -> {"sql": str, "df": DataFrame|None, "iter": iterator|None}
     portals: dict = field(default_factory=dict)
     skip_to_sync: bool = False
 
 
-def _substitute_params(sql: str, values: list[str | None]) -> str:
+def _substitute_params(
+    sql: str, values: list[str | None], oids: tuple[int, ...] = ()
+) -> str:
     """Inline text-format bind parameters: replace ``$1..$n`` OUTSIDE
-    string literals with quoted SQL literals (single quotes doubled —
-    values are never spliced raw, so a parameter cannot break out of
-    its literal). Spark's implicit coercion handles the typing the
-    way Postgres's unknown-type parameters do ('5' = INT column
-    compares numerically). A ``$k`` with no bound value is a client
-    protocol error and raises. Dollar-quoted bodies (``$$…$$`` /
-    ``$tag$…$tag$``) are opaque: a ``$1`` inside one is literal text,
-    never substituted (VERDICT r6 #8)."""
+    string literals with SQL literals. Undeclared/unknown-typed
+    parameters become quoted strings (single quotes doubled — values
+    are never spliced raw, so a parameter cannot break out of its
+    literal; Spark's implicit coercion handles the typing the way
+    Postgres's unknown-type parameters do). Parameters whose Parse
+    declared an int/float/numeric/bool OID become typed UNQUOTED
+    literals so the predicate stays pushable (r8). A ``$k`` with no
+    bound value is a client protocol error and raises. Dollar-quoted
+    bodies (``$$…$$`` / ``$tag$…$tag$``) are opaque: a ``$1`` inside
+    one is literal text, never substituted (VERDICT r6 #8)."""
     out: list[str] = []
     i, n, in_q = 0, len(sql), False
     while i < n:
@@ -210,9 +309,8 @@ def _substitute_params(sql: str, values: list[str | None]) -> str:
                 if not 1 <= k <= len(values):
                     raise ValueError(f"no value bound for parameter ${k}")
                 v = values[k - 1]
-                out.append(
-                    "NULL" if v is None else "'" + v.replace("'", "''") + "'"
-                )
+                oid = oids[k - 1] if k - 1 < len(oids) else 0
+                out.append("NULL" if v is None else _typed_literal(v, oid))
                 i = j - 1
             else:
                 out.append(c)
@@ -888,34 +986,61 @@ class WireServer:
         the default-mode flow of psycopg2/JDBC (Parse, Bind, Describe
         portal, Execute, Sync). Parameterized Binds are refused with
         0A000; simple-query `Q` remains the primary surface."""
-        if kind == b"P":  # Parse: name, query, n param type oids
+        if kind == b"P":  # Parse: name, query, n declared param OIDs
             (name, query), rest = _cstr_split(payload, 2)
-            ext.prepared[name] = query
+            noid = struct.unpack("!h", rest[:2])[0] if len(rest) >= 2 else 0
+            oids = (
+                struct.unpack(f"!{noid}i", rest[2 : 2 + 4 * noid])
+                if noid
+                else ()
+            )
+            ext.prepared[name] = {"sql": query, "oids": oids}
             conn.sendall(_msg(b"1", b""))
         elif kind == b"B":  # Bind: portal, statement, fmts, params
             (portal, stmt), rest = _cstr_split(payload, 2)
             if stmt not in ext.prepared:
                 raise ValueError(f"unknown prepared statement {stmt!r}")
+            prep = ext.prepared[stmt]
             nfmt = struct.unpack("!h", rest[:2])[0]
             fmts = struct.unpack(f"!{nfmt}h", rest[2 : 2 + 2 * nfmt])
             rest = rest[2 + 2 * nfmt :]
             nparams = struct.unpack("!h", rest[:2])[0]
             rest = rest[2:]
-            if any(fmts) and nparams:
-                raise ValueError(
-                    "binary-format bind parameters are not supported "
-                    "(text format only)"
-                )
             values: list[str | None] = []
-            for _ in range(nparams):
+            for p in range(nparams):
                 (vlen,) = struct.unpack("!i", rest[:4])
+                # per-protocol: 0 codes = all text, 1 code = applies
+                # to every parameter, else one code per parameter
+                fmt = (
+                    0 if nfmt == 0
+                    else fmts[0] if nfmt == 1
+                    else fmts[p]
+                )
                 if vlen < 0:
                     values.append(None)
                     rest = rest[4:]
+                    continue
+                raw = rest[4 : 4 + vlen]
+                rest = rest[4 + vlen :]
+                if fmt == 1:
+                    oid = prep["oids"][p] if p < len(prep["oids"]) else 0
+                    values.append(_decode_binary_param(raw, oid))
                 else:
-                    values.append(rest[4 : 4 + vlen].decode("utf-8"))
-                    rest = rest[4 + vlen :]
-            sql = _substitute_params(ext.prepared[stmt], values)
+                    values.append(raw.decode("utf-8"))
+            # result-format codes: text (0) is the only encoding this
+            # frontend emits; a binary request must be refused, not
+            # answered with text bytes the client will misparse (r8)
+            if len(rest) >= 2:
+                nrfmt = struct.unpack("!h", rest[:2])[0]
+                rfmts = struct.unpack(
+                    f"!{nrfmt}h", rest[2 : 2 + 2 * nrfmt]
+                )
+                if any(rfmts):
+                    raise ValueError(
+                        "binary result format is not supported "
+                        "(text format only)"
+                    )
+            sql = _substitute_params(prep["sql"], values, prep["oids"])
             ext.portals[portal] = {"sql": sql, "df": None, "iter": None}
             conn.sendall(_msg(b"2", b""))
         elif kind == b"D":  # Describe: 'S'|'P' + name
@@ -923,22 +1048,29 @@ class WireServer:
             if what == b"S":
                 if name not in ext.prepared:
                     raise ValueError(f"unknown prepared statement {name!r}")
-                # ParameterDescription: the real placeholder count with
-                # text OIDs (unknown-typed, like Postgres's untyped
-                # params) — always claiming 0 makes count-validating
-                # clients (psycopg3, pgjdbc describe flows) reject
-                # their own binds (ADVICE r6/r7).
-                k = _count_params(ext.prepared[name])
+                # ParameterDescription: the real placeholder count —
+                # always claiming 0 makes count-validating clients
+                # (psycopg3, pgjdbc describe flows) reject their own
+                # binds (ADVICE r6/r7). Parse-declared OIDs are echoed
+                # back; undeclared (or OID 0) report text, Postgres's
+                # unknown-param convention (r8).
+                prep = ext.prepared[name]
+                k = max(_count_params(prep["sql"]), len(prep["oids"]))
+                oids = [
+                    (prep["oids"][i] if i < len(prep["oids"]) else 0)
+                    or _TEXT_OID
+                    for i in range(k)
+                ]
                 conn.sendall(
-                    _msg(b"t", struct.pack(f"!h{k}i", k, *([_TEXT_OID] * k)))
+                    _msg(b"t", struct.pack(f"!h{k}i", k, *oids))
                 )
                 # Row shape of a parameterized statement: describe the
                 # all-NULL binding (lazy analysis only — read-only
                 # statements never execute at Describe).
                 shape_sql = (
-                    _substitute_params(ext.prepared[name], [None] * k)
+                    _substitute_params(prep["sql"], [None] * k)
                     if k
-                    else ext.prepared[name]
+                    else prep["sql"]
                 )
                 self._describe_sql(conn, shape_sql, None)
             else:

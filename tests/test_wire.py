@@ -931,3 +931,191 @@ def test_copy_errors_keep_session_alive(server):
     assert r.returncode != 0 and "ERROR" in r.stderr
     r = _psql(server.port, "SELECT 5 AS ok")
     assert r.returncode == 0 and r.stdout.strip() == "5"
+
+
+# -- typed parameters: declared OIDs + binary format (r8) -------------
+
+from peerdb_cdc_psql_psql_spark.wire import (  # noqa: E402
+    _decode_binary_param,
+    _typed_literal,
+)
+
+
+def test_typed_literal_rendering():
+    assert _typed_literal("42", 23) == "42"            # int4 unquoted
+    assert _typed_literal("-7", 20) == "-7"            # int8
+    assert _typed_literal("1.5", 701) == "CAST(1.5 AS DOUBLE)"
+    assert _typed_literal("1.50", 1700) == "1.50"      # numeric verbatim
+    assert _typed_literal("t", 16) == "TRUE"
+    assert _typed_literal("false", 16) == "FALSE"
+    assert _typed_literal("\\xdeadbeef", 17) == "X'deadbeef'"
+    # undeclared/unknown OID -> quoted string, quotes doubled
+    assert _typed_literal("O'Brien", 0) == "'O''Brien'"
+    assert _typed_literal("5", 0) == "'5'"
+
+
+def test_typed_literal_rejects_malformed_values():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _typed_literal("abc", 23)                      # not an int
+    with _pt.raises(ValueError):
+        _typed_literal("1; DROP TABLE t", 20)          # injection shape
+    with _pt.raises(ValueError):
+        _typed_literal("maybe", 16)
+    with _pt.raises(ValueError):
+        _typed_literal("\\xzz", 17)
+
+
+def test_decode_binary_param_fixed_encodings():
+    assert _decode_binary_param(_struct.pack("!i", 300), 23) == "300"
+    assert _decode_binary_param(_struct.pack("!q", -9), 20) == "-9"
+    assert _decode_binary_param(_struct.pack("!h", 7), 21) == "7"
+    assert _decode_binary_param(_struct.pack("!d", 2.5), 701) == "2.5"
+    assert _decode_binary_param(b"\x01", 16) == "t"
+    assert _decode_binary_param(b"\x00", 16) == "f"
+    assert _decode_binary_param(b"\xde\xad", 17) == "\\xdead"
+    assert _decode_binary_param(b"hi", 25) == "hi"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _decode_binary_param(b"\x00\x00", 23)          # wrong length
+    with _pt.raises(ValueError):
+        _decode_binary_param(b"\x00" * 4, 0)           # undeclared OID
+    with _pt.raises(ValueError):
+        _decode_binary_param(b"\x00" * 8, 1114)        # timestamp: no
+
+
+def test_substitute_params_uses_declared_oids():
+    assert _substitute_params(
+        "SELECT * FROM t WHERE k = $1 AND s = $2", ["5", "x"], (23, 0)
+    ) == "SELECT * FROM t WHERE k = 5 AND s = 'x'"
+
+
+def _parse_with_oids(name: bytes, q: bytes, *oids: int) -> bytes:
+    body = name + b"\x00" + q + b"\x00" + _struct.pack("!h", len(oids))
+    for o in oids:
+        body += _struct.pack("!i", o)
+    return _frame(b"P", body)
+
+
+def test_describe_echoes_declared_param_oids(server):
+    """r8: Parse-declared parameter-type OIDs come back verbatim in
+    ParameterDescription (previously discarded — every param was
+    reported as text, so typed pgjdbc flows re-Parsed in a loop)."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1"
+        c.sendall(
+            _parse_with_oids(b"tp1", q, 23)
+            + _frame(b"D", b"Stp1\x00")
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        pd = next(p for k, p in msgs if k == b"t")
+        assert _struct.unpack("!h", pd[:2])[0] == 1
+        assert _struct.unpack("!i", pd[2:6])[0] == 23
+    finally:
+        c.close()
+
+
+def test_typed_text_param_end_to_end(server):
+    """A text-format value bound under a declared int4 OID is inlined
+    as a typed (unquoted) literal — the predicate stays an int
+    comparison and the row comes back."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1"
+        c.sendall(
+            _parse_with_oids(b"", q, 23)
+            + _frame(b"B", _bind_text_params(b"4"))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"NATION_4"
+    finally:
+        c.close()
+
+
+def test_binary_int_param_with_declared_oid(server):
+    """pgjdbc binary-transfer mode: a BINARY int4 bind value under a
+    declared OID decodes and executes (previously every binary
+    parameter was refused outright)."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1"
+        bind = (
+            b"\x00\x00"
+            + _struct.pack("!hh", 1, 1)          # one BINARY format code
+            + _struct.pack("!h", 1)              # one parameter
+            + _struct.pack("!i", 4) + _struct.pack("!i", 2)
+            + _struct.pack("!h", 0)
+        )
+        c.sendall(
+            _parse_with_oids(b"", q, 23)
+            + _frame(b"B", bind)
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" not in kinds, msgs
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"NATION_2"
+    finally:
+        c.close()
+
+
+def test_malformed_typed_param_errors_and_recovers(server):
+    """A value that does not lex as its declared type errors at Bind
+    (Postgres 22P02 behavior), never reaches Spark, and the session
+    recovers after Sync."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT n_name FROM nation WHERE n_nationkey = $1"
+        c.sendall(
+            _parse_with_oids(b"", q, 23)
+            + _frame(b"B", _bind_text_params(b"abc"))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" in kinds and b"C" not in kinds
+        c.sendall(
+            _frame(b"Q", b"SELECT 6 AS ok\x00")
+        )
+        msgs = _drain_until_ready(c)
+        assert [p for k, p in msgs if k == b"C"] == [b"SELECT 1\x00"]
+    finally:
+        c.close()
+
+
+def test_binary_result_format_refused(server):
+    """A Bind requesting BINARY result columns gets a clean refusal —
+    previously the result-format codes were ignored and text bytes
+    went out under a binary contract the client would misparse."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SELECT 1 AS x"
+        bind = (
+            b"\x00\x00"
+            + _struct.pack("!h", 0)              # no param formats
+            + _struct.pack("!h", 0)              # no params
+            + _struct.pack("!hh", 1, 1)          # ONE binary result code
+        )
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00" + _struct.pack("!h", 0))
+            + _frame(b"B", bind)
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" in kinds and b"D" not in kinds
+    finally:
+        c.close()
