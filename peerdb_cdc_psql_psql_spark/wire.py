@@ -951,9 +951,21 @@ class WireServer:
         replicated TARGET table. Target state lives as keyed parquet
         under mirror_env['target_root'], not in the SQL catalog, so an
         unresolved-table error retries once after registering temp
-        views for any DDL-defined mirror targets that now have data."""
+        views for any DDL-defined mirror targets that now have data.
+
+        pg_catalog references take the compatibility path first: psql
+        meta-commands (``\\dt``, ``\\d t``, ``\\l``, …) expand into
+        Postgres-dialect catalog SQL, answered from Spark-built pg_*
+        views after dialect rewriting (operators/pg_compat.py)."""
         from pyspark.errors import AnalysisException
 
+        from .operators.pg_compat import apply_pg_compat
+
+        compat = apply_pg_compat(self.spark, stmt)
+        if isinstance(compat, DataFrame):
+            return compat
+        if compat is not None:
+            stmt = compat
         try:
             return self.spark.sql(stmt)
         except AnalysisException:

@@ -1,0 +1,203 @@
+"""pg_catalog emulation tests: the rewriter unit-level, and real
+``psql`` meta-commands (``\\dt``, ``\\d t``, ``\\l``, ``\\dn``,
+``\\du``, ``\\d+``, ``\\dp``) end-to-end against ``WireServer`` —
+the reference's :9900 frontend is a real Postgres psql/UI clients
+introspect (docker-compose.yml:155-170)."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import pytest
+
+from peerdb_cdc_psql_psql_spark.operators.pg_compat import (
+    apply_pg_compat,
+    references_pg_catalog,
+    rewrite_pg_sql,
+)
+from peerdb_cdc_psql_psql_spark.wire import WireServer
+
+SF = "/root/testdata/sf0.001"
+
+psql_missing = shutil.which("psql") is None
+
+
+def _psql(port: int, cmd: str, timeout: int = 120):
+    return subprocess.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={port} user=u dbname=d sslmode=disable",
+            "-c",
+            cmd,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_server(spark):
+    srv = WireServer(spark, port=0, sf_dir=SF)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+# -- rewriter units ---------------------------------------------------
+
+
+def test_detection_prefilter():
+    assert references_pg_catalog("SELECT * FROM pg_catalog.pg_class")
+    assert references_pg_catalog("select relname from pg_class")
+    assert not references_pg_catalog("SELECT * FROM nation")
+
+
+def test_rewrite_regex_operators():
+    out = rewrite_pg_sql(
+        "SELECT 1 FROM pg_class c WHERE c.relname "
+        "OPERATOR(pg_catalog.~) '^(nation)$' COLLATE pg_catalog.default "
+        "AND c.relname !~ '^pg_toast'"
+    )
+    squeezed = " ".join(out.split())
+    assert "RLIKE '^(nation)$'" in squeezed
+    assert "NOT RLIKE '^pg_toast'" in squeezed
+    assert "COLLATE" not in out and "OPERATOR" not in out
+
+
+def test_rewrite_cast_chains_and_aliases():
+    out = rewrite_pg_sql(
+        "SELECT c.reloftype::pg_catalog.regtype::pg_catalog.text, "
+        'n.nspname as "Schema Name" FROM pg_class c, pg_namespace n'
+    )
+    assert "CAST(c.reloftype AS STRING)" in out
+    assert "as `Schema Name`" in out
+
+
+def test_rewrite_function_shims():
+    out = rewrite_pg_sql(
+        "SELECT pg_catalog.pg_get_userbyid(c.relowner), "
+        "pg_catalog.array_to_string(d.datacl, E'\\n') "
+        "FROM pg_class c, pg_database d "
+        "WHERE pg_catalog.pg_table_is_visible(c.oid)"
+    )
+    assert "'spark'" in out
+    assert "array_join(d.datacl, '\\n')" in out
+    assert "WHERE true" in out
+
+
+def test_rewrite_format_type_uses_precomputed_column():
+    out = rewrite_pg_sql(
+        "SELECT a.attname, pg_catalog.format_type(a.atttypid, "
+        "a.atttypmod) FROM pg_catalog.pg_attribute a"
+    )
+    assert "a.attformattedtype" in out
+
+
+def test_rewrite_elides_empty_rel_subqueries():
+    out = rewrite_pg_sql(
+        "SELECT a.attname, (SELECT pg_catalog.pg_get_expr(d.adbin, "
+        "d.adrelid, true) FROM pg_catalog.pg_attrdef d WHERE "
+        "d.adrelid = a.attrelid) FROM pg_catalog.pg_attribute a"
+    )
+    assert "pg_attrdef" not in out
+    assert "CAST(NULL AS STRING)" in out
+
+
+def test_rewrite_elides_array_subqueries():
+    out = rewrite_pg_sql(
+        "SELECT pg_catalog.array_to_string(ARRAY(SELECT attname FROM "
+        "pg_catalog.pg_attribute WHERE attacl IS NOT NULL), E'\\n')"
+    )
+    assert "ARRAY(SELECT" not in out
+    assert "CAST(ARRAY() AS ARRAY<STRING>)" in out
+
+
+def test_apply_short_circuits_empty_relations(spark):
+    df = apply_pg_compat(
+        spark,
+        "SELECT conname FROM pg_catalog.pg_constraint r "
+        "WHERE r.conrelid = '16384' AND r.contype = 'f'",
+    )
+    assert not isinstance(df, str)
+    assert df.count() == 0
+
+
+def test_apply_passthrough_for_plain_sql(spark):
+    assert apply_pg_compat(spark, "SELECT 1 AS x") is None
+
+
+# -- end-to-end psql meta-commands ------------------------------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_dt_lists_fixture_tables(pg_server):
+    r = _psql(pg_server.port, r"\dt")
+    assert r.returncode == 0, r.stderr
+    for t in ("nation", "orders", "lineitem", "documents"):
+        assert t in r.stdout
+    assert "table" in r.stdout and "public" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_describe_table_columns_and_types(pg_server):
+    r = _psql(pg_server.port, r"\d nation")
+    assert r.returncode == 0, r.stderr
+    assert 'Table "public.nation"' in r.stdout
+    assert "n_nationkey" in r.stdout and "integer" in r.stdout
+    assert "n_name" in r.stdout and "text" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_describe_plus_storage_columns(pg_server):
+    r = _psql(pg_server.port, r"\d+ nation")
+    assert r.returncode == 0, r.stderr
+    assert "Storage" in r.stdout and "plain" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_list_databases_schemas_roles(pg_server):
+    for cmd, needle in (
+        (r"\l", "UTF8"),
+        (r"\dn", "public"),
+        (r"\du", "Superuser"),
+        (r"\dp", "Access privileges"),
+    ):
+        r = _psql(pg_server.port, cmd)
+        assert r.returncode == 0, (cmd, r.stderr)
+        assert needle in r.stdout, (cmd, r.stdout)
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_describe_missing_table_is_clean(pg_server):
+    r = _psql(pg_server.port, r"\d nosuch_table")
+    assert 'Did not find any relation named "nosuch_table"' in (
+        r.stdout + r.stderr
+    )
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_describe_system_view(pg_server):
+    r = _psql(pg_server.port, r"\dS pg_class")
+    assert r.returncode == 0, r.stderr
+    assert 'Table "pg_catalog.pg_class"' in r.stdout
+    assert "relname" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_direct_pg_class_query(pg_server):
+    r = _psql(
+        pg_server.port,
+        "SELECT relname FROM pg_catalog.pg_class "
+        "WHERE relkind = 'r' AND relnamespace = 2200 ORDER BY 1 LIMIT 1",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "customer" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_normal_queries_unaffected(pg_server):
+    r = _psql(pg_server.port, "SELECT COUNT(*) AS n FROM nation")
+    assert r.returncode == 0, r.stderr
+    assert "25" in r.stdout
