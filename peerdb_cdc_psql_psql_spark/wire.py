@@ -38,7 +38,9 @@ server-side cursor).
 
 from __future__ import annotations
 
+import itertools
 import re
+import secrets
 import socket
 import struct
 import threading
@@ -207,6 +209,18 @@ def _err_line(e: BaseException) -> str:
     bare ``ValueError()`` raises IndexError and kills the connection
     thread with no ErrorResponse sent (ADVICE r6 low)."""
     return (str(e).splitlines() or [type(e).__name__])[0][:500]
+
+
+def _error_for(e: BaseException) -> bytes:
+    """ErrorResponse for an engine exception. A job killed by
+    CancelRequest surfaces as Spark's cancelled-job error; clients
+    expect Postgres's 57014 query_canceled wording for it (psql
+    prints 'canceling statement due to user request' after Ctrl-C)."""
+    if "cancel" in str(e).lower():
+        return _error(
+            "canceling statement due to user request", code="57014"
+        )
+    return _error(_err_line(e))
 
 
 _READY = _msg(b"Z", b"I")
@@ -462,6 +476,13 @@ class WireServer:
     _sock: socket.socket | None = None
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
+    # query cancellation: (pid, secret) from BackendKeyData → the
+    # Spark job group every statement on that connection runs under
+    _cancel_keys: dict = field(default_factory=dict)
+    _cancel_lock: threading.Lock = field(default_factory=threading.Lock)
+    _next_pid: "itertools.count" = field(
+        default_factory=lambda: itertools.count(1)
+    )
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -511,16 +532,29 @@ class WireServer:
     # -- per-connection ------------------------------------------------
     def _handle_conn(self, conn: socket.socket) -> None:
         ext = _ExtState()
+        # Real BackendKeyData: every statement on this connection runs
+        # under its own Spark job group; a CancelRequest quoting the
+        # (pid, secret) cancels the group's running jobs — psql Ctrl-C
+        # aborts a runaway scan instead of being ignored (at 100 TB a
+        # mistyped cross join is hours of cluster time).
+        pid = next(self._next_pid)
+        secret = secrets.randbits(31)
+        group = f"wire-conn-{pid}"
+        with self._cancel_lock:
+            self._cancel_keys[(pid, secret)] = group
         try:
             conn.settimeout(60)
             if not self._startup(conn):
                 return
+            self.spark.sparkContext.setJobGroup(
+                group, f"wire connection {pid}", interruptOnCancel=True
+            )
             conn.sendall(
                 _msg(b"R", struct.pack("!i", 0))  # AuthenticationOk (trust)
                 + _msg(b"S", _cstr("server_version") + _cstr("15.0 (spark)"))
                 + _msg(b"S", _cstr("client_encoding") + _cstr("UTF8"))
                 + _msg(b"S", _cstr("DateStyle") + _cstr("ISO"))
-                + _msg(b"K", struct.pack("!ii", 1, 0))  # BackendKeyData
+                + _msg(b"K", struct.pack("!ii", pid, secret))
                 + _READY
             )
             while not self._stop.is_set():
@@ -556,7 +590,7 @@ class WireServer:
                         try:
                             self._extended(conn, kind, payload, ext)
                         except Exception as e:  # noqa: BLE001
-                            conn.sendall(_error(_err_line(e)))
+                            conn.sendall(_error_for(e))
                             ext.skip_to_sync = True
                 else:
                     conn.sendall(
@@ -571,6 +605,8 @@ class WireServer:
             # leak an unhandled-thread traceback (VERDICT r5 "wrong" #1)
             pass
         finally:
+            with self._cancel_lock:
+                self._cancel_keys.pop((pid, secret), None)
             try:
                 conn.close()
             except OSError:
@@ -596,6 +632,18 @@ class WireServer:
                 conn.sendall(b"N")
                 continue
             if code == _CANCEL_REQUEST:
+                # out-of-band cancel: a fresh connection quoting the
+                # BackendKeyData of the one to cancel; no response is
+                # ever sent on this socket (protocol §55.2.7)
+                if len(payload) >= 12:
+                    key = struct.unpack("!ii", payload[4:12])
+                    with self._cancel_lock:
+                        grp = self._cancel_keys.get(key)
+                    if grp is not None:
+                        try:
+                            self.spark.sparkContext.cancelJobGroup(grp)
+                        except Exception:  # noqa: BLE001 — cancel is
+                            pass  # best-effort; never crash the server
                 return False
             return code == _PROTOCOL_V3
 
@@ -706,7 +754,7 @@ class WireServer:
                 self._run_statement(conn, stmt)
             except Exception as e:  # noqa: BLE001 — every engine error
                 # becomes one wire ErrorResponse; the session survives
-                conn.sendall(_error(_err_line(e)))
+                conn.sendall(_error_for(e))
                 return
         if not sql.strip():
             conn.sendall(_msg(b"I", b""))  # EmptyQueryResponse

@@ -1119,3 +1119,79 @@ def test_binary_result_format_refused(server):
         assert b"E" in kinds and b"D" not in kinds
     finally:
         c.close()
+
+
+# -- CancelRequest: out-of-band query cancellation (r8) ---------------
+
+
+def _connect_raw_with_key(port: int):
+    """Like _connect_raw but returns the BackendKeyData (pid, secret)
+    the cancel protocol needs."""
+    c = _sk.create_connection(("127.0.0.1", port), timeout=60)
+    params = b"user\x00u\x00database\x00d\x00\x00"
+    c.sendall(_struct.pack("!ii", 8 + len(params), 196608) + params)
+    msgs = _drain_until_ready(c)
+    key = next(p for k, p in msgs if k == b"K")
+    pid, secret = _struct.unpack("!ii", key)
+    return c, pid, secret
+
+
+def test_backend_key_data_unique_per_connection(server):
+    c1, p1, s1 = _connect_raw_with_key(server.port)
+    c2, p2, s2 = _connect_raw_with_key(server.port)
+    try:
+        assert (p1, s1) != (p2, s2)
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_cancel_request_aborts_running_query(server):
+    """psql Ctrl-C: a CancelRequest on a NEW connection quoting the
+    BackendKeyData kills the running statement's Spark job group —
+    the victim gets a 57014 ErrorResponse (not a result) and the
+    session stays usable. At 100 TB this is the difference between
+    aborting a mistyped cross join and paying for it."""
+    c, pid, secret = _connect_raw_with_key(server.port)
+    try:
+        slow = (
+            b"SELECT COUNT(*) AS n FROM lineitem a CROSS JOIN "
+            b"lineitem b CROSS JOIN lineitem c WHERE "
+            b"a.l_orderkey + b.l_orderkey + c.l_orderkey < 0"
+        )
+        c.sendall(_frame(b"Q", slow + b"\x00"))
+        time.sleep(2.5)  # let the scan job actually start
+        cc = _sk.create_connection(("127.0.0.1", server.port), timeout=10)
+        cc.sendall(_struct.pack("!iiii", 16, 80877102, pid, secret))
+        cc.close()
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" in kinds and b"D" not in kinds, kinds
+        err = next(p for k, p in msgs if k == b"E")
+        assert b"57014" in err, err
+        # the session survives the cancel
+        c.sendall(_frame(b"Q", b"SELECT 9 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"9"
+    finally:
+        c.close()
+
+
+def test_cancel_request_with_wrong_secret_is_ignored(server):
+    c, pid, secret = _connect_raw_with_key(server.port)
+    try:
+        cc = _sk.create_connection(("127.0.0.1", server.port), timeout=10)
+        cc.sendall(
+            _struct.pack("!iiii", 16, 80877102, pid, secret ^ 0x5A5A)
+        )
+        cc.close()
+        # connection untouched: a normal query still answers
+        c.sendall(_frame(b"Q", b"SELECT 3 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"3"
+    finally:
+        c.close()
