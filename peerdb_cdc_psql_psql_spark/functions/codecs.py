@@ -916,12 +916,14 @@ def decode_avi_mjpg_frame(payload: bytes, entry: tuple[int, int]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 #
 # GIF's only "compression" is LZW with variable-width codes — ~50
-# lines of plain Python, not a library. Scope: single-image GIF with
-# a global OR local color table, sequential or interlaced row order
-# (r8 — both appear in real static-GIF corpora); animation and
-# sub-rectangle frames raise. Encoder writes clear-code-free streams
-# the hard way (emitting a Clear when the table fills) so the
-# decoder's table-growth path is genuinely exercised.
+# lines of plain Python, not a library. Scope: static GIF with a
+# global OR local color table, sequential or interlaced row order,
+# and (r8, second pass) full ANIMATION — multi-frame streams with
+# sub-rectangle placement, Graphic Control Extension transparency,
+# per-frame delays, and disposal methods 1/2/3 composited exactly.
+# Encoder writes clear-code-free streams the hard way (emitting a
+# Clear when the table fills) so the decoder's table-growth path is
+# genuinely exercised.
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
@@ -1086,6 +1088,212 @@ def encode_gif(
     )
 
 
+def encode_gif_anim(
+    frames: list[dict], palette: np.ndarray, w: int, h: int,
+    bg_index: int = 0,
+) -> bytes:
+    """GIF89a animation writer. ``frames`` is a list of dicts:
+    ``idx`` (fh, fw) uint8 index array, ``x``/``y`` placement,
+    ``disposal`` (0-3), ``transparent`` (index or None),
+    ``delay_cs`` (centiseconds), optional ``interlace``. One GLOBAL
+    color table; each frame gets a Graphic Control Extension (§23)
+    and a sub-rectangle image descriptor — the layout virtually every
+    real animated GIF uses (only changed regions are stored)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    depth = max(1, (len(pal) - 1).bit_length())
+    full = 1 << depth
+    table = np.zeros((full, 3), np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack(
+            "<HHBBB", w, h,
+            0x80 | ((depth - 1) & 7) << 4 | (depth - 1),
+            bg_index, 0,
+        )
+        + table.tobytes()
+        # NETSCAPE2.0 looping extension (infinite) — present in
+        # essentially every animated GIF in the wild
+        + b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    )
+    min_code = max(2, depth)
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        fh, fw = idx.shape
+        tflag = fr.get("transparent") is not None
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB",
+            ((fr.get("disposal", 0) & 7) << 2) | int(tflag),
+            fr.get("delay_cs", 0),
+            fr.get("transparent") or 0,
+        ) + b"\x00"
+        iflags = 0x40 if fr.get("interlace") else 0
+        out += struct.pack(
+            "<sHHHHB", b",", fr.get("x", 0), fr.get("y", 0), fw, fh,
+            iflags,
+        )
+        rows = idx[_gif_interlace_order(fh)] if fr.get("interlace") else idx
+        lzw = _lzw_encode(rows.tobytes(), min_code)
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b";"
+    return bytes(out)
+
+
+def _decode_gif_frames(payload: bytes) -> tuple[list[dict], dict]:
+    """Full multi-frame GIF parse → (frame records, screen info).
+    Each record: ``idx`` (de-interlaced (fh, fw) index array),
+    ``palette`` (the frame's effective table), ``x``/``y``/
+    ``disposal``/``transparent``/``delay_cs``/``local_table``/
+    ``interlaced``. Screen info: width/height/background index/
+    global palette."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 7)
+        global_pal = np.frombuffer(
+            payload, np.uint8, count=3 * n_colors, offset=pos
+        ).reshape(n_colors, 3)
+        pos += 3 * n_colors
+    frames: list[dict] = []
+    gce: dict = {}
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            sub = []
+            while payload[pos]:
+                n = payload[pos]
+                sub.append(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            if label == 0xF9 and sub:  # Graphic Control Extension §23
+                packed, delay, tidx = struct.unpack_from("<BHB", sub[0])
+                gce = {
+                    "disposal": (packed >> 2) & 7,
+                    "transparent": tidx if packed & 1 else None,
+                    "delay_cs": delay,
+                }
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            local = bool(iflags & 0x80)
+            pal = global_pal
+            if local:
+                n_colors = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    payload, np.uint8, count=3 * n_colors, offset=pos
+                ).reshape(n_colors, 3)
+                pos += 3 * n_colors
+            if pal is None:
+                raise ValueError(
+                    "GIF image with neither global nor local color table"
+                )
+            interlaced = bool(iflags & 0x40)
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(
+                ih, iw
+            )
+            if interlaced:
+                out = np.empty_like(grid)
+                out[_gif_interlace_order(ih)] = grid
+                grid = out
+            frames.append(
+                {
+                    "idx": grid, "palette": pal, "x": ix, "y": iy,
+                    "disposal": gce.get("disposal", 0),
+                    "transparent": gce.get("transparent"),
+                    "delay_cs": gce.get("delay_cs", 0),
+                    "local_table": local, "interlaced": interlaced,
+                }
+            )
+            gce = {}
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF missing image data")
+    return frames, {
+        "width": w, "height": h, "bg_index": bg_idx,
+        "global_palette": global_pal,
+    }
+
+
+def decode_gif_anim(payload: bytes) -> dict:
+    """Decode + composite an animated GIF exactly as a conforming
+    viewer does: RGB canvas initialized to the background color;
+    per frame, transparent pixels leave the canvas untouched; after
+    display, disposal 2 restores the frame RECTANGLE to background
+    and disposal 3 restores it to the pre-frame content. Returns
+    screen dims, frame count, total delay, per-frame displayed-canvas
+    channel sums, and the FINAL canvas sums."""
+    frames, screen = _decode_gif_frames(payload)
+    h, w = screen["height"], screen["width"]
+    gp = screen["global_palette"]
+    bg = (
+        gp[screen["bg_index"] % len(gp)]
+        if gp is not None
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+    per_frame = []
+    for fr in frames:
+        x, y = fr["x"], fr["y"]
+        fh, fw = fr["idx"].shape
+        if y + fh > h or x + fw > w:
+            raise ValueError("GIF frame rectangle exceeds logical screen")
+        rect = canvas[y : y + fh, x : x + fw]
+        saved = rect.copy() if fr["disposal"] == 3 else None
+        mask = (
+            np.ones((fh, fw), bool)
+            if fr["transparent"] is None
+            else fr["idx"] != fr["transparent"]
+        )
+        rect[mask] = fr["palette"][fr["idx"][mask] % len(fr["palette"])]
+        sums = canvas.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        per_frame.append(
+            {
+                "sum_r": int(sums[0]), "sum_g": int(sums[1]),
+                "sum_b": int(sums[2]), "disposal": fr["disposal"],
+                "delay_cs": fr["delay_cs"],
+            }
+        )
+        if fr["disposal"] == 2:
+            rect[:] = bg
+        elif fr["disposal"] == 3:
+            rect[:] = saved
+    final = per_frame[-1]
+    return {
+        "width": w, "height": h, "n_frames": len(frames),
+        "total_delay_cs": sum(f["delay_cs"] for f in per_frame),
+        "frames": per_frame,
+        "final_sum_r": final["sum_r"], "final_sum_g": final["sum_g"],
+        "final_sum_b": final["sum_b"],
+        "first_sum_r": per_frame[0]["sum_r"],
+    }
+
+
 def _decode_gif_full(
     payload: bytes,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
@@ -1125,8 +1333,11 @@ def _decode_gif_full(
                     "GIF image with neither global nor local color table"
                 )
             interlaced = bool(iflags & 0x40)
-            if (ix, iy, iw, ih) != (0, 0, w, h):
-                raise NotImplementedError("GIF sub-rectangle frames")
+            sub_rect = (ix, iy, iw, ih) != (0, 0, w, h)
+            if sub_rect and (ix + iw > w or iy + ih > h):
+                raise ValueError(
+                    "GIF image rectangle exceeds logical screen"
+                )
             min_code = payload[pos]
             pos += 1
             data = bytearray()
@@ -1135,18 +1346,28 @@ def _decode_gif_full(
                 data += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             pos += 1
-            idx = _lzw_decode(bytes(data), min_code, w * h)
-            if len(idx) < w * h:
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
-            grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+            grid = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(
+                ih, iw
+            )
             if interlaced:
                 # stored row i is original row order[i] (§20):
                 # scatter the stored rows back to their positions
                 out = np.empty_like(grid)
-                out[_gif_interlace_order(h)] = grid
+                out[_gif_interlace_order(ih)] = grid
                 grid = out
+            if sub_rect:
+                # static sub-rectangle image (legal per §20: the
+                # image may cover part of the logical screen):
+                # composite onto a background-index canvas
+                canvas = np.full((h, w), _bg % len(palette), np.uint8)
+                canvas[iy : iy + ih, ix : ix + iw] = grid
+                grid = canvas
             return grid, palette, {
                 "local_table": local, "interlaced": interlaced,
+                "sub_rect": sub_rect,
             }
         elif b == 0x3B:  # trailer
             break

@@ -617,6 +617,186 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_gif_anim_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side ANIMATED GIF synthesis: 3 frames per id —
+    full-rect base color, an inner sub-rectangle cycling disposal
+    1/2/3 (interlaced on odd ids), and a top-row checkerboard whose
+    odd cells are TRANSPARENT (the base must show through). The
+    frame geometry is disjoint (row 0 vs the y≥1 inner rect) so the
+    composited final canvas has a closed-form color census."""
+
+    from ..functions.codecs import encode_gif_anim
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [
+                (np.arange(_GIF_COLORS) * 17) % 256,
+                (np.arange(_GIF_COLORS) * 13) % 256,
+                (np.arange(_GIF_COLORS) * 29) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = (m % 8) * 3 + 6, (m % 4) * 2 + 4
+                c0, c1 = m % 16, (m * 7 + 1) % 16
+                c2, bg = (m * 5 + 3) % 16, (m + 11) % 16
+                t = (c2 + 1) % 16
+                d = (m // 3) % 3 + 1
+                delay = m % 10 + 1
+                f0 = {
+                    "idx": np.full((h, w), c0, np.uint8), "x": 0,
+                    "y": 0, "disposal": 1, "transparent": None,
+                    "delay_cs": delay,
+                }
+                f1 = {
+                    "idx": np.full((h // 2, w // 2), c1, np.uint8),
+                    "x": 1, "y": 1, "disposal": d, "transparent": None,
+                    "delay_cs": delay, "interlace": m % 2 == 1,
+                }
+                row = np.full((1, w), c2, np.uint8)
+                row[0, 1::2] = t
+                f2 = {
+                    "idx": row, "x": 0, "y": 0, "disposal": 0,
+                    "transparent": t, "delay_cs": delay,
+                }
+                payloads.append(
+                    encode_gif_anim([f0, f1, f2], pal, w, h, bg_index=bg)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+_GIF_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_delay_cs", T.LongType()),
+        T.StructField("disposal1", T.LongType()),
+        T.StructField("final_sum_r", T.LongType()),
+        T.StructField("final_sum_g", T.LongType()),
+        T.StructField("final_sum_b", T.LongType()),
+        T.StructField("first_sum_r", T.LongType()),
+    ]
+)
+
+
+def decode_gif_anims(df: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode + viewer-exact compositing over
+    mapInPandas (GCE parse, sub-rectangle placement, transparency
+    mask, disposal 1/2/3 canvas restoration)."""
+
+    from ..functions.codecs import decode_gif_anim
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_gif_anim(bytes(payload))
+                rows.append(
+                    (
+                        mid, d["width"], d["height"], d["n_frames"],
+                        d["total_delay_cs"],
+                        d["frames"][1]["disposal"],
+                        d["final_sum_r"], d["final_sum_g"],
+                        d["final_sum_b"], d["first_sum_r"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _GIF_ANIM_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_GIF_ANIM_SCHEMA)
+
+
+@register(
+    "multimodal_gif_anim_decode",
+    oracle="""
+SELECT media_id, width, height,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST(3 * (media_id % 10 + 1) AS BIGINT) AS total_delay_cs,
+       CAST(d AS BIGINT) AS disposal1,
+       -- final canvas census (frame rects are disjoint by
+       -- construction): row 0 = checkerboard c2 over c0 (odd cells
+       -- TRANSPARENT — base shows through), inner rect = c1 kept /
+       -- bg restored / c0 restored per disposal 1/2/3, rest = c0
+       nE * ((c2 * 17) % 256) + nO * ((c0 * 17) % 256)
+         + a1 * ((k1 * 17) % 256) + rest * ((c0 * 17) % 256)
+         AS final_sum_r,
+       nE * ((c2 * 13) % 256) + nO * ((c0 * 13) % 256)
+         + a1 * ((k1 * 13) % 256) + rest * ((c0 * 13) % 256)
+         AS final_sum_g,
+       nE * ((c2 * 29) % 256) + nO * ((c0 * 29) % 256)
+         + a1 * ((k1 * 29) % 256) + rest * ((c0 * 29) % 256)
+         AS final_sum_b,
+       width * height * ((c0 * 17) % 256) AS first_sum_r
+FROM (
+  SELECT media_id, width, height, c0, c2, d,
+         CASE d WHEN 1 THEN c1 WHEN 2 THEN bg ELSE c0 END AS k1,
+         (width + 1) // 2 AS nE, width // 2 AS nO,
+         (width // 2) * (height // 2) AS a1,
+         width * height - width
+           - (width // 2) * (height // 2) AS rest
+  FROM (
+    SELECT doc_id AS media_id,
+           (doc_id % 8) * 3 + 6 AS width,
+           (doc_id % 4) * 2 + 4 AS height,
+           doc_id % 16 AS c0,
+           (doc_id * 7 + 1) % 16 AS c1,
+           (doc_id * 5 + 3) % 16 AS c2,
+           (doc_id + 11) % 16 AS bg,
+           (doc_id // 3) % 3 + 1 AS d
+    FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id < 200
+  )
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode + compositing (X5, r8 — the dominant
+    real-corpus GIF shape: multi-frame, sub-rectangle updates,
+    transparency, disposal methods). Three frames per fixture: a
+    full-rect base, an inner sub-rectangle whose disposal cycles
+    1 (keep) / 2 (restore-background) / 3 (restore-previous) —
+    interlaced on odd ids so §20 runs per-frame — and a top-row
+    checkerboard whose odd cells are transparent, so the base color
+    MUST show through the transparency mask. The oracle recomputes
+    the final composited canvas channel census, the per-frame delay
+    total from the Graphic Control Extensions, the disposal
+    assignment, and frame 0's displayed sum. A wrong disposal
+    restore, a transparency mask applied backwards, or a frame
+    placed at the wrong offset each shift a sum."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_id") % 3 == 1) & (F.col("media_id") < 200)
+    )
+    decoded = decode_gif_anims(synthesize_gif_anim_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.col("n_frames").cast("bigint"),
+        F.col("total_delay_cs").cast("bigint"),
+        F.col("disposal1").cast("bigint"),
+        F.col("final_sum_r").cast("bigint"),
+        F.col("final_sum_g").cast("bigint"),
+        F.col("final_sum_b").cast("bigint"),
+        F.col("first_sum_r").cast("bigint"),
+    )
+
+
 def synthesize_jpeg_payloads(ids: DataFrame) -> DataFrame:
     """Executor-side JPEG synthesis: solid EVEN-gray images (8·s
     divisible by the standard table's DC quantizer 16 ⟺ gray value
