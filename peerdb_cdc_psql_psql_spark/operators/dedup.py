@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -114,24 +116,44 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Falls back to the session-cached in-memory index when the
     warehouse is unwritable (read-only driver environments must never
-    fail the correctness gate over a perf lever)."""
-    import hashlib
+    fail the correctness gate over a perf lever).
 
-    table = "shingle_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    The table name carries the OWNING PROCESS's pid (r8): the
+    previous shared-name design let process B clear-and-rewrite the
+    LOCATION while process A's executors were mid-scan on it
+    (FILE_NOT_EXIST task failures when a test run and a bench run
+    overlap — exactly the concurrent-jobs shape a warehouse shared
+    across a cluster sees). Per-process names make the cache
+    single-writer by construction; leftovers from DEAD processes are
+    swept opportunistically at build time, so the warehouse does not
+    grow without bound across rounds."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"shingle_index_{h}_p{os.getpid()}"
     if table in _INDEX_MEMO and spark.catalog.tableExists(table):
         return spark.table(table)
     try:
-        if not spark.catalog.tableExists(table):
-            # In-memory catalog + durable warehouse dir: a previous
-            # process may have left the table's LOCATION behind without
-            # a catalog entry, which makes saveAsTable refuse
-            # (LOCATION_ALREADY_EXISTS). The leftover is this process's
-            # own deterministic name — safe to clear and rewrite.
-            from .. import fs as _fs
+        from .. import fs as _fs
 
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).rstrip("/")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).rstrip("/")
+        # sweep same-corpus leftovers whose owner is gone (never a
+        # LIVE process's table — that is the race this fixes)
+        for d in _fs.list_dirs(spark, wh):
+            m = re.match(r"shingle_index_[0-9a-f]{8}_p(\d+)$", d)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except OSError:  # owner dead — leftover is unreferenced
+                _fs.delete(spark, f"{wh}/{d}")
+            # else: owner alive, leave its table alone
+        if not spark.catalog.tableExists(table):
+            # a crashed earlier build of THIS process's name may have
+            # left the LOCATION behind (saveAsTable would refuse)
             _fs.delete(spark, f"{wh}/{table}")
         materialize_shingle_index(spark, sf_dir, table=table)
     except Exception:

@@ -202,3 +202,34 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
         F.date_format("ts", "yyyy-MM-dd") == target_day
     ).count()
     assert full == by_day > 0
+
+
+def test_shingle_index_is_process_owned_and_sweeps_dead_leftovers(spark):
+    """r8: the cached index name carries the owning pid (two
+    concurrent processes can never clear each other's LIVE table —
+    the FILE_NOT_EXIST race a shared name had), and same-corpus
+    leftovers from dead owners are swept at build time."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark import fs as _fs
+    from peerdb_cdc_psql_psql_spark.operators.dedup import shingle_index
+
+    sf = "/root/testdata/sf0.001"
+    shingle_index(spark, sf)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.rstrip("/")
+    mine = [
+        d for d in _fs.list_dirs(spark, wh)
+        if d.endswith(f"_p{os.getpid()}") and d.startswith("shingle_index_")
+    ]
+    assert mine, "index table not owned by this process"
+    h = mine[0].split("_")[2]
+    # a leftover from a dead pid (max pid + reuse makes 2**22+1 safely
+    # nonexistent on Linux test hosts) must be swept on next build
+    dead = f"{wh}/shingle_index_{h}_p4194305"
+    _fs.mkdirs(spark, dead)
+    from peerdb_cdc_psql_psql_spark.operators.dedup import _INDEX_MEMO
+
+    _INDEX_MEMO.clear()
+    shingle_index(spark, sf)
+    assert not _fs.exists(spark, dead), "dead-owner leftover not swept"
