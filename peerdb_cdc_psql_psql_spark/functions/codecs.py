@@ -3574,11 +3574,233 @@ def encode_tiff(
     return bytes(out)
 
 
+def _tiff_compress(raw: bytes, compression: str) -> bytes:
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    if compression == "lzw":
+        return _tiff_lzw_encode(raw)
+    return raw
+
+
+def _tiff_decompress(seg: bytes, n_expected: int, compression: str) -> bytes:
+    if compression == "none":
+        if len(seg) < n_expected:
+            raise ValueError("TIFF segment truncated")
+        return seg[:n_expected]
+    if compression == "packbits":
+        return bytes(_packbits_decode(seg, n_expected))
+    return bytes(_tiff_lzw_decode(seg, n_expected))
+
+
+def _tiff_diff(block: np.ndarray) -> bytes:
+    """TIFF §14 horizontal differencing over a (rows, cols, ch)
+    block — per row, per channel."""
+    d = block.astype(np.int16)
+    d[:, 1:, :] -= d[:, :-1, :].copy()
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _tiff_undiff(raw: bytes, rows: int, cols: int, ch: int) -> np.ndarray:
+    """Inverse of §14 differencing: cumulative sum per row/channel.
+    The row width is the STORED segment's width — a tile's rows are
+    tile-wide, not image-wide, which is why the predictor must run
+    per segment in tiled files."""
+    a = np.frombuffer(raw, np.uint8).reshape(rows, cols, ch)
+    return (np.cumsum(a.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+
+
+def encode_tiff_ext(
+    pixels: np.ndarray, compression: str = "none", predictor: int = 1,
+    rows_per_strip: int = 8, tile: tuple[int, int] | None = None,
+    planar: bool = False,
+) -> bytes:
+    """General little-endian TIFF writer (r8): the two remaining
+    real-corpus layouts on top of ``encode_tiff``'s chunky strips —
+    TILED files (tags 322-325; the layout geo/large-scan TIFFs use so
+    readers can fetch spatial windows without whole rows) and
+    PLANAR-configuration files (tag 284=2: each channel's samples
+    stored contiguously, plane-major segment order per §Section 15).
+    Both compose with none/PackBits/LZW and predictor=2 (differencing
+    runs per stored segment row — tile-wide in tiled files).
+    ``tile`` is (tile_width, tile_length); spec requires multiples of
+    16 for real interchange but any positive size decodes here."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ch = 1 if gray else px.shape[2]
+    cube = px.reshape(h, w, ch)
+    seg_ch = 1 if planar else ch
+    planes = (
+        [cube[:, :, p : p + 1] for p in range(ch)] if planar else [cube]
+    )
+    segments: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive")
+        for plane in planes:
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((th, tw, seg_ch), np.uint8)
+                    part = plane[y0 : y0 + th, x0 : x0 + tw, :]
+                    block[: part.shape[0], : part.shape[1], :] = part
+                    raw = (
+                        _tiff_diff(block)
+                        if predictor == 2
+                        else block.tobytes()
+                    )
+                    segments.append(_tiff_compress(raw, compression))
+    else:
+        for plane in planes:
+            for y0 in range(0, h, rows_per_strip):
+                block = plane[y0 : y0 + rows_per_strip, :, :]
+                raw = (
+                    _tiff_diff(block)
+                    if predictor == 2
+                    else block.tobytes()
+                )
+                segments.append(_tiff_compress(raw, compression))
+
+    # IFD builder: entries in ascending tag order, out-of-line value
+    # arrays placed directly after the IFD
+    entries: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * ch),
+        (259, 3, [_TIFF_COMP[compression]]),
+        (262, 3, [1 if gray else 2]),
+        (277, 3, [ch]),
+        (284, 3, [2 if planar else 1]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
+    if tile is not None:
+        entries.append((322, 4, [tile[0]]))
+        entries.append((323, 4, [tile[1]]))
+        off_tag, cnt_tag = 324, 325
+    else:
+        entries.append((278, 4, [rows_per_strip]))
+        off_tag, cnt_tag = 273, 279
+    n = len(segments)
+    entries.append((off_tag, 4, [0] * n))  # patched below
+    entries.append((cnt_tag, 4, [len(s) for s in segments]))
+    entries.sort()
+    ifd_off = 8
+    n_entries = len(entries)
+    aux_off = ifd_off + 2 + 12 * n_entries + 4
+    _SZ = {3: 2, 4: 4}
+    aux = bytearray()
+    for tag, typ, vals in entries:
+        if len(vals) * _SZ[typ] > 4:
+            aux += b"".join(
+                struct.pack("<H" if typ == 3 else "<I", v) for v in vals
+            )
+    data_off = aux_off + len(aux)
+    offsets = []
+    pos = data_off
+    for s in segments:
+        offsets.append(pos)
+        pos += len(s)
+    entries = [
+        (tag, typ, offsets if tag == off_tag else vals)
+        for tag, typ, vals in entries
+    ]
+    ifd = struct.pack("<H", n_entries)
+    aux = bytearray()
+    for tag, typ, vals in entries:
+        fmt = "<H" if typ == 3 else "<I"
+        packed = b"".join(struct.pack(fmt, v) for v in vals)
+        if len(packed) <= 4:
+            ifd += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(
+                4, b"\x00"
+            )
+        else:
+            ifd += struct.pack(
+                "<HHI", tag, typ, len(vals)
+            ) + struct.pack("<I", aux_off + len(aux))
+            aux += packed
+    ifd += struct.pack("<I", 0)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += ifd
+    out += aux
+    for s in segments:
+        out += s
+    return bytes(out)
+
+
+def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
+    """Tiled and/or planar assembly: segments are plane-major (§15);
+    tiles are always FULL tile-sized as stored (edge tiles padded) and
+    clipped on placement; the §14 predictor inverts per stored-segment
+    row (tile-wide rows in tiled files)."""
+    h, w, ch = d["height"], d["width"], d["n_channels"]
+    planar = d["planar"]
+    seg_ch = 1 if planar else ch
+    planes = ch if planar else 1
+    comp = d["compression"]
+    segs = d["segments"]
+    out = np.empty((h, w, ch), np.uint8)
+    if d["layout"] == "tiles":
+        tw, th = d["tile_width"], d["tile_length"]
+        ta, td = -(-w // tw), -(-h // th)
+        if len(segs) < ta * td * planes:
+            raise ValueError("TIFF tile table truncated")
+        for p in range(planes):
+            for ti in range(td):
+                for tj in range(ta):
+                    off, cnt = segs[p * ta * td + ti * ta + tj]
+                    raw = _tiff_decompress(
+                        payload[off : off + cnt], tw * th * seg_ch, comp
+                    )
+                    block = (
+                        _tiff_undiff(raw, th, tw, seg_ch)
+                        if d["predictor"] == 2
+                        else np.frombuffer(raw, np.uint8).reshape(
+                            th, tw, seg_ch
+                        )
+                    )
+                    ys, xs = ti * th, tj * tw
+                    hh, ww_ = min(th, h - ys), min(tw, w - xs)
+                    if planar:
+                        out[ys : ys + hh, xs : xs + ww_, p] = block[
+                            :hh, :ww_, 0
+                        ]
+                    else:
+                        out[ys : ys + hh, xs : xs + ww_, :] = block[
+                            :hh, :ww_, :
+                        ]
+    else:  # planar strips
+        rps = d["rows_per_strip"]
+        spp = -(-h // rps)
+        if len(segs) < spp * planes:
+            raise ValueError("TIFF strip table truncated")
+        for p in range(planes):
+            for si in range(spp):
+                off, cnt = segs[p * spp + si]
+                rows = min(rps, h - si * rps)
+                raw = _tiff_decompress(
+                    payload[off : off + cnt], rows * w * seg_ch, comp
+                )
+                block = (
+                    _tiff_undiff(raw, rows, w, seg_ch)
+                    if d["predictor"] == 2
+                    else np.frombuffer(raw, np.uint8).reshape(
+                        rows, w, seg_ch
+                    )
+                )
+                out[si * rps : si * rps + rows, :, p] = block[:, :, 0]
+    return out.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
 def decode_tiff_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF: IFD tag walk (both byte orders),
-    per-strip decompression (none/PackBits/LZW), chunky assembly."""
+    """Decode a TIFF: IFD tag walk (both byte orders), per-segment
+    decompression (none/PackBits/LZW), predictor inversion, and
+    assembly across all four layout combinations — chunky/planar ×
+    strips/tiles (r8: tiled and planar files no longer raise)."""
     d = decode_tiff_meta(payload)
     h, w, ch = d["height"], d["width"], d["n_channels"]
+    if d["layout"] == "tiles" or d["planar"]:
+        return _assemble_tiff_general(payload, d)
     row_bytes = w * ch
     raw = bytearray()
     for (off, cnt), y0 in zip(
@@ -3644,24 +3866,38 @@ def decode_tiff_meta(payload: bytes) -> dict:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     ch = values(277, [len(bits)])[0]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
     predictor = values(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    if values(284, [1])[0] != 1:
-        raise NotImplementedError("planar TIFF")
-    rps = values(278, [h])[0]
-    offs = values(273)
-    cnts = values(279)
+    pconf = values(284, [1])[0]
+    if pconf not in (1, 2):
+        raise ValueError(f"invalid TIFF planar configuration {pconf}")
+    tiled = 322 in tags or 323 in tags
+    tw = th = 0
+    if tiled:
+        tw, th = values(322)[0], values(323)[0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("invalid TIFF tile dimensions")
+        offs = values(324)
+        cnts = values(325)
+        rps = h
+    else:
+        rps = values(278, [h])[0]
+        offs = values(273)
+        cnts = values(279)
     return {
         "width": int(w),
         "height": int(h),
         "n_channels": int(ch),
         "compression": _TIFF_COMP_NAMES[comp],
         "predictor": int(predictor),
+        "planar": pconf == 2,
+        "layout": "tiles" if tiled else "strips",
+        "tile_width": int(tw),
+        "tile_length": int(th),
         "rows_per_strip": int(min(rps, h)),
         "strips": list(zip(offs, cnts)),
+        "segments": list(zip(offs, cnts)),
         "byte_order": "little" if bo == "<" else "big",
     }
 

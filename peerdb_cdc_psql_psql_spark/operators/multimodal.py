@@ -2500,6 +2500,173 @@ def decode_tiffs(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=_TIFF_DECODE_SCHEMA)
 
 
+def synthesize_tiled_tiff_payloads(ids: DataFrame) -> DataFrame:
+    """Executor-side TIFF synthesis for the r8 layout extensions:
+    the gradient fixture written through ``encode_tiff_ext`` rotating
+    tiled-chunky / tiled-planar / strip-planar layouts, crossed with
+    the compression and predictor rotations. Tile dims are small and
+    deliberately non-divisors of the image dims, so edge-tile padding
+    and clipping run on most fixtures."""
+
+    from ..functions.codecs import encode_tiff_ext
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw")
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, (m % 4) * 3 + 4
+                r0, g0, b0 = m % 200, m % 220, m * 13 % 256
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = r0 + np.arange(w)[None, :]
+                px[..., 1] = g0 + np.arange(h)[:, None]
+                px[..., 2] = b0
+                lay = (m // 3) % 3
+                kw = dict(
+                    compression=comps[(m // 9) % 3],
+                    predictor=(m // 3) % 2 + 1,
+                )
+                if lay == 0:
+                    kw["tile"] = (m % 3 + 3, m % 5 + 2)
+                elif lay == 1:
+                    kw["tile"] = (m % 3 + 3, m % 5 + 2)
+                    kw["planar"] = True
+                else:
+                    kw["rows_per_strip"] = 4
+                    kw["planar"] = True
+                payloads.append(encode_tiff_ext(px, **kw))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+_TIFF_TILED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("layout", T.StringType()),
+        T.StructField("planar", T.BooleanType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("predictor", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_tiled_tiffs(df: DataFrame) -> DataFrame:
+    """REAL tiled/planar TIFF decode over mapInPandas: IFD walk,
+    per-segment decompression, predictor inversion per stored row,
+    tile clipping, plane stacking → layout facts + exact sums."""
+
+    from ..functions.codecs import decode_tiff_meta, decode_tiff_pixels
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = decode_tiff_meta(b)
+                px = decode_tiff_pixels(b).astype(np.int64)
+                rows.append(
+                    (
+                        mid, meta["width"], meta["height"],
+                        meta["layout"], meta["planar"],
+                        meta["compression"], meta["predictor"],
+                        len(meta["segments"]),
+                        int(px[..., 0].sum()), int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TIFF_TILED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=_TIFF_TILED_SCHEMA)
+
+
+@register(
+    "multimodal_tiff_tiled_decode",
+    oracle="""
+SELECT media_id, width, height, layout, planar, compression,
+       CAST(p AS BIGINT) AS predictor,
+       CAST(CASE lay
+         WHEN 0 THEN ((width + tw - 1) // tw) * ((height + th - 1) // th)
+         WHEN 1 THEN ((width + tw - 1) // tw) * ((height + th - 1) // th) * 3
+         ELSE ((height + 3) // 4) * 3
+       END AS BIGINT) AS n_segments,
+       height * (width * r0 + width * (width - 1) // 2) AS sum_r,
+       width * (height * g0 + height * (height - 1) // 2) AS sum_g,
+       width * height * b0 AS sum_b
+FROM (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) * 4 + 5 AS width,
+         (doc_id % 4) * 3 + 4 AS height,
+         (doc_id // 3) % 3 AS lay,
+         CASE (doc_id // 3) % 3 WHEN 0 THEN 'tiles' WHEN 1 THEN 'tiles'
+           ELSE 'strips' END AS layout,
+         (doc_id // 3) % 3 <> 0 AS planar,
+         CASE (doc_id // 9) % 3
+           WHEN 0 THEN 'none' WHEN 1 THEN 'packbits' ELSE 'lzw'
+         END AS compression,
+         (doc_id // 3) % 2 + 1 AS p,
+         doc_id % 3 + 3 AS tw,
+         doc_id % 5 + 2 AS th,
+         doc_id % 200 AS r0,
+         doc_id % 220 AS g0,
+         (doc_id * 13) % 256 AS b0
+  FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id < 200
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_tiff_tiled_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TILED and PLANAR TIFF decode (X5, r8 — the remaining
+    real-corpus TIFF layouts: tiles are how geo/large-scan TIFFs
+    window 100k-pixel-wide images; planar configuration is §15's
+    plane-major sample order). Fixtures rotate tiled-chunky /
+    tiled-planar / strip-planar against the compression and
+    predictor rotations, with tile dims that do NOT divide the image
+    dims (edge-tile padding + clipping run). The oracle recomputes
+    dimensions, layout facts, the exact segment count (tiles-across ×
+    tiles-down × planes), and the closed-form gradient channel sums —
+    a tile placed at the wrong offset, a plane stacked in the wrong
+    order, or a predictor inverted at image width instead of tile
+    width each breaks exact equality."""
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_id") % 3 == 2) & (F.col("media_id") < 200)
+    )
+    decoded = decode_tiled_tiffs(synthesize_tiled_tiff_payloads(ids))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        "layout",
+        "planar",
+        "compression",
+        F.col("predictor").cast("bigint"),
+        F.col("n_segments").cast("bigint"),
+        F.col("sum_r").cast("bigint"),
+        F.col("sum_g").cast("bigint"),
+        F.col("sum_b").cast("bigint"),
+    )
+
+
 def synthesize_tiff_payloads(ids: DataFrame) -> DataFrame:
     """Executor-side TIFF synthesis: the PNG gradient fixture written
     through the strip-TIFF encoder, compression rotated over

@@ -1823,3 +1823,122 @@ def test_flac_three_channels_still_raises():
 
     with pytest.raises(NotImplementedError, match="mono or 2-channel"):
         encode_flac(np.zeros((10, 3), np.int64), 8000)
+
+
+# -- TIFF tiled + planar layouts (r8) ---------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=33),
+    h=st.integers(min_value=1, max_value=18),
+    tw=st.integers(min_value=1, max_value=9),
+    th=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=10_000),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.sampled_from([1, 2]),
+    planar=st.booleans(),
+    color=st.booleans(),
+)
+def test_tiff_tiled_planar_roundtrip_property(
+    w, h, tw, th, seed, comp, predictor, planar, color
+):
+    """All layout combinations — tiles (arbitrary dims, so edge
+    padding + clipping run) × planar × compression × predictor ×
+    gray/RGB — decode bit-exactly."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    data = encode_tiff_ext(
+        px, compression=comp, predictor=predictor, tile=(tw, th),
+        planar=planar,
+    )
+    meta = decode_tiff_meta(data)
+    assert meta["layout"] == "tiles" and meta["planar"] == planar
+    planes = 3 if planar and color else 1
+    assert len(meta["segments"]) == (
+        -(-w // tw) * -(-h // th) * planes
+    )
+    assert np.array_equal(decode_tiff_pixels(data), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=25),
+    h=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=10_000),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.sampled_from([1, 2]),
+)
+def test_tiff_planar_strips_roundtrip_property(w, h, seed, comp, predictor):
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_tiff_ext(
+        px, compression=comp, predictor=predictor, rows_per_strip=4,
+        planar=True,
+    )
+    meta = decode_tiff_meta(data)
+    assert meta["layout"] == "strips" and meta["planar"]
+    assert len(meta["segments"]) == -(-h // 4) * 3
+    assert np.array_equal(decode_tiff_pixels(data), px)
+
+
+def test_tiff_tile_predictor_runs_at_tile_width():
+    """A gradient image where every row is 0..w-1: with predictor 2
+    each stored TILE row differences from the tile's own left edge —
+    decoding with an image-width predictor would corrupt every tile
+    after the first column. The round trip pins the per-segment
+    inversion."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    px = np.tile(np.arange(24, dtype=np.uint8), (6, 1))
+    data = encode_tiff_ext(px, "lzw", predictor=2, tile=(5, 3))
+    assert np.array_equal(decode_tiff_pixels(data), px)
+
+
+def test_tiff_planar_plane_order_matters():
+    """Channels carry distinct constants; a decoder stacking planes
+    in the wrong order swaps channel sums."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    px = np.empty((4, 5, 3), np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = 10, 200, 77
+    got = decode_tiff_pixels(encode_tiff_ext(px, planar=True))
+    assert (got[..., 0] == 10).all()
+    assert (got[..., 1] == 200).all()
+    assert (got[..., 2] == 77).all()
+
+
+def test_tiff_truncated_tile_table_raises():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    px = np.zeros((8, 8), np.uint8)
+    data = bytearray(encode_tiff_ext(px, tile=(4, 4)))
+    # rewrite tag 324's count from 4 tiles to 2 (IFD is little-endian)
+    i = data.index((324).to_bytes(2, "little") + (4).to_bytes(2, "little"))
+    data[i + 4 : i + 8] = (2).to_bytes(4, "little")
+    assert len(decode_tiff_meta(bytes(data))["segments"]) == 2
+    with pytest.raises(ValueError, match="tile table truncated"):
+        decode_tiff_pixels(bytes(data))
