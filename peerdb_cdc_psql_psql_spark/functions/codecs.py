@@ -3091,12 +3091,19 @@ def encode_flac(
     channel carries 17 bits per §9.1.3), so every decoder
     reconstruction path has an in-repo producer."""
     s = np.asarray(samples, dtype=np.int64)
-    stereo = s.ndim == 2
-    if stereo and s.shape[1] != 2:
-        raise NotImplementedError("only mono or 2-channel FLAC")
+    n_ch = s.shape[1] if s.ndim == 2 else 1
+    if not 1 <= n_ch <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    stereo = s.ndim == 2 and n_ch == 2
+    multi = s.ndim == 2 and n_ch != 2
     if s.size and (s.max() > 32767 or s.min() < -32768):
         raise ValueError("samples out of int16 range")
-    ch_code = _FLAC_STEREO_MODES[stereo_mode] if stereo else 0
+    # 3+ channels: independent coding only (§9.1.3 assignments
+    # 0b0000-0b0111 are 1-8 independent channels; the decorrelation
+    # modes exist only for stereo) — r8, second pass
+    ch_code = (
+        _FLAC_STEREO_MODES[stereo_mode] if stereo else n_ch - 1
+    )
     n_total = len(s)
     frames = bytearray()
     for fi, start in enumerate(range(0, n_total, _FLAC_BLOCK)):
@@ -3111,7 +3118,10 @@ def encode_flac(
         hdr.append(_flac_crc8(bytes(hdr)))
 
         bw = _FlacBitWriter()
-        if not stereo:
+        if multi:
+            for c in range(n_ch):
+                _flac_encode_subframe(bw, blk[:, c], 16)
+        elif not stereo:
             _flac_encode_subframe(bw, blk, 16)
         else:
             left, right = blk[:, 0], blk[:, 1]
@@ -3134,7 +3144,7 @@ def encode_flac(
     streaminfo += b"\x00\x00\x00" * 2             # frame sizes unknown
     packed = (
         (sample_rate << 44)
-        | ((2 - 1 if stereo else 0) << 41)
+        | ((n_ch - 1) << 41)
         | (15 << 36)
         | n_total
     )
@@ -3231,10 +3241,6 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
             n_ch = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             n_total = packed & ((1 << 36) - 1)
-            if n_ch > 2:
-                raise NotImplementedError(
-                    "only mono and stereo FLAC are supported"
-                )
         pos = body + length
     out: list[np.ndarray] = []
     n_done = 0
@@ -3249,11 +3255,12 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
         bs_bits, sr_bits = br.read(4), br.read(4)
         ch_bits, ss_bits = br.read(4), br.read(3)
         br.read(1)
-        if ch_bits not in (0, 1, 8, 9, 10):
+        if ch_bits > 10:
             raise NotImplementedError(
                 f"FLAC channel assignment {ch_bits:#06b}"
             )
-        if (ch_bits == 0) != (n_ch == 1):
+        frame_ch = ch_bits + 1 if ch_bits <= 7 else 2
+        if frame_ch != n_ch:
             raise ValueError("frame channel count contradicts STREAMINFO")
         _flac_read_utf8(br)
         if bs_bits == 0b0110:
@@ -3276,10 +3283,14 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         if ch_bits == 0:  # mono
             frame = _flac_decode_subframe(br, bs, bps)
-        elif ch_bits == 1:  # independent stereo
-            left = _flac_decode_subframe(br, bs, bps)
-            right = _flac_decode_subframe(br, bs, bps)
-            frame = np.stack([left, right], axis=1)
+        elif ch_bits <= 7:  # 2-8 independent channels
+            frame = np.stack(
+                [
+                    _flac_decode_subframe(br, bs, bps)
+                    for _ in range(ch_bits + 1)
+                ],
+                axis=1,
+            )
         elif ch_bits == 8:  # left/side: ch1 = left - right
             left = _flac_decode_subframe(br, bs, bps)
             side = _flac_decode_subframe(br, bs, bps + 1)
@@ -3306,8 +3317,8 @@ def decode_flac_samples(payload: bytes) -> tuple[int, np.ndarray]:
         samples = np.concatenate(out)
     else:
         samples = np.array([], dtype=np.int64)
-        if n_ch == 2:
-            samples = samples.reshape(0, 2)
+        if n_ch > 1:
+            samples = samples.reshape(0, n_ch)
     return rate, samples[:n_total] if n_total else samples
 
 
@@ -3323,9 +3334,10 @@ def _flac_first_frame_mode(payload: bytes) -> str:
     if pos + 3 >= len(payload):
         return "none"
     code = payload[pos + 3] >> 4
+    if 1 <= code <= 7:
+        return "independent"
     return {
-        0: "mono", 1: "independent", 8: "left_side",
-        9: "right_side", 10: "mid_side",
+        0: "mono", 8: "left_side", 9: "right_side", 10: "mid_side",
     }.get(code, f"reserved_{code}")
 
 
@@ -3336,7 +3348,7 @@ def decode_flac(payload: bytes) -> dict:
     rate, samples = decode_flac_samples(payload)
     return {
         "sample_rate": int(rate),
-        "n_channels": 2 if samples.ndim == 2 else 1,
+        "n_channels": samples.shape[1] if samples.ndim == 2 else 1,
         "channel_mode": _flac_first_frame_mode(payload),
         "n_samples": int(len(samples)),
         "sum_samples": int(samples.sum()) if samples.size else 0,

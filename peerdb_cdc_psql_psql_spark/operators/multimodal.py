@@ -2449,6 +2449,87 @@ def multimodal_flac_stereo_decode(
     )
 
 
+@register(
+    "multimodal_flac_multichannel_decode",
+    oracle="""
+SELECT media_id,
+       CAST(C AS BIGINT) AS n_channels,
+       'independent' AS channel_mode,
+       n AS n_samples,
+       C * n * a + dc * n * C * (C - 1) // 2
+         + b * C * n * (n - 1) // 2 AS sum_samples,
+       LEAST(a, a + dc * (C - 1), a + b * (n - 1),
+             a + dc * (C - 1) + b * (n - 1)) AS min_sample,
+       GREATEST(a, a + dc * (C - 1), a + b * (n - 1),
+                a + dc * (C - 1) + b * (n - 1)) AS max_sample
+FROM (
+  SELECT doc_id AS media_id,
+         doc_id % 6 + 3 AS C,
+         900 + (doc_id % 7) * 600 AS n,
+         (doc_id % 50) * 10 - 250 AS a,
+         (doc_id % 9) - 4 AS b,
+         (doc_id % 11) - 5 AS dc
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id >= 200 AND doc_id < 350
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_flac_multichannel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTICHANNEL FLAC round trip (X5, r8 second pass — surround
+    corpora: 3-8 channels, §9.1.3 assignments 0b0010-0b0111, coded
+    independently since the decorrelation modes exist only for
+    stereo). Each channel is the shared ramp offset by c·dc, so a
+    decoder interleaving channels in the wrong order, dropping one,
+    or misreading the frame-header channel count breaks the
+    closed-form census; block counts cross the 4096 frame boundary
+    on part of the fixture set."""
+    from ..functions.codecs import decode_flac, encode_flac
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio")
+        & (F.col("media_id") >= 200)
+        & (F.col("media_id") < 350)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                C = m % 6 + 3
+                n = 900 + (m % 7) * 600
+                a, b, dc = m % 50 * 10 - 250, m % 9 - 4, m % 11 - 5
+                i = np.arange(n, dtype=np.int64)
+                sig = np.stack(
+                    [a + c * dc + b * i for c in range(C)], axis=1
+                )
+                d = decode_flac(encode_flac(sig, 16000))
+                rows.append(
+                    (
+                        m, d["n_channels"], d["channel_mode"],
+                        d["n_samples"], d["sum_samples"],
+                        d["min_sample"], d["max_sample"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FLAC_STEREO_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_FLAC_STEREO_SCHEMA)
+        .select(
+            "media_id", "n_channels", "channel_mode", "n_samples",
+            "sum_samples", "min_sample", "max_sample",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TIFF (X5): strip-layout scans with None / PackBits / TIFF-LZW
 # ---------------------------------------------------------------------------

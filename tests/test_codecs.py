@@ -1818,11 +1818,16 @@ def test_flac_mid_side_parity_bit():
     assert np.array_equal(got, st2)
 
 
-def test_flac_three_channels_still_raises():
-    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_flac
+def test_flac_three_channels_now_roundtrip():
+    """r8 second pass: 3+ channels code independently — the former
+    typed boundary is closed (see the multichannel section below)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
 
-    with pytest.raises(NotImplementedError, match="mono or 2-channel"):
-        encode_flac(np.zeros((10, 3), np.int64), 8000)
+    s = np.arange(30, dtype=np.int64).reshape(10, 3)
+    assert np.array_equal(decode_flac_samples(encode_flac(s, 8000))[1], s)
 
 
 # -- TIFF tiled + planar layouts (r8) ---------------------------------
@@ -1942,3 +1947,59 @@ def test_tiff_truncated_tile_table_raises():
     assert len(decode_tiff_meta(bytes(data))["segments"]) == 2
     with pytest.raises(ValueError, match="tile table truncated"):
         decode_tiff_pixels(bytes(data))
+
+
+# -- multichannel FLAC (r8, 3-8 independent channels) -----------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=9000),
+    n_ch=st.integers(min_value=3, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_multichannel_roundtrip_property(n, n_ch, seed):
+    """3-8 channels code independently (§9.1.3 assignments
+    0b0010-0b0111) and round-trip bit-exactly across the 4096 frame
+    boundary."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac,
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, n_ch), dtype=np.int64)
+    payload = encode_flac(s, 22050)
+    rate, got = decode_flac_samples(payload)
+    assert rate == 22050 and np.array_equal(got, s)
+    d = decode_flac(payload)
+    assert d["n_channels"] == n_ch
+    assert d["channel_mode"] == "independent"
+
+
+def test_flac_rejects_more_than_eight_channels():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_flac
+
+    with pytest.raises(ValueError, match="1-8 channels"):
+        encode_flac(np.zeros((10, 9), np.int64), 8000)
+
+
+def test_flac_channel_count_header_streaminfo_mismatch_rejected():
+    """A frame header claiming a different channel count than
+    STREAMINFO is a corrupt stream, not a silent misread."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    payload = bytearray(encode_flac(np.zeros((100, 3), np.int64), 8000))
+    # the packed rate/ch/bps/total field starts 10 bytes into the
+    # STREAMINFO block ('fLaC' + 4-byte block header precede it):
+    # flip the channel bits from 3ch to 4ch
+    off = 4 + 4 + 10
+    packed = int.from_bytes(payload[off : off + 8], "big")
+    packed = (packed & ~(0x7 << 41)) | (3 << 41)
+    payload[off : off + 8] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="contradicts STREAMINFO"):
+        decode_flac_samples(bytes(payload))
