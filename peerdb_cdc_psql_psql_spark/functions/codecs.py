@@ -66,7 +66,7 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
     uncompressed PCM-16 is supported — anything else raises."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -74,6 +74,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
@@ -93,12 +95,14 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
             alaw_decode(np.frombuffer(data, dtype=np.uint8)),
         )
     if audio_format == 0x11 and bits == 4:  # IMA / DVI ADPCM
-        if n_channels != 1:
-            raise NotImplementedError("only mono IMA ADPCM is supported")
-        return (
-            int(sample_rate), 1,
-            adpcm_decode_blocks(data, int(block_align)),
+        samples = adpcm_decode_blocks(
+            data, int(block_align), int(n_channels)
         )
+        if fact is not None:
+            # the fact frame count trims the zero-padded trailing
+            # nibble group (required metadata for compressed WAVE)
+            samples = samples[:fact]
+        return (int(sample_rate), int(n_channels), samples)
     raise NotImplementedError(
         f"unsupported WAVE encoding (format={audio_format}, bits={bits})"
     )
@@ -208,6 +212,7 @@ def encode_wav_g711_codes(
 def _wav_container(
     body: bytes, fmt_code: int, sample_rate: int, n_channels: int,
     bytes_per_sample: int, bits: int, extra: bytes = b"",
+    n_frames: int | None = None,
 ) -> bytes:
     block_align = bytes_per_sample * n_channels
     fmt = struct.pack(
@@ -217,10 +222,15 @@ def _wav_container(
     ) + extra
     if len(fmt) & 1:
         fmt += b"\x00"
+    fact = (
+        struct.pack("<4sII", b"fact", 4, n_frames)
+        if n_frames is not None
+        else b""
+    )
     data = struct.pack("<4sI", b"data", len(body)) + body
     if len(body) & 1:
         data += b"\x00"
-    wave = b"WAVE" + fmt + data
+    wave = b"WAVE" + fmt + fact + data
     return struct.pack("<4sI", b"RIFF", len(wave)) + wave
 
 
@@ -250,9 +260,11 @@ _ADPCM_INDEX = np.array(
 )
 
 
-def adpcm_samples_per_block(block_align: int) -> int:
-    """Mono IMA ADPCM: 4-byte header (1 sample) + 2 samples/byte."""
-    return (block_align - 4) * 2 + 1
+def adpcm_samples_per_block(block_align: int, n_channels: int = 1) -> int:
+    """IMA ADPCM frames per block: a 4-byte header per channel (1
+    sample each) + the remaining bytes split across channels at 2
+    samples/byte."""
+    return (block_align - 4 * n_channels) * 2 // n_channels + 1
 
 
 def _adpcm_step_nibble(pred: int, idx: int, nib: int) -> tuple[int, int]:
@@ -271,91 +283,140 @@ def _adpcm_step_nibble(pred: int, idx: int, nib: int) -> tuple[int, int]:
     return pred, idx
 
 
-def adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
-    """Decode a mono IMA ADPCM data chunk (sequence of independent
-    ``block_align``-byte blocks) to int16 samples. A short trailing
-    block decodes its available nibbles (truncated-stream tolerance,
-    same posture as the AVI frame-count clamp)."""
-    out: list[int] = []
+def adpcm_decode_blocks(
+    data: bytes, block_align: int, n_channels: int = 1
+) -> np.ndarray:
+    """Decode an IMA ADPCM data chunk (sequence of independent
+    ``block_align``-byte blocks) to int16 samples — (n,) mono or
+    (n, ch) multichannel. Multichannel blocks carry one 4-byte
+    header per channel, then the nibble stream interleaved in 4-byte
+    (8-sample) groups per channel (the Microsoft WAVE layout — r8).
+    A short trailing block decodes its available nibbles
+    (truncated-stream tolerance, same posture as the AVI
+    frame-count clamp)."""
+    ch = max(1, n_channels)
+    chans: list[list[int]] = [[] for _ in range(ch)]
     for start in range(0, len(data), block_align):
         block = data[start : start + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * ch:
             break
-        pred = struct.unpack_from("<h", block, 0)[0]
-        idx = min(88, block[2])
-        out.append(pred)
-        nib_bytes = np.frombuffer(block, np.uint8, offset=4)
-        nibs = np.empty(2 * len(nib_bytes), np.uint8)
-        nibs[0::2] = nib_bytes & 0x0F  # low nibble first per spec
-        nibs[1::2] = nib_bytes >> 4
-        for nib in nibs:
-            pred, idx = _adpcm_step_nibble(pred, idx, int(nib))
-            out.append(pred)
-    return np.array(out, dtype=np.int16)
+        preds, idxs = [], []
+        for c in range(ch):
+            preds.append(struct.unpack_from("<h", block, 4 * c)[0])
+            idxs.append(min(88, block[4 * c + 2]))
+            chans[c].append(preds[c])
+        body = block[4 * ch :]
+        for g in range(0, len(body), 4 * ch):
+            for c in range(ch):
+                chunk = body[g + 4 * c : g + 4 * c + 4]
+                for byte in chunk:
+                    for nib in (byte & 0x0F, byte >> 4):  # low first
+                        preds[c], idxs[c] = _adpcm_step_nibble(
+                            preds[c], idxs[c], nib
+                        )
+                        chans[c].append(preds[c])
+    if ch == 1:
+        return np.array(chans[0], dtype=np.int16)
+    n = min(len(cc) for cc in chans)
+    return np.stack(
+        [np.array(cc[:n], dtype=np.int16) for cc in chans], axis=1
+    )
+
+
+def _adpcm_encode_one(pred: int, idx: int, target: int) -> tuple[int, int, int]:
+    """Greedy quantization of one prediction error (the standard
+    reference strategy): returns (nibble, pred', idx')."""
+    step = int(_ADPCM_STEPS[idx])
+    diff = int(target) - pred
+    nib = 8 if diff < 0 else 0
+    diff = abs(diff)
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    pred, idx = _adpcm_step_nibble(pred, idx, nib)
+    return nib, pred, idx
 
 
 def adpcm_encode(
     samples: np.ndarray, block_align: int = 256
 ) -> bytes:
-    """Greedy IMA ADPCM encoder (the standard reference strategy:
-    quantize the prediction error by the current step, then track the
-    decoder's reconstruction as the next prediction basis)."""
+    """Greedy IMA ADPCM encoder: quantize the prediction error by the
+    current step, then track the decoder's reconstruction as the next
+    prediction basis. ``samples`` is (n,) mono or (n, ch)
+    multichannel (r8) — multichannel blocks interleave the nibble
+    stream in 4-byte/8-sample groups per channel after the
+    per-channel headers; trailing partial groups are zero-padded and
+    trimmed at decode via the WAVE ``fact`` frame count."""
     x = np.asarray(samples, dtype=np.int32)
-    spb = adpcm_samples_per_block(block_align)
+    ch = x.shape[1] if x.ndim == 2 else 1
+    cube = x.reshape(-1, ch)
+    spb = adpcm_samples_per_block(block_align, ch)
     out = bytearray()
-    idx = 0
-    for start in range(0, len(x), spb):
-        block = x[start : start + spb]
-        pred = int(block[0])
-        out += struct.pack("<hBB", pred, idx, 0)
-        nibs: list[int] = []
-        for target in block[1:]:
-            step = int(_ADPCM_STEPS[idx])
-            diff = int(target) - pred
-            nib = 8 if diff < 0 else 0
-            diff = abs(diff)
-            if diff >= step:
-                nib |= 4
-                diff -= step
-            if diff >= step >> 1:
-                nib |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                nib |= 1
-            pred, idx = _adpcm_step_nibble(pred, idx, nib)
-            nibs.append(nib)
-        if len(nibs) & 1:
-            nibs.append(0)  # pad nibble (decoded past n_samples, cut
-            # by the caller via the fmt extension's samples-per-block)
-        for lo, hi in zip(nibs[0::2], nibs[1::2]):
-            out.append(lo | (hi << 4))
-        pad = block_align - 4 - len(nibs) // 2
-        out += b"\x00" * max(0, pad) if len(block) == spb else b""
+    idxs = [0] * ch
+    for start in range(0, len(cube), spb):
+        block = cube[start : start + spb]
+        preds = []
+        for c in range(ch):
+            preds.append(int(block[0, c]))
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for c in range(ch):
+            for target in block[1:, c]:
+                nib, preds[c], idxs[c] = _adpcm_encode_one(
+                    preds[c], idxs[c], int(target)
+                )
+                nibs[c].append(nib)
+        full = len(block) == spb
+        width = -(-len(nibs[0]) // 8) * 8 if nibs[0] else 0
+        for c in range(ch):
+            nibs[c] += [0] * (width - len(nibs[c]))
+        for g in range(0, width, 8):
+            for c in range(ch):
+                grp = nibs[c][g : g + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    out.append(lo | (hi << 4))
+        if full:
+            pad = block_align - 4 * ch - width * ch // 2
+            out += b"\x00" * max(0, pad)
     return bytes(out)
 
 
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int, block_align: int = 256
 ) -> bytes:
-    """RIFF/WAVE writer for mono IMA ADPCM (format 0x11, 4-bit),
-    with the standard cbSize=2 samples-per-block fmt extension."""
-    spb = adpcm_samples_per_block(block_align)
+    """RIFF/WAVE writer for IMA ADPCM (format 0x11, 4-bit), mono or
+    multichannel (r8), with the standard cbSize=2 samples-per-block
+    fmt extension and the ``fact`` frame count every compressed WAVE
+    requires — the decoder trims zero-padded trailing groups with
+    it."""
+    s = np.asarray(samples)
+    ch = s.shape[1] if s.ndim == 2 else 1
+    if block_align % (4 * ch):
+        raise ValueError("block_align must be a multiple of 4*channels")
+    spb = adpcm_samples_per_block(block_align, ch)
     extra = struct.pack("<HH", 2, spb)
     return _wav_container(
-        adpcm_encode(samples, block_align), 0x11, sample_rate, 1,
-        block_align, 4, extra=extra,
+        adpcm_encode(s, block_align), 0x11, sample_rate, ch,
+        block_align // ch, 4, extra=extra, n_frames=len(s),
     )
 
 
 def encode_wav_adpcm_blocks(
-    blocks: bytes, sample_rate: int, block_align: int
+    blocks: bytes, sample_rate: int, block_align: int,
+    n_channels: int = 1, n_frames: int | None = None,
 ) -> bytes:
     """Wrap pre-built IMA ADPCM block bytes directly (spec-derived
-    streams for decoder-independent fixtures)."""
-    spb = adpcm_samples_per_block(block_align)
+    streams for decoder-independent fixtures), mono or multichannel."""
+    spb = adpcm_samples_per_block(block_align, n_channels)
     extra = struct.pack("<HH", 2, spb)
     return _wav_container(
-        blocks, 0x11, sample_rate, 1, block_align, 4, extra=extra
+        blocks, 0x11, sample_rate, n_channels,
+        block_align // n_channels, 4, extra=extra, n_frames=n_frames,
     )
 
 

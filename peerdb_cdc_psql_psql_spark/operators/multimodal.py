@@ -1835,6 +1835,99 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADPCM_STEREO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("min_sample", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_adpcm_stereo_decode",
+    # spb(256, 2ch) = 249; per-channel unit ramps from base_c, block
+    # headers continue the ramp → n = 249·B continuous samples
+    oracle="""
+SELECT media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(2 AS BIGINT) AS n_channels,
+       n AS n_samples,
+       n * (b0 + b1) + 2 * (n * (n - 1) // 2) AS sum_samples,
+       LEAST(b0, b1) AS min_sample,
+       GREATEST(b0, b1) + n - 1 AS max_sample
+FROM (
+  SELECT doc_id AS media_id,
+         249 * (doc_id % 3 + 1) AS n,
+         (doc_id % 900) - 450 AS b0,
+         (doc_id % 700) - 350 AS b1
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 150
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_adpcm_stereo_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO IMA ADPCM decode (X5, r8 second pass): spec-derived
+    all-nibble-1 blocks with TWO per-channel headers and the
+    Microsoft 4-byte/8-sample group interleave — each channel decodes
+    to an exact unit ramp from its own base, so a decoder that walks
+    the groups in the wrong channel order, misplaces the second
+    header, or forgets the fact-chunk trim breaks the closed-form
+    census. The arbitrary-signal stereo error path is bounded by the
+    encoder/decoder reconstruction pytest property."""
+    from ..functions.codecs import decode_wav_samples, encode_wav_adpcm_blocks
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 150)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                nb = m % 3 + 1
+                b0, b1 = m % 900 - 450, m % 700 - 350
+                blocks = b""
+                for b in range(nb):
+                    blocks += _struct.pack("<hBB", b0 + b * 249, 0, 0)
+                    blocks += _struct.pack("<hBB", b1 + b * 249, 0, 0)
+                    blocks += b"\x11" * 248
+                n = 249 * nb
+                payload = encode_wav_adpcm_blocks(
+                    blocks, 8000, 256, n_channels=2, n_frames=n
+                )
+                rate, ch, y = decode_wav_samples(payload)
+                y = y.astype(np.int64)
+                rows.append(
+                    (
+                        m, rate, ch, y.shape[0], int(y.sum()),
+                        int(y.min()), int(y.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _ADPCM_STEREO_SCHEMA.fields],
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_ADPCM_STEREO_SCHEMA)
+        .select(*[f.name for f in _ADPCM_STEREO_SCHEMA.fields])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Indexed-color (palette) PNG — round-6 codec: the PNG color type
 # real web corpora actually contain (icons, screenshots, charts).

@@ -2003,3 +2003,70 @@ def test_flac_channel_count_header_streaminfo_mismatch_rejected():
     payload[off : off + 8] = packed.to_bytes(8, "big")
     with pytest.raises(ValueError, match="contradicts STREAMINFO"):
         decode_flac_samples(bytes(payload))
+
+
+# -- stereo / multichannel IMA ADPCM (r8) -----------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    n_ch=st.sampled_from([2, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_adpcm_multichannel_roundtrip_property(n, n_ch, seed):
+    """Gentle per-channel ramps survive the 4-byte-group channel
+    interleave with bounded greedy-quantizer error, exact first
+    frames (literal headers), and exact fact-chunk frame counts."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-500, 500, size=n_ch)
+    i = np.arange(n)[:, None]
+    x = (base[None, :] + 3 * i + (i % 5)).astype(np.int16)
+    rate, ch, y = decode_wav_samples(encode_wav_adpcm(x, 8000, 256))
+    assert rate == 8000 and ch == n_ch and y.shape == (n, n_ch)
+    assert (y[0] == x[0]).all()
+    assert int(np.abs(y.astype(int) - x.astype(int)).max()) < 40
+
+
+def test_adpcm_stereo_unit_ramp_blocks_exact():
+    """Spec-derived stereo blocks (two headers + 0x11 nibble groups)
+    decode to exact per-channel unit ramps — channel-interleave
+    order pinned by distinct bases."""
+    import struct as _struct
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        adpcm_samples_per_block,
+        decode_wav_samples,
+        encode_wav_adpcm_blocks,
+    )
+
+    spb = adpcm_samples_per_block(256, 2)
+    assert spb == 249
+    blocks = (
+        _struct.pack("<hBB", 1000, 0, 0)
+        + _struct.pack("<hBB", -2000, 0, 0)
+        + b"\x11" * 248
+    )
+    rate, ch, y = decode_wav_samples(
+        encode_wav_adpcm_blocks(blocks, 8000, 256, n_channels=2,
+                                n_frames=249)
+    )
+    assert ch == 2 and y.shape == (249, 2)
+    assert (y[:, 0] == 1000 + np.arange(249)).all()
+    assert (y[:, 1] == -2000 + np.arange(249)).all()
+
+
+def test_adpcm_fact_chunk_trims_padding():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    x = np.arange(10, dtype=np.int16).reshape(5, 2)
+    rate, ch, y = decode_wav_samples(encode_wav_adpcm(x, 8000, 256))
+    assert y.shape == (5, 2)  # zero-padded group trimmed exactly
