@@ -3665,21 +3665,24 @@ def _tiff_decompress(seg: bytes, n_expected: int, compression: str) -> bytes:
     return bytes(_tiff_lzw_decode(seg, n_expected))
 
 
-def _tiff_diff(block: np.ndarray) -> bytes:
+def _tiff_diff(block: np.ndarray, dtype: np.dtype, mask: int) -> bytes:
     """TIFF §14 horizontal differencing over a (rows, cols, ch)
-    block — per row, per channel."""
-    d = block.astype(np.int16)
+    block — per row, per channel, wrapping at the sample range."""
+    d = block.astype(np.int64)
     d[:, 1:, :] -= d[:, :-1, :].copy()
-    return (d & 0xFF).astype(np.uint8).tobytes()
+    return (d & mask).astype(dtype).tobytes()
 
 
-def _tiff_undiff(raw: bytes, rows: int, cols: int, ch: int) -> np.ndarray:
+def _tiff_undiff(
+    raw: bytes, rows: int, cols: int, ch: int, dtype: np.dtype,
+    mask: int,
+) -> np.ndarray:
     """Inverse of §14 differencing: cumulative sum per row/channel.
     The row width is the STORED segment's width — a tile's rows are
     tile-wide, not image-wide, which is why the predictor must run
     per segment in tiled files."""
-    a = np.frombuffer(raw, np.uint8).reshape(rows, cols, ch)
-    return (np.cumsum(a.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+    a = np.frombuffer(raw, dtype).reshape(rows, cols, ch)
+    return (np.cumsum(a.astype(np.int64), axis=1) & mask).astype(dtype)
 
 
 def encode_tiff_ext(
@@ -3696,8 +3699,15 @@ def encode_tiff_ext(
     Both compose with none/PackBits/LZW and predictor=2 (differencing
     runs per stored segment row — tile-wide in tiled files).
     ``tile`` is (tile_width, tile_length); spec requires multiples of
-    16 for real interchange but any positive size decodes here."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    16 for real interchange but any positive size decodes here.
+    uint16 input writes a 16-bit file (bits-per-sample 16, samples in
+    the header's little-endian order — r8 second pass, the
+    scientific/scanner depth)."""
+    src = np.asarray(pixels)
+    dt = np.dtype("<u2") if src.dtype == np.uint16 else np.dtype("u1")
+    depth = 8 * dt.itemsize
+    mask = (1 << depth) - 1
+    px = src.astype(dt)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     ch = 1 if gray else px.shape[2]
@@ -3714,11 +3724,11 @@ def encode_tiff_ext(
         for plane in planes:
             for y0 in range(0, h, th):
                 for x0 in range(0, w, tw):
-                    block = np.zeros((th, tw, seg_ch), np.uint8)
+                    block = np.zeros((th, tw, seg_ch), dt)
                     part = plane[y0 : y0 + th, x0 : x0 + tw, :]
                     block[: part.shape[0], : part.shape[1], :] = part
                     raw = (
-                        _tiff_diff(block)
+                        _tiff_diff(block, dt, mask)
                         if predictor == 2
                         else block.tobytes()
                     )
@@ -3728,9 +3738,9 @@ def encode_tiff_ext(
             for y0 in range(0, h, rows_per_strip):
                 block = plane[y0 : y0 + rows_per_strip, :, :]
                 raw = (
-                    _tiff_diff(block)
+                    _tiff_diff(block, dt, mask)
                     if predictor == 2
-                    else block.tobytes()
+                    else np.ascontiguousarray(block).tobytes()
                 )
                 segments.append(_tiff_compress(raw, compression))
 
@@ -3739,7 +3749,7 @@ def encode_tiff_ext(
     entries: list[tuple[int, int, list[int]]] = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [8] * ch),
+        (258, 3, [depth] * ch),
         (259, 3, [_TIFF_COMP[compression]]),
         (262, 3, [1 if gray else 2]),
         (277, 3, [ch]),
@@ -3812,7 +3822,9 @@ def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
     planes = ch if planar else 1
     comp = d["compression"]
     segs = d["segments"]
-    out = np.empty((h, w, ch), np.uint8)
+    dtype, mask = _tiff_sample_type(d)
+    sz = dtype.itemsize
+    out = np.empty((h, w, ch), dtype)
     if d["layout"] == "tiles":
         tw, th = d["tile_width"], d["tile_length"]
         ta, td = -(-w // tw), -(-h // th)
@@ -3823,12 +3835,13 @@ def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
                 for tj in range(ta):
                     off, cnt = segs[p * ta * td + ti * ta + tj]
                     raw = _tiff_decompress(
-                        payload[off : off + cnt], tw * th * seg_ch, comp
+                        payload[off : off + cnt],
+                        tw * th * seg_ch * sz, comp,
                     )
                     block = (
-                        _tiff_undiff(raw, th, tw, seg_ch)
+                        _tiff_undiff(raw, th, tw, seg_ch, dtype, mask)
                         if d["predictor"] == 2
-                        else np.frombuffer(raw, np.uint8).reshape(
+                        else np.frombuffer(raw, dtype).reshape(
                             th, tw, seg_ch
                         )
                     )
@@ -3852,12 +3865,13 @@ def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
                 off, cnt = segs[p * spp + si]
                 rows = min(rps, h - si * rps)
                 raw = _tiff_decompress(
-                    payload[off : off + cnt], rows * w * seg_ch, comp
+                    payload[off : off + cnt], rows * w * seg_ch * sz,
+                    comp,
                 )
                 block = (
-                    _tiff_undiff(raw, rows, w, seg_ch)
+                    _tiff_undiff(raw, rows, w, seg_ch, dtype, mask)
                     if d["predictor"] == 2
-                    else np.frombuffer(raw, np.uint8).reshape(
+                    else np.frombuffer(raw, dtype).reshape(
                         rows, w, seg_ch
                     )
                 )
@@ -3874,7 +3888,8 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     h, w, ch = d["height"], d["width"], d["n_channels"]
     if d["layout"] == "tiles" or d["planar"]:
         return _assemble_tiff_general(payload, d)
-    row_bytes = w * ch
+    dtype, mask = _tiff_sample_type(d)
+    row_bytes = w * ch * dtype.itemsize
     raw = bytearray()
     for (off, cnt), y0 in zip(
         d["strips"], range(0, h, d["rows_per_strip"])
@@ -3890,15 +3905,25 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             raw += _packbits_decode(strip, n_expected)
         else:
             raw += _tiff_lzw_decode(strip, n_expected)
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    arr = np.frombuffer(bytes(raw), dtype=dtype)
     if d["predictor"] == 2:
         # invert TIFF §14 horizontal differencing: per-row cumulative
-        # sum per channel, modulo 256
+        # sum per channel, modulo the sample range (§14 applies the
+        # predictor to SAMPLE values, so 16-bit wraps at 65536)
         arr = (
             np.cumsum(arr.reshape(h, w, ch).astype(np.int64), axis=1)
-            & 0xFF
-        ).astype(np.uint8).reshape(-1)
+            & mask
+        ).astype(dtype).reshape(-1)
     return arr.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+def _tiff_sample_type(d: dict) -> tuple[np.dtype, int]:
+    """(numpy dtype in the FILE's byte order, wrap mask) for the
+    declared bit depth."""
+    if d["bits"] == 16:
+        bo = "<" if d["byte_order"] == "little" else ">"
+        return np.dtype(bo + "u2"), 0xFFFF
+    return np.dtype(np.uint8), 0xFF
 
 
 def decode_tiff_meta(payload: bytes) -> dict:
@@ -3936,7 +3961,9 @@ def decode_tiff_meta(payload: bytes) -> dict:
     if comp not in _TIFF_COMP_NAMES:
         raise NotImplementedError(f"TIFF compression {comp}")
     bits = values(258, [8])
-    if any(b != 8 for b in bits):
+    if bits and all(b == bits[0] for b in bits) and bits[0] in (8, 16):
+        depth = bits[0]
+    else:
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     ch = values(277, [len(bits)])[0]
     predictor = values(317, [1])[0]
@@ -3968,6 +3995,7 @@ def decode_tiff_meta(payload: bytes) -> dict:
         "layout": "tiles" if tiled else "strips",
         "tile_width": int(tw),
         "tile_length": int(th),
+        "bits": int(depth),
         "rows_per_strip": int(min(rps, h)),
         "strips": list(zip(offs, cnts)),
         "segments": list(zip(offs, cnts)),

@@ -2841,6 +2841,107 @@ def multimodal_tiff_tiled_decode(
     )
 
 
+_TIFF16_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("layout", T.StringType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("predictor", T.LongType()),
+        T.StructField("sum_gray", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_tiff16_decode",
+    oracle="""
+SELECT media_id, width, height, CAST(16 AS BIGINT) AS bits,
+       layout, compression, CAST(p AS BIGINT) AS predictor,
+       width * height * b0
+         + 300 * width * (height * (height - 1) // 2)
+         + height * (width * (width - 1) // 2) AS sum_gray
+FROM (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) * 4 + 5 AS width,
+         (doc_id % 4) * 3 + 4 AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'strips' ELSE 'tiles' END
+           AS layout,
+         CASE (doc_id // 9) % 3
+           WHEN 0 THEN 'none' WHEN 1 THEN 'packbits' ELSE 'lzw'
+         END AS compression,
+         (doc_id // 3) % 2 + 1 AS p,
+         (doc_id % 100) * 500 AS b0
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id >= 200 AND doc_id < 350
+)
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_tiff16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT TIFF decode (X5, r8 second pass — the scientific/
+    scanner depth): gray gradients whose values exceed 8 bits
+    (b0 up to 49,500 + 300/row + 1/column), written at bits-per-
+    sample 16 through strips or tiles, rotated against compression
+    and the §14 predictor (which wraps at 65,536 for 16-bit
+    samples). A dropped high byte, a wrong-endian sample read, or an
+    8-bit predictor wrap each breaks the closed-form sum."""
+    from ..functions.codecs import decode_tiff_meta, decode_tiff_pixels
+    from ..functions.codecs import encode_tiff_ext
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 200)
+        & (F.col("media_id") < 350)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw")
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = m % 8 * 4 + 5, (m % 4) * 3 + 4
+                b0 = (m % 100) * 500
+                px = (
+                    b0
+                    + 300 * np.arange(h, dtype=np.int64)[:, None]
+                    + np.arange(w, dtype=np.int64)[None, :]
+                ).astype(np.uint16)
+                kw = dict(
+                    compression=comps[(m // 9) % 3],
+                    predictor=(m // 3) % 2 + 1,
+                )
+                if m % 2:
+                    kw["tile"] = (m % 3 + 3, m % 5 + 2)
+                else:
+                    kw["rows_per_strip"] = 4
+                payload = encode_tiff_ext(px, **kw)
+                meta = decode_tiff_meta(payload)
+                got = decode_tiff_pixels(payload).astype(np.int64)
+                rows.append(
+                    (
+                        m, meta["width"], meta["height"], meta["bits"],
+                        meta["layout"], meta["compression"],
+                        meta["predictor"], int(got.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TIFF16_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_TIFF16_SCHEMA)
+        .select(*[f.name for f in _TIFF16_SCHEMA.fields])
+    )
+
+
 def synthesize_tiff_payloads(ids: DataFrame) -> DataFrame:
     """Executor-side TIFF synthesis: the PNG gradient fixture written
     through the strip-TIFF encoder, compression rotated over

@@ -2070,3 +2070,90 @@ def test_adpcm_fact_chunk_trims_padding():
     x = np.arange(10, dtype=np.int16).reshape(5, 2)
     rate, ch, y = decode_wav_samples(encode_wav_adpcm(x, 8000, 256))
     assert y.shape == (5, 2)  # zero-padded group trimmed exactly
+
+
+# -- 16-bit TIFF (r8) -------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=25),
+    h=st.integers(min_value=1, max_value=14),
+    seed=st.integers(min_value=0, max_value=10_000),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.sampled_from([1, 2]),
+    layout=st.sampled_from(["strips", "tiles", "tiles_planar"]),
+    color=st.booleans(),
+)
+def test_tiff_16bit_roundtrip_property(
+    w, h, seed, comp, predictor, layout, color
+):
+    """bits-per-sample 16 across every layout/compression/predictor
+    combination — samples above 255 prove the depth, and the §14
+    predictor must wrap at 65,536, not 256."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    kw = {}
+    if layout != "strips":
+        kw["tile"] = (3, 2)
+    if layout == "tiles_planar" and color:
+        kw["planar"] = True
+    data = encode_tiff_ext(px, compression=comp, predictor=predictor, **kw)
+    assert decode_tiff_meta(data)["bits"] == 16
+    got = decode_tiff_pixels(data)
+    assert got.dtype.itemsize == 2
+    assert np.array_equal(got, px)
+
+
+def test_tiff_16bit_big_endian_hand_built():
+    """A hand-assembled MM (big-endian) 16-bit uncompressed TIFF:
+    the decoder must read BOTH the IFD and the sample words in the
+    header's byte order."""
+    import struct as _struct
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_pixels,
+    )
+
+    px = np.array([[256, 513], [770, 65535]], dtype=np.uint16)
+    data_bytes = px.astype(">u2").tobytes()
+
+    def entry(tag, typ, count, value):
+        return _struct.pack(">HHII", tag, typ, count, value)
+
+    n = 8
+    ifd = _struct.pack(">H", n)
+    ifd += entry(256, 4, 1, 2)              # width
+    ifd += entry(257, 4, 1, 2)              # height
+    ifd += entry(258, 3, 1, 16 << 16)       # bits (SHORT left-packed)
+    ifd += entry(259, 3, 1, 1 << 16)        # no compression
+    ifd += entry(262, 3, 1, 1 << 16)
+    data_off = 8 + 2 + n * 12 + 4
+    ifd += entry(273, 4, 1, data_off)       # strip offset
+    ifd += entry(277, 3, 1, 1 << 16)        # 1 channel
+    ifd += entry(279, 4, 1, len(data_bytes))
+    ifd += _struct.pack(">I", 0)
+    payload = _struct.pack(">2sHI", b"MM", 42, 8) + ifd + data_bytes
+    assert np.array_equal(decode_tiff_pixels(payload), px)
+
+
+def test_tiff_24bit_still_raises():
+    import struct as _struct
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        encode_tiff_ext,
+    )
+
+    data = bytearray(encode_tiff_ext(np.zeros((2, 2), np.uint16)))
+    i = data.index((258).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    data[i + 8 : i + 10] = _struct.pack("<H", 24)
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        decode_tiff_meta(bytes(data))
