@@ -113,7 +113,9 @@ def decode_wav(payload: bytes) -> dict:
     (frames) plus integer sample stats (peak = max |sample|,
     mean_abs = floor of the mean absolute amplitude)."""
     sample_rate, n_channels, x = decode_wav_samples(payload)
-    n_frames = len(x) // n_channels
+    # PCM paths return flat interleaved samples; multichannel ADPCM
+    # returns (frames, ch) — len() already counts frames there (r8)
+    n_frames = len(x) if x.ndim == 2 else len(x) // n_channels
     ab = np.abs(x.astype(np.int64))
     return {
         "sample_rate": int(sample_rate),
@@ -4065,9 +4067,13 @@ def decode_any(payload: bytes) -> dict:
                 "bmp": decode_bmp, "png": decode_png, "gif": decode_gif,
                 "jpeg": decode_jpeg, "tiff": decode_tiff,
             }[fmt](payload)
+            # animated GIFs report their real frame count (r8)
+            nf = (
+                len(_decode_gif_frames(payload)[0]) if fmt == "gif" else 1
+            )
             base.update(
                 kind="image", ok=True, width=d["width"], height=d["height"],
-                n_channels=int(d.get("n_channels", 3)), n_frames=1,
+                n_channels=int(d.get("n_channels", 3)), n_frames=nf,
             )
         elif fmt == "avi":
             d = decode_avi(payload)

@@ -2157,3 +2157,27 @@ def test_tiff_24bit_still_raises():
     data[i + 8 : i + 10] = _struct.pack("<H", 24)
     with pytest.raises(NotImplementedError, match="bits-per-sample"):
         decode_tiff_meta(bytes(data))
+
+
+def test_decode_any_reports_new_format_facts():
+    """r8: animated GIFs report their real frame count; multichannel
+    FLAC/ADPCM report channel and FRAME counts; 16-bit tiled TIFF
+    decodes through the sniffer."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_any,
+        encode_flac,
+        encode_gif_anim,
+        encode_tiff_ext,
+        encode_wav_adpcm,
+    )
+
+    pal = np.zeros((4, 3), np.uint8)
+    frames = [{"idx": np.zeros((2, 2), np.uint8)} for _ in range(3)]
+    d = decode_any(encode_gif_anim(frames, pal, 2, 2))
+    assert d["ok"] and d["n_frames"] == 3
+    d = decode_any(encode_flac(np.zeros((100, 5), np.int64), 8000))
+    assert d["ok"] and d["n_channels"] == 5 and d["n_samples"] == 100
+    d = decode_any(encode_wav_adpcm(np.zeros((50, 2), np.int16), 8000))
+    assert d["ok"] and d["n_channels"] == 2 and d["n_samples"] == 50
+    d = decode_any(encode_tiff_ext(np.zeros((3, 4), np.uint16), tile=(2, 2)))
+    assert d["ok"] and (d["width"], d["height"]) == (4, 3)
