@@ -1728,6 +1728,7 @@ def _jpeg_container(
     quants: list[np.ndarray],
     factors: list[tuple[int, int]] | None = None,
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Assemble a baseline JPEG from level-shifted component planes
     and their quant tables (deduplicated into DQT slots). ``factors``
@@ -1737,41 +1738,71 @@ def _jpeg_container(
     (8·vi·MCUrows × 8·hi·MCUcols). ``restart_interval`` > 0 emits a
     DRI segment and an RSTn marker (byte-aligned, DC predictors
     reset) every that many MCUs — the near-universal layout of
-    camera/libjpeg output (VERDICT r6 #2)."""
+    camera/libjpeg output (VERDICT r6 #2). ``interleaved=False``
+    writes one SOS per component over its OWN block grid (T.81
+    §A.2 non-interleaved order — r8 second pass); restart intervals
+    then count blocks, sequence reset per scan."""
     factors = factors or [(1, 1)] * len(planes)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    bw_out = _BitWriter()
-    prev = [0] * len(planes)
-    mcu_index = 0
-    rst = 0
-    for my in range(mch):
-        for mx in range(mcw):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                bw_out.restart(rst)
-                rst = (rst + 1) & 7
-                prev = [0] * len(planes)
-            mcu_index += 1
-            for ci, plane in enumerate(planes):  # interleaved MCU
-                hi, vi = factors[ci]
-                for vy in range(vi):
-                    for vx in range(hi):
-                        by, bx = my * vi + vy, mx * hi + vx
-                        block = plane[
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ]
-                        prev[ci] = _encode_block(
-                            bw_out, block, quants[ci], prev[ci],
-                            dc_codes, ac_codes,
-                        )
-    scan = bw_out.flush()
+    if interleaved:
+        bw_out = _BitWriter()
+        prev = [0] * len(planes)
+        mcu_index = 0
+        rst = 0
+        for my in range(mch):
+            for mx in range(mcw):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    bw_out.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0] * len(planes)
+                mcu_index += 1
+                for ci, plane in enumerate(planes):  # interleaved MCU
+                    hi, vi = factors[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            by, bx = my * vi + vy, mx * hi + vx
+                            block = plane[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ]
+                            prev[ci] = _encode_block(
+                                bw_out, block, quants[ci], prev[ci],
+                                dc_codes, ac_codes,
+                            )
+        scan = bw_out.flush()
+    else:
+        scans: list[bytes] = []
+        for ci, plane in enumerate(planes):
+            hi, vi = factors[ci]
+            bh, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
+            bw_out = _BitWriter()
+            prev1, rst, blk = 0, 0, 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    if (
+                        restart_interval
+                        and blk
+                        and blk % restart_interval == 0
+                    ):
+                        bw_out.restart(rst)
+                        rst = (rst + 1) & 7
+                        prev1 = 0
+                    blk += 1
+                    block = plane[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    prev1 = _encode_block(
+                        bw_out, block, quants[ci], prev1,
+                        dc_codes, ac_codes,
+                    )
+            scans.append(bw_out.flush())
     # dedupe quant tables into DQT slots
     slots: list[np.ndarray] = []
     slot_of = []
@@ -1801,14 +1832,25 @@ def _jpeg_container(
     ) + _jpeg_seg(
         0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
     )
-    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
-    sos = _jpeg_seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
     dri = (
         _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
-    return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
+    if interleaved:
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+        sos = _jpeg_seg(
+            0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0])
+        )
+        body = sos + scan
+    else:
+        body = b"".join(
+            _jpeg_seg(
+                0xDA, bytes([1, ci + 1, 0x00]) + bytes([0, 63, 0])
+            ) + scans[ci]
+            for ci in range(nc)
+        )
+    return b"\xff\xd8" + dqt + sof0 + dht + dri + body + b"\xff\xd9"
 
 
 def encode_jpeg_gray(
@@ -1833,11 +1875,13 @@ def encode_jpeg_gray(
 
 
 def encode_jpeg_rgb(
-    pixels: np.ndarray, restart_interval: int = 0
+    pixels: np.ndarray, restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Baseline color JPEG writer: (h, w, 3) uint8 RGB → JFIF YCbCr,
     4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs, standard
-    luma+chroma quant tables."""
+    luma+chroma quant tables. ``interleaved=False`` writes one SOS
+    per component (§A.2 non-interleaved — r8)."""
     px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
     h, w = px.shape[:2]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -1849,12 +1893,13 @@ def encode_jpeg_rgb(
     planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
     return _jpeg_container(
         h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
-        restart_interval=restart_interval,
+        restart_interval=restart_interval, interleaved=interleaved,
     )
 
 
 def encode_jpeg_rgb_420(
-    pixels: np.ndarray, restart_interval: int = 0
+    pixels: np.ndarray, restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Baseline color JPEG writer with 4:2:0 CHROMA SUBSAMPLING — the
     dominant shape of real-corpus JPEGs: Y at full resolution
@@ -1889,7 +1934,7 @@ def encode_jpeg_rgb_420(
         h, w, planes,
         [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
         factors=[(2, 2), (1, 1), (1, 1)],
-        restart_interval=restart_interval,
+        restart_interval=restart_interval, interleaved=interleaved,
     )
 
 
@@ -1900,6 +1945,33 @@ def decode_jpeg_gray_pixels(payload: bytes) -> np.ndarray:
     if out.ndim != 2:
         raise NotImplementedError("color JPEG — use decode_jpeg_pixels")
     return out
+
+
+def _read_baseline_block(
+    reader: "_BitReader", dc_dec, ac_dec, prev: int
+) -> tuple[np.ndarray, int]:
+    """One baseline entropy-coded block → (zigzag-order coefficient
+    vector, updated DC predictor). Shared by the interleaved-MCU and
+    non-interleaved scan paths."""
+    flat = np.zeros(64, np.int64)
+    size = dc_dec(reader)
+    prev += _jpeg_extend(reader.read(size), size)
+    flat[0] = prev
+    i = 1
+    while i < 64:
+        sym = ac_dec(reader)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += sym >> 4
+        size = sym & 0x0F
+        if i > 63:
+            raise ValueError("AC run past block end")
+        flat[i] = _jpeg_extend(reader.read(size), size)
+        i += 1
+    return flat, prev
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
@@ -1916,6 +1988,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     sof = None
     progressive = False
     prog_coefs: list[np.ndarray] | None = None
+    base_planes: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -2014,7 +2087,59 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             hh, ww, comps, hmax, vmax = sof
             ns = body[0]
             if ns != len(comps):
-                raise NotImplementedError("non-interleaved JPEG scans")
+                # baseline NON-INTERLEAVED scan (r8 second pass): one
+                # component per SOS, covering its OWN block grid (the
+                # §A.2 geometry _own_grid computes — not the MCU-
+                # padded grid); restart intervals count blocks and
+                # the RSTn sequence resets per scan
+                if ns != 1:
+                    raise NotImplementedError(
+                        "partially interleaved JPEG scans"
+                    )
+                if base_planes is None:
+                    base_planes = {}
+                cid, tables = body[1], body[2]
+                ci = next(
+                    i for i, c in enumerate(comps) if c[0] == cid
+                )
+                _cid, hi, vi, qid = comps[ci]
+                dc_dec = _huffman_decoder(*huff[(0, tables >> 4)])
+                ac_dec = _huffman_decoder(*huff[(1, tables & 0x0F)])
+                q = quant[qid]
+                bh, bw = _own_grid(hh, ww, hi, vi, hmax, vmax)
+                scan_start = pos + 2 + length
+                scan_end = _entropy_end(
+                    payload, scan_start, skip_restarts=True
+                )
+                reader = _BitReader(payload[scan_start:scan_end])
+                plane = np.empty((bh * 8, bw * 8), np.float64)
+                prev1, rst, blk = 0, 0, 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if (
+                            restart_interval
+                            and blk
+                            and blk % restart_interval == 0
+                        ):
+                            reader.restart(rst)
+                            rst = (rst + 1) & 7
+                            prev1 = 0
+                        blk += 1
+                        flat, prev1 = _read_baseline_block(
+                            reader, dc_dec, ac_dec, prev1
+                        )
+                        block = np.zeros(64, np.int64)
+                        block[_ZIGZAG] = flat
+                        coeffs = block.reshape(8, 8) * q
+                        plane[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = (
+                            _DCT_T.T @ coeffs.astype(np.float64)
+                            @ _DCT_T
+                        ) + 128.0
+                base_planes[ci] = plane
+                pos = scan_end
+                continue
             sel = {}
             for si in range(ns):
                 cid, tables = body[1 + 2 * si], body[2 + 2 * si]
@@ -2059,30 +2184,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     ):
                         for vy in range(vi):
                             for vx in range(hi):
-                                flat = np.zeros(64, np.int64)
-                                size = dc_dec(reader)
-                                prev[ci] += _jpeg_extend(
-                                    reader.read(size), size
+                                flat, prev[ci] = _read_baseline_block(
+                                    reader, dc_dec, ac_dec, prev[ci]
                                 )
-                                flat[0] = prev[ci]
-                                i = 1
-                                while i < 64:
-                                    sym = ac_dec(reader)
-                                    if sym == 0x00:  # EOB
-                                        break
-                                    if sym == 0xF0:  # ZRL
-                                        i += 16
-                                        continue
-                                    i += sym >> 4
-                                    size = sym & 0x0F
-                                    if i > 63:
-                                        raise ValueError(
-                                            "AC run past block end"
-                                        )
-                                    flat[i] = _jpeg_extend(
-                                        reader.read(size), size
-                                    )
-                                    i += 1
                                 block = np.zeros(64, np.int64)
                                 block[_ZIGZAG] = flat
                                 coeffs = block.reshape(8, 8) * q
@@ -2118,6 +2222,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     )
             planes.append(plane)
         return _jpeg_finish(planes, comps, hmax, vmax, hh, ww)
+    if base_planes is not None and sof is not None:
+        hh, ww, comps, hmax, vmax = sof
+        if len(base_planes) != len(comps):
+            raise ValueError(
+                "JPEG non-interleaved scans missing components"
+            )
+        return _jpeg_finish(
+            [base_planes[i] for i in range(len(comps))],
+            comps, hmax, vmax, hh, ww,
+        )
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -2162,12 +2276,20 @@ def _jpeg_finish(
 # ---------------------------------------------------------------------------
 
 
-def _entropy_end(payload: bytes, start: int) -> int:
-    """First real marker (not a stuffed 0xFF00) at/after ``start``."""
+def _entropy_end(
+    payload: bytes, start: int, skip_restarts: bool = False
+) -> int:
+    """First real marker (not a stuffed 0xFF00) at/after ``start``.
+    ``skip_restarts`` treats RSTn as in-scan data (baseline
+    non-interleaved scans — r8); progressive callers keep the typed
+    boundary."""
     i = start
     while i + 1 < len(payload):
         if payload[i] == 0xFF and payload[i + 1] != 0x00:
             if 0xD0 <= payload[i + 1] <= 0xD7:
+                if skip_restarts:
+                    i += 2
+                    continue
                 raise NotImplementedError("JPEG restart markers")
             return i
         i += 1

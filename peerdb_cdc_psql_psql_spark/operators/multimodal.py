@@ -977,6 +977,99 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_NI_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_scans", T.LongType()),
+        T.StructField("subsampled", T.BooleanType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_jpeg_noninterleaved_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 8) * 4 + 5 AS width,
+       (doc_id % 4) + 2 AS height,
+       CAST(3 AS BIGINT) AS n_scans,
+       (doc_id // 3) % 2 = 1 AS subsampled,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_r,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_g,
+       ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
+         * (2 * (doc_id % 127)) AS sum_b
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id >= 350 AND doc_id < 500
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_jpeg_noninterleaved_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NON-INTERLEAVED baseline JPEG (X5, r8 second pass — T.81
+    §A.2: one SOS per component over its OWN block grid, the layout
+    some baseline encoders emit for 4:4:4 color). Fixtures rotate
+    4:4:4 / 4:2:0 subsampling and restart intervals inside the
+    per-component scans (block-counted, RSTn sequence reset per
+    scan); even-gray solids stay lossless through the color pipeline,
+    and the SOS count re-read from the emitted bytes pins that the
+    file really is multi-scan. A decoder walking the wrong grid
+    geometry (MCU-padded instead of own-grid) or carrying DC
+    predictors across scans breaks the sums."""
+    from ..functions.codecs import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_420,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 350)
+        & (F.col("media_id") < 500)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h, v = m % 8 * 4 + 5, m % 4 + 2, 2 * (m % 127)
+                sub = (m // 3) % 2 == 1
+                enc = encode_jpeg_rgb_420 if sub else encode_jpeg_rgb
+                payload = enc(
+                    np.full((h, w, 3), v, np.uint8),
+                    restart_interval=(m // 3) % 3,
+                    interleaved=False,
+                )
+                d = decode_jpeg(payload)
+                rows.append(
+                    (
+                        m, d["width"], d["height"],
+                        payload.count(b"\xff\xda"), sub,
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_NI_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_JPEG_NI_SCHEMA)
+        .select(*[f.name for f in _JPEG_NI_SCHEMA.fields])
+    )
+
+
 @register(
     "multimodal_jpeg_420_decode",
     oracle="""

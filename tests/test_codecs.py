@@ -2181,3 +2181,51 @@ def test_decode_any_reports_new_format_facts():
     assert d["ok"] and d["n_channels"] == 2 and d["n_samples"] == 50
     d = decode_any(encode_tiff_ext(np.zeros((3, 4), np.uint16), tile=(2, 2)))
     assert d["ok"] and (d["width"], d["height"]) == (4, 3)
+
+
+# -- non-interleaved baseline JPEG scans (r8) -------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=10_000),
+    sub=st.booleans(),
+    dri=st.sampled_from([0, 1, 3, 7]),
+)
+def test_jpeg_noninterleaved_equals_interleaved_twin(w, h, seed, sub, dri):
+    """T.81 §A.2 non-interleaved scans reorganize the SAME quantized
+    blocks into one scan per component — decoding must be
+    bit-identical to the interleaved twin, across 4:4:4/4:2:0 and
+    in-scan restart intervals (block-counted, sequence reset per
+    scan)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_420,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = encode_jpeg_rgb_420 if sub else encode_jpeg_rgb
+    ni = enc(px, restart_interval=dri, interleaved=False)
+    assert ni.count(b"\xff\xda") == 3
+    assert np.array_equal(
+        decode_jpeg_pixels(ni), decode_jpeg_pixels(enc(px))
+    )
+
+
+def test_jpeg_noninterleaved_missing_component_rejected():
+    """A truncated multi-scan file (EOI after two of three scans) is
+    a typed error, not a silent partial image."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_rgb,
+    )
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    data = encode_jpeg_rgb(px, interleaved=False)
+    third = data.rindex(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing components"):
+        decode_jpeg_pixels(data[:third] + b"\xff\xd9")
