@@ -2002,14 +2002,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
                 tbl = np.zeros(64, np.int64)
+                # Pq=1: 16-bit big-endian elements (spec-reserved for
+                # 12-bit samples, but real 8-bit-sample encoders emit
+                # it with ordinary values — accept both, r8)
                 tbl[_ZIGZAG] = np.frombuffer(
-                    body, np.uint8, count=64, offset=off + 1
+                    body,
+                    np.dtype(">u2") if pq else np.uint8,
+                    count=64, offset=off + 1,
                 )
                 quant[tq] = tbl.reshape(8, 8)
-                off += 65
+                off += 129 if pq else 65
         elif marker == 0xC4:
             off = 0
             while off < len(body):

@@ -2229,3 +2229,31 @@ def test_jpeg_noninterleaved_missing_component_rejected():
     third = data.rindex(b"\xff\xda")
     with pytest.raises(ValueError, match="missing components"):
         decode_jpeg_pixels(data[:third] + b"\xff\xd9")
+
+
+def test_jpeg_16bit_quant_table_accepted():
+    """Pq=1 DQT (16-bit elements): spec-reserved for 12-bit samples
+    but emitted by real 8-bit encoders with ordinary values — a
+    rewritten 16-bit table must decode identically to its 8-bit
+    twin (r8)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    px = (np.arange(64, dtype=np.uint8) * 2).reshape(8, 8)
+    data = encode_jpeg_gray(px)
+    i = data.index(b"\xff\xdb")
+    length = int.from_bytes(data[i + 2 : i + 4], "big")
+    assert length == 67  # 2 + 1 + 64 (one 8-bit table)
+    pqtq = data[i + 4]
+    vals = data[i + 5 : i + 5 + 64]
+    wide = (
+        (131).to_bytes(2, "big")
+        + bytes([0x10 | (pqtq & 0x0F)])
+        + b"".join(v.to_bytes(2, "big") for v in vals)
+    )
+    rewritten = data[: i + 2] + wide + data[i + 2 + length :]
+    assert np.array_equal(
+        decode_jpeg_gray_pixels(rewritten), decode_jpeg_gray_pixels(data)
+    )
