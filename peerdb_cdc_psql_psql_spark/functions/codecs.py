@@ -2061,10 +2061,6 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI — restart interval in MCUs
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA and progressive:
-            if restart_interval:
-                raise NotImplementedError(
-                    "JPEG restart markers in progressive scans"
-                )
             hh, ww, comps, hmax, vmax = sof
             ns = body[0]
             cid_index = {c[0]: i for i, c in enumerate(comps)}
@@ -2078,11 +2074,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
             scan_start = pos + 2 + length
-            scan_end = _entropy_end(payload, scan_start)
+            scan_end = _entropy_end(
+                payload, scan_start,
+                skip_restarts=restart_interval > 0,
+            )
             _prog_decode_scan(
                 _BitReader(payload[scan_start:scan_end]),
                 scan_comps, comps, prog_coefs, huff, psel,
                 ss, se, ah, al, hh, ww, hmax, vmax,
+                restart_interval=restart_interval,
             )
             pos = scan_end
             continue
@@ -2326,9 +2326,13 @@ def _prog_decode_scan(
     ww: int,
     hmax: int,
     vmax: int,
+    restart_interval: int = 0,
 ) -> None:
     """Decode one progressive scan into the coefficient arrays
-    (T.81 G.2 decode procedures, zigzag-index coefficient order)."""
+    (T.81 G.2 decode procedures, zigzag-index coefficient order).
+    ``restart_interval`` > 0: RSTn every that many MCUs (interleaved
+    DC scans) or blocks (single-component scans) — byte-align,
+    sequence check, DC predictors and EOB runs reset (r8)."""
     if ss == 0:  # DC scan (interleaved over the MCU grid, or 1 comp)
         if se != 0:
             raise ValueError("DC scan with Se != 0")
@@ -2342,24 +2346,41 @@ def _prog_decode_scan(
             ci = scan_comps[0]
             _cid, hi, vi, _qid = comps[ci]
             bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
-            order = [(ci, by, bx) for by in range(bh_) for bx in range(bw_)]
+            units = [
+                [(ci, by, bx)] for by in range(bh_) for bx in range(bw_)
+            ]
         else:
-            order = []
+            units = []
             for my in range(mch):
                 for mx in range(mcw):
+                    mcu = []
                     for ci in scan_comps:
                         _cid, hi, vi, _qid = comps[ci]
                         for vy in range(vi):
                             for vx in range(hi):
-                                order.append((ci, my * vi + vy, mx * hi + vx))
-        for ci, by, bx in order:
-            if ah == 0:  # first pass: diff-coded, scaled by 2^Al
-                size = decs[ci](reader)
-                prev[ci] += _jpeg_extend(reader.read(size), size)
-                coefs[ci][by, bx, 0] = prev[ci] << al
-            else:  # refinement: one raw bit per block
-                if reader.read(1):
-                    coefs[ci][by, bx, 0] |= 1 << al
+                                mcu.append(
+                                    (ci, my * vi + vy, mx * hi + vx)
+                                )
+                    units.append(mcu)
+        rst = unit_i = 0
+        for unit in units:
+            if (
+                restart_interval
+                and unit_i
+                and unit_i % restart_interval == 0
+            ):
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                prev = {ci: 0 for ci in scan_comps}
+            unit_i += 1
+            for ci, by, bx in unit:
+                if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+                    size = decs[ci](reader)
+                    prev[ci] += _jpeg_extend(reader.read(size), size)
+                    coefs[ci][by, bx, 0] = prev[ci] << al
+                else:  # refinement: one raw bit per block
+                    if reader.read(1):
+                        coefs[ci][by, bx, 0] |= 1 << al
         return
     # AC scan: single component over its own grid
     if len(scan_comps) != 1:
@@ -2369,9 +2390,16 @@ def _prog_decode_scan(
     ac_dec = _huffman_decoder(*huff[(1, sel[ci][1])])
     bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
     eobrun = 0
+    rst = blk = 0
     p1, m1 = 1 << al, -1 << al
     for by in range(bh_):
         for bx in range(bw_):
+            if restart_interval and blk and blk % restart_interval == 0:
+                # EOB runs never cross a restart boundary (E.2.4)
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            blk += 1
             coef = coefs[ci][by, bx]
             if ah == 0:  # first pass (G.2.2): run/size + EOB runs
                 if eobrun:
@@ -2445,6 +2473,7 @@ def _prog_encode_dc_scan(
     hmax: int,
     vmax: int,
     dc_codes: dict,
+    restart_interval: int = 0,
 ) -> bytes:
     bw_out = _BitWriter()
     prev = {ci: 0 for ci in scan_comps}
@@ -2453,38 +2482,54 @@ def _prog_encode_dc_scan(
         ci = scan_comps[0]
         _cid, hi, vi, _qid = comps[ci]
         bh_, bw_ = _own_grid(hh, ww, hi, vi, hmax, vmax)
-        order = [(ci, by, bx) for by in range(bh_) for bx in range(bw_)]
+        units = [
+            [(ci, by, bx)] for by in range(bh_) for bx in range(bw_)
+        ]
     else:
-        order = []
+        units = []
         for my in range(mch):
             for mx in range(mcw):
+                mcu = []
                 for ci in scan_comps:
                     _cid, hi, vi, _qid = comps[ci]
                     for vy in range(vi):
                         for vx in range(hi):
-                            order.append((ci, my * vi + vy, mx * hi + vx))
-    for ci, by, bx in order:
-        dc = int(coefs[ci][by, bx, 0])
-        if ah == 0:  # first pass: code (dc >> Al) diffs
-            v = dc >> al  # DC point transform is an arithmetic shift
-            size, bits_val = _jpeg_magnitude(v - prev[ci])
-            code, length = dc_codes[size]
-            bw_out.put(code, length)
-            if size:
-                bw_out.put(bits_val, size)
-            prev[ci] = v
-        else:  # refinement: emit bit Al of the DC coefficient
-            bw_out.put((dc >> al) & 1, 1)
+                            mcu.append((ci, my * vi + vy, mx * hi + vx))
+                units.append(mcu)
+    rst = unit_i = 0
+    for unit in units:
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            bw_out.restart(rst)
+            rst = (rst + 1) & 7
+            prev = {ci: 0 for ci in scan_comps}
+        unit_i += 1
+        for ci, by, bx in unit:
+            dc = int(coefs[ci][by, bx, 0])
+            if ah == 0:  # first pass: code (dc >> Al) diffs
+                v = dc >> al  # DC point transform: arithmetic shift
+                size, bits_val = _jpeg_magnitude(v - prev[ci])
+                code, length = dc_codes[size]
+                bw_out.put(code, length)
+                if size:
+                    bw_out.put(bits_val, size)
+                prev[ci] = v
+            else:  # refinement: emit bit Al of the DC coefficient
+                bw_out.put((dc >> al) & 1, 1)
     return bw_out.flush()
 
 
 def _prog_encode_ac_first(
     coef_grid: np.ndarray, bh_: int, bw_: int, ss: int, se: int, al: int,
-    ac_codes: dict,
+    ac_codes: dict, restart_interval: int = 0,
 ) -> bytes:
     bw_out = _BitWriter()
+    rst = blk = 0
     for by in range(bh_):
         for bx in range(bw_):
+            if restart_interval and blk and blk % restart_interval == 0:
+                bw_out.restart(rst)
+                rst = (rst + 1) & 7
+            blk += 1
             coef = coef_grid[by, bx]
             # AC point transform truncates toward zero (T.81 G.1.1.2)
             band = [int(coef[k]) // (1 << al) if coef[k] >= 0
@@ -2516,7 +2561,7 @@ def _prog_encode_ac_first(
 
 def _prog_encode_ac_refine(
     coef_grid: np.ndarray, bh_: int, bw_: int, ss: int, se: int,
-    ah: int, al: int, ac_codes: dict,
+    ah: int, al: int, ac_codes: dict, restart_interval: int = 0,
 ) -> bytes:
     """Mirror of the G.1.2.3 decoder: newly-significant coefficients
     get (run,1)+sign, already-significant ones get buffered correction
@@ -2531,8 +2576,15 @@ def _prog_encode_ac_refine(
             bw_out.put(b, 1)
         pending.clear()
 
+    rst = blk = 0
     for by in range(bh_):
         for bx in range(bw_):
+            if restart_interval and blk and blk % restart_interval == 0:
+                # per-block state only — nothing pends across blocks,
+                # so the boundary is a pure align+marker
+                bw_out.restart(rst)
+                rst = (rst + 1) & 7
+            blk += 1
             coef = coef_grid[by, bx]
             run = 0
             pending: list[int] = []
@@ -2576,10 +2628,14 @@ def _jpeg_container_progressive(
     planes: list[np.ndarray],
     quants: list[np.ndarray],
     factors: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a PROGRESSIVE (SOF2) JPEG: quantize every block once,
     then ship the libjpeg-shaped scan script DC(Al=1) → per-component
-    AC first (Al=1) → per-component AC refine (Al=0) → DC refine."""
+    AC first (Al=1) → per-component AC refine (Al=0) → DC refine.
+    ``restart_interval`` > 0 emits DRI + RSTn inside every scan
+    (MCU-counted in the interleaved DC scans, block-counted in the
+    single-component AC scans, sequence reset per scan — r8)."""
     factors = factors or [(1, 1)] * len(planes)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -2636,7 +2692,12 @@ def _jpeg_container_progressive(
             bytes([len(scan_comps)]) + comps_b + bytes([ss, se, ah << 4 | al]),
         )
 
-    out = b"\xff\xd8" + dqt + sof2 + dht
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + dqt + sof2 + dht + dri
     comps_meta = [
         (ci + 1, factors[ci][0], factors[ci][1], slot_of[ci])
         for ci in range(nc)
@@ -2644,7 +2705,8 @@ def _jpeg_container_progressive(
     # scan 1: DC first, all components, Al=1
     out += sos(list(range(nc)), 0, 0, 0, 1)
     out += _prog_encode_dc_scan(
-        coefs, list(range(nc)), comps_meta, 0, 1, h, w, hmax, vmax, dc_codes
+        coefs, list(range(nc)), comps_meta, 0, 1, h, w, hmax, vmax,
+        dc_codes, restart_interval=restart_interval,
     )
     # scans 2..: AC first per component (two spectral bands to
     # exercise band-limited runs), Al=1
@@ -2652,35 +2714,47 @@ def _jpeg_container_progressive(
         hi, vi = factors[ci]
         bh_, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
         out += sos([ci], 1, 5, 0, 1)
-        out += _prog_encode_ac_first(coefs[ci], bh_, bw_, 1, 5, 1, ac_codes)
+        out += _prog_encode_ac_first(
+            coefs[ci], bh_, bw_, 1, 5, 1, ac_codes,
+            restart_interval=restart_interval,
+        )
         out += sos([ci], 6, 63, 0, 1)
-        out += _prog_encode_ac_first(coefs[ci], bh_, bw_, 6, 63, 1, ac_codes)
+        out += _prog_encode_ac_first(
+            coefs[ci], bh_, bw_, 6, 63, 1, ac_codes,
+            restart_interval=restart_interval,
+        )
     # AC refinement per component, Ah=1 → Al=0
     for ci in range(nc):
         hi, vi = factors[ci]
         bh_, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
         out += sos([ci], 1, 63, 1, 0)
         out += _prog_encode_ac_refine(
-            coefs[ci], bh_, bw_, 1, 63, 1, 0, ac_codes
+            coefs[ci], bh_, bw_, 1, 63, 1, 0, ac_codes,
+            restart_interval=restart_interval,
         )
     # DC refinement, all components, Ah=1 → Al=0
     out += sos(list(range(nc)), 0, 0, 1, 0)
     out += _prog_encode_dc_scan(
-        coefs, list(range(nc)), comps_meta, 1, 0, h, w, hmax, vmax, dc_codes
+        coefs, list(range(nc)), comps_meta, 1, 0, h, w, hmax, vmax,
+        dc_codes, restart_interval=restart_interval,
     )
     return out + b"\xff\xd9"
 
 
-def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
     """Progressive JPEG writer: (h, w) uint8 gray or (h, w, 3) uint8
-    RGB (4:4:4) through the full Annex G scan script."""
+    RGB (4:4:4) through the full Annex G scan script.
+    ``restart_interval`` adds DRI + in-scan RSTn markers (r8)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         h, w = px.shape
         bh, bw = -(-h // 8), -(-w // 8)
         padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
         return _jpeg_container_progressive(
-            h, w, [padded.astype(np.float64) - 128.0], [_STD_LUMA_QUANT]
+            h, w, [padded.astype(np.float64) - 128.0], [_STD_LUMA_QUANT],
+            restart_interval=restart_interval,
         )
     pxf = px.astype(np.float64)
     h, w = pxf.shape[:2]
@@ -2692,7 +2766,9 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
     pad = ((0, bh * 8 - h), (0, bw * 8 - w))
     planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
     return _jpeg_container_progressive(
-        h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT]
+        h, w, planes,
+        [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
+        restart_interval=restart_interval,
     )
 
 

@@ -2286,7 +2286,10 @@ def synthesize_progressive_jpeg_payloads(ids: DataFrame) -> DataFrame:
                 v = 2 * (m % 127)
                 payloads.append(
                     encode_jpeg_progressive(
-                        np.full((h, w, 3), v, np.uint8)
+                        np.full((h, w, 3), v, np.uint8),
+                        # rotate in-scan restart intervals (0 = none;
+                        # r8: RSTn inside progressive scans decode)
+                        restart_interval=(m // 3) % 3,
                     )
                 )
             yield pd.DataFrame(

@@ -1506,16 +1506,19 @@ def test_jpeg_dri_color_444_and_420_roundtrip():
     )
 
 
-def test_jpeg_dri_in_progressive_still_raises():
+def test_jpeg_progressive_dri_without_markers_is_corrupt():
+    """r8: DRI in progressive DECODES now; a stream that DECLARES a
+    restart interval but carries no RSTn markers is corrupt and gets
+    a typed error, not a silent misread."""
     from peerdb_cdc_psql_psql_spark.functions.codecs import (
         encode_jpeg_progressive,
     )
 
     data = bytearray(encode_jpeg_progressive(np.full((16, 16), 40, np.uint8)))
-    # splice a DRI segment right before the first SOS
+    # splice a DRI segment (interval 2) into a restart-FREE stream
     i = data.index(b"\xff\xda")
     data[i:i] = b"\xff\xdd\x00\x04\x00\x02"
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg_gray_pixels(bytes(data))
 
 
@@ -2257,3 +2260,49 @@ def test_jpeg_16bit_quant_table_accepted():
     assert np.array_equal(
         decode_jpeg_gray_pixels(rewritten), decode_jpeg_gray_pixels(data)
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=10_000),
+    dri=st.sampled_from([1, 2, 5, 9]),
+    color=st.booleans(),
+)
+def test_jpeg_progressive_restart_bit_identity(w, h, seed, dri, color):
+    """r8: RSTn inside progressive scans (MCU-counted in interleaved
+    DC scans, block-counted in single-component AC scans, sequence
+    and DC predictors and EOB runs reset per boundary) — the
+    restart-laden stream must decode bit-identically to the baseline
+    twin, exactly like its restart-free progressive sibling."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg_pixels(
+        (encode_jpeg_rgb if color else encode_jpeg_gray)(px)
+    )
+    prog = encode_jpeg_progressive(px, restart_interval=dri)
+    assert b"\xff\xdd" in prog  # DRI present
+    assert np.array_equal(decode_jpeg_pixels(prog), base)
+
+
+def test_jpeg_progressive_restart_out_of_sequence_rejected():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    data = bytearray(encode_jpeg_progressive(px, restart_interval=1))
+    i = data.index(b"\xff\xd0")  # first RST0 → RST5
+    data[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_pixels(bytes(data))
