@@ -175,6 +175,15 @@ EXTRA = [
     "simhash_md5_pairs",         # oracle-checked SimHash LSH candidates
     "minhash_md5_pairs",         # oracle-checked MinHash-LSH candidates
     "cosine_lsh_md5_pairs",      # oracle-checked hyperplane cosine-LSH
+    # Round-8 codec/layout closures
+    "multimodal_jpeg_dri_decode",       # DRI/RSTn restart markers
+    "multimodal_flac_stereo_decode",    # all four stereo assignments
+    "multimodal_gif_anim_decode",       # animated GIF compositing
+    "multimodal_tiff_tiled_decode",     # tiled + planar TIFF
+    "multimodal_tiff16_decode",         # 16-bit TIFF
+    "multimodal_flac_multichannel_decode",  # 3-8 channel FLAC
+    "multimodal_adpcm_stereo_decode",   # stereo IMA ADPCM groups
+    "multimodal_jpeg_noninterleaved_decode",  # §A.2 multi-scan JPEG
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
