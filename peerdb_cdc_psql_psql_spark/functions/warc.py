@@ -27,6 +27,8 @@ brief lists as first-class (web corpus → text → quality → dedup).
 
 from __future__ import annotations
 
+import codecs
+import re
 import sys
 import zlib
 
@@ -198,6 +200,80 @@ def parse_warc(data: bytes) -> list[dict]:
                 rec.update(parse_http_payload(rec["payload"]))
             records.append(rec)
     return records
+
+
+# -- charset detection + decode (r8) ----------------------------------
+#
+# Real crawl corpora are NOT all UTF-8: ~weeks-old pages declare
+# charsets in Content-Type headers or <meta> tags, legacy pages ship
+# undeclared windows-1252, and feeds ship UTF-16 with BOMs. The
+# detection chain below is the WHATWG-ish order browsers use:
+# BOM → Content-Type header → <meta> in the first 2 KB → strict
+# UTF-8 validation → windows-1252 fallback. Browsers also treat
+# declared latin-1/ascii AS windows-1252 (the WHATWG encoding spec
+# folds them), which is what keeps 0x80-0x9F bytes readable.
+
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.I
+)
+
+
+def _resolve_charset(name: str) -> str | None:
+    """Normalize a declared charset label to a Python codec name, or
+    None when the label is unknown (the chain then continues)."""
+    name = name.strip().lower()
+    if name in ("iso-8859-1", "iso8859-1", "latin-1", "latin1",
+                "us-ascii", "ascii"):
+        return "cp1252"  # WHATWG folding
+    if name in ("utf8", "utf-8"):
+        return "utf-8"
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        return None
+
+
+def detect_charset(
+    body: bytes, content_type: str | None = None
+) -> tuple[str, str]:
+    """(codec name, detection source) for an HTTP body. Sources:
+    ``bom`` / ``header`` / ``meta`` / ``valid-utf-8`` /
+    ``fallback``."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", "bom"
+    if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        return "utf-16", "bom"  # the utf-16 codec consumes the BOM
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            cs = _resolve_charset(m.group(1))
+            if cs is not None:
+                return cs, "header"
+    m = _META_CHARSET_RE.search(body[:2048])
+    if m:
+        cs = _resolve_charset(m.group(1).decode("latin-1"))
+        if cs is not None:
+            return cs, "meta"
+    try:
+        body.decode("utf-8")
+        return "utf-8", "valid-utf-8"
+    except UnicodeDecodeError:
+        return "cp1252", "fallback"
+
+
+def decode_body_text(
+    body: bytes, content_type: str | None = None
+) -> tuple[str, str, str]:
+    """Charset-aware body decode → (text, codec, detection source).
+    Decoding never raises (errors='replace'): a mislabeled body
+    degrades to replacement characters, not a task failure."""
+    cs, src = detect_charset(body, content_type)
+    try:
+        return body.decode(cs, "replace"), cs, src
+    except (LookupError, ValueError):
+        return body.decode("utf-8", "replace"), "utf-8", "fallback"
 
 
 def decode_warc(data: bytes) -> dict:

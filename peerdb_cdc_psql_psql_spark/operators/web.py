@@ -371,7 +371,7 @@ def parse_crawl_files(files: DataFrame) -> DataFrame:
     Request/warcinfo records are read and counted but not emitted —
     the text pipeline consumes responses only."""
 
-    from ..functions.warc import parse_warc
+    from ..functions.warc import decode_body_text, parse_warc
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -394,9 +394,15 @@ def parse_crawl_files(files: DataFrame) -> DataFrame:
                             rec["target_uri"],
                             rec.get("status"),
                             rec["content_length"],
-                            # "replace" matches the streaming twin —
-                            # a foreign body must not kill the task
-                            rec["body"].decode("utf-8", "replace"),
+                            # charset-aware decode (r8): BOM → header
+                            # → meta → UTF-8 check → cp1252 fallback;
+                            # never raises, matching the streaming twin
+                            decode_body_text(
+                                rec["body"],
+                                rec.get("http_headers", {}).get(
+                                    "content-type"
+                                ),
+                            )[0],
                         )
                     )
             yield pd.DataFrame(
@@ -621,4 +627,115 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_variants"),
         F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
         F.min("canonical").alias("canonical_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Charset detection (r8): real crawls are not all UTF-8
+# ---------------------------------------------------------------------------
+
+_CHARSET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_replacement", T.LongType()),
+    ]
+)
+
+
+@register(
+    "crawl_charset_detect",
+    # base text = 'doc-<id>-' + 'word '*(id%50): base_len =
+    # 5 + LENGTH(id) + 5*(id%50). Per-case suffix/wrapper char counts
+    # are construction constants (html wrapper = 54+14 chars).
+    oracle="""
+SELECT doc_id,
+       CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'cp1252'
+              WHEN 2 THEN 'utf-16' WHEN 3 THEN 'cp1252'
+              WHEN 4 THEN 'cp1252' ELSE 'utf-8' END AS charset,
+       CASE c WHEN 0 THEN 'valid-utf-8' WHEN 1 THEN 'header'
+              WHEN 2 THEN 'bom' WHEN 3 THEN 'meta'
+              WHEN 4 THEN 'fallback' ELSE 'header' END AS source,
+       CASE c WHEN 1 THEN base + 4
+              WHEN 3 THEN base + 4 + 68
+              ELSE base + 1 END AS n_chars,
+       CAST(CASE c WHEN 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_replacement
+FROM (
+  SELECT doc_id, doc_id % 6 AS c,
+         5 + LENGTH(CAST(doc_id AS VARCHAR))
+           + 5 * (doc_id % 50) AS base
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 250
+)
+""",
+    tags=("X4", "web", "curation"),
+)
+def crawl_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware crawl-body decode (X4/web, r8): the WHATWG-ish
+    chain browsers use — BOM, then Content-Type header, then <meta>
+    in the first 2 KB, then strict UTF-8 validation, then the
+    windows-1252 fallback (declared latin-1/ascii fold INTO cp1252,
+    as the WHATWG encoding spec mandates). Six fixture rotations:
+    undeclared UTF-8 with a multibyte char, header-declared
+    iso-8859-1 bytes, UTF-16 with BOM, <meta windows-1252>, undeclared
+    cp1252 (the fallback), and a LYING utf-8 header over a cp1252
+    byte (the replacement-character case). The oracle recomputes the
+    detected codec, the detection source, the exact decoded character
+    count, and the replacement count — a chain step out of order or
+    a BOM left undigested each shifts a column.
+
+    Scale: detection is per-record pure-Python over the first 2 KB —
+    it rides the same mapInPandas pass that already parses the HTTP
+    message; nothing extra shuffles."""
+    from ..catalog import load
+    from ..functions.warc import decode_body_text
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 250)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        pre = '<html><head><meta charset="windows-1252"></head><body>'
+        post = "</body></html>"
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                m = int(did)
+                base = f"doc-{m}-" + "word " * (m % 50)
+                c = m % 6
+                ct = None
+                if c == 0:
+                    body = (base + "é").encode("utf-8")
+                elif c == 1:
+                    body = (base + "café").encode("cp1252")
+                    ct = "text/html; charset=iso-8859-1"
+                elif c == 2:
+                    body = b"\xff\xfe" + (base + "é").encode(
+                        "utf-16-le"
+                    )
+                elif c == 3:
+                    body = (pre + base + "café" + post).encode(
+                        "cp1252"
+                    )
+                elif c == 4:
+                    body = (base + "é").encode("cp1252")
+                else:
+                    body = base.encode("ascii") + b"\xe9"
+                    ct = "text/plain; charset=utf-8"
+                text, cs, src = decode_body_text(body, ct)
+                rows.append(
+                    (m, cs, src, len(text), text.count("�"))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CHARSET_SCHEMA.fields]
+            )
+
+    return (
+        docs.select("doc_id")
+        .mapInPandas(gen, schema=_CHARSET_SCHEMA)
+        .select(*[f.name for f in _CHARSET_SCHEMA.fields])
     )

@@ -45,7 +45,7 @@ _RECORD_SCHEMA = T.StructType(
 def parse_warc_files(files: DataFrame) -> DataFrame:
     """(path, content) → one row per HTTP-response record. Works on
     both static and streaming DataFrames (stateless mapInPandas)."""
-    from ..functions.warc import parse_warc
+    from ..functions.warc import decode_body_text, parse_warc
 
     def batches(it: Iterator) -> Iterator:
         import os
@@ -77,9 +77,14 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
                             os.path.basename(str(path)),
                             rec.get("target_uri"),
                             rec.get("status"),
-                            rec.get("body", rec["payload"]).decode(
-                                "utf-8", "replace"
-                            ),
+                            # charset-aware decode (r8) — identical
+                            # chain to the batch twin in operators/web
+                            decode_body_text(
+                                rec.get("body", rec["payload"]),
+                                rec.get("http_headers", {}).get(
+                                    "content-type"
+                                ),
+                            )[0],
                         )
                     )
             yield pd.DataFrame(

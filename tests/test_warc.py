@@ -145,3 +145,57 @@ def test_zlib_not_single_stream():
     naive = zlib.decompress(stream, 31)
     assert naive == b"one"  # the trap
     assert split_gzip_members(stream) == [b"one", b"two"]  # the fix
+
+
+# -- charset detection (r8) -------------------------------------------
+
+
+def test_detect_charset_chain_order():
+    from peerdb_cdc_psql_psql_spark.functions.warc import detect_charset
+
+    # BOM wins over everything, header over meta, meta over sniffing
+    assert detect_charset(b"\xef\xbb\xbfhi") == ("utf-8-sig", "bom")
+    assert detect_charset(b"\xff\xfeh\x00") == ("utf-16", "bom")
+    assert detect_charset(b"\xfe\xff\x00h") == ("utf-16", "bom")
+    assert detect_charset(
+        b'<meta charset="utf-8">x', "text/html; charset=iso-8859-1"
+    ) == ("cp1252", "header")
+    assert detect_charset(b'<meta charset="KOI8-R">x') == (
+        "koi8-r", "meta",
+    )
+    assert detect_charset(b"plain ascii") == ("utf-8", "valid-utf-8")
+    assert detect_charset("café".encode()) == ("utf-8", "valid-utf-8")
+    assert detect_charset(b"caf\xe9") == ("cp1252", "fallback")
+
+
+def test_detect_charset_whatwg_latin1_folds_to_cp1252():
+    """Declared latin-1/ascii decode as windows-1252 in browsers —
+    0x80-0x9F must come out as cp1252 punctuation, not C1 controls."""
+    from peerdb_cdc_psql_psql_spark.functions.warc import decode_body_text
+
+    text, cs, src = decode_body_text(
+        b"a \x93quoted\x94 word", "text/plain; charset=ISO-8859-1"
+    )
+    assert (cs, src) == ("cp1252", "header")
+    assert text == "a “quoted” word"
+
+
+def test_detect_charset_unknown_label_falls_through():
+    from peerdb_cdc_psql_psql_spark.functions.warc import detect_charset
+
+    assert detect_charset(
+        b"plain", "text/html; charset=x-bogus-charset"
+    ) == ("utf-8", "valid-utf-8")
+
+
+def test_decode_body_text_never_raises():
+    from peerdb_cdc_psql_psql_spark.functions.warc import decode_body_text
+
+    # lying header over invalid bytes → replacement chars, no raise
+    text, cs, src = decode_body_text(
+        b"ok\xe9", "text/plain; charset=utf-8"
+    )
+    assert cs == "utf-8" and "�" in text
+    # BOM'd utf-16 consumes the BOM (no U+FEFF in the text)
+    text, cs, src = decode_body_text(b"\xff\xfe" + "hé".encode("utf-16-le"))
+    assert text == "hé" and "﻿" not in text
