@@ -184,6 +184,8 @@ EXTRA = [
     "multimodal_flac_multichannel_decode",  # 3-8 channel FLAC
     "multimodal_adpcm_stereo_decode",   # stereo IMA ADPCM groups
     "multimodal_jpeg_noninterleaved_decode",  # §A.2 multi-scan JPEG
+    "crawl_charset_detect",             # WHATWG charset chain
+    "line_dedup_boilerplate",           # CCNet line-level chrome drop
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -638,3 +638,150 @@ def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (r8): the CCNet/C4 pass
+# ---------------------------------------------------------------------------
+
+# "Lines" here are fixed 8-word segments of the fixture text (real
+# pipelines split on newlines; the fixture corpus is single-line).
+_LINE_WORDS = 8
+# a line occurring this often across the corpus is chrome, not content
+_BOILER_MIN_COUNT = 30
+_BOILER_A = "subscribe to our newsletter for more updates"
+_BOILER_B = "all rights reserved terms of service apply"
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line) — the text chunked into 8-word lines,
+    plus the deterministically injected boilerplate lines (appended
+    to every even doc / every third doc, the way real page chrome
+    repeats across a site)."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / _LINE_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+        ),
+    )
+    chunks = F.concat(
+        chunks,
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit(_BOILER_A))
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.array(F.lit(_BOILER_B))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "line")
+    )
+
+
+@register(
+    "line_dedup_boilerplate",
+    oracle=f"""
+WITH chunked AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(
+             generate_series(
+               0, CAST(ceil(len(string_split(text, ' '))
+                            / {_LINE_WORDS}.0) AS INT) - 1
+             ),
+             i -> array_to_string(
+               list_slice(string_split(text, ' '),
+                          i * {_LINE_WORDS} + 1,
+                          i * {_LINE_WORDS} + {_LINE_WORDS}), ' ')
+           ),
+           list_concat(
+             CASE WHEN doc_id % 2 = 0
+                  THEN ['{_BOILER_A}'] ELSE [] END,
+             CASE WHEN doc_id % 3 = 0
+                  THEN ['{_BOILER_B}'] ELSE [] END
+           )
+         ) AS chunks
+  FROM documents WHERE doc_id < 400
+),
+lines AS (
+  SELECT doc_id, z[1] AS line, z[2] AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(chunks,
+                           generate_series(1, len(chunks)))) AS z
+    FROM chunked
+  )
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(*) >= {_BOILER_MIN_COUNT}
+)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       md5(string_agg(CASE WHEN b.line IS NULL THEN l.line END, ' '
+                      ORDER BY l.pos)) AS kept_md5
+FROM lines l LEFT JOIN boiler b ON l.line = b.line
+GROUP BY l.doc_id
+""",
+    tags=("X4", "curation", "dedup"),
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate removal (the CCNet/C4 curation pass the
+    brief's dedup family implies but document-level dedup cannot do):
+    drop lines that repeat across the corpus above a count threshold
+    — navigation chrome, cookie banners, footers — while keeping the
+    document's own prose. Fixtures append two known chrome lines to
+    overlapping doc subsets, so every doc drops 0/1/2 lines and the
+    reassembled-kept-text md5 pins both the drop set AND the line
+    ordering.
+
+    Scale (100 TB): the line explode is a map; the occurrence count
+    is one shuffle on the line key WITH map-side partial aggregation
+    (8-word strings, not documents, shuffle); the heavy-hitter set
+    (count >= threshold) is tiny by construction — real chrome is a
+    few thousand distinct lines — so it BROADCASTS back and the drop
+    join is map-side. The full lines-to-counts join a naive plan
+    does never happens."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    lines = _doc_lines(docs)
+    boiler = (
+        lines.groupBy("line")
+        .count()
+        .filter(F.col("count") >= _BOILER_MIN_COUNT)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+        "line", "left",
+    )
+    kept_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.coalesce(F.col("is_boiler"), F.lit(False)),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.coalesce(F.col("is_boiler"), F.lit(False)).cast("int")
+            ).cast("bigint").alias("n_boiler"),
+            kept_md5.alias("kept_md5"),
+        )
+        .select("doc_id", "n_lines", "n_boiler", "kept_md5")
+    )

@@ -741,3 +741,30 @@ def test_cosine_lsh_adaptive_stays_equi_join(spark):
     plan = plan_string(_df(spark, "cosine_lsh_adaptive_planes"), mode="simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_line_dedup_boilerplate_broadcasts_heavy_hitters(spark):
+    """r8 line-level boilerplate removal: the drop join must
+    broadcast the (tiny) heavy-hitter line set — a sort-merge join of
+    the full line explode against the counts is the naive plan that
+    melts at 100 TB."""
+    plan = assert_plan_contains(
+        _df(spark, "line_dedup_boilerplate"), "BroadcastHashJoin"
+    )
+    # the count agg itself must keep map-side partial aggregation
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_line_dedup_boilerplate_drop_pattern(spark):
+    """Docs divisible by 6 carry both chrome lines, by 2 or 3 one,
+    others none — and kept text must be unchanged for clean docs."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["doc_id"]: r
+        for r in _df(spark, "line_dedup_boilerplate").collect()
+    }
+    assert rows[6]["n_boiler"] == 2
+    assert rows[2]["n_boiler"] == 1 and rows[3]["n_boiler"] == 1
+    assert rows[1]["n_boiler"] == 0 and rows[5]["n_boiler"] == 0
+    assert rows[6]["n_lines"] - rows[6]["n_boiler"] >= 1
