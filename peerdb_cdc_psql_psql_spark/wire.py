@@ -558,9 +558,23 @@ class WireServer:
                 + _READY
             )
             while not self._stop.is_set():
-                head = self._read_exact(conn, 5)
-                if head is None:
+                # idle-tolerant read BETWEEN messages: a psql session
+                # left open must not be dropped after one socket
+                # timeout (r8 — the 60 s settimeout exists to bound
+                # hostile half-messages, not to cap think time). Only
+                # a ZERO-byte idle timeout continues; once the first
+                # byte of a message arrived, a stall mid-message is a
+                # broken client and still aborts.
+                try:
+                    first = conn.recv(1)
+                except socket.timeout:
+                    continue
+                if not first:
                     return
+                rest = self._read_exact(conn, 4)
+                if rest is None:
+                    return
+                head = first + rest
                 kind, length = head[0:1], struct.unpack("!i", head[1:5])[0]
                 if not 4 <= length <= _MAX_MESSAGE_LEN:
                     conn.sendall(

@@ -1195,3 +1195,30 @@ def test_cancel_request_with_wrong_secret_is_ignored(server):
         assert row[6 : 6 + ln] == b"3"
     finally:
         c.close()
+
+
+def test_idle_session_survives_socket_timeout(server, monkeypatch):
+    """An interactive session left idle past the per-read socket
+    timeout must NOT be dropped (r8) — the timeout bounds hostile
+    half-messages, not think time. Shrink the timeout to 1 s and
+    idle for 2.5 s between queries."""
+    import peerdb_cdc_psql_psql_spark.wire as wire_mod
+
+    orig = wire_mod.socket.socket.settimeout
+
+    def fast_timeout(sock, value):
+        orig(sock, 1 if value == 60 else value)
+
+    monkeypatch.setattr(wire_mod.socket.socket, "settimeout", fast_timeout)
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(_frame(b"Q", b"SELECT 1 AS a\x00"))
+        _drain_until_ready(c)
+        time.sleep(2.5)  # two idle timeouts elapse server-side
+        c.sendall(_frame(b"Q", b"SELECT 2 AS b\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"2"
+    finally:
+        c.close()
