@@ -483,6 +483,11 @@ class WireServer:
     _next_pid: "itertools.count" = field(
         default_factory=lambda: itertools.count(1)
     )
+    # per-connection GUC store — each connection IS one handler
+    # thread, so thread-local state is connection state
+    _session_local: threading.local = field(
+        default_factory=threading.local
+    )
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -554,6 +559,14 @@ class WireServer:
                 + _msg(b"S", _cstr("server_version") + _cstr("15.0 (spark)"))
                 + _msg(b"S", _cstr("client_encoding") + _cstr("UTF8"))
                 + _msg(b"S", _cstr("DateStyle") + _cstr("ISO"))
+                # drivers parse these two at startup: pgjdbc refuses
+                # servers without integer_datetimes; libpq derives
+                # escaping rules from standard_conforming_strings
+                + _msg(
+                    b"S",
+                    _cstr("standard_conforming_strings") + _cstr("on"),
+                )
+                + _msg(b"S", _cstr("integer_datetimes") + _cstr("on"))
                 + _msg(b"K", struct.pack("!ii", pid, secret))
                 + _READY
             )
@@ -773,10 +786,136 @@ class WireServer:
         if not sql.strip():
             conn.sendall(_msg(b"I", b""))  # EmptyQueryResponse
 
+    # -- Postgres session statements (r8) ------------------------------
+    # Real drivers open every connection with these: pgjdbc sends
+    # `SET extra_float_digits = 3`, psycopg2's default mode wraps
+    # work in BEGIN/COMMIT, ORMs probe `SHOW standard_conforming_
+    # strings`. None of them parse as Spark SQL — they are session
+    # plumbing, answered here. Transactions are AUTOCOMMIT-emulated
+    # (BEGIN/COMMIT/ROLLBACK return their tags as no-ops; the engine
+    # applies each statement as it executes — same contract as most
+    # wire proxies), and GUC variables live in a per-connection store
+    # seeded with the Postgres-compatible defaults. Spark-native
+    # SET spark.*/SHOW TABLES keep passing through to spark.sql.
+
+    _PG_GUC_DEFAULTS = {
+        "server_version": "15.0 (spark)",
+        "server_encoding": "UTF8",
+        "client_encoding": "UTF8",
+        "datestyle": "ISO, MDY",
+        "timezone": "UTC",
+        "standard_conforming_strings": "on",
+        "integer_datetimes": "on",
+        "transaction_isolation": "read committed",
+        "search_path": "public",
+        "application_name": "",
+        "extra_float_digits": "1",
+        "statement_timeout": "0",
+        "client_min_messages": "notice",
+        "bytea_output": "hex",
+        "intervalstyle": "postgres",
+    }
+    _SPARK_SHOW_WORDS = frozenset(
+        ("tables", "databases", "schemas", "views", "functions",
+         "columns", "partitions", "create", "tblproperties",
+         "catalogs", "namespaces", "table", "mirrors")
+    )
+    _SET_RE = re.compile(
+        r"^set\s+(?:session\s+|local\s+)?([a-z_][\w.]*)\s*"
+        r"(?:=|to\s)\s*(.+)$"
+    )
+
+    def _conn_vars(self) -> dict:
+        """Per-connection GUC store (the handler thread IS the
+        connection, so thread-local state is connection state)."""
+        tl = self._session_local
+        if not hasattr(tl, "vars"):
+            tl.vars = {}
+        return tl.vars
+
+    def _pg_session_statement(
+        self, conn: socket.socket, stmt: str
+    ) -> bool:
+        """Answer Postgres session plumbing; False = not ours."""
+        low = " ".join(self._strip_comments(stmt).lower().split())
+        word = low.split(" ", 1)[0] if low else ""
+        if word in ("begin", "start"):
+            conn.sendall(_msg(b"C", _cstr("BEGIN")))
+            return True
+        if word in ("commit", "end"):
+            conn.sendall(_msg(b"C", _cstr("COMMIT")))
+            return True
+        if word in ("rollback", "abort"):
+            conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
+            return True
+        if word == "discard":
+            self._conn_vars().clear()
+            conn.sendall(_msg(b"C", _cstr("DISCARD ALL")))
+            return True
+        if word == "reset":
+            name = low.split(" ", 1)[1].strip() if " " in low else "all"
+            if name == "all":
+                self._conn_vars().clear()
+            else:
+                self._conn_vars().pop(name, None)
+            conn.sendall(_msg(b"C", _cstr("RESET")))
+            return True
+        if word == "set":
+            if low.startswith("set time zone"):
+                val = stmt.split(None, 3)[3].strip().strip("'\"")
+                self._conn_vars()["timezone"] = val
+                conn.sendall(_msg(b"C", _cstr("SET")))
+                return True
+            m = self._SET_RE.match(low)
+            if m and not m.group(1).startswith(("spark.", "hive.")):
+                raw = stmt.strip().rstrip(";")
+                tail = re.split(
+                    r"(?i)=|\bto\b", raw, maxsplit=1
+                )[1].strip().strip("'\"")
+                self._conn_vars()[m.group(1)] = tail
+                conn.sendall(_msg(b"C", _cstr("SET")))
+                return True
+            return False  # Spark conf SET — pass through
+        if word == "show":
+            rest = low.split(" ", 1)[1].strip() if " " in low else ""
+            name = rest.split(" ", 1)[0]
+            if name and name not in self._SPARK_SHOW_WORDS:
+                if name == "all":
+                    return False  # Spark SHOW fallthrough is clearer
+                val = self._conn_vars().get(
+                    name, self._PG_GUC_DEFAULTS.get(name)
+                )
+                if val is None and name not in self._PG_GUC_DEFAULTS:
+                    # unknown GUC: empty-string answer keeps ORM
+                    # probes alive rather than erroring the session
+                    val = ""
+                row = val.encode()
+                conn.sendall(
+                    _msg(
+                        b"T",
+                        struct.pack("!h", 1)
+                        + _cstr(name)
+                        + struct.pack(
+                            "!ihihih", 0, 0, _TEXT_OID, -1, -1, 0
+                        ),
+                    )
+                    + _msg(
+                        b"D",
+                        struct.pack("!h", 1)
+                        + struct.pack("!i", len(row))
+                        + row,
+                    )
+                    + _msg(b"C", _cstr("SHOW"))
+                )
+                return True
+        return False
+
     def _run_statement(self, conn: socket.socket, stmt: str) -> None:
         # verb dispatch ignores comments (`/* hint */ INSERT …` routes
         # to the DML path), but the dispatched text keeps them
         low = " ".join(self._strip_comments(stmt).lower().split())
+        if self._pg_session_statement(conn, stmt):
+            return
         if low.startswith("copy "):
             self._copy_command(conn, stmt)
             return

@@ -1222,3 +1222,70 @@ def test_idle_session_survives_socket_timeout(server, monkeypatch):
         assert row[6 : 6 + ln] == b"2"
     finally:
         c.close()
+
+
+# -- Postgres session statements: BEGIN/SET/SHOW GUCs (r8) ------------
+
+
+def test_driver_startup_session_statements(server):
+    """The statements real drivers open with — pgjdbc's SET
+    extra_float_digits, psycopg2's BEGIN/COMMIT autocommit wrap, ORM
+    SHOW probes — must all succeed as session plumbing instead of
+    reaching Spark's parser."""
+    for sql, tag in (
+        ("BEGIN", "BEGIN"),
+        ("SET extra_float_digits = 3", "SET"),
+        ("SET search_path TO public", "SET"),
+        ("SET TIME ZONE 'UTC'", "SET"),
+        ("COMMIT", "COMMIT"),
+        ("ROLLBACK", "ROLLBACK"),
+        ("RESET extra_float_digits", "RESET"),
+        ("DISCARD ALL", "DISCARD ALL"),
+    ):
+        r = _psql(server.port, sql)
+        assert r.returncode == 0, (sql, r.stderr)
+
+
+def test_show_guc_round_trips_set_value(server):
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(_frame(b"Q", b"SET application_name TO 'etl-job'\x00"))
+        _drain_until_ready(c)
+        c.sendall(_frame(b"Q", b"SHOW application_name\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"etl-job"
+        # defaults answer without a prior SET
+        c.sendall(_frame(b"Q", b"SHOW standard_conforming_strings\x00"))
+        msgs = _drain_until_ready(c)
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"on"
+    finally:
+        c.close()
+
+
+def test_spark_native_set_and_show_still_pass_through(server):
+    r = _psql(server.port, "SHOW TABLES")
+    assert r.returncode == 0 and "nation" in r.stdout
+    r = _psql(server.port, "SET spark.sql.shuffle.partitions=4")
+    assert r.returncode == 0
+
+
+def test_jdbc_shaped_set_via_extended_protocol(server):
+    """pgjdbc issues its startup SET through Parse/Bind/Execute —
+    exactly-once semantics must hold and the tag must come back."""
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(
+            _frame(b"P", b"\x00SET extra_float_digits = 3\x00\x00\x00")
+            + _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        tags = [p for k, p in msgs if k == b"C"]
+        assert tags == [b"SET\x00"], msgs
+    finally:
+        c.close()
