@@ -378,9 +378,30 @@ _FORMAT_TYPE_CASE = "CASE {arg} " + " ".join(
 ) + " ELSE 'text' END"
 
 _CAST_CHAIN_RE = re.compile(
-    r"((?:[A-Za-z_][\w$]*\.)?[A-Za-z_][\w$]*|'(?:[^']|'')*')"
+    r"((?:[A-Za-z_][\w$]*\.)?[A-Za-z_][\w$]*|'(?:[^']|'')*'"
+    r"|\x00\d+\x00)"
     r"((?:::(?:pg_catalog\.)?[A-Za-z_]\w*(?:\[\])?)+)"
 )
+
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_PLACEHOLDER_RE = re.compile(r"\x00(\d+)\x00")
+
+
+def _protect_literals(sql: str) -> tuple[str, list[str]]:
+    """Swap single-quoted literals for placeholders so the operator /
+    cast / alias rewrites can never rewrite INSIDE a string (a user
+    query like ``relname ~ 'a ~ b'`` must keep its literal intact)."""
+    parts: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    return _LITERAL_RE.sub(repl, sql), parts
+
+
+def _restore_literals(sql: str, parts: list[str]) -> str:
+    return _PLACEHOLDER_RE.sub(lambda m: parts[int(m.group(1))], sql)
 
 _CAST_TARGETS = {
     "text": "STRING", "varchar": "STRING", "name": "STRING",
@@ -417,6 +438,8 @@ def rewrite_pg_sql(sql: str) -> str:
     rule set."""
     sql = re.sub(r"\bE'", "'", sql)  # escape-string prefix
     sql = _elide_empty_subqueries(sql)
+    # every rewrite below operates OUTSIDE string literals
+    sql, literals = _protect_literals(sql)
     # function shims (before prefix-stripping so names still match)
     sql = _shim_call(sql, "pg_get_userbyid", lambda a: "'spark'")
     sql = _shim_call(sql, "pg_table_is_visible", lambda a: "true")
@@ -455,7 +478,7 @@ def rewrite_pg_sql(sql: str) -> str:
     sql = _CAST_CHAIN_RE.sub(_rewrite_casts, sql)
     sql = _rewrite_aliases(sql)
     sql = re.sub(r"(?i)\bpg_catalog\.", "", sql)
-    return sql
+    return _restore_literals(sql, literals)
 
 
 # -- entry point ------------------------------------------------------

@@ -201,3 +201,22 @@ def test_psql_normal_queries_unaffected(pg_server):
     r = _psql(pg_server.port, "SELECT COUNT(*) AS n FROM nation")
     assert r.returncode == 0, r.stderr
     assert "25" in r.stdout
+
+
+def test_rewrite_never_touches_string_literals():
+    """Operator/cast/alias rewrites run OUTSIDE string literals — a
+    user query whose literal contains ' ~ ' or '::' must keep it
+    byte-identical."""
+    out = rewrite_pg_sql(
+        "SELECT relname FROM pg_class WHERE relname ~ 'a ~ b' "
+        "AND relname != 'x::y' AND relname !~ 'p !~ q'"
+    )
+    assert "'a ~ b'" in out and "'x::y'" in out and "'p !~ q'" in out
+    squeezed = " ".join(out.split())
+    assert "relname RLIKE 'a ~ b'" in squeezed
+    assert "relname NOT RLIKE 'p !~ q'" in squeezed
+
+
+def test_rewrite_literal_casts_still_rewritten():
+    out = rewrite_pg_sql("SELECT '16389'::pg_catalog.regclass FROM pg_class")
+    assert "CAST('16389' AS STRING)" in out
