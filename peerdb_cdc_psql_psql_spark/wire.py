@@ -833,6 +833,29 @@ class WireServer:
             tl.vars = {}
         return tl.vars
 
+    def _pg_show_guc_name(self, stmt: str) -> str | None:
+        """GUC name when ``stmt`` is a Postgres SHOW (vs Spark's SHOW
+        TABLES family); handles the multiword forms drivers send."""
+        low = " ".join(self._strip_comments(stmt).lower().split())
+        if not low.startswith("show ") or low == "show":
+            return None
+        rest = low.split(" ", 1)[1].strip().rstrip(";")
+        if rest.startswith("transaction isolation level"):
+            return "transaction_isolation"  # the pgjdbc probe
+        if rest.startswith("time zone"):
+            return "timezone"
+        name = rest.split(" ", 1)[0]
+        if not name or name == "all" or name in self._SPARK_SHOW_WORDS:
+            return None
+        return name
+
+    def _pg_guc_value(self, name: str) -> str:
+        # unknown GUCs answer empty string — ORM probes stay alive
+        # rather than erroring the session
+        return self._conn_vars().get(
+            name, self._PG_GUC_DEFAULTS.get(name, "")
+        )
+
     def _pg_session_statement(
         self, conn: socket.socket, stmt: str
     ) -> bool:
@@ -877,19 +900,9 @@ class WireServer:
                 return True
             return False  # Spark conf SET — pass through
         if word == "show":
-            rest = low.split(" ", 1)[1].strip() if " " in low else ""
-            name = rest.split(" ", 1)[0]
-            if name and name not in self._SPARK_SHOW_WORDS:
-                if name == "all":
-                    return False  # Spark SHOW fallthrough is clearer
-                val = self._conn_vars().get(
-                    name, self._PG_GUC_DEFAULTS.get(name)
-                )
-                if val is None and name not in self._PG_GUC_DEFAULTS:
-                    # unknown GUC: empty-string answer keeps ORM
-                    # probes alive rather than erroring the session
-                    val = ""
-                row = val.encode()
+            name = self._pg_show_guc_name(stmt)
+            if name is not None:
+                row = self._pg_guc_value(name).encode()
                 conn.sendall(
                     _msg(
                         b"T",
@@ -1304,6 +1317,19 @@ class WireServer:
                 self._send_portal_rows(conn, portal, max_rows)
                 return
             stmt, df = portal["sql"], portal["df"]
+            gname = self._pg_show_guc_name(stmt)
+            if df is None and gname is not None:
+                # extended-protocol pg SHOW: RowDescription went out
+                # at Describe — Execute ships only the row + tag
+                val = self._pg_guc_value(gname).encode()
+                conn.sendall(
+                    _msg(
+                        b"D",
+                        struct.pack("!hi", 1, len(val)) + val,
+                    )
+                    + _msg(b"C", _cstr("SHOW"))
+                )
+                return
             if (
                 df is None
                 and self._statement_kind(stmt) == "sql"
@@ -1378,6 +1404,19 @@ class WireServer:
         Commands are NEVER resolved here: spark.sql() executes them
         eagerly, so describing an INSERT would apply it at Describe
         and again at Execute (VERDICT r7 #1)."""
+        gname = self._pg_show_guc_name(stmt)
+        if gname is not None:
+            # pg SHOW <guc> (pgjdbc probes this via Describe): one
+            # text column, answered locally — never reaches spark.sql
+            conn.sendall(
+                _msg(
+                    b"T",
+                    struct.pack("!h", 1)
+                    + _cstr(gname)
+                    + struct.pack("!ihihih", 0, 0, _TEXT_OID, -1, -1, 0),
+                )
+            )
+            return
         if self._statement_kind(stmt) != "sql" or not self._is_read_only(stmt):
             conn.sendall(_msg(b"n", b""))
             return

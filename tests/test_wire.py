@@ -1289,3 +1289,31 @@ def test_jdbc_shaped_set_via_extended_protocol(server):
         assert tags == [b"SET\x00"], msgs
     finally:
         c.close()
+
+
+def test_show_guc_via_extended_protocol(server):
+    """pgjdbc probes `SHOW TRANSACTION ISOLATION LEVEL` through
+    Parse/Bind/Describe/Execute — Describe must answer a one-column
+    RowDescription locally (never reaching Spark's parser) and
+    Execute ships the row + SHOW tag."""
+    c = _connect_raw(server.port)
+    try:
+        q = b"SHOW TRANSACTION ISOLATION LEVEL"
+        c.sendall(
+            _frame(b"P", b"\x00" + q + b"\x00\x00\x00")
+            + _frame(b"B", b"\x00\x00" + _struct.pack("!hhh", 0, 0, 0))
+            + _frame(b"D", b"P\x00")
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert b"E" not in kinds, msgs
+        rd = next(p for k, p in msgs if k == b"T")
+        assert b"transaction_isolation" in rd
+        row = next(p for k, p in msgs if k == b"D")
+        ln = _struct.unpack("!i", row[2:6])[0]
+        assert row[6 : 6 + ln] == b"read committed"
+        assert b"SHOW\x00" in [p for k, p in msgs if k == b"C"]
+    finally:
+        c.close()
