@@ -1736,6 +1736,7 @@ def _jpeg_container(
     factors: list[tuple[int, int]] | None = None,
     restart_interval: int = 0,
     interleaved: bool = True,
+    scan_groups: list[list[int]] | None = None,
 ) -> bytes:
     """Assemble a baseline JPEG from level-shifted component planes
     and their quant tables (deduplicated into DQT slots). ``factors``
@@ -1748,68 +1749,67 @@ def _jpeg_container(
     camera/libjpeg output (VERDICT r6 #2). ``interleaved=False``
     writes one SOS per component over its OWN block grid (T.81
     §A.2 non-interleaved order — r8 second pass); restart intervals
-    then count blocks, sequence reset per scan."""
+    then count blocks, sequence reset per scan. ``scan_groups``
+    overrides both: an explicit list of component groups, one SOS
+    each — a multi-component group interleaves over the image MCU
+    grid with the subset's blocks per MCU (§A.2.3, e.g. the
+    ``[[0], [1, 2]]`` Y-alone + chroma-interleaved shape)."""
     factors = factors or [(1, 1)] * len(planes)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_codes = _huffman_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _huffman_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    if interleaved:
+    if scan_groups is None:
+        scan_groups = (
+            [list(range(len(planes)))]
+            if interleaved
+            else [[ci] for ci in range(len(planes))]
+        )
+    group_scans: list[bytes] = []
+    for group in scan_groups:
         bw_out = _BitWriter()
-        prev = [0] * len(planes)
-        mcu_index = 0
-        rst = 0
-        for my in range(mch):
-            for mx in range(mcw):
-                if (
-                    restart_interval
-                    and mcu_index
-                    and mcu_index % restart_interval == 0
-                ):
-                    bw_out.restart(rst)
-                    rst = (rst + 1) & 7
-                    prev = [0] * len(planes)
-                mcu_index += 1
-                for ci, plane in enumerate(planes):  # interleaved MCU
-                    hi, vi = factors[ci]
-                    for vy in range(vi):
-                        for vx in range(hi):
-                            by, bx = my * vi + vy, mx * hi + vx
-                            block = plane[
-                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                            ]
-                            prev[ci] = _encode_block(
-                                bw_out, block, quants[ci], prev[ci],
-                                dc_codes, ac_codes,
-                            )
-        scan = bw_out.flush()
-    else:
-        scans: list[bytes] = []
-        for ci, plane in enumerate(planes):
+        prevs = {ci: 0 for ci in group}
+        rst = unit_i = 0
+        if len(group) == 1:
+            ci = group[0]
             hi, vi = factors[ci]
             bh, bw_ = _own_grid(h, w, hi, vi, hmax, vmax)
-            bw_out = _BitWriter()
-            prev1, rst, blk = 0, 0, 0
-            for by in range(bh):
-                for bx in range(bw_):
-                    if (
-                        restart_interval
-                        and blk
-                        and blk % restart_interval == 0
-                    ):
-                        bw_out.restart(rst)
-                        rst = (rst + 1) & 7
-                        prev1 = 0
-                    blk += 1
-                    block = plane[
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ]
-                    prev1 = _encode_block(
-                        bw_out, block, quants[ci], prev1,
-                        dc_codes, ac_codes,
-                    )
-            scans.append(bw_out.flush())
+            units = [
+                [(ci, by, bx)] for by in range(bh) for bx in range(bw_)
+            ]
+        else:
+            units = []
+            for my in range(mch):
+                for mx in range(mcw):
+                    mcu = []
+                    for ci in group:
+                        hi, vi = factors[ci]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                mcu.append(
+                                    (ci, my * vi + vy, mx * hi + vx)
+                                )
+                    units.append(mcu)
+        for unit in units:
+            if (
+                restart_interval
+                and unit_i
+                and unit_i % restart_interval == 0
+            ):
+                bw_out.restart(rst)
+                rst = (rst + 1) & 7
+                prevs = {ci: 0 for ci in group}
+            unit_i += 1
+            for ci, by, bx in unit:
+                block = planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ]
+                prevs[ci] = _encode_block(
+                    bw_out, block, quants[ci], prevs[ci],
+                    dc_codes, ac_codes,
+                )
+        group_scans.append(bw_out.flush())
     # dedupe quant tables into DQT slots
     slots: list[np.ndarray] = []
     slot_of = []
@@ -1844,19 +1844,12 @@ def _jpeg_container(
         if restart_interval
         else b""
     )
-    if interleaved:
-        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
-        sos = _jpeg_seg(
-            0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0])
-        )
-        body = sos + scan
-    else:
-        body = b"".join(
-            _jpeg_seg(
-                0xDA, bytes([1, ci + 1, 0x00]) + bytes([0, 63, 0])
-            ) + scans[ci]
-            for ci in range(nc)
-        )
+    body = b""
+    for group, scan in zip(scan_groups, group_scans):
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in group)
+        body += _jpeg_seg(
+            0xDA, bytes([len(group)]) + sos_comps + bytes([0, 63, 0])
+        ) + scan
     return b"\xff\xd8" + dqt + sof0 + dht + dri + body + b"\xff\xd9"
 
 
@@ -1884,6 +1877,7 @@ def encode_jpeg_gray(
 def encode_jpeg_rgb(
     pixels: np.ndarray, restart_interval: int = 0,
     interleaved: bool = True,
+    scan_groups: list[list[int]] | None = None,
 ) -> bytes:
     """Baseline color JPEG writer: (h, w, 3) uint8 RGB → JFIF YCbCr,
     4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs, standard
@@ -1901,12 +1895,14 @@ def encode_jpeg_rgb(
     return _jpeg_container(
         h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
         restart_interval=restart_interval, interleaved=interleaved,
+        scan_groups=scan_groups,
     )
 
 
 def encode_jpeg_rgb_420(
     pixels: np.ndarray, restart_interval: int = 0,
     interleaved: bool = True,
+    scan_groups: list[list[int]] | None = None,
 ) -> bytes:
     """Baseline color JPEG writer with 4:2:0 CHROMA SUBSAMPLING — the
     dominant shape of real-corpus JPEGs: Y at full resolution
@@ -1942,6 +1938,7 @@ def encode_jpeg_rgb_420(
         [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
         factors=[(2, 2), (1, 1), (1, 1)],
         restart_interval=restart_interval, interleaved=interleaved,
+        scan_groups=scan_groups,
     )
 
 
@@ -2099,57 +2096,94 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             hh, ww, comps, hmax, vmax = sof
             ns = body[0]
             if ns != len(comps):
-                # baseline NON-INTERLEAVED scan (r8 second pass): one
-                # component per SOS, covering its OWN block grid (the
-                # §A.2 geometry _own_grid computes — not the MCU-
-                # padded grid); restart intervals count blocks and
-                # the RSTn sequence resets per scan
-                if ns != 1:
-                    raise NotImplementedError(
-                        "partially interleaved JPEG scans"
-                    )
+                # baseline SUBSET scan (r8 second pass, T.81 §A.2):
+                # one component per SOS covers its OWN block grid;
+                # 2+ components interleave over the IMAGE's MCU grid
+                # with only the subset's blocks per MCU (the shape
+                # libjpeg's Y-alone + Cb/Cr-interleaved script emits).
+                # Restart intervals count blocks (single-component)
+                # or MCUs (interleaved subset); sequence resets per
+                # scan.
                 if base_planes is None:
                     base_planes = {}
-                cid, tables = body[1], body[2]
-                ci = next(
-                    i for i, c in enumerate(comps) if c[0] == cid
-                )
-                _cid, hi, vi, qid = comps[ci]
-                dc_dec = _huffman_decoder(*huff[(0, tables >> 4)])
-                ac_dec = _huffman_decoder(*huff[(1, tables & 0x0F)])
-                q = quant[qid]
-                bh, bw = _own_grid(hh, ww, hi, vi, hmax, vmax)
+                scan_info = []
+                for si in range(ns):
+                    cid, tables = body[1 + 2 * si], body[2 + 2 * si]
+                    ci = next(
+                        i for i, c in enumerate(comps) if c[0] == cid
+                    )
+                    _cid, hi, vi, qid = comps[ci]
+                    scan_info.append(
+                        (
+                            ci, hi, vi, quant[qid],
+                            _huffman_decoder(*huff[(0, tables >> 4)]),
+                            _huffman_decoder(*huff[(1, tables & 0x0F)]),
+                        )
+                    )
+                mcw, mch = -(-ww // (8 * hmax)), -(-hh // (8 * vmax))
+                planes = {}
+                units: list[list[tuple[int, int, int]]] = []
+                if ns == 1:
+                    ci, hi, vi, _q, _d, _a = scan_info[0]
+                    bh, bw = _own_grid(hh, ww, hi, vi, hmax, vmax)
+                    planes[0] = np.empty((bh * 8, bw * 8), np.float64)
+                    units = [
+                        [(0, by, bx)]
+                        for by in range(bh)
+                        for bx in range(bw)
+                    ]
+                else:
+                    for k, (ci, hi, vi, _q, _d, _a) in enumerate(
+                        scan_info
+                    ):
+                        planes[k] = np.empty(
+                            (mch * vi * 8, mcw * hi * 8), np.float64
+                        )
+                    for my in range(mch):
+                        for mx in range(mcw):
+                            mcu = []
+                            for k, (ci, hi, vi, _q, _d, _a) in (
+                                enumerate(scan_info)
+                            ):
+                                for vy in range(vi):
+                                    for vx in range(hi):
+                                        mcu.append(
+                                            (k, my * vi + vy,
+                                             mx * hi + vx)
+                                        )
+                            units.append(mcu)
                 scan_start = pos + 2 + length
                 scan_end = _entropy_end(
                     payload, scan_start, skip_restarts=True
                 )
                 reader = _BitReader(payload[scan_start:scan_end])
-                plane = np.empty((bh * 8, bw * 8), np.float64)
-                prev1, rst, blk = 0, 0, 0
-                for by in range(bh):
-                    for bx in range(bw):
-                        if (
-                            restart_interval
-                            and blk
-                            and blk % restart_interval == 0
-                        ):
-                            reader.restart(rst)
-                            rst = (rst + 1) & 7
-                            prev1 = 0
-                        blk += 1
-                        flat, prev1 = _read_baseline_block(
-                            reader, dc_dec, ac_dec, prev1
+                prevs = [0] * ns
+                rst = 0
+                for ui, unit in enumerate(units):
+                    if (
+                        restart_interval
+                        and ui
+                        and ui % restart_interval == 0
+                    ):
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        prevs = [0] * ns
+                    for k, by, bx in unit:
+                        _ci, _hi, _vi, q, dc_dec, ac_dec = scan_info[k]
+                        flat, prevs[k] = _read_baseline_block(
+                            reader, dc_dec, ac_dec, prevs[k]
                         )
                         block = np.zeros(64, np.int64)
                         block[_ZIGZAG] = flat
                         coeffs = block.reshape(8, 8) * q
-                        plane[
+                        planes[k][
                             by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                         ] = (
                             _DCT_T.T @ coeffs.astype(np.float64)
                             @ _DCT_T
                         ) + 128.0
-                base_planes[ci] = plane
+                for k, (ci, *_rest) in enumerate(scan_info):
+                    base_planes[ci] = planes[k]
                 pos = scan_end
                 continue
             sel = {}

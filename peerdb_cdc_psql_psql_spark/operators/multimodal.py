@@ -997,7 +997,8 @@ _JPEG_NI_SCHEMA = T.StructType(
 SELECT doc_id AS media_id,
        (doc_id % 8) * 4 + 5 AS width,
        (doc_id % 4) + 2 AS height,
-       CAST(3 AS BIGINT) AS n_scans,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END AS BIGINT)
+         AS n_scans,
        (doc_id // 3) % 2 = 1 AS subsampled,
        ((doc_id % 8) * 4 + 5) * ((doc_id % 4) + 2)
          * (2 * (doc_id % 127)) AS sum_r,
@@ -1046,10 +1047,16 @@ def multimodal_jpeg_noninterleaved_decode(
                 w, h, v = m % 8 * 4 + 5, m % 4 + 2, 2 * (m % 127)
                 sub = (m // 3) % 2 == 1
                 enc = encode_jpeg_rgb_420 if sub else encode_jpeg_rgb
+                # every fourth fixture uses the PARTIALLY interleaved
+                # §A.2.3 script (Y alone + Cb/Cr interleaved → 2
+                # scans); the rest stay fully non-interleaved (3)
                 payload = enc(
                     np.full((h, w, 3), v, np.uint8),
                     restart_interval=(m // 3) % 3,
                     interleaved=False,
+                    scan_groups=(
+                        [[0], [1, 2]] if m % 4 == 0 else None
+                    ),
                 )
                 d = decode_jpeg(payload)
                 rows.append(

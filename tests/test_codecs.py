@@ -2306,3 +2306,32 @@ def test_jpeg_progressive_restart_out_of_sequence_rejected():
     data[i + 1] = 0xD5
     with pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg_pixels(bytes(data))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=36),
+    h=st.integers(min_value=1, max_value=28),
+    seed=st.integers(min_value=0, max_value=10_000),
+    sub=st.booleans(),
+    dri=st.sampled_from([0, 2, 5]),
+    groups=st.sampled_from([[[0], [1, 2]], [[1, 2], [0]], [[0, 1], [2]]]),
+)
+def test_jpeg_partially_interleaved_scan_groups(w, h, seed, sub, dri, groups):
+    """T.81 §A.2.3: a multi-component SUBSET scan interleaves over
+    the image MCU grid with only the subset's blocks per MCU — the
+    Y-alone + Cb/Cr-interleaved script shape. Any group partition
+    must decode bit-identically to the single-scan twin, in any scan
+    order, with in-scan restarts, 4:4:4 and 4:2:0 (r8)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_420,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = encode_jpeg_rgb_420 if sub else encode_jpeg_rgb
+    data = enc(px, restart_interval=dri, scan_groups=groups)
+    assert data.count(b"\xff\xda") == len(groups)
+    assert np.array_equal(decode_jpeg_pixels(data), decode_jpeg_pixels(enc(px)))
