@@ -8,16 +8,17 @@ five spec scanline filters, palette/Adam7/16-bit included), GIF
 (hand-rolled variable-width LZW, static AND animated — sub-rectangle
 frames, transparency, disposal compositing), baseline + progressive
 JPEG (numpy DCT, canonical Huffman, 4:4:4 and 4:2:0, DRI/RSTn in
-both scan families, interleaved and non-interleaved scans, 8/16-bit
-DQT), TIFF (both byte orders, strips and tiles, chunky and planar,
-8/16-bit, PackBits + EarlyChange-LZW, predictor 2), DIB/MJPG AVI,
-and the MP4/ISO-BMFF container (photo-JPEG tracks, stco and co64).
-These are REAL codecs — they parse the actual bytes (chunk/box
-walking, stride padding, filter reconstruction, entropy decode),
-not fakes. What still raises ``NotImplementedError`` is the
-H.264/HEVC *bitstream* (CABAC + inter-frame prediction — a codec
-library, not a struct walk) plus a handful of genuinely rare corners
-(floating-point TIFF predictor, partially interleaved JPEG scans).
+both scan families, interleaved / non-interleaved / §A.2.3 partially
+interleaved scans, 8/16-bit DQT), TIFF (both byte orders, strips and
+tiles, chunky and planar, 8/16-bit, PackBits + EarlyChange-LZW,
+predictor 2), DIB/MJPG AVI, and the MP4/ISO-BMFF container
+(photo-JPEG tracks, stco and co64). These are REAL codecs — they
+parse the actual bytes (chunk/box walking, stride padding, filter
+reconstruction, entropy decode), not fakes. What still raises
+``NotImplementedError`` is the H.264/HEVC *bitstream* (CABAC +
+inter-frame prediction — a codec library, not a struct walk) plus
+the floating-point TIFF predictor (geo float rasters — a sample-type
+family, not a layout).
 
 Everything here is per-payload pure functions; the Spark side wraps
 them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
