@@ -143,6 +143,10 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sweep same-corpus leftovers whose owner is gone (never a
         # LIVE process's table — that is the race this fixes)
         for d in _fs.list_dirs(spark, wh):
+            if re.match(r"shingle_index_[0-9a-f]{8}$", d):
+                # pre-r8 shared-name leftover: no owner to check
+                _fs.delete(spark, f"{wh}/{d}")
+                continue
             m = re.match(r"shingle_index_[0-9a-f]{8}_p(\d+)$", d)
             if not m or int(m.group(1)) == os.getpid():
                 continue
