@@ -574,6 +574,15 @@ SCALE_PROBE_QUERIES = [
     "cosine_lsh_adaptive_planes",
 ]
 
+# Deliberately-fixed record forms (VERDICT r8 #4): kept in the probe
+# TABLE so the fixed-vs-adaptive contrast stays driver-recorded every
+# round, but excluded from the GATED max — they are supra-k by
+# construction (fixed band width ⇒ bucket occupancy grows with the
+# corpus) and are explicitly not the production path (their adaptive
+# siblings are). One occupancy wobble on a record form must not fail
+# the round's gate.
+SCALE_PROBE_RECORD_ONLY = {"simhash_md5_pairs"}
+
 
 def scale_probe(
     spark, sf_dir: str, k: int, workdir: str, queries: list[str] | None = None
@@ -825,8 +834,10 @@ def main() -> None:
          "per-batch cost is fixed latency, so docs/s should scale "
          "near-linearly with batch size (the 100 TB sizing lever)"},
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
+         "record_only": sorted(SCALE_PROBE_RECORD_ONLY),
          "passes": 3, "agg": "ratio of medians per (scale, query); "
-         "min also recorded (r6/r7 comparability)",
+         "min also recorded (r6/r7 comparability); gated max excludes "
+         "record_only fixed-band forms (r8 #4)",
          "corpus": "documents ×k disjoint vocab; lineitem/orders ×k "
          "disjoint keys; embeddings ×k sign-flip decorrelated"},
     ]
@@ -851,7 +862,14 @@ def main() -> None:
         "stream_crawl_docs_per_sec": round(cr_docs / cr_sec, 1),
         "stream_crawl_unique_docs": cr_uniq,
         "scale_probe_k": 4,
+        # gated max = production forms only (record-only fixed-band
+        # forms stay in the probe detail table above but can't fail
+        # the gate — VERDICT r8 #4)
         "scale_probe_max_ratio": max(
+            (v["ratio"] for q, v in probe.items()
+             if q not in SCALE_PROBE_RECORD_ONLY), default=None
+        ),
+        "scale_probe_max_ratio_all": max(
             (v["ratio"] for v in probe.values()), default=None
         ),
         "insert_stress_ops_per_sec": stress["ops_per_sec"],

@@ -71,6 +71,16 @@ def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
     return out
 
 
+def mtime_ms(spark: SparkSession, path: str) -> int | None:
+    """Modification time of ``path`` in epoch milliseconds, or None if
+    it does not exist — used by age-lease sweeps where liveness of the
+    owning process cannot be checked (a pid from ANOTHER host)."""
+    fs, _, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
 def total_size(spark: SparkSession, paths: list[str]) -> int:
     """Sum of file lengths in bytes (for size-targeted compaction —
     the output file count must track the DATA size, not be pinned to

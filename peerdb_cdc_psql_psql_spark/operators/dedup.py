@@ -101,6 +101,11 @@ def materialize_shingle_index(
 
 _INDEX_MEMO: set[str] = set()
 
+# Foreign-host leftovers in a shared warehouse are reclaimed only when
+# older than this lease (their owner's pid cannot be liveness-checked
+# from another host) — 24 h, far beyond any single scan's lifetime.
+_SWEEP_LEASE_MS = 24 * 3600 * 1000
+
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Process-memoized bucketed shingle inverted index — the shared
@@ -118,20 +123,31 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse is unwritable (read-only driver environments must never
     fail the correctness gate over a perf lever).
 
-    The table name carries the OWNING PROCESS's pid (r8): the
-    previous shared-name design let process B clear-and-rewrite the
-    LOCATION while process A's executors were mid-scan on it
-    (FILE_NOT_EXIST task failures when a test run and a bench run
-    overlap — exactly the concurrent-jobs shape a warehouse shared
-    across a cluster sees). Per-process names make the cache
-    single-writer by construction; leftovers from DEAD processes are
-    swept opportunistically at build time, so the warehouse does not
-    grow without bound across rounds."""
+    The table name carries the OWNING PROCESS's pid (r8) and a
+    HOSTNAME hash (r9): the pre-r8 shared-name design let process B
+    clear-and-rewrite the LOCATION while process A's executors were
+    mid-scan on it (FILE_NOT_EXIST task failures when a test run and
+    a bench run overlap — exactly the concurrent-jobs shape a
+    warehouse shared across a cluster sees). Per-process names make
+    the cache single-writer by construction. Leftovers from DEAD
+    processes are swept opportunistically at build time so the
+    warehouse does not grow without bound — but ``os.kill(pid, 0)``
+    liveness is only meaningful on the owner's own host (VERDICT r8
+    #2: on a warehouse shared ACROSS hosts, driver B cannot see host
+    A's pids, so a pid unused on B's host reads as "owner dead" and B
+    would delete A's live index mid-scan). The sweep therefore
+    pid-checks only SAME-HOST owners; foreign-host leftovers are
+    reclaimed only past an age lease (mtime older than
+    ``_SWEEP_LEASE_MS`` — long enough that any scan referencing the
+    files has finished or failed for other reasons)."""
     import hashlib
     import os
+    import socket
+    import time as _time
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    table = f"shingle_index_{h}_p{os.getpid()}"
+    hosth = hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
+    table = f"shingle_index_{h}_p{os.getpid()}_h{hosth}"
     if table in _INDEX_MEMO and spark.catalog.tableExists(table):
         return spark.table(table)
     try:
@@ -140,18 +156,34 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).rstrip("/")
-        # sweep same-corpus leftovers whose owner is gone (never a
-        # LIVE process's table — that is the race this fixes)
+        # sweep same-corpus leftovers whose owner is provably gone
+        # (same-host pid check) or lease-expired (foreign host) —
+        # never a LIVE process's table (that is the race this fixes)
+        now_ms = int(_time.time() * 1000)
         for d in _fs.list_dirs(spark, wh):
             if re.match(r"shingle_index_[0-9a-f]{8}$", d):
                 # pre-r8 shared-name leftover: no owner to check
                 _fs.delete(spark, f"{wh}/{d}")
                 continue
-            m = re.match(r"shingle_index_[0-9a-f]{8}_p(\d+)$", d)
-            if not m or int(m.group(1)) == os.getpid():
+            m = re.match(
+                r"shingle_index_[0-9a-f]{8}_p(\d+)(?:_h([0-9a-f]{8}))?$", d
+            )
+            if not m:
                 continue
+            pid, owner_host = int(m.group(1)), m.group(2)
+            if pid == os.getpid() and (owner_host or hosth) == hosth:
+                continue  # this process's own table
+            if owner_host is not None and owner_host != hosth:
+                # foreign host: pid liveness is unknowable here —
+                # reclaim only past the age lease
+                mt = _fs.mtime_ms(spark, f"{wh}/{d}")
+                if mt is not None and now_ms - mt > _SWEEP_LEASE_MS:
+                    _fs.delete(spark, f"{wh}/{d}")
+                continue
+            # same host (or a host-less r8-era name, which this host's
+            # older code may still own): pid liveness is authoritative
             try:
-                os.kill(int(m.group(1)), 0)
+                os.kill(pid, 0)
             except OSError:  # owner dead — leftover is unreferenced
                 _fs.delete(spark, f"{wh}/{d}")
             # else: owner alive, leave its table alone

@@ -205,11 +205,15 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
 
 
 def test_shingle_index_is_process_owned_and_sweeps_dead_leftovers(spark):
-    """r8: the cached index name carries the owning pid (two
-    concurrent processes can never clear each other's LIVE table —
-    the FILE_NOT_EXIST race a shared name had), and same-corpus
-    leftovers from dead owners are swept at build time."""
+    """r8/r9: the cached index name carries the owning pid AND a
+    hostname hash (two concurrent processes can never clear each
+    other's LIVE table — the FILE_NOT_EXIST race a shared name had),
+    and same-corpus leftovers from dead SAME-HOST owners are swept at
+    build time (pid liveness is only authoritative on the owner's own
+    host)."""
+    import hashlib
     import os
+    import socket
 
     from peerdb_cdc_psql_psql_spark import fs as _fs
     from peerdb_cdc_psql_psql_spark.operators.dedup import shingle_index
@@ -218,18 +222,67 @@ def test_shingle_index_is_process_owned_and_sweeps_dead_leftovers(spark):
     shingle_index(spark, sf)
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.rstrip("/")
+    hosth = hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
     mine = [
         d for d in _fs.list_dirs(spark, wh)
-        if d.endswith(f"_p{os.getpid()}") and d.startswith("shingle_index_")
+        if d.endswith(f"_p{os.getpid()}_h{hosth}")
+        and d.startswith("shingle_index_")
     ]
-    assert mine, "index table not owned by this process"
+    assert mine, "index table not owned by this process+host"
     h = mine[0].split("_")[2]
-    # a leftover from a dead pid (max pid + reuse makes 2**22+1 safely
-    # nonexistent on Linux test hosts) must be swept on next build
-    dead = f"{wh}/shingle_index_{h}_p4194305"
+    # leftovers from a dead pid (max pid + reuse makes 2**22+1 safely
+    # nonexistent on Linux test hosts) must be swept on next build —
+    # both the r9 host-tagged form and the r8 host-less legacy form
+    # (which this host's older code may have written)
+    dead = f"{wh}/shingle_index_{h}_p4194305_h{hosth}"
+    dead_legacy = f"{wh}/shingle_index_{h}_p4194305"
     _fs.mkdirs(spark, dead)
+    _fs.mkdirs(spark, dead_legacy)
     from peerdb_cdc_psql_psql_spark.operators.dedup import _INDEX_MEMO
 
     _INDEX_MEMO.clear()
     shingle_index(spark, sf)
     assert not _fs.exists(spark, dead), "dead-owner leftover not swept"
+    assert not _fs.exists(spark, dead_legacy), (
+        "dead-owner legacy (host-less) leftover not swept"
+    )
+
+
+def test_shingle_index_sweep_is_cross_host_safe(spark, monkeypatch):
+    """VERDICT r8 #2: on a warehouse shared across hosts, a pid from
+    ANOTHER host cannot be liveness-checked with os.kill — a foreign
+    pid unused on this host must NOT read as "owner dead". A fresh
+    foreign-host-named dir (dead pid locally) survives the sweep; it
+    is reclaimed only past the age lease."""
+    import hashlib
+    import socket
+
+    from peerdb_cdc_psql_psql_spark import fs as _fs
+    from peerdb_cdc_psql_psql_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    dedup.shingle_index(spark, sf)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.rstrip("/")
+    h = hashlib.md5(sf.encode()).hexdigest()[:8]
+    hosth = hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
+    foreign_host = "0" * 8 if hosth != "0" * 8 else "f" * 8
+    # pid 4194305 is dead ON THIS HOST — the unsafe r8 design would
+    # sweep this live foreign index immediately
+    foreign = f"{wh}/shingle_index_{h}_p4194305_h{foreign_host}"
+    _fs.mkdirs(spark, foreign)
+
+    dedup._INDEX_MEMO.clear()
+    dedup.shingle_index(spark, sf)
+    assert _fs.exists(spark, foreign), (
+        "live foreign-host index swept — cross-host pid check is unsafe"
+    )
+
+    # past the lease the foreign leftover IS reclaimed (mtime is fresh
+    # here, so shrink the lease to zero to simulate expiry)
+    monkeypatch.setattr(dedup, "_SWEEP_LEASE_MS", -1)
+    dedup._INDEX_MEMO.clear()
+    dedup.shingle_index(spark, sf)
+    assert not _fs.exists(spark, foreign), (
+        "lease-expired foreign-host leftover not reclaimed"
+    )

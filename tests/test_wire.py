@@ -933,6 +933,190 @@ def test_copy_errors_keep_session_alive(server):
     assert r.returncode == 0 and r.stdout.strip() == "5"
 
 
+# -- chunked COPY FROM STDIN: bounded memory + staged commit (r9) -----
+
+
+def _copy_in_raw(
+    c, sql: str, chunks: list[bytes], finish: bytes = b"c",
+) -> list[tuple[bytes, bytes]]:
+    """Drive the COPY sub-protocol on a raw socket: Q(sql) → expect
+    CopyInResponse → send CopyData chunks → CopyDone ('c') or
+    CopyFail ('f') → drain to ReadyForQuery."""
+    c.sendall(_frame(b"Q", sql.encode() + b"\x00"))
+    kind, _ = _read_msg(c)
+    assert kind == b"G", f"expected CopyInResponse, got {kind!r}"
+    for chunk in chunks:
+        c.sendall(_frame(b"d", chunk))
+    c.sendall(_frame(finish, b"fail\x00" if finish == b"f" else b""))
+    return _drain_until_ready(c)
+
+
+def test_copy_in_bulk_bounded_buffer_exactly_once(server, spark):
+    """VERDICT r8 #1 e2e: COPY 500k rows into a mirrored table. The
+    frontend buffer's high-water mark must stay ~chunk-sized (the old
+    design buffered the whole payload driver-side), and the rows must
+    land exactly once — 500k events, 500k distinct keys, unique LSNs."""
+    server.copy_chunk_bytes = 1024 * 1024  # 1 MB chunks for the test
+    server.copy_max_buffered = 0
+    n = 500_000
+    base = 10_000_000
+    event_dir = server.mirror_env["event_dir"]
+    before = spark.read.parquet(event_dir).count()
+
+    payload = bytearray()
+    msgs: list[bytes] = []
+    for i in range(n):
+        payload += (
+            f"{base + i}\t{i % 100}\t{i % 50}\t{i % 20}\t2024-03-01\n"
+        ).encode()
+        if len(payload) >= 512 * 1024:
+            msgs.append(bytes(payload))
+            payload.clear()
+    if payload:
+        msgs.append(bytes(payload))
+    total_bytes = sum(len(m) for m in msgs)
+    assert total_bytes > 8 * server.copy_chunk_bytes, (
+        "fixture payload must dwarf the chunk size for the bound to "
+        "mean anything"
+    )
+
+    c = _connect_raw(server.port)
+    try:
+        c.settimeout(600)
+        msgs_out = _copy_in_raw(
+            c,
+            "COPY orders (id, quantity, purchaser, product_id, "
+            "order_date) FROM STDIN",
+            msgs,
+        )
+    finally:
+        c.close()
+    tags = [p for k, p in msgs_out if k == b"C"]
+    assert tags == [f"COPY {n}".encode() + b"\x00"], msgs_out
+
+    ev = spark.read.parquet(event_dir)
+    loaded = ev.filter(f"table = 'orders' AND key >= {base}")
+    assert loaded.count() == n, "rows did not land exactly once"
+    assert loaded.select("key").distinct().count() == n
+    assert loaded.select("lsn").distinct().count() == n, "LSNs not unique"
+    assert ev.count() == before + n
+
+    # the bounded-buffer claim: high-water mark ≤ chunk + one CopyData
+    # message (the buffer grows by one message before each cut), far
+    # below the full payload the r8 design held
+    bound = server.copy_chunk_bytes + 512 * 1024 + 4096
+    assert 0 < server.copy_max_buffered <= bound, (
+        f"frontend buffered {server.copy_max_buffered} bytes "
+        f"(payload {total_bytes}, bound {bound})"
+    )
+
+
+def test_copy_fail_mid_stream_rolls_back_mirror(server, spark):
+    """CopyFail after data (and after chunk applies) must leave the
+    WAL untouched — staged events are aborted, never renamed in — and
+    the session stays usable."""
+    server.copy_chunk_bytes = 4096  # force chunk applies before the fail
+    event_dir = server.mirror_env["event_dir"]
+    before = spark.read.parquet(event_dir).count()
+    rows = b"".join(
+        f"{20_000_000 + i}\t1\t1\t1\t2024-03-02\n".encode()
+        for i in range(2000)
+    )
+    c = _connect_raw(server.port)
+    try:
+        msgs = _copy_in_raw(
+            c, "COPY orders (id, quantity, purchaser, product_id, "
+            "order_date) FROM STDIN", [rows], finish=b"f",
+        )
+        kinds = [k for k, _ in msgs]
+        assert b"E" in kinds and b"Z" in kinds
+        # same connection still serves queries
+        c.sendall(_frame(b"Q", b"SELECT 6 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        assert [k for k, _ in msgs].count(b"D") == 1
+    finally:
+        c.close()
+    assert spark.read.parquet(event_dir).count() == before, (
+        "CopyFail leaked staged events into the WAL"
+    )
+    from peerdb_cdc_psql_psql_spark import fs as _fs
+
+    leftovers = _fs.list_dirs(spark, event_dir, prefix=".copy_in_")
+    assert not leftovers, f"staging not cleaned up: {leftovers}"
+
+
+def test_copy_in_catalog_parse_error_rolls_back(server, spark):
+    """A malformed row mid-payload (after earlier chunks already
+    applied) must roll back the WHOLE copy on a catalog table — the
+    staged parquet is dropped before insertInto ever runs."""
+    import uuid as _uuid
+
+    server.copy_chunk_bytes = 2048
+    tbl = f"w9_copy_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT, s STRING) USING parquet")
+    try:
+        good = b"".join(f"{i}\trow{i}\n".encode() for i in range(500))
+        bad = b"1\ttoo\tmany\tfields\n"
+        c = _connect_raw(server.port)
+        try:
+            msgs = _copy_in_raw(
+                c, f"COPY {tbl} FROM STDIN", [good, bad, good]
+            )
+            kinds = [k for k, _ in msgs]
+            assert b"E" in kinds, "malformed row did not error"
+        finally:
+            c.close()
+        assert spark.sql(f"SELECT COUNT(*) FROM {tbl}").collect()[0][0] == 0, (
+            "partial COPY visible after mid-stream parse error"
+        )
+        # and a clean retry lands exactly once
+        c = _connect_raw(server.port)
+        try:
+            msgs = _copy_in_raw(c, f"COPY {tbl} FROM STDIN", [good])
+            assert [p for k, p in msgs if k == b"C"] == [b"COPY 500\x00"]
+        finally:
+            c.close()
+        assert spark.sql(f"SELECT COUNT(*) FROM {tbl}").collect()[0][0] == 500
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_copy_in_csv_quoted_newline_across_chunk_boundary(server, spark):
+    """The CSV cut point must never split inside a quoted field: with
+    a tiny chunk size and cell values containing quoted newlines and
+    embedded quotes, every record must survive chunked parsing
+    bit-exact."""
+    import uuid as _uuid
+
+    server.copy_chunk_bytes = 64  # absurdly small: many cuts per row
+    tbl = f"w9_csvnl_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT, s STRING) USING parquet")
+    try:
+        rows = []
+        for i in range(40):
+            rows.append(f'{i},"line1\nline2 ""q{i}"" end"\r\n')
+        data = "".join(rows).encode()
+        # send in 7-byte slivers so message boundaries also never align
+        msgs = [data[i:i + 7] for i in range(0, len(data), 7)]
+        c = _connect_raw(server.port)
+        try:
+            out = _copy_in_raw(
+                c, f"COPY {tbl} FROM STDIN WITH (FORMAT csv)", msgs
+            )
+            assert [p for k, p in out if k == b"C"] == [b"COPY 40\x00"]
+        finally:
+            c.close()
+        got = {
+            r["x"]: r["s"]
+            for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert got == {
+            i: f'line1\nline2 "q{i}" end' for i in range(40)
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 # -- typed parameters: declared OIDs + binary format (r8) -------------
 
 from peerdb_cdc_psql_psql_spark.wire import (  # noqa: E402
