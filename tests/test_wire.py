@@ -1501,3 +1501,85 @@ def test_show_guc_via_extended_protocol(server):
         assert b"SHOW\x00" in [p for k, p in msgs if k == b"C"]
     finally:
         c.close()
+
+
+# -- TLS listener (r9): sslmode=require round trip ----------------------
+
+
+@pytest.fixture()
+def tls_server(spark, tmp_path):
+    import subprocess as _sp
+
+    cert, key = str(tmp_path / "cert.pem"), str(tmp_path / "key.pem")
+    r = _sp.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout",
+         key, "-out", cert, "-days", "1", "-nodes", "-subj",
+         "/CN=localhost"],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"openssl cert generation failed: {r.stderr[:200]}")
+    srv = WireServer(spark, port=0, sf_dir=SF, tls_cert=cert, tls_key=key)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_tls_raw_handshake_and_query(tls_server):
+    """SSLRequest → 'S' → TLS handshake → startup + query, all over
+    the wrapped socket (no psql dependency)."""
+    import socket as _sk2
+    import ssl as _ssl
+
+    raw = _sk2.create_connection(("127.0.0.1", tls_server.port), timeout=30)
+    try:
+        raw.sendall(_struct.pack("!ii", 8, 80877103))  # SSLRequest
+        assert raw.recv(1) == b"S"
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = _ssl.CERT_NONE
+        c = ctx.wrap_socket(raw)
+        params = b"user\x00u\x00database\x00d\x00\x00"
+        c.sendall(_struct.pack("!ii", 8 + len(params), 196608) + params)
+        _drain_until_ready(c)
+        c.sendall(_frame(b"Q", b"SELECT 42 AS tls_ok\x00"))
+        msgs = _drain_until_ready(c)
+        assert [k for k, _ in msgs].count(b"D") == 1
+        assert b"42" in [p for k, p in msgs if k == b"D"][0]
+        c.close()
+    finally:
+        raw.close()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_sslmode_require_roundtrip(tls_server):
+    r = subprocess.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={tls_server.port} user=u dbname=d "
+            "sslmode=require",
+            "-tA", "-c", "SELECT COUNT(*) AS n FROM nation",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode != 0 and "not compiled" in (r.stderr or "").lower():
+        pytest.skip("libpq built without SSL support")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().isdigit() and int(r.stdout.strip()) > 0
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_sslmode_require_refused_without_cert(server):
+    """A plaintext-only server must still refuse sslmode=require ('N'
+    keeps its meaning) while sslmode=disable works — parity with the
+    compose peerdb-server."""
+    r = subprocess.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={server.port} user=u dbname=d "
+            "sslmode=require",
+            "-tA", "-c", "SELECT 1",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
