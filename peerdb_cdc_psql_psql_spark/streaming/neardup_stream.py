@@ -382,6 +382,136 @@ def _cluster_batch_impl(
         prev.unpersist()
 
 
+# -- batch coalescing toward the operating point (VERDICT r8 #6) ------
+
+# Each micro-batch pays a ~4-5 s FIXED cost (see
+# start_neardup_clustering); batches below this doc count are spooled
+# and clustered together so the default behavior sits AT the
+# documented operating point instead of documenting it.
+_SPOOL_MIN_DOCS = 4_500
+# …but never hold arriving docs hostage: once the oldest spooled
+# batch is this stale, the next trigger flushes regardless of size.
+_SPOOL_MAX_WAIT_SEC = 300.0
+
+
+def _spool_root(out_root: str) -> str:
+    return f"{out_root.rstrip('/')}/_pending_spool"
+
+
+def _spool_pending(
+    spark: SparkSession, out_root: str
+) -> tuple[list[str], int, int | None]:
+    """(spool batch dirs, total spooled docs, oldest dir mtime ms).
+    Doc counts ride in the dir names (``b<batch>_n<count>``) so the
+    admission decision costs a LISTING, not a count job per trigger."""
+    import re as _re
+
+    root = _spool_root(out_root)
+    dirs, total, oldest = [], 0, None
+    for d in fs.list_dirs(spark, root, prefix="b"):
+        m = _re.match(r"b(\d+)_n(\d+)$", d)
+        if not m:
+            continue
+        dirs.append(d)
+        total += int(m.group(2))
+        mt = fs.mtime_ms(spark, f"{root}/{d}")
+        if mt is not None and (oldest is None or mt < oldest):
+            oldest = mt
+    return dirs, total, oldest
+
+
+def flush_spool(spark: SparkSession, out_root: str) -> int:
+    """Cluster everything in the pending spool as ONE batch, then drop
+    it; returns the docs flushed. Crash-safe: a crash after clustering
+    but before the spool delete re-flushes on the next trigger, which
+    the admission pipeline tolerates by construction (compact-on-read
+    + batch exclusion — the same replay contract micro-batches have)."""
+    root = _spool_root(out_root)
+    dirs, total, _ = _spool_pending(spark, out_root)
+    if not dirs:
+        return 0
+    df = spark.read.parquet(*[f"{root}/{d}" for d in dirs])
+    # Flush label-segment id = max existing segment + 1 (NOT a spooled
+    # batch id): ids must be fresh or the replay detector in
+    # _cluster_batch_impl reads a pointer naming the same id as "this
+    # batch already committed" and skips the fold (e.g. a crashed
+    # run's b0 leftover flushing into a store whose first segment was
+    # also id 0). A TRUE flush replay (crash after commit, before the
+    # spool delete) gets a new id too — it derives an EMPTY delta
+    # against the already-merged state, which is harmless under a
+    # fresh name; the detector exists to stop same-NAME overwrites.
+    import re as _re
+
+    segs = fs.list_dirs(spark, f"{out_root}/labels", prefix="v_")
+    seg_ids = [
+        int(m.group(1))
+        for m in (_re.match(r"v_(\d{8})[bd]?$", s) for s in segs)
+        if m
+    ]
+    _cluster_batch(df, out_root, (max(seg_ids) + 1) if seg_ids else 0)
+    for d in dirs:
+        fs.delete(spark, f"{root}/{d}")
+    return total
+
+
+def _coalescing_batch(
+    batch_df: DataFrame, out_root: str, batch_id: int,
+    min_docs: int, max_wait_sec: float,
+) -> None:
+    """foreachBatch body with spooling: small batches append to the
+    spool (two cheap jobs: count + parquet write) instead of paying
+    the full ~15-job clustering pipeline; the spool flushes when it
+    reaches ``min_docs`` or its oldest batch exceeds ``max_wait_sec``.
+    Idempotent under checkpoint replay: a replayed batch overwrites
+    its OWN spool dir (keyed by batch_id) before re-deciding."""
+    import time as _time
+
+    spark = batch_df.sparkSession
+    n = batch_df.count()
+    root = _spool_root(out_root)
+    for d in fs.list_dirs(spark, root, prefix=f"b{batch_id}_"):
+        fs.delete(spark, f"{root}/{d}")  # replay leftover of this id
+    if n:
+        batch_df.write.mode("overwrite").parquet(f"{root}/b{batch_id}_n{n}")
+    _, total, oldest = _spool_pending(spark, out_root)
+    aged = (
+        oldest is not None
+        and _time.time() * 1000 - oldest > max_wait_sec * 1000
+    )
+    if total >= min_docs or aged:
+        flush_spool(spark, out_root)
+
+
+class _CoalescingQuery:
+    """StreamingQuery proxy that flushes the pending spool once the
+    drain terminates — an availableNow run whose tail batches were
+    below the operating point must still deliver a COMPLETE labeling
+    to ``read_labels`` before the caller's next line."""
+
+    def __init__(self, q, spark: SparkSession, out_root: str) -> None:
+        self._q, self._spark, self._out_root = q, spark, out_root
+
+    def _flush_if_done(self) -> None:
+        if not self._q.isActive:
+            flush_spool(self._spark, self._out_root)
+
+    def awaitTermination(self, timeout: float | None = None):
+        r = self._q.awaitTermination(timeout)
+        self._flush_if_done()
+        return r
+
+    def processAllAvailable(self) -> None:
+        self._q.processAllAvailable()
+        flush_spool(self._spark, self._out_root)
+
+    def stop(self) -> None:
+        self._q.stop()
+        self._flush_if_done()
+
+    def __getattr__(self, item):
+        return getattr(self._q, item)
+
+
 def start_neardup_clustering(
     spark: SparkSession,
     source_dir: str,
@@ -390,6 +520,8 @@ def start_neardup_clustering(
     schema: str | None = None,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    min_docs_per_batch: int = _SPOOL_MIN_DOCS,
+    max_wait_sec: float = _SPOOL_MAX_WAIT_SEC,
 ):
     """Start the continuous near-dup clustering stream and return the
     StreamingQuery. After each micro-batch, ``read_labels`` serves
@@ -404,25 +536,41 @@ def start_neardup_clustering(
     cost — plan construction, ~15 scheduled jobs, state appends —
     that is independent of batch size (the bench emits the per-stage
     breakdown as ``stream_neardup_stage_profile``); per-doc work is
-    the small remainder. Size batches to amortize it: ≥1,500 docs
-    per trigger runs ~65-70 docs/s, ≥4,500 runs ~270 docs/s (the
-    recorded ``stream_neardup_big_batch`` point), and throughput
-    keeps scaling near-linearly until per-doc candidate work
-    dominates. Sub-second-latency micro-batches are NOT this
-    operator's regime."""
+    the small remainder. As of r9 the operating point is AUTOMATIC
+    (VERDICT r8 #6): triggers below ``min_docs_per_batch`` docs spool
+    (two cheap jobs) and cluster together once the spool reaches the
+    threshold, ages past ``max_wait_sec``, or the drain terminates —
+    so default-paced ingest amortizes the fixed cost instead of
+    paying it per sliver. Pass ``min_docs_per_batch=0`` to force
+    strict per-trigger clustering (sub-second label latency at the
+    documented throughput cost, and the shape the per-batch
+    admission/delta tests pin)."""
     if schema is None:
         schema = "doc_id long, text string, lang string, source string, n_chars long"
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    if min_docs_per_batch and min_docs_per_batch > 0:
+        # adopt a crashed run's leftover spool FIRST: its batch ids
+        # belong to another checkpoint lifetime, so this run's replay
+        # cleanup (which overwrites same-id dirs) must never see them
+        flush_spool(spark, out_root)
+        body = lambda df, bid: _coalescing_batch(  # noqa: E731
+            df, out_root, bid, min_docs_per_batch, max_wait_sec
+        )
+    else:
+        body = lambda df, bid: _cluster_batch(df, out_root, bid)  # noqa: E731
     writer = (
         stream.writeStream.queryName("neardup-clustering")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, bid: _cluster_batch(df, out_root, bid))
+        .foreachBatch(body)
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
-    return writer.start()
+    q = writer.start()
+    if min_docs_per_batch and min_docs_per_batch > 0:
+        return _CoalescingQuery(q, spark, out_root)
+    return q
 
 
 _GC_PENDING = "_gc_pending"

@@ -990,6 +990,7 @@ def test_neardup_short_docs_labeled_and_paced_drain(spark, tmp_path):
         str(tmp_path / "state"),
         str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
+        min_docs_per_batch=0,  # pin the strict per-trigger path
     )
     _drain(q)
     got = {
@@ -1081,7 +1082,8 @@ def test_neardup_label_delta_chain_and_compaction(spark, tmp_path):
             "append"
         ).parquet(src)
     q = start_neardup_clustering(
-        spark, src, root, str(tmp_path / "ck"), max_files_per_trigger=1
+        spark, src, root, str(tmp_path / "ck"), max_files_per_trigger=1,
+        min_docs_per_batch=0,  # pin the per-batch delta-chain shape
     )
     _drain(q)
 
@@ -1110,3 +1112,134 @@ def test_neardup_label_delta_chain_and_compaction(spark, tmp_path):
     assert removed >= 1
     got2 = {r["doc_id"]: r["cluster_id"] for r in read_labels(spark, root).collect()}
     assert got2 == want
+
+
+def test_neardup_auto_coalesce_spools_and_flushes(spark, tmp_path):
+    """VERDICT r8 #6: sub-operating-point micro-batches SPOOL (cheap)
+    and cluster together — by default. A paced drain of small batches
+    must produce the same labeling as strict per-trigger clustering,
+    via exactly ONE clustering pass (one label snapshot), with the
+    spool empty afterwards."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        _spool_pending,
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src, root = str(tmp_path / "in"), str(tmp_path / "st")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [(1, w), (2, "k l m n o p q r s t")],
+        [(3, w)],                       # cross-batch near-dup of 1
+        [(4, "u v w x y z aa bb cc dd")],
+    ]
+    for batch in batches:
+        rows = [(d, t, "en", "s", len(t)) for d, t in batch]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = start_neardup_clustering(
+        spark, src, root, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_labels(spark, root).collect()
+    }
+    assert got == {1: 1, 3: 1, 2: 2, 4: 4}, got
+    # ONE coalesced clustering pass: one label snapshot, empty spool
+    snaps = [
+        s for s in os.listdir(f"{root}/labels") if s.startswith("v_")
+    ]
+    assert len(snaps) == 1, snaps
+    dirs, total, _ = _spool_pending(spark, root)
+    assert dirs == [] and total == 0
+
+
+def test_neardup_coalesce_flushes_at_threshold_and_age(spark, tmp_path):
+    """The spool flushes mid-stream once it reaches min_docs (not only
+    at drain end), and a max_wait of zero degenerates to per-trigger
+    flushing (the age lever works)."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    # threshold flush: 3 batches of 2 docs, min_docs=4 → flush fires
+    # inside the drain at batch 2 (snapshot 1) + terminal flush of the
+    # remaining batch (snapshot 2)
+    src, root = str(tmp_path / "in1"), str(tmp_path / "st1")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        rows = [
+            (10 * i + j, f"w{10*i+j} " * 8, "en", "s", 40) for j in range(2)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = start_neardup_clustering(
+        spark, src, root, str(tmp_path / "ck1"),
+        max_files_per_trigger=1, min_docs_per_batch=4,
+    )
+    _drain(q)
+    assert read_labels(spark, root).count() == 6
+    snaps = [s for s in os.listdir(f"{root}/labels") if s.startswith("v_")]
+    assert len(snaps) == 2, snaps
+
+    # age flush: max_wait_sec=0 → every trigger flushes immediately
+    src2, root2 = str(tmp_path / "in2"), str(tmp_path / "st2")
+    os.makedirs(src2, exist_ok=True)
+    for i in range(2):
+        rows = [(100 + i, f"x{i} " * 8, "en", "s", 40)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src2)
+    q = start_neardup_clustering(
+        spark, src2, root2, str(tmp_path / "ck2"),
+        max_files_per_trigger=1, min_docs_per_batch=10**9,
+        max_wait_sec=0.0,
+    )
+    _drain(q)
+    assert read_labels(spark, root2).count() == 2
+    snaps = [s for s in os.listdir(f"{root2}/labels") if s.startswith("v_")]
+    assert len(snaps) == 2, snaps
+
+
+def test_neardup_coalesce_recovers_crash_leftover_spool(spark, tmp_path):
+    """A spool left by a crashed run (flush never happened) must fold
+    into the next run's labeling — the spool is durable state, not a
+    cache."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.neardup_stream import (
+        _spool_root,
+        read_labels,
+        start_neardup_clustering,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src, root = str(tmp_path / "in"), str(tmp_path / "st")
+    os.makedirs(src, exist_ok=True)
+    # simulate the crashed run's spool: batch b0 with doc 1
+    spark.createDataFrame(
+        [(1, "a b c d e f g h", "en", "s", 15)], schema
+    ).coalesce(1).write.parquet(f"{_spool_root(root)}/b0_n1")
+    # a fresh run ingests doc 2
+    spark.createDataFrame(
+        [(2, "p q r s t u v w", "en", "s", 15)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_neardup_clustering(spark, src, root, str(tmp_path / "ck"))
+    _drain(q)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_labels(spark, root).collect()
+    }
+    assert got == {1: 1, 2: 2}, got
