@@ -184,6 +184,7 @@ EXTRA = [
     "multimodal_flac_multichannel_decode",  # 3-8 channel FLAC
     "multimodal_adpcm_stereo_decode",   # stereo IMA ADPCM groups
     "multimodal_jpeg_noninterleaved_decode",  # §A.2 multi-scan JPEG
+    "multimodal_jpeg_exif_orientation",  # APP1 tag 0x0112 transforms (r9)
     "crawl_charset_detect",             # WHATWG charset chain
     "line_dedup_boilerplate",           # CCNet line-level chrome drop
 ]

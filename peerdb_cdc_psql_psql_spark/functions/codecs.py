@@ -1856,12 +1856,15 @@ def _jpeg_container(
 
 def encode_jpeg_gray(
     pixels: np.ndarray, quant: np.ndarray | None = None,
-    restart_interval: int = 0,
+    restart_interval: int = 0, exif_orientation: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG writer: (h, w) uint8 grayscale → SOI,
     DQT, SOF0 (1 component), DHT ×2, SOS, entropy-coded 8×8 DCT
     blocks (edge-replicated padding), EOI. ``restart_interval`` adds
-    DRI + RSTn markers every that many MCUs."""
+    DRI + RSTn markers every that many MCUs; ``exif_orientation``
+    (1-8) splices an Exif APP1 after SOI — the pixels are written as
+    given (the STORED grid) and a conforming reader must transform
+    them on display."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     q = np.asarray(
@@ -1869,21 +1872,26 @@ def encode_jpeg_gray(
     )
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    return _jpeg_container(
+    out = _jpeg_container(
         h, w, [padded.astype(np.float64) - 128.0], [q],
         restart_interval=restart_interval,
     )
+    if exif_orientation:
+        out = out[:2] + exif_app1_segment(exif_orientation) + out[2:]
+    return out
 
 
 def encode_jpeg_rgb(
     pixels: np.ndarray, restart_interval: int = 0,
     interleaved: bool = True,
     scan_groups: list[list[int]] | None = None,
+    exif_orientation: int = 0,
 ) -> bytes:
     """Baseline color JPEG writer: (h, w, 3) uint8 RGB → JFIF YCbCr,
     4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs, standard
     luma+chroma quant tables. ``interleaved=False`` writes one SOS
-    per component (§A.2 non-interleaved — r8)."""
+    per component (§A.2 non-interleaved — r8); ``exif_orientation``
+    splices an Exif APP1 after SOI (r9)."""
     px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
     h, w = px.shape[:2]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -1893,11 +1901,14 @@ def encode_jpeg_rgb(
     bh, bw = -(-h // 8), -(-w // 8)
     pad = ((0, bh * 8 - h), (0, bw * 8 - w))
     planes = [np.pad(p, pad, mode="edge") - 128.0 for p in (y, cb, cr)]
-    return _jpeg_container(
+    out = _jpeg_container(
         h, w, planes, [_STD_LUMA_QUANT, _STD_CHROMA_QUANT, _STD_CHROMA_QUANT],
         restart_interval=restart_interval, interleaved=interleaved,
         scan_groups=scan_groups,
     )
+    if exif_orientation:
+        out = out[:2] + exif_app1_segment(exif_orientation) + out[2:]
+    return out
 
 
 def encode_jpeg_rgb_420(
@@ -1979,12 +1990,112 @@ def _read_baseline_block(
     return flat, prev
 
 
+# EXIF orientation (tag 0x0112) → numpy transform that maps the
+# STORED pixel grid to the upright display grid (CIPA DC-008 §4.6.4):
+# 1 normal, 2 flip-H, 3 rot180, 4 flip-V, 5 transpose, 6 rot90 CW,
+# 7 transverse, 8 rot90 CCW. Works for (h, w) and (h, w, 3) alike
+# (the channel axis is untouched).
+_EXIF_TRANSFORMS = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1, :],
+    5: lambda a: np.swapaxes(a, 0, 1),
+    6: lambda a: np.swapaxes(a, 0, 1)[:, ::-1],
+    7: lambda a: np.swapaxes(a, 0, 1)[::-1, ::-1],
+    8: lambda a: np.swapaxes(a, 0, 1)[::-1, :],
+}
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal Exif APP1: ``Exif\\0\\0`` + a little-endian TIFF header
+    whose IFD0 carries one SHORT Orientation (0x0112) entry — the
+    smallest structure every real camera writes a superset of."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+    tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)        # IFD0 offset
+        + struct.pack("<H", 1)        # one entry
+        + struct.pack("<HHI", 0x0112, 3, 1)   # Orientation, SHORT, ×1
+        + struct.pack("<HH", orientation, 0)  # inline value + pad
+        + struct.pack("<I", 0)        # no next IFD
+    )
+    return _jpeg_seg(0xE1, b"Exif\x00\x00" + tiff)
+
+
+def parse_jpeg_exif(payload: bytes) -> dict:
+    """Header-only walk for the Exif APP1 (TIFF-in-JPEG, VERDICT r8
+    missing #3): returns ``{"orientation": 1-8, "has_exif": bool}``
+    with orientation 1 when the tag is absent or the APP1 is
+    malformed (virtually every phone photo carries the tag, and a
+    decoder that ignores it reports transposed dimensions for a large
+    slice of any real crawl). Stops at SOS — EXIF must precede the
+    entropy stream."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    orientation, has_exif = 1, False
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            has_exif = True
+            t = body[6:]
+            try:
+                if t[:2] not in (b"II", b"MM"):
+                    raise ValueError("bad TIFF byte order in APP1")
+                bo = "<" if t[:2] == b"II" else ">"
+                magic, ifd = struct.unpack_from(f"{bo}HI", t, 2)
+                if magic != 42:
+                    raise ValueError("bad TIFF magic in APP1")
+                (n,) = struct.unpack_from(f"{bo}H", t, ifd)
+                for i in range(n):
+                    tag, typ, _cnt = struct.unpack_from(
+                        f"{bo}HHI", t, ifd + 2 + 12 * i
+                    )
+                    if tag == 0x0112 and typ == 3:
+                        (v,) = struct.unpack_from(
+                            f"{bo}H", t, ifd + 2 + 12 * i + 8
+                        )
+                        if 1 <= v <= 8:
+                            orientation = v
+                        break
+            except (struct.error, ValueError, IndexError):
+                pass  # malformed EXIF: treat as orientation 1
+        pos += 2 + length
+    return {"orientation": orientation, "has_exif": has_exif}
+
+
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decoded JPEG pixels AS DISPLAYED: the raw entropy decode with
+    the EXIF orientation applied (rotating/flipping per tag 0x0112 —
+    the form every viewer and training pipeline wants; a wrong
+    transpose poisons aspect-sensitive features for the huge slice of
+    a real crawl that is phone photos)."""
+    px = _decode_jpeg_pixels_raw(payload)
+    o = parse_jpeg_exif(payload)["orientation"]
+    if o != 1:
+        px = np.ascontiguousarray(_EXIF_TRANSFORMS[o](px))
+    return px
+
+
+def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
     """Parse a baseline JPEG into (h, w) gray or (h, w, 3) RGB uint8:
     marker walk, DQT/DHT tables FROM THE STREAM, interleaved-MCU
     Huffman + magnitude decode with per-component DC predictors,
     dequant, de-zigzag, IDCT, level shift, clamp, JFIF YCbCr→RGB for
-    3 components. Progressive / subsampled streams raise."""
+    3 components (stored orientation — the EXIF transform lives in
+    ``decode_jpeg_pixels``). Progressive / subsampled streams
+    raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -2815,12 +2926,22 @@ def encode_jpeg_progressive(
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decoded JPEG summary: dimensions, channel count, and exact
-    integer pixel sums (gray: sum_r == sum_g == sum_b == sum_gray)."""
+    """Decoded JPEG summary: dimensions AS DISPLAYED (EXIF orientation
+    applied), channel count, exact integer pixel sums (gray: sum_r ==
+    sum_g == sum_b == sum_gray), the orientation tag, and
+    position-weighted sums ``wsum_row`` = Σ px·(row+1) and
+    ``wsum_col`` = Σ px·(col+1) over the displayed grid (channel 0
+    for color). Plain sums are orientation-INVARIANT, so the weighted
+    pair is what pins a correct transform: each of the 8 orientations
+    yields a distinct (wsum_row, wsum_col) on asymmetric content."""
     px = decode_jpeg_pixels(payload)
+    o = parse_jpeg_exif(payload)["orientation"]
     h, w = px.shape[:2]
+    plane = (px if px.ndim == 2 else px[..., 0]).astype(np.int64)
+    wsum_row = int((plane * (np.arange(h, dtype=np.int64) + 1)[:, None]).sum())
+    wsum_col = int((plane * (np.arange(w, dtype=np.int64) + 1)[None, :]).sum())
     if px.ndim == 2:
-        total = int(px.astype(np.int64).sum())
+        total = int(plane.sum())
         sums = (total, total, total)
         ch = 1
     else:
@@ -2832,6 +2953,9 @@ def decode_jpeg(payload: bytes) -> dict:
         "height": int(h),
         "n_channels": ch,
         "n_pixels": int(w * h),
+        "orientation": o,
+        "wsum_row": wsum_row,
+        "wsum_col": wsum_col,
         "sum_gray": sums[0],
         "sum_r": sums[0],
         "sum_g": sums[1],

@@ -2335,3 +2335,93 @@ def test_jpeg_partially_interleaved_scan_groups(w, h, seed, sub, dri, groups):
     data = enc(px, restart_interval=dri, scan_groups=groups)
     assert data.count(b"\xff\xda") == len(groups)
     assert np.array_equal(decode_jpeg_pixels(data), decode_jpeg_pixels(enc(px)))
+
+
+# -- EXIF orientation (r9: VERDICT r8 missing #3) -----------------------
+
+
+def test_jpeg_exif_orientation_roundtrip_all_eight():
+    """Every orientation 1-8: the APP1 parses back, the displayed
+    pixels equal the numpy transform of the stored grid, and the
+    summary's weighted sums/dims follow the displayed grid."""
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _EXIF_TRANSFORMS,
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        parse_jpeg_exif,
+    )
+
+    base = np.zeros((16, 24), np.uint8)  # rectangular: transposes show
+    for i in range(2):
+        for j in range(3):
+            base[8 * i : 8 * i + 8, 8 * j : 8 * j + 8] = 10 + 20 * (3 * i + j)
+    for o in range(1, 9):
+        data = encode_jpeg_gray(base, exif_orientation=o)
+        assert parse_jpeg_exif(data) == {"orientation": o, "has_exif": True}
+        exp = np.ascontiguousarray(_EXIF_TRANSFORMS[o](base))
+        assert np.array_equal(decode_jpeg_pixels(data), exp), o
+        d = decode_jpeg(data)
+        assert (d["height"], d["width"]) == exp.shape
+        assert d["orientation"] == o
+        plane = exp.astype(np.int64)
+        h, w = exp.shape
+        assert d["wsum_row"] == int(
+            (plane * (np.arange(h) + 1)[:, None]).sum()
+        )
+        assert d["wsum_col"] == int(
+            (plane * (np.arange(w) + 1)[None, :]).sum()
+        )
+    # the 8 weighted-sum pairs are pairwise distinct on this grid —
+    # the property that makes the oracle able to catch ANY wrong map
+    pairs = set()
+    for o in range(1, 9):
+        d = decode_jpeg(encode_jpeg_gray(base, exif_orientation=o))
+        pairs.add((d["wsum_row"], d["wsum_col"]))
+    assert len(pairs) == 8
+
+
+def test_jpeg_exif_color_and_absent_and_bigendian():
+    import struct
+
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+        parse_jpeg_exif,
+    )
+
+    # color stream: orientation 6 rotates (8, 24, 3) -> (24, 8, 3)
+    rgb = np.zeros((8, 24, 3), np.uint8)
+    rgb[:, :8] = 20
+    rgb[:, 8:16] = 60
+    rgb[:, 16:] = 100
+    px = decode_jpeg_pixels(encode_jpeg_rgb(rgb, exif_orientation=6))
+    assert px.shape == (24, 8, 3)
+
+    # no APP1: orientation defaults to 1, pixels unchanged
+    base = np.full((8, 8), 42, np.uint8)
+    data = encode_jpeg_gray(base)
+    assert parse_jpeg_exif(data) == {"orientation": 1, "has_exif": False}
+    assert np.array_equal(decode_jpeg_pixels(data), base)
+
+    # big-endian (MM) TIFF header in the APP1 — real Motorola-order
+    # cameras — and a malformed APP1 that must degrade to 1
+    tiff_mm = (
+        b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">HH", 3, 0) + struct.pack(">I", 0)
+    )
+    app1 = b"Exif\x00\x00" + tiff_mm
+    seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    data_mm = data[:2] + seg + data[2:]
+    assert parse_jpeg_exif(data_mm) == {"orientation": 3, "has_exif": True}
+    bad = b"Exif\x00\x00" + b"XX" + b"\x00" * 10
+    seg_bad = b"\xff\xe1" + struct.pack(">H", len(bad) + 2) + bad
+    data_bad = data[:2] + seg_bad + data[2:]
+    assert parse_jpeg_exif(data_bad) == {"orientation": 1, "has_exif": True}
+    assert np.array_equal(decode_jpeg_pixels(data_bad), base)
