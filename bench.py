@@ -185,6 +185,7 @@ EXTRA = [
     "multimodal_adpcm_stereo_decode",   # stereo IMA ADPCM groups
     "multimodal_jpeg_noninterleaved_decode",  # §A.2 multi-scan JPEG
     "multimodal_jpeg_exif_orientation",  # APP1 tag 0x0112 transforms (r9)
+    "multimodal_tiff_float_decode",      # SampleFormat-3 + predictor 3 (r9)
     "crawl_charset_detect",             # WHATWG charset chain
     "line_dedup_boilerplate",           # CCNet line-level chrome drop
 ]

@@ -9,16 +9,18 @@ five spec scanline filters, palette/Adam7/16-bit included), GIF
 frames, transparency, disposal compositing), baseline + progressive
 JPEG (numpy DCT, canonical Huffman, 4:4:4 and 4:2:0, DRI/RSTn in
 both scan families, interleaved / non-interleaved / §A.2.3 partially
-interleaved scans, 8/16-bit DQT), TIFF (both byte orders, strips and
-tiles, chunky and planar, 8/16-bit, PackBits + EarlyChange-LZW,
-predictor 2), DIB/MJPG AVI, and the MP4/ISO-BMFF container
+interleaved scans, 8/16-bit DQT, EXIF APP1 orientation applied on
+decode — r9), TIFF (both byte orders, strips and tiles, chunky and
+planar, 8/16-bit, PackBits + EarlyChange-LZW, predictor 2, and — r9
+— 32-bit IEEE-float samples with TechNote-3 predictor 3 in the
+chunky strip layout), DIB/MJPG AVI, and the MP4/ISO-BMFF container
 (photo-JPEG tracks, stco and co64). These are REAL codecs — they
 parse the actual bytes (chunk/box walking, stride padding, filter
 reconstruction, entropy decode), not fakes. What still raises
 ``NotImplementedError`` is the H.264/HEVC *bitstream* (CABAC +
 inter-frame prediction — a codec library, not a struct walk) plus
-the floating-point TIFF predictor (geo float rasters — a sample-type
-family, not a layout).
+tiled/planar FLOAT TIFF (float rasters ship overwhelmingly as
+chunky strips; the integer tiled/planar paths exist).
 
 Everything here is per-payload pure functions; the Spark side wraps
 them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
@@ -4018,6 +4020,93 @@ def encode_tiff(
     return bytes(out)
 
 
+def encode_tiff_float(
+    pixels: np.ndarray, compression: str = "none",
+    rows_per_strip: int = 8, predictor: int = 3,
+) -> bytes:
+    """Little-endian single-band FLOATING-POINT TIFF (r9 — the geo/
+    elevation raster shape, SampleFormat 3, 32-bit IEEE samples):
+    strip layout with none/PackBits/LZW. ``predictor=3`` applies TIFF
+    TechNote 3 floating-point horizontal differencing — each row's
+    samples are converted to big-endian, byte-plane-reordered (all
+    MSBs first, then every sample's next byte, …) and byte-differenced
+    — the form GDAL/libtiff write float rasters in; ``predictor=1``
+    stores raw little-endian floats."""
+    px = np.asarray(pixels, dtype=np.float32)
+    if px.ndim != 2:
+        raise NotImplementedError("float TIFF writer is single-band")
+    h, w = px.shape
+    comp = _TIFF_COMP[compression]
+    if predictor == 3:
+        be = np.frombuffer(
+            px.astype(">f4").tobytes(), np.uint8
+        ).reshape(h, w, 4)
+        reordered = np.moveaxis(be, 2, 1).reshape(h, w * 4)
+        d = reordered.astype(np.int16)
+        d[:, 1:] -= reordered[:, :-1].astype(np.int16)
+        raw = (d & 0xFF).astype(np.uint8).tobytes()
+    elif predictor == 1:
+        raw = px.astype("<f4").tobytes()
+    else:
+        raise NotImplementedError(f"float TIFF predictor {predictor}")
+    row_bytes = w * 4
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        strip = raw[y0 * row_bytes : min(y0 + rows_per_strip, h) * row_bytes]
+        strips.append(_tiff_compress(strip, compression))
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    n_strips = len(strips)
+    n_entries = 10 + (1 if predictor == 3 else 0)
+    ifd_size = 2 + n_entries * 12 + 4
+    aux = 8 + ifd_size
+    so_off, sc_off = aux, aux + 4 * n_strips
+    data_off = aux + (8 * n_strips if n_strips > 1 else 0)
+    offsets, counts = [], []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    if n_strips == 1:
+        so_entry = entry(273, 4, 1, long_val(offsets[0]))
+        sc_entry = entry(279, 4, 1, long_val(counts[0]))
+    else:
+        so_entry = entry(273, 4, n_strips, long_val(so_off))
+        sc_entry = entry(279, 4, n_strips, long_val(sc_off))
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, long_val(w))
+    ifd += entry(257, 4, 1, long_val(h))
+    ifd += entry(258, 3, 1, short_val(32))
+    ifd += entry(259, 3, 1, short_val(comp))
+    ifd += entry(262, 3, 1, short_val(1))
+    ifd += so_entry
+    ifd += entry(277, 3, 1, short_val(1))
+    ifd += entry(278, 4, 1, long_val(rows_per_strip))
+    ifd += sc_entry
+    if predictor == 3:
+        ifd += entry(317, 3, 1, short_val(3))
+    ifd += entry(339, 3, 1, short_val(3))  # SampleFormat: IEEE float
+    ifd += struct.pack("<I", 0)  # next IFD
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8)) + ifd
+    if n_strips > 1:
+        out += b"".join(struct.pack("<I", o) for o in offsets)
+        out += b"".join(struct.pack("<I", c) for c in counts)
+    else:
+        assert len(out) == data_off
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _tiff_compress(raw: bytes, compression: str) -> bytes:
     if compression == "packbits":
         return _packbits_encode(raw)
@@ -4258,6 +4347,11 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     d = decode_tiff_meta(payload)
     h, w, ch = d["height"], d["width"], d["n_channels"]
     if d["layout"] == "tiles" or d["planar"]:
+        if d["sample_format"] == "float":
+            raise NotImplementedError(
+                "floating-point TIFF supports the chunky strip "
+                "layout only"
+            )
         return _assemble_tiff_general(payload, d)
     dtype, mask = _tiff_sample_type(d)
     row_bytes = w * ch * dtype.itemsize
@@ -4276,6 +4370,29 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             raw += _packbits_decode(strip, n_expected)
         else:
             raw += _tiff_lzw_decode(strip, n_expected)
+    if d["sample_format"] == "float":
+        if d["predictor"] == 3:
+            # TIFF TechNote 3: each row was byte-plane-reordered (all
+            # big-endian MSBs first, then the next byte of every
+            # sample, …) and horizontally byte-differenced. Invert:
+            # cumulative byte sum per row (mod 256), then gather each
+            # sample's 4 bytes back from the planes as big-endian.
+            rows = np.frombuffer(bytes(raw), np.uint8).reshape(
+                h, w * ch * 4
+            )
+            acc = np.cumsum(rows.astype(np.int64), axis=1).astype(
+                np.uint8
+            )
+            be = np.moveaxis(acc.reshape(h, 4, w * ch), 1, 2)
+            arr = np.frombuffer(
+                np.ascontiguousarray(be).tobytes(), np.dtype(">f4")
+            )
+        else:
+            arr = np.frombuffer(bytes(raw), dtype=dtype)
+        return (
+            arr.astype(np.float32)
+            .reshape((h, w) if ch == 1 else (h, w, ch))
+        )
     arr = np.frombuffer(bytes(raw), dtype=dtype)
     if d["predictor"] == 2:
         # invert TIFF §14 horizontal differencing: per-row cumulative
@@ -4290,9 +4407,11 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
 
 def _tiff_sample_type(d: dict) -> tuple[np.dtype, int]:
     """(numpy dtype in the FILE's byte order, wrap mask) for the
-    declared bit depth."""
+    declared bit depth / sample format."""
+    bo = "<" if d["byte_order"] == "little" else ">"
+    if d.get("sample_format") == "float":
+        return np.dtype(bo + "f4"), 0
     if d["bits"] == 16:
-        bo = "<" if d["byte_order"] == "little" else ">"
         return np.dtype(bo + "u2"), 0xFFFF
     return np.dtype(np.uint8), 0xFF
 
@@ -4332,13 +4451,29 @@ def decode_tiff_meta(payload: bytes) -> dict:
     if comp not in _TIFF_COMP_NAMES:
         raise NotImplementedError(f"TIFF compression {comp}")
     bits = values(258, [8])
-    if bits and all(b == bits[0] for b in bits) and bits[0] in (8, 16):
+    # SampleFormat (339): 1 unsigned int (default), 3 IEEE float —
+    # the geo/elevation raster shape (r9, closes the last typed
+    # boundary: TIFF TechNote 3 floating-point files)
+    sample_format = values(339, [1])[0]
+    if sample_format == 3:
+        if not (bits and all(b == 32 for b in bits)):
+            raise NotImplementedError(
+                f"float TIFF bits-per-sample {bits} (only 32)"
+            )
+        depth = 32
+    elif bits and all(b == bits[0] for b in bits) and bits[0] in (8, 16):
         depth = bits[0]
     else:
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     ch = values(277, [len(bits)])[0]
     predictor = values(317, [1])[0]
-    if predictor not in (1, 2):
+    if predictor == 3 and sample_format != 3:
+        raise ValueError("TIFF predictor 3 requires float samples")
+    if predictor == 2 and sample_format == 3:
+        raise NotImplementedError(
+            "integer differencing on float samples"
+        )
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     pconf = values(284, [1])[0]
     if pconf not in (1, 2):
@@ -4371,6 +4506,7 @@ def decode_tiff_meta(payload: bytes) -> dict:
         "strips": list(zip(offs, cnts)),
         "segments": list(zip(offs, cnts)),
         "byte_order": "little" if bo == "<" else "big",
+        "sample_format": "float" if sample_format == 3 else "uint",
     }
 
 

@@ -3131,6 +3131,110 @@ def multimodal_tiff16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIFF_FLOAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("predictor", T.LongType()),
+        T.StructField("n_strips", T.LongType()),
+        T.StructField("sum_val", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_tiff_float_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 * 2 + 6 AS h,
+         doc_id % 6 * 2 + 9 AS w,
+         doc_id % 50 AS b0,
+         doc_id % 5 + 3 AS rps
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id >= 350 AND doc_id < 500
+)
+SELECT doc_id AS media_id,
+       w AS width, h AS height, 32 AS bits,
+       CASE (doc_id // 3) % 3 WHEN 0 THEN 'none'
+            WHEN 1 THEN 'packbits' ELSE 'lzw' END AS compression,
+       (doc_id // 3) % 2 * 2 + 1 AS predictor,
+       (h + rps - 1) // rps AS n_strips,
+       h * w * b0 + 3 * w * (h * (h - 1) // 2)
+         + 7 * h * (w * (w - 1) // 2) AS sum_val
+FROM p
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_tiff_float_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FLOATING-POINT TIFF decode (X5, r9 — the last carried codec
+    boundary: SampleFormat-3 geo/elevation rasters): integer-valued
+    float32 gradients (exactly representable, so the sum contract
+    stays bit-exact) written through the float strip writer, rotated
+    over none/PackBits/LZW and predictor 1 vs 3 (TIFF TechNote 3
+    byte-plane reorder + byte differencing). A wrong plane gather, a
+    little-endian misread of the big-endian reordered bytes, or a
+    missed cumulative byte sum each breaks the closed-form total."""
+    from ..functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_float,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 350)
+        & (F.col("media_id") < 500)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw")
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                h, w = m % 4 * 2 + 6, m % 6 * 2 + 9
+                b0 = m % 50
+                px = (
+                    b0
+                    + 3 * np.arange(h, dtype=np.int64)[:, None]
+                    + 7 * np.arange(w, dtype=np.int64)[None, :]
+                ).astype(np.float32)
+                payload = encode_tiff_float(
+                    px,
+                    compression=comps[(m // 3) % 3],
+                    predictor=(m // 3) % 2 * 2 + 1,
+                    rows_per_strip=m % 5 + 3,
+                )
+                meta = decode_tiff_meta(payload)
+                got = decode_tiff_pixels(payload)
+                rows.append(
+                    (
+                        m, meta["width"], meta["height"], meta["bits"],
+                        meta["compression"], meta["predictor"],
+                        len(meta["strips"]),
+                        int(got.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TIFF_FLOAT_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_TIFF_FLOAT_SCHEMA)
+        .select(*[f.name for f in _TIFF_FLOAT_SCHEMA.fields])
+    )
+
+
 def synthesize_tiff_payloads(ids: DataFrame) -> DataFrame:
     """Executor-side TIFF synthesis: the PNG gradient fixture written
     through the strip-TIFF encoder, compression rotated over

@@ -1557,10 +1557,16 @@ def test_tiff_predictor2_shrinks_lzw_gradients():
 def test_tiff_unsupported_predictor_still_raises():
     px = np.zeros((4, 4), np.uint8)
     with pytest.raises(NotImplementedError, match="predictor"):
-        encode_tiff(px, predictor=3)
+        encode_tiff(px, predictor=3)  # the INTEGER writer: p3 invalid
     data = bytearray(encode_tiff(px, predictor=2))
     i = data.index(b"\x3d\x01")  # tag 317 little-endian
     data[i + 8] = 3  # value 2 -> 3 (floating-point predictor)
+    # r9: predictor 3 is now IMPLEMENTED for float samples, so an
+    # integer file claiming it is an invalid combination (ValueError),
+    # not an unsupported feature
+    with pytest.raises(ValueError, match="predictor 3"):
+        decode_tiff_meta(bytes(data))
+    data[i + 8] = 4  # genuinely unknown predictor stays typed
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_tiff_meta(bytes(data))
 
@@ -2425,3 +2431,74 @@ def test_jpeg_exif_color_and_absent_and_bigendian():
     data_bad = data[:2] + seg_bad + data[2:]
     assert parse_jpeg_exif(data_bad) == {"orientation": 1, "has_exif": True}
     assert np.array_equal(decode_jpeg_pixels(data_bad), base)
+
+
+# -- floating-point TIFF (r9: SampleFormat 3, TechNote-3 predictor) ----
+
+
+def test_tiff_float_roundtrip_all_compressions_and_predictors():
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff,
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_float,
+    )
+
+    rng = np.random.RandomState(11)
+    for comp in ("none", "packbits", "lzw"):
+        for pred in (1, 3):
+            # fractional values: bit-exact through the byte pipeline
+            a = (rng.rand(13, 9).astype(np.float32) * 2000 - 1000)
+            data = encode_tiff_float(
+                a, compression=comp, predictor=pred, rows_per_strip=5
+            )
+            m = decode_tiff_meta(data)
+            assert m["sample_format"] == "float"
+            assert m["bits"] == 32 and m["predictor"] == pred
+            assert m["compression"] == comp
+            assert len(m["strips"]) == 3
+            px = decode_tiff_pixels(data)
+            assert px.dtype == np.float32
+            assert np.array_equal(px, a), (comp, pred)
+    # integer-valued floats: the summary's integer sums stay exact
+    g = np.arange(48, dtype=np.float32).reshape(6, 8)
+    d = decode_tiff(encode_tiff_float(g, compression="lzw"))
+    assert d["sum_r"] == sum(range(48))
+    # special values survive predictor 3's byte transform
+    s = np.array(
+        [[0.0, -0.0, np.inf], [-np.inf, 1e-38, 3.4e38]], np.float32
+    )
+    px = decode_tiff_pixels(encode_tiff_float(s, predictor=3))
+    assert np.array_equal(
+        px.view(np.uint32), s.view(np.uint32)
+    )  # bit-exact incl. signed zero/inf
+    nan = np.array([[np.nan, 1.5]], np.float32)
+    px = decode_tiff_pixels(encode_tiff_float(nan, predictor=3))
+    assert np.array_equal(px.view(np.uint32), nan.view(np.uint32))
+
+
+def test_tiff_float_typed_boundaries():
+    import numpy as np
+    import pytest as _pytest
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        encode_tiff_float,
+    )
+
+    # predictor 3 on an INTEGER file is an invalid combination
+    import struct as _struct
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import encode_tiff
+
+    data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    # no predictor tag in the plain file: splice one is overkill —
+    # instead check the float writer's own guards
+    with _pytest.raises(NotImplementedError):
+        encode_tiff_float(np.zeros((4, 4, 3), np.float32))  # multi-band
+    with _pytest.raises(NotImplementedError):
+        encode_tiff_float(np.zeros((4, 4), np.float32), predictor=2)
+    assert _struct  # silence linters; data unused beyond construction
+    assert decode_tiff_meta(bytes(data))["sample_format"] == "uint"
