@@ -186,6 +186,7 @@ EXTRA = [
     "multimodal_jpeg_noninterleaved_decode",  # §A.2 multi-scan JPEG
     "multimodal_jpeg_exif_orientation",  # APP1 tag 0x0112 transforms (r9)
     "multimodal_tiff_float_decode",      # SampleFormat-3 + predictor 3 (r9)
+    "multimodal_jpeg_cmyk_decode",       # Adobe APP14 CMYK/YCCK (r9)
     "crawl_charset_detect",             # WHATWG charset chain
     "line_dedup_boilerplate",           # CCNet line-level chrome drop
 ]

@@ -1913,6 +1913,48 @@ def encode_jpeg_rgb(
     return out
 
 
+def encode_jpeg_cmyk(
+    pixels: np.ndarray, transform: int = 0, restart_interval: int = 0,
+) -> bytes:
+    """4-component baseline JPEG writer for TRUE-CMYK input (r9 —
+    the print-origin corpus shape): Adobe convention stores every
+    channel INVERTED (255−value) and announces it with an APP14
+    marker. ``transform=0`` stores the four inverted planes directly
+    (Adobe 'unknown'/CMYK); ``transform=2`` is YCCK — the inverted
+    C/M/Y are treated as RGB and JFIF-converted to YCbCr, inverted K
+    passes through (libjpeg's cmyk→ycck path)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk expects (h, w, 4) CMYK")
+    if transform not in (0, 2):
+        raise NotImplementedError(f"Adobe transform {transform}")
+    h, w = px.shape[:2]
+    inv = (255 - px.astype(np.int16)).astype(np.float64)
+    if transform == 2:
+        r, g, b = inv[..., 0], inv[..., 1], inv[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            inv[..., 3],
+        ]
+        quants = [_STD_LUMA_QUANT, _STD_CHROMA_QUANT,
+                  _STD_CHROMA_QUANT, _STD_LUMA_QUANT]
+    else:
+        planes = [inv[..., i] for i in range(4)]
+        quants = [_STD_LUMA_QUANT] * 4
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = ((0, bh * 8 - h), (0, bw * 8 - w))
+    planes = [np.pad(p, pad, mode="edge") - 128.0 for p in planes]
+    out = _jpeg_container(
+        h, w, planes, quants, restart_interval=restart_interval
+    )
+    app14 = _jpeg_seg(
+        0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    )
+    return out[:2] + app14 + out[2:]
+
+
 def encode_jpeg_rgb_420(
     pixels: np.ndarray, restart_interval: int = 0,
     interleaved: bool = True,
@@ -2108,6 +2150,7 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
     prog_coefs: list[np.ndarray] | None = None
     base_planes: dict[int, np.ndarray] | None = None
     restart_interval = 0
+    adobe_transform: int | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -2145,9 +2188,9 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc not in (1, 3):
+            if prec != 8 or nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"only 8-bit 1- or 3-component JPEG is "
+                    f"only 8-bit 1-, 3- or 4-component JPEG is "
                     f"supported (precision={prec}, components={nc})"
                 )
             comps = []
@@ -2178,6 +2221,11 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI — restart interval in MCUs
             restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xEE and body[:5] == b"Adobe":
+            # APP14: version(2) flags0(2) flags1(2) transform(1) —
+            # transform 0 = stored as-is (CMYK for 4 comps), 2 = YCCK;
+            # presence also means Adobe's inverted-CMYK convention
+            adobe_transform = body[11] if len(body) >= 12 else 0
         elif marker == 0xDA and progressive:
             hh, ww, comps, hmax, vmax = sof
             ns = body[0]
@@ -2360,7 +2408,7 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
                                     by * 8 : by * 8 + 8,
                                     bx * 8 : bx * 8 + 8,
                                 ] = spatial + 128.0
-            return _jpeg_finish(planes, comps, hmax, vmax, hh, ww)
+            return _jpeg_finish(planes, comps, hmax, vmax, hh, ww, adobe_transform)
         pos += 2 + length
     if progressive and prog_coefs is not None:
         # all scans accumulated — dequantize + IDCT once at the end
@@ -2381,7 +2429,7 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
                         + 128.0
                     )
             planes.append(plane)
-        return _jpeg_finish(planes, comps, hmax, vmax, hh, ww)
+        return _jpeg_finish(planes, comps, hmax, vmax, hh, ww, adobe_transform)
     if base_planes is not None and sof is not None:
         hh, ww, comps, hmax, vmax = sof
         if len(base_planes) != len(comps):
@@ -2390,7 +2438,7 @@ def _decode_jpeg_pixels_raw(payload: bytes) -> np.ndarray:
             )
         return _jpeg_finish(
             [base_planes[i] for i in range(len(comps))],
-            comps, hmax, vmax, hh, ww,
+            comps, hmax, vmax, hh, ww, adobe_transform,
         )
     raise ValueError("JPEG missing SOS scan")
 
@@ -2402,11 +2450,20 @@ def _jpeg_finish(
     vmax: int,
     hh: int,
     ww: int,
+    adobe_transform: int | None = None,
 ) -> np.ndarray:
     """Shared tail of both JPEG decode paths: replication-upsample
     subsampled components, crop the MCU overhang, and (for color)
     apply the JFIF inverse transform BEFORE the final round/clamp —
-    rounding YCbCr to uint8 first would add up to ±2 error."""
+    rounding YCbCr to uint8 first would add up to ±2 error.
+
+    4-component streams (r9, the print-origin corpus shape): returns
+    TRUE CMYK (h, w, 4). Adobe writers store CMYK INVERTED
+    (255−value); the APP14 marker signals the convention, so its
+    presence triggers the re-inversion (libjpeg/PIL behavior).
+    ``adobe_transform == 2`` is YCCK: the inverted C/M/Y ride as
+    YCbCr of the inverted-RGB image and K̃ passes through — invert
+    the JFIF transform first, then un-invert all four."""
     planes = [
         np.repeat(
             np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
@@ -2415,6 +2472,19 @@ def _jpeg_finish(
     ]
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 4:
+        if adobe_transform == 2:  # YCCK
+            y, cb, cr, kk = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            stored = np.stack([r, g, b, kk], axis=-1)
+        else:
+            stored = np.stack(planes, axis=-1)
+        stored = np.clip(np.round(stored), 0, 255).astype(np.uint8)
+        if adobe_transform is not None:
+            return (255 - stored.astype(np.int16)).astype(np.uint8)
+        return stored
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -2946,6 +3016,18 @@ def decode_jpeg(payload: bytes) -> dict:
         total = int(plane.sum())
         sums = (total, total, total)
         ch = 1
+    elif px.shape[2] == 4:
+        # TRUE CMYK: report RGB sums through the exact integer
+        # conversion R=(255−C)(255−K)//255 (SQL-expressible), so the
+        # r/g/b contract holds for print-origin images too
+        cmyk = px.astype(np.int64)
+        k = cmyk[..., 3]
+        rgb = tuple(
+            int((((255 - cmyk[..., i]) * (255 - k)) // 255).sum())
+            for i in range(3)
+        )
+        sums = rgb
+        ch = 4
     else:
         s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
         sums = (int(s[0]), int(s[1]), int(s[2]))

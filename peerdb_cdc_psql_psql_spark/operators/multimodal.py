@@ -3235,6 +3235,105 @@ def multimodal_tiff_float_decode(
     )
 
 
+_JPEG_CMYK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("transform", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sum_c", T.LongType()),
+        T.StructField("sum_k", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_jpeg_cmyk_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id // 3) % 2 * 2 AS t,
+         2 * (doc_id % 60) + 11 AS v,
+         2 * (doc_id % 50) + 21 AS k
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id >= 500 AND doc_id < 650
+)
+SELECT doc_id AS media_id, t AS transform,
+       16 AS width, 16 AS height, 4 AS n_channels,
+       64 * (4 * v + 24) AS sum_c,
+       64 * (4 * k + 24) AS sum_k,
+       64 * (  ((255 - v)      * (255 - k))      // 255
+             + ((255 - v - 4)  * (255 - k - 4))  // 255
+             + ((255 - v - 8)  * (255 - k - 8))  // 255
+             + ((255 - v - 12) * (255 - k - 12)) // 255) AS sum_r
+FROM p
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_jpeg_cmyk_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4-COMPONENT Adobe CMYK/YCCK JPEG decode (X5, r9 — the
+    print-origin corpus shape next to EXIF phone photos): 2×2
+    block-solid TRUE-CMYK fixtures with ODD channel values (Adobe
+    inversion stores 255−v, EVEN — the per-block DC-only lossless
+    fixed point), written through both APP14 transforms: 0 (inverted
+    planes stored directly) and 2 (YCCK — inverted C/M/Y ride as
+    YCbCr; equal C=M=Y makes the color path exact, the same argument
+    as the r6 even-gray color fixtures). The oracle pins the C and K
+    channel sums plus the integer-exact CMYK→RGB red sum
+    ((255−C)(255−K)//255) — a missed inversion, a dropped K plane, or
+    a wrong YCCK un-transform each breaks a closed form."""
+    from ..functions.codecs import (
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg_cmyk,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 500)
+        & (F.col("media_id") < 650)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                t = (m // 3) % 2 * 2
+                v = 2 * (m % 60) + 11
+                k = 2 * (m % 50) + 21
+                img = np.zeros((16, 16, 4), np.uint8)
+                for i in range(2):
+                    for j in range(2):
+                        d4 = 4 * i + 8 * j
+                        img[8*i:8*i+8, 8*j:8*j+8, 0:3] = v + d4
+                        img[8*i:8*i+8, 8*j:8*j+8, 3] = k + d4
+                payload = encode_jpeg_cmyk(img, transform=t)
+                d = decode_jpeg(payload)
+                px = decode_jpeg_pixels(payload).astype(np.int64)
+                rows.append(
+                    (m, t, d["width"], d["height"], d["n_channels"],
+                     int(px[..., 0].sum()), int(px[..., 3].sum()),
+                     d["sum_r"])
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_CMYK_SCHEMA.fields]
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_JPEG_CMYK_SCHEMA)
+        .select(*[f.name for f in _JPEG_CMYK_SCHEMA.fields])
+    )
+
+
 def synthesize_tiff_payloads(ids: DataFrame) -> DataFrame:
     """Executor-side TIFF synthesis: the PNG gradient fixture written
     through the strip-TIFF encoder, compression rotated over

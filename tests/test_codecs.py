@@ -2502,3 +2502,76 @@ def test_tiff_float_typed_boundaries():
         encode_tiff_float(np.zeros((4, 4), np.float32), predictor=2)
     assert _struct  # silence linters; data unused beyond construction
     assert decode_tiff_meta(bytes(data))["sample_format"] == "uint"
+
+
+# -- Adobe APP14 / CMYK / YCCK JPEG (r9) -------------------------------
+
+
+def test_jpeg_cmyk_roundtrip_both_transforms():
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_any,
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg_cmyk,
+    )
+
+    img = np.zeros((16, 16, 4), np.uint8)
+    for i in range(2):
+        for j in range(2):
+            img[8*i:8*i+8, 8*j:8*j+8, 0:3] = 31 + 4 * i + 8 * j
+            img[8*i:8*i+8, 8*j:8*j+8, 3] = 71 + 4 * i + 8 * j
+    for t in (0, 2):
+        data = encode_jpeg_cmyk(img, transform=t)
+        px = decode_jpeg_pixels(data)
+        assert px.shape == (16, 16, 4)
+        assert np.array_equal(px, img), t  # block-solid lossless
+        d = decode_jpeg(data)
+        assert d["n_channels"] == 4
+        cm = img.astype(np.int64)
+        assert d["sum_r"] == int(
+            (((255 - cm[..., 0]) * (255 - cm[..., 3])) // 255).sum()
+        )
+        a = decode_any(data)
+        assert a["ok"] and a["kind"] == "image" and a["n_channels"] == 4
+
+
+def test_jpeg_cmyk_no_app14_is_not_inverted():
+    """Without the Adobe marker the 4 components are returned as
+    stored — the inversion is Adobe's convention, not the format's."""
+    import struct
+
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_cmyk,
+    )
+
+    img = np.full((8, 8, 4), 41, np.uint8)
+    data = encode_jpeg_cmyk(img, transform=0)
+    ln = struct.unpack_from(">H", data, 4)[0]
+    stripped = data[:2] + data[4 + ln :]  # drop the APP14 after SOI
+    assert np.array_equal(decode_jpeg_pixels(stripped), 255 - img)
+
+
+def test_jpeg_cmyk_exif_orientation_composes():
+    """An EXIF-rotated CMYK photo: both APP markers honored in one
+    decode (orientation applies to the 4-channel displayed grid)."""
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_cmyk,
+        exif_app1_segment,
+    )
+
+    img = np.zeros((8, 16, 4), np.uint8)
+    img[:, :8] = (31, 31, 31, 71)
+    img[:, 8:] = (91, 91, 91, 111)
+    data = encode_jpeg_cmyk(img, transform=2)
+    data = data[:2] + exif_app1_segment(6) + data[2:]
+    px = decode_jpeg_pixels(data)
+    assert px.shape == (16, 8, 4)
+    assert np.array_equal(px, np.swapaxes(img, 0, 1)[:, ::-1])
