@@ -94,6 +94,51 @@ _LIVE_RELS = (
     "pg_proc", "pg_class", "pg_attribute", "pg_settings",
 )
 
+# Statistics relations the reference's monitoring pass queries
+# (monitoring.ps1:976,991,1006: pg_stat_activity, replication slots):
+# answered from LIVE engine state when a provider is registered (the
+# wire server registers its connection table and the mirror registry
+# at start()), else as correctly-shaped empty views — a monitoring
+# query must never be "table not found".
+_STAT_RELS: dict[str, str] = {
+    "pg_stat_activity": (
+        "pid int, datname string, usename string, application_name "
+        "string, client_addr string, backend_start timestamp, "
+        "state string, query string"
+    ),
+    "pg_replication_slots": (
+        "slot_name string, plugin string, slot_type string, "
+        "database string, temporary boolean, active boolean, "
+        "restart_lsn string, confirmed_flush_lsn string"
+    ),
+    "pg_stat_replication": (
+        "pid int, usename string, application_name string, "
+        "state string, sent_lsn string, replay_lsn string, "
+        "sync_state string"
+    ),
+}
+
+
+def set_stat_provider(spark: SparkSession, rel: str, fn) -> None:
+    """Register a zero-arg callable returning the live rows for one
+    of the ``_STAT_RELS`` — called at VIEW REGISTRATION time (i.e.
+    per statement that references the relation), so the rows are a
+    fresh snapshot, like the real pg_stat views."""
+    if rel not in _STAT_RELS:
+        raise ValueError(f"unknown stat relation {rel!r}")
+    _session_state(spark).setdefault("stat_providers", {})[rel] = fn
+
+
+def _register_stats(spark: SparkSession, sql: str) -> None:
+    low = sql.lower()
+    providers = _session_state(spark).get("stat_providers", {})
+    for rel, schema in _STAT_RELS.items():
+        if rel not in low:
+            continue
+        fn = providers.get(rel)
+        rows = list(fn()) if fn is not None else []
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(rel)
+
 _PG_REF_RE = re.compile(r"(?i)\bpg_[a-z_]+\b|\binformation_schema\s*\.")
 
 # information_schema relations answered from the live catalog; the
@@ -591,5 +636,6 @@ def apply_pg_compat(
         return spark.createDataFrame([], "relname string")
     if _INFOSCHEMA_RE.search(sql):
         _register_infoschema(spark)
+    _register_stats(spark, sql)
     _register_live(spark, sql)
     return rewritten

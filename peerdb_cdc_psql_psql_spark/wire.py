@@ -700,6 +700,9 @@ class WireServer:
     _session_local: threading.local = field(
         default_factory=threading.local
     )
+    # live pg_stat_activity rows: pid → mutable row dict, guarded by
+    # _cancel_lock (same lifecycle as the cancel-key table)
+    _activity: dict = field(default_factory=dict)
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -708,6 +711,20 @@ class WireServer:
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(self.tls_cert, self.tls_key)
             self._ssl_ctx = ctx
+        # live monitoring relations (monitoring.ps1:976,991,1006):
+        # pg_stat_activity from the connection table, replication
+        # slots/stat from the mirror registry + running streams
+        from .operators.pg_compat import set_stat_provider
+
+        set_stat_provider(
+            self.spark, "pg_stat_activity", self._activity_rows
+        )
+        set_stat_provider(
+            self.spark, "pg_replication_slots", self._slot_rows
+        )
+        set_stat_provider(
+            self.spark, "pg_stat_replication", self._replication_rows
+        )
         if self.sf_dir:
             from .operators.sql_frontend import register_views
 
@@ -750,6 +767,43 @@ class WireServer:
             )
             t.start()
 
+    # -- live monitoring relations (r9) ---------------------------------
+    def _activity_rows(self) -> list[tuple]:
+        with self._cancel_lock:
+            rows = [dict(v) for v in self._activity.values()]
+        return [
+            (r["pid"], "spark", "spark", r["application_name"],
+             r["client_addr"], r["backend_start"], r["state"],
+             r["query"])
+            for r in sorted(rows, key=lambda r: r["pid"])
+        ]
+
+    def _mirror_names(self) -> tuple[list[str], set[str]]:
+        from .operators.sql_frontend import _DDL_MIRRORS
+
+        active = {
+            q.name[len("mirror-"):]
+            for q in self.spark.streams.active
+            if (q.name or "").startswith("mirror-")
+        }
+        return sorted(set(_DDL_MIRRORS) | active), active
+
+    def _slot_rows(self) -> list[tuple]:
+        names, active = self._mirror_names()
+        return [
+            (n, "pgoutput", "logical", "spark", False, n in active,
+             None, None)
+            for n in names
+        ]
+
+    def _replication_rows(self) -> list[tuple]:
+        names, active = self._mirror_names()
+        return [
+            (0, "spark", n, "streaming", None, None, "async")
+            for n in names
+            if n in active
+        ]
+
     # -- per-connection ------------------------------------------------
     def _handle_conn(self, conn: socket.socket) -> None:
         ext = _ExtState()
@@ -764,11 +818,24 @@ class WireServer:
         with self._cancel_lock:
             self._cancel_keys[(pid, secret)] = group
         try:
+            try:
+                peer = conn.getpeername()[0]
+            except OSError:
+                peer = ""
             conn.settimeout(60)
             active = self._startup(conn)
             if active is None:
                 return
             conn = active  # TLS-wrapped when SSLRequest was accepted
+            import datetime as _dt
+
+            with self._cancel_lock:
+                self._activity[pid] = {
+                    "pid": pid, "application_name": "wire",
+                    "client_addr": peer,
+                    "backend_start": _dt.datetime.now(),
+                    "state": "idle", "query": "",
+                }
             self.spark.sparkContext.setJobGroup(
                 group, f"wire connection {pid}", interruptOnCancel=True
             )
@@ -820,7 +887,19 @@ class WireServer:
                 if kind == b"X":  # Terminate
                     return
                 if kind == b"Q":
-                    self._simple_query(conn, payload[:-1].decode("utf-8", "replace"))
+                    stmt_text = payload[:-1].decode("utf-8", "replace")
+                    with self._cancel_lock:
+                        row = self._activity.get(pid)
+                        if row is not None:
+                            row["state"] = "active"
+                            row["query"] = stmt_text[:1024]
+                    try:
+                        self._simple_query(conn, stmt_text)
+                    finally:
+                        with self._cancel_lock:
+                            row = self._activity.get(pid)
+                            if row is not None:
+                                row["state"] = "idle"
                     conn.sendall(_READY)
                 elif kind == b"S":  # Sync — ends an extended batch
                     ext.skip_to_sync = False
@@ -852,6 +931,7 @@ class WireServer:
         finally:
             with self._cancel_lock:
                 self._cancel_keys.pop((pid, secret), None)
+                self._activity.pop(pid, None)
             try:
                 conn.close()
             except OSError:

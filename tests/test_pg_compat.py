@@ -292,3 +292,90 @@ def test_psql_information_schema_joins_and_empties(pg_server):
     )
     assert r.returncode == 0, r.stderr
     assert "default" in r.stdout and "information_schema" in r.stdout
+
+
+# -- live stat relations (r9: monitoring.ps1:976,991,1006 parity) ------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_pg_stat_activity_lists_this_connection(pg_server):
+    """The reference's monitoring pass queries pg_stat_activity; our
+    rows come from the LIVE wire connection table — the querying
+    session must see itself, state 'active', with its own query
+    text."""
+    r = _psql(
+        pg_server.port,
+        "SELECT pid, usename, state, query FROM pg_stat_activity "
+        "ORDER BY pid",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "active" in r.stdout and "pg_stat_activity" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_replication_slots_show_mirrors(spark, tmp_path):
+    """pg_replication_slots lists DDL-registered mirrors (slot per
+    mirror, the reference's replication-slot shape); empty-but-shaped
+    before any mirror exists."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+    from peerdb_cdc_psql_psql_spark.streaming import workload
+
+    event_dir = str(tmp_path / "wal")
+    workload.append_events(
+        spark,
+        [(1, dt.datetime(2024, 1, 1), "I", "orders", 1, '{"id":1}')],
+        event_dir,
+    )
+    srv = WireServer(
+        spark, port=0, sf_dir=SF,
+        mirror_env=dict(
+            schemas=DEMO_SCHEMAS, event_dir=event_dir,
+            target_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"),
+            trigger={"availableNow": True},
+        ),
+    )
+    srv.start()
+    try:
+        r = _psql(
+            srv.port,
+            "SELECT slot_name, slot_type, active "
+            "FROM pg_replication_slots",
+        )
+        assert r.returncode == 0, r.stderr  # shaped, possibly empty
+        uniq = "slotmirror9"
+        r = _psql(
+            srv.port,
+            f"CREATE MIRROR {uniq} WITH TABLE MAPPING "
+            "(orders:orders_slot_tgt)",
+        )
+        assert r.returncode == 0, r.stderr
+        r = _psql(
+            srv.port,
+            "SELECT slot_name, slot_type FROM pg_replication_slots "
+            f"WHERE slot_name = '{uniq}'",
+        )
+        assert r.returncode == 0, r.stderr
+        assert uniq in r.stdout and "logical" in r.stdout
+        r = _psql(srv.port, f"DROP MIRROR {uniq}")
+        assert r.returncode == 0, r.stderr
+    finally:
+        srv.stop()
+
+
+def test_stat_views_shaped_empty_without_provider(spark):
+    """A bare Spark session (no wire server): the stat relations
+    answer as correctly-shaped EMPTY frames, never 'table not
+    found'."""
+    out = apply_pg_compat(
+        spark, "SELECT pid, state FROM pg_stat_activity"
+    )
+    assert isinstance(out, str)
+    assert spark.sql(out).count() >= 0
+    out = apply_pg_compat(
+        spark,
+        "SELECT slot_name FROM pg_replication_slots WHERE active",
+    )
+    assert spark.sql(out).columns == ["slot_name"]
