@@ -450,6 +450,231 @@ def _copy_parse_rows(
     return rows, False
 
 
+_COPY_BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
+_PG_EPOCH_DATE = 730120  # 2000-01-01 as a proleptic ordinal
+_PG_EPOCH_US = 946684800000000  # 2000-01-01 as unix microseconds
+
+
+def _pg_numeric_bytes(d) -> bytes:
+    """decimal.Decimal → Postgres ``numeric`` binary wire form:
+    int16 ndigits/weight/sign/dscale + base-10000 digits."""
+    import decimal as _dec
+
+    d = _dec.Decimal(d)
+    sign = 0x4000 if d < 0 else 0x0000
+    s = format(abs(d), "f")
+    intpart, _, frac = s.partition(".")
+    dscale = len(frac)
+    intpart = intpart.lstrip("0")
+    intpart = "0" * ((-len(intpart)) % 4) + intpart
+    int_digits = [
+        int(intpart[i : i + 4]) for i in range(0, len(intpart), 4)
+    ]
+    weight = len(int_digits) - 1
+    frac = frac + "0" * ((-len(frac)) % 4)
+    digits = int_digits + [
+        int(frac[i : i + 4]) for i in range(0, len(frac), 4)
+    ]
+    while digits and digits[-1] == 0:
+        digits.pop()
+    while digits and digits[0] == 0:
+        digits.pop(0)
+        weight -= 1
+    if not digits:
+        weight = 0
+    return struct.pack(
+        "!hhhh", len(digits), weight, sign, dscale
+    ) + b"".join(struct.pack("!h", x) for x in digits)
+
+
+def _pg_numeric_text(data: bytes) -> str:
+    """Inverse of ``_pg_numeric_bytes`` (NaN refused — the engine's
+    numeric columns are DECIMAL, which has no NaN)."""
+    nd, weight, sign, dscale = struct.unpack_from("!hhhh", data, 0)
+    if sign not in (0x0000, 0x4000):
+        raise ValueError(f"unsupported numeric sign word {sign:#x}")
+    digits = struct.unpack_from(f"!{nd}h", data, 8)
+    val = 0
+    for dg in digits:
+        val = val * 10000 + dg
+    # scale: digits cover weight..weight-nd+1 in base-1e4 positions
+    exp10 = 4 * (weight - nd + 1)
+    from decimal import Decimal as _D
+
+    out = _D(val).scaleb(exp10)
+    if sign:
+        out = -out
+    return str(out.quantize(_D(1).scaleb(-dscale)) if dscale else out)
+
+
+def _copy_binary_cell(v, dtype: str) -> bytes | None:
+    """One result value → its binary-COPY field bytes (None = NULL).
+    The binary stream carries NO type info — the encoding must match
+    what a Postgres reader expects for the column's declared type."""
+    if v is None:
+        return None
+    base = dtype.split("(")[0]
+    if base == "bigint":
+        return struct.pack("!q", int(v))
+    if base in ("int", "integer"):
+        return struct.pack("!i", int(v))
+    if base in ("smallint", "tinyint"):
+        return struct.pack("!h", int(v))
+    if base == "double":
+        return struct.pack("!d", float(v))
+    if base == "float":
+        return struct.pack("!f", float(v))
+    if base == "boolean":
+        return b"\x01" if v else b"\x00"
+    if base == "date":
+        return struct.pack("!i", v.toordinal() - _PG_EPOCH_DATE)
+    if base in ("timestamp", "timestamp_ntz"):
+        import calendar as _cal
+
+        us = (
+            _cal.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+        )
+        return struct.pack("!q", us - _PG_EPOCH_US)
+    if base == "decimal":
+        return _pg_numeric_bytes(v)
+    if base == "binary":
+        return bytes(v)
+    return str(v).encode("utf-8")
+
+
+def _copy_binary_cell_to_text(data: bytes | None, dtype: str) -> str | None:
+    """One binary-COPY field → the TEXT cell the (shared) sink
+    pipeline consumes — binary COPY FROM reuses the whole staged
+    text path after this per-field decode."""
+    if data is None:
+        return None
+    base = dtype.split("(")[0]
+    try:
+        if base == "bigint":
+            return str(struct.unpack("!q", data)[0])
+        if base in ("int", "integer"):
+            return str(struct.unpack("!i", data)[0])
+        if base in ("smallint", "tinyint"):
+            return str(struct.unpack("!h", data)[0])
+        if base == "double":
+            return repr(struct.unpack("!d", data)[0])
+        if base == "float":
+            return repr(struct.unpack("!f", data)[0])
+        if base == "boolean":
+            return "true" if data[0] else "false"
+        if base == "date":
+            import datetime as _dt
+
+            days = struct.unpack("!i", data)[0]
+            return _dt.date.fromordinal(
+                _PG_EPOCH_DATE + days
+            ).isoformat()
+        if base in ("timestamp", "timestamp_ntz"):
+            import datetime as _dt
+
+            us = struct.unpack("!q", data)[0] + _PG_EPOCH_US
+            return _dt.datetime.utcfromtimestamp(us / 1_000_000).replace(
+                microsecond=us % 1_000_000
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        if base == "decimal":
+            return _pg_numeric_text(data)
+        if base == "binary":
+            raise NotImplementedError(
+                "binary COPY into BINARY columns is not supported "
+                "(the staged text pipeline cannot carry raw bytes)"
+            )
+        return data.decode("utf-8")
+    except struct.error:
+        raise ValueError(
+            f"malformed binary COPY field for type {dtype}"
+        ) from None
+
+
+def _copy_binary_scan(
+    buf: bytes | bytearray, header_done: bool
+) -> tuple[int, bool, bool]:
+    """(cut, header_done, eof): largest prefix of ``buf`` ending at a
+    binary-COPY tuple boundary — the binary analogue of
+    ``_copy_cut_point`` (fields carry explicit lengths, so the scan
+    walks tuples instead of hunting newlines)."""
+    b = bytes(buf)
+    pos = 0
+    if not header_done:
+        if len(b) < 19:
+            return 0, False, False
+        if b[:11] != _COPY_BIN_SIG:
+            raise ValueError("bad binary COPY signature")
+        ext = struct.unpack_from("!i", b, 15)[0]
+        if ext < 0 or len(b) < 19 + ext:
+            return 0, False, False
+        pos = 19 + ext
+        header_done = True
+    cut = pos
+    while len(b) - pos >= 2:
+        (nf,) = struct.unpack_from("!h", b, pos)
+        if nf == -1:  # trailer
+            return pos + 2, header_done, True
+        if nf < 0:
+            raise ValueError(f"invalid binary COPY field count {nf}")
+        p = pos + 2
+        complete = True
+        for _ in range(nf):
+            if len(b) - p < 4:
+                complete = False
+                break
+            (ln,) = struct.unpack_from("!i", b, p)
+            p += 4
+            if ln >= 0:
+                if len(b) - p < ln:
+                    complete = False
+                    break
+                p += ln
+        if not complete:
+            break
+        pos = p
+        cut = pos
+    return cut, header_done, False
+
+
+def _copy_parse_binary_rows(
+    data: bytes, col_types: list[str], skip_header: bool
+) -> tuple[list[list[str | None]], bool]:
+    """Complete binary-COPY chunk (tuple-aligned, from
+    ``_copy_binary_scan``) → (text-cell rows, eof_seen)."""
+    pos = 0
+    if skip_header:
+        if data[:11] != _COPY_BIN_SIG:
+            raise ValueError("bad binary COPY signature")
+        ext = struct.unpack_from("!i", data, 15)[0]
+        pos = 19 + ext
+    rows: list[list[str | None]] = []
+    while pos + 2 <= len(data):
+        (nf,) = struct.unpack_from("!h", data, pos)
+        pos += 2
+        if nf == -1:
+            return rows, True
+        if nf != len(col_types):
+            raise ValueError(
+                f"binary COPY row has {nf} fields, expected "
+                f"{len(col_types)}"
+            )
+        row: list[str | None] = []
+        for ci in range(nf):
+            (ln,) = struct.unpack_from("!i", data, pos)
+            pos += 4
+            if ln < 0:
+                row.append(None)
+            else:
+                row.append(
+                    _copy_binary_cell_to_text(
+                        data[pos : pos + ln], col_types[ci]
+                    )
+                )
+                pos += ln
+        rows.append(row)
+    return rows, False
+
+
 def _copy_cut_point(buf: bytes | bytearray, fmt: str) -> int:
     """Largest prefix length of ``buf`` that ends at a COPY record
     boundary — where a buffered payload can be parsed without tearing
@@ -512,6 +737,11 @@ class _MirrorCopySink:
                 f"COPY into mirrored {table} must include the key "
                 f"column {key_column!r}"
             )
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in schemas[table].fields
+        }
+        self.col_types = [types.get(c, "string") for c in self.cols]
         self.event_dir = event_dir.rstrip("/")
         self.staging = (
             f"{self.event_dir}/.copy_in_{_uuid.uuid4().hex[:12]}"
@@ -590,6 +820,8 @@ class _CatalogCopySink:
         bad = [c for c in self.cols if c not in self.table_cols]
         if bad:
             raise ValueError(f"COPY columns not in {table}: {bad}")
+        types = dict(self.dtypes)
+        self.col_types = [types[c] for c in self.cols]
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).rstrip("/")
@@ -1297,10 +1529,17 @@ class WireServer:
                 "[, HEADER])]"
             )
         opts = m.group("opts") or ""
-        fmt = "csv" if re.search(r"\bcsv\b", opts, re.IGNORECASE) else "text"
+        if re.search(r"\bbinary\b", opts, re.IGNORECASE):
+            fmt = "binary"
+        elif re.search(r"\bcsv\b", opts, re.IGNORECASE):
+            fmt = "csv"
+        else:
+            fmt = "text"
         header = bool(
             re.search(r"\bheader\b(?!\s*(false|off|0))", opts, re.IGNORECASE)
         )
+        if fmt == "binary" and header:
+            raise ValueError("COPY HEADER is not valid in BINARY format")
         cols = [
             c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
         ]
@@ -1333,24 +1572,47 @@ class WireServer:
         session stays usable."""
         ncols = len(cols) if cols else len(self._copy_target_columns(table))
         sink = self._copy_sink(table, cols)
+        binary = fmt == "binary"
+        code = 1 if binary else 0
         conn.sendall(
-            _msg(b"G", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
+            _msg(
+                b"G",
+                struct.pack("!bh", code, ncols)
+                + struct.pack("!h", code) * ncols,
+            )
         )
         buf = bytearray()
         failed = False
         error: Exception | None = None
         eof = False
         skip_header = header
+        bin_header_done = False
+        bin_parsed_header = False
+
+        def cut_point() -> int:
+            nonlocal bin_header_done
+            if not binary:
+                return _copy_cut_point(buf, fmt)
+            cut, bin_header_done, _ = _copy_binary_scan(
+                buf, bin_header_done
+            )
+            return cut
 
         def apply_chunk(data: bytes) -> None:
-            nonlocal eof, skip_header, error
+            nonlocal eof, skip_header, error, bin_parsed_header
             if error is not None or eof or not data:
                 return
             try:
-                rows, eof = _copy_parse_rows(
-                    data.decode("utf-8", "replace"), fmt, skip_header
-                )
-                skip_header = False
+                if binary:
+                    rows, eof = _copy_parse_binary_rows(
+                        data, sink.col_types, not bin_parsed_header
+                    )
+                    bin_parsed_header = True
+                else:
+                    rows, eof = _copy_parse_rows(
+                        data.decode("utf-8", "replace"), fmt, skip_header
+                    )
+                    skip_header = False
                 sink.apply(rows)
             except Exception as e:  # noqa: BLE001 — drain, then report
                 error = e
@@ -1376,7 +1638,12 @@ class WireServer:
                     self.copy_max_buffered, len(buf)
                 )
                 if len(buf) >= self.copy_chunk_bytes:
-                    cut = _copy_cut_point(buf, fmt)
+                    try:
+                        cut = cut_point()
+                    except ValueError as e:  # malformed framing: drain
+                        error = e
+                        buf.clear()
+                        continue
                     if cut > 0:
                         chunk = bytes(buf[:cut])
                         del buf[:cut]
@@ -1423,9 +1690,43 @@ class WireServer:
         self, conn: socket.socket, df: DataFrame, fmt: str, header: bool
     ) -> None:
         ncols = len(df.columns)
+        code = 1 if fmt == "binary" else 0
         conn.sendall(
-            _msg(b"H", struct.pack("!bh", 0, ncols) + b"\x00\x00" * ncols)
+            _msg(
+                b"H",
+                struct.pack("!bh", code, ncols)
+                + struct.pack("!h", code) * ncols,
+            )
         )
+        if fmt == "binary":
+            # PGCOPY header + per-tuple (int16 nfields, per-field
+            # int32 length + typed bytes) + int16 -1 trailer — still
+            # streamed via toLocalIterator (constant frontend memory)
+            types = [t for _c, t in df.dtypes]
+            chunk = bytearray(
+                _msg(b"d", _COPY_BIN_SIG + struct.pack("!ii", 0, 0))
+            )
+            n = 0
+            for row in df.toLocalIterator():
+                body = bytearray(struct.pack("!h", ncols))
+                for v, t in zip(row, types):
+                    cell = _copy_binary_cell(v, t)
+                    if cell is None:
+                        body += struct.pack("!i", -1)
+                    else:
+                        body += struct.pack("!i", len(cell)) + cell
+                chunk += _msg(b"d", bytes(body))
+                n += 1
+                if len(chunk) >= 1 << 16:
+                    conn.sendall(bytes(chunk))
+                    chunk.clear()
+            chunk += (
+                _msg(b"d", struct.pack("!h", -1))
+                + _msg(b"c", b"")
+                + _msg(b"C", _cstr(f"COPY {n}"))
+            )
+            conn.sendall(bytes(chunk))
+            return
         import csv as _csv
         import io as _io
 

@@ -1583,3 +1583,141 @@ def test_sslmode_require_refused_without_cert(server):
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode != 0
+
+
+# -- binary-format COPY (r9): typed round trip --------------------------
+
+
+def _copy_out_raw(c, sql: str) -> bytes:
+    """Q(sql) → CopyOutResponse → concatenated CopyData payloads."""
+    c.sendall(_frame(b"Q", sql.encode() + b"\x00"))
+    kind, payload = _read_msg(c)
+    assert kind == b"H", f"expected CopyOutResponse, got {kind!r}"
+    assert payload[0] == 1, "binary COPY must declare format 1"
+    out = bytearray()
+    while True:
+        kind, payload = _read_msg(c)
+        if kind == b"d":
+            out += payload
+        elif kind == b"c":
+            break
+        else:
+            raise AssertionError(f"unexpected {kind!r} during COPY OUT")
+    while True:
+        kind, _p = _read_msg(c)
+        if kind == b"Z":
+            return bytes(out)
+
+
+def test_copy_binary_roundtrip_catalog(server, spark):
+    """COPY TO STDOUT (FORMAT binary) → feed the exact bytes back via
+    COPY FROM STDIN (FORMAT binary) into an identical table: every
+    typed field (ints, double, bool, text, date, timestamp, numeric)
+    and NULLs survive, with a tiny chunk size + 5-byte message
+    slivers driving the incremental tuple scanner."""
+    import uuid as _uuid
+
+    server.copy_chunk_bytes = 64
+    cols = (
+        "i INT, b BIGINT, s STRING, d DOUBLE, ok BOOLEAN, "
+        "dt DATE, ts TIMESTAMP, dec DECIMAL(10,2)"
+    )
+    src = f"w9_bin_src_{_uuid.uuid4().hex[:8]}"
+    dst = f"w9_bin_dst_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {src} ({cols}) USING parquet")
+    spark.sql(f"CREATE TABLE {dst} ({cols}) USING parquet")
+    try:
+        spark.sql(
+            f"INSERT INTO {src} VALUES "
+            "(1, 9000000000, 'hello', 1.5, true, DATE'2024-03-01', "
+            " TIMESTAMP'2024-03-01 12:34:56.789', 123.45), "
+            "(2, NULL, NULL, NULL, false, NULL, NULL, -0.07), "
+            "(3, -1, 'tab\\there', -2.25, NULL, DATE'1999-12-31', "
+            " TIMESTAMP'1999-12-31 23:59:59', NULL)"
+        )
+        c = _connect_raw(server.port)
+        try:
+            blob = _copy_out_raw(
+                c,
+                f"COPY (SELECT * FROM {src} ORDER BY i) TO STDOUT "
+                "WITH (FORMAT binary)",
+            )
+            assert blob.startswith(b"PGCOPY\n\xff\r\n\x00")
+            assert blob.endswith(b"\xff\xff")  # int16 -1 trailer
+            msgs = _copy_in_raw(
+                c,
+                f"COPY {dst} FROM STDIN WITH (FORMAT binary)",
+                [blob[i : i + 5] for i in range(0, len(blob), 5)],
+            )
+            assert [p for k, p in msgs if k == b"C"] == [b"COPY 3\x00"]
+        finally:
+            c.close()
+        a = sorted(
+            tuple(str(v) for v in r)
+            for r in spark.sql(f"SELECT * FROM {src}").collect()
+        )
+        b = sorted(
+            tuple(str(v) for v in r)
+            for r in spark.sql(f"SELECT * FROM {dst}").collect()
+        )
+        assert a == b, (a, b)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {src}")
+        spark.sql(f"DROP TABLE IF EXISTS {dst}")
+
+
+def test_copy_binary_bad_signature_rolls_back(server, spark):
+    """Garbage instead of the PGCOPY header: typed error, nothing
+    lands, session stays usable."""
+    import uuid as _uuid
+
+    tbl = f"w9_binbad_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT) USING parquet")
+    try:
+        c = _connect_raw(server.port)
+        try:
+            msgs = _copy_in_raw(
+                c,
+                f"COPY {tbl} FROM STDIN WITH (FORMAT binary)",
+                [b"NOT A PGCOPY STREAM" * 4],
+            )
+            assert b"E" in [k for k, _ in msgs]
+            c.sendall(_frame(b"Q", b"SELECT 7 AS ok\x00"))
+            assert [k for k, _ in _drain_until_ready(c)].count(b"D") == 1
+        finally:
+            c.close()
+        assert spark.sql(f"SELECT COUNT(*) FROM {tbl}").collect()[0][0] == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_copy_binary_into_mirrored_table(server, spark):
+    """Binary COPY into a mirrored source table produces change
+    events via the same staged sink as text format."""
+    import struct as _st
+
+    event_dir = server.mirror_env["event_dir"]
+    before = spark.read.parquet(event_dir).count()
+    body = bytearray(b"PGCOPY\n\xff\r\n\x00" + _st.pack("!ii", 0, 0))
+    for i in range(4):
+        body += _st.pack("!h", 2)  # (id, quantity)
+        cell = _st.pack("!q", 30_000_000 + i)
+        body += _st.pack("!i", len(cell)) + cell
+        cell = _st.pack("!q", 5 + i)
+        body += _st.pack("!i", len(cell)) + cell
+    body += _st.pack("!h", -1)
+    c = _connect_raw(server.port)
+    try:
+        msgs = _copy_in_raw(
+            c,
+            "COPY orders (id, quantity) FROM STDIN WITH (FORMAT binary)",
+            [bytes(body)],
+        )
+        assert [p for k, p in msgs if k == b"C"] == [b"COPY 4\x00"]
+    finally:
+        c.close()
+    ev = spark.read.parquet(event_dir)
+    assert ev.count() == before + 4
+    assert (
+        ev.filter("key >= 30000000 AND key < 30000004").count() == 4
+    )
