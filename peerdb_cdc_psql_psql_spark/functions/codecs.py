@@ -4001,8 +4001,11 @@ def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytearray:
     return out[:n_expected]
 
 
-_TIFF_COMP = {"none": 1, "lzw": 5, "packbits": 32773}
+_TIFF_COMP = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 _TIFF_COMP_NAMES = {v: k for k, v in _TIFF_COMP.items()}
+# legacy pre-standard Deflate code (32946) reads identically to 8 —
+# older GDAL/libtiff wrote it; decode-only alias
+_TIFF_COMP_NAMES[32946] = "deflate"
 
 
 def encode_tiff(
@@ -4032,11 +4035,7 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rows_per_strip):
         strip = raw[y0 * row_bytes : min(y0 + rows_per_strip, h) * row_bytes]
-        if compression == "packbits":
-            strip = _packbits_encode(strip)
-        elif compression == "lzw":
-            strip = _tiff_lzw_encode(strip)
-        strips.append(strip)
+        strips.append(_tiff_compress(strip, compression))
 
     def entry(tag, typ, count, value):
         return struct.pack("<HHI", tag, typ, count) + value
@@ -4194,6 +4193,10 @@ def _tiff_compress(raw: bytes, compression: str) -> bytes:
         return _packbits_encode(raw)
     if compression == "lzw":
         return _tiff_lzw_encode(raw)
+    if compression == "deflate":
+        import zlib as _zlib
+
+        return _zlib.compress(raw)
     return raw
 
 
@@ -4204,6 +4207,13 @@ def _tiff_decompress(seg: bytes, n_expected: int, compression: str) -> bytes:
         return seg[:n_expected]
     if compression == "packbits":
         return bytes(_packbits_decode(seg, n_expected))
+    if compression == "deflate":
+        import zlib as _zlib
+
+        out = _zlib.decompress(seg)
+        if len(out) < n_expected:
+            raise ValueError("TIFF deflate segment short")
+        return out[:n_expected]
     return bytes(_tiff_lzw_decode(seg, n_expected))
 
 
@@ -4443,15 +4453,9 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     ):
         n_rows = min(d["rows_per_strip"], h - y0)
         n_expected = n_rows * row_bytes
-        strip = payload[off : off + cnt]
-        if d["compression"] == "none":
-            if len(strip) < n_expected:
-                raise ValueError("TIFF strip truncated")
-            raw += strip[:n_expected]
-        elif d["compression"] == "packbits":
-            raw += _packbits_decode(strip, n_expected)
-        else:
-            raw += _tiff_lzw_decode(strip, n_expected)
+        raw += _tiff_decompress(
+            payload[off : off + cnt], n_expected, d["compression"]
+        )
     if d["sample_format"] == "float":
         if d["predictor"] == 3:
             # TIFF TechNote 3: each row was byte-plane-reordered (all

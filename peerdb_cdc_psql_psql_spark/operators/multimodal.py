@@ -3159,8 +3159,9 @@ WITH p AS (
 )
 SELECT doc_id AS media_id,
        w AS width, h AS height, 32 AS bits,
-       CASE (doc_id // 3) % 3 WHEN 0 THEN 'none'
-            WHEN 1 THEN 'packbits' ELSE 'lzw' END AS compression,
+       CASE (doc_id // 3) % 4 WHEN 0 THEN 'none'
+            WHEN 1 THEN 'packbits' WHEN 2 THEN 'lzw'
+            ELSE 'deflate' END AS compression,
        (doc_id // 3) % 2 * 2 + 1 AS predictor,
        (h + rps - 1) // rps AS n_strips,
        h * w * b0 + 3 * w * (h * (h - 1) // 2)
@@ -3196,7 +3197,7 @@ def multimodal_tiff_float_decode(
         import numpy as np
         import pandas as pd
 
-        comps = ("none", "packbits", "lzw")
+        comps = ("none", "packbits", "lzw", "deflate")
         for pdf in it:
             rows = []
             for mid in pdf["media_id"]:
@@ -3210,7 +3211,7 @@ def multimodal_tiff_float_decode(
                 ).astype(np.float32)
                 payload = encode_tiff_float(
                     px,
-                    compression=comps[(m // 3) % 3],
+                    compression=comps[(m // 3) % 4],
                     predictor=(m // 3) % 2 * 2 + 1,
                     rows_per_strip=m % 5 + 3,
                 )

@@ -2575,3 +2575,44 @@ def test_jpeg_cmyk_exif_orientation_composes():
     px = decode_jpeg_pixels(data)
     assert px.shape == (16, 8, 4)
     assert np.array_equal(px, np.swapaxes(img, 0, 1)[:, ::-1])
+
+
+# -- TIFF Deflate compression (r9: tag 259 = 8, the GDAL default) ------
+
+
+def test_tiff_deflate_all_layouts_and_legacy_code():
+    import struct
+
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff,
+        encode_tiff_ext,
+        encode_tiff_float,
+    )
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 255, (13, 9)).astype(np.uint8)
+    rgb = rng.randint(0, 255, (10, 7, 3)).astype(np.uint8)
+    f = rng.rand(9, 6).astype(np.float32) * 100
+    for pred in (1, 2):
+        d = encode_tiff(
+            g, compression="deflate", predictor=pred, rows_per_strip=4
+        )
+        assert decode_tiff_meta(d)["compression"] == "deflate"
+        assert np.array_equal(decode_tiff_pixels(d), g), pred
+    d = encode_tiff_ext(rgb, compression="deflate", predictor=2, tile=(4, 5))
+    assert np.array_equal(decode_tiff_pixels(d), rgb)
+    d = encode_tiff_ext(rgb, compression="deflate", planar=True)
+    assert np.array_equal(decode_tiff_pixels(d), rgb)
+    d = encode_tiff_float(f, compression="deflate", predictor=3)
+    assert np.array_equal(decode_tiff_pixels(d), f)
+    # legacy pre-standard Deflate code 32946 (older GDAL/libtiff)
+    # decodes identically to 8
+    d = bytearray(encode_tiff(g, compression="deflate"))
+    i = d.index(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", d, i + 8, 32946)
+    assert decode_tiff_meta(bytes(d))["compression"] == "deflate"
+    assert np.array_equal(decode_tiff_pixels(bytes(d)), g)
