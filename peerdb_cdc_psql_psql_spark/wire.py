@@ -398,36 +398,78 @@ def _copy_text_unescape(field: str) -> str:
     return "".join(out)
 
 
-def _copy_text_escape(s: str) -> str:
-    return (
+def _copy_text_escape(s: str, delim: str = "\t") -> str:
+    out = (
         s.replace("\\", "\\\\")
         .replace("\t", "\\t")
         .replace("\n", "\\n")
         .replace("\r", "\\r")
     )
+    if delim != "\t":
+        # a custom delimiter appearing IN data must be backslashed
+        # (Postgres text format §"the current delimiter character");
+        # tab needs no extra pass — it is already rendered as \t
+        out = out.replace(delim, "\\" + delim)
+    return out
+
+
+def _copy_text_split(line: str, delim: str) -> list[str]:
+    """Split a text-format record on the delimiter, honoring
+    backslash escapes — with a NON-tab delimiter, a literal delimiter
+    in data arrives as ``\\<delim>`` (two chars) and must not cut the
+    field. The default tab delimiter never needs this: a data tab is
+    rendered as the two characters ``\\t``, so every raw 0x09 IS a
+    field boundary and the fast str.split applies."""
+    if delim == "\t":
+        return line.split("\t")
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        ch = line[i]
+        if ch == "\\" and i + 1 < n:
+            cur.append(ch)
+            cur.append(line[i + 1])
+            i += 2
+            continue
+        if ch == delim:
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
 
 
 def _copy_parse_rows(
-    data: str, fmt: str, header: bool
+    data: str, co: "_CopyOpts", header: bool
 ) -> tuple[list[list[str | None]], bool]:
     """COPY payload chunk → (rows of text cells (None = NULL),
-    eof_seen). Text format: tab-separated with backslash escapes,
-    ``\\N`` null, ``\\.`` EOF line (eof_seen=True — later chunks must
-    be discarded). CSV: stdlib csv; an empty cell reads as NULL (the
-    quoted-empty-string distinction is not recoverable from
+    eof_seen). Text format: delimiter-separated with backslash
+    escapes, NULL-string match on the RAW field (so ``\\\\N`` stays a
+    literal), ``\\.`` EOF line (eof_seen=True — later chunks must be
+    discarded). CSV: stdlib csv with the configured delimiter/quote/
+    escape; a cell equal to the NULL string reads as NULL (the
+    quoted-vs-unquoted distinction is not recoverable from
     csv.reader)."""
     rows: list[list[str | None]] = []
-    if fmt == "csv":
+    if co.fmt == "csv":
         import csv as _csv
         import io as _io
 
-        rdr = _csv.reader(_io.StringIO(data))
+        kw: dict = {"delimiter": co.delimiter, "quotechar": co.quote}
+        if co.escape and co.escape != co.quote:
+            kw["escapechar"] = co.escape
+            kw["doublequote"] = False
+        rdr = _csv.reader(_io.StringIO(data), **kw)
         for i, rec in enumerate(rdr):
             if header and i == 0:
                 continue
             if not rec:
                 continue
-            rows.append([c if c != "" else None for c in rec])
+            rows.append([c if c != co.null else None for c in rec])
         return rows, False
     first = True
     for line in data.split("\n"):
@@ -443,11 +485,100 @@ def _copy_parse_rows(
         first = False
         rows.append(
             [
-                None if f == "\\N" else _copy_text_unescape(f)
-                for f in line.split("\t")
+                None if f == co.null else _copy_text_unescape(f)
+                for f in _copy_text_split(line, co.delimiter)
             ]
         )
     return rows, False
+
+
+@dataclass
+class _CopyOpts:
+    """Parsed ``COPY … WITH (…)`` options — the surface real dumps
+    use: FORMAT text|csv|binary, HEADER, DELIMITER, NULL, QUOTE,
+    ESCAPE (r9). Defaults resolve per format like Postgres: text is
+    tab-delimited with ``\\N`` nulls; csv is comma-delimited with
+    empty-string nulls, '"' quotes, and escape-by-doubling."""
+
+    fmt: str = "text"
+    header: bool = False
+    delimiter: str = "\t"
+    null: str = "\\N"
+    quote: str = '"'
+    escape: str = ""  # "" = csv quote-doubling (the default)
+
+
+_COPY_OPT_RE = re.compile(
+    r"(?i)\b(format|delimiter|null|quote|escape|header)\b"
+    r"(?:\s*=?\s*(?:(E)?'((?:[^']|'')*)'"
+    r"|(true|false|on|off|0|1|text|csv|binary)\b))?"
+)
+
+
+def _parse_copy_opts(opts: str) -> _CopyOpts:
+    found: dict[str, str | None] = {}
+    for m in _COPY_OPT_RE.finditer(opts):
+        key = m.group(1).lower()
+        if m.group(3) is not None:
+            val = m.group(3).replace("''", "'")
+            if m.group(2):  # E'…' escape-string form (E'\t' etc.)
+                val = val.encode("utf-8").decode("unicode_escape")
+        else:
+            val = m.group(4)
+        found[key] = val
+    if "format" in found and found["format"] is None:
+        raise ValueError(
+            "COPY FORMAT requires text, csv or binary"
+        )
+    fmt = (found.get("format") or "").lower()
+    if not fmt:
+        # legacy pre-9.0 forms: bare CSV / BINARY keywords
+        if re.search(r"(?i)\bcsv\b", opts):
+            fmt = "csv"
+        elif re.search(r"(?i)\bbinary\b", opts):
+            fmt = "binary"
+        else:
+            fmt = "text"
+    if fmt not in ("text", "csv", "binary"):
+        raise ValueError(f"COPY format {fmt!r} not recognized")
+    co = _CopyOpts(fmt=fmt)
+    hdr = found.get("header")
+    if "header" in found:
+        co.header = (hdr or "true").lower() not in ("false", "off", "0")
+    if fmt == "csv":
+        co.delimiter, co.null = ",", ""
+    if fmt == "binary":
+        bad = [k for k in ("delimiter", "null", "quote", "escape")
+               if k in found]
+        if bad or co.header:
+            raise ValueError(
+                f"COPY options {bad or ['header']} are not valid in "
+                "BINARY format"
+            )
+        return co
+    if found.get("delimiter") is not None:
+        co.delimiter = found["delimiter"]
+        if len(co.delimiter) != 1 or co.delimiter in "\r\n":
+            raise ValueError("COPY delimiter must be a single character")
+    if found.get("null") is not None:
+        co.null = found["null"]
+        if "\r" in co.null or "\n" in co.null:
+            raise ValueError("COPY null representation cannot use newlines")
+    if fmt == "text":
+        if "quote" in found or "escape" in found:
+            raise ValueError("QUOTE/ESCAPE are only valid in CSV format")
+        return co
+    if found.get("quote") is not None:
+        co.quote = found["quote"]
+        if len(co.quote) != 1:
+            raise ValueError("COPY quote must be a single character")
+    if found.get("escape") is not None:
+        co.escape = found["escape"]
+        if len(co.escape) != 1:
+            raise ValueError("COPY escape must be a single character")
+    if co.delimiter == co.quote:
+        raise ValueError("COPY delimiter and quote must differ")
+    return co
 
 
 _COPY_BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
@@ -675,7 +806,7 @@ def _copy_parse_binary_rows(
     return rows, False
 
 
-def _copy_cut_point(buf: bytes | bytearray, fmt: str) -> int:
+def _copy_cut_point(buf: bytes | bytearray, co: "_CopyOpts") -> int:
     """Largest prefix length of ``buf`` that ends at a COPY record
     boundary — where a buffered payload can be parsed without tearing
     a record (VERDICT r8 #1 chunked apply). Text format: any raw
@@ -684,13 +815,37 @@ def _copy_cut_point(buf: bytes | bytearray, fmt: str) -> int:
     cannot appear inside a multi-byte UTF-8 sequence, so a byte-level
     cut is decode-safe). CSV: a newline inside a quoted field does NOT
     end a record, so the cut falls at the last newline where the
-    double-quote count so far is even. Returns 0 when no complete
-    record is buffered yet (a single record larger than the chunk
-    size keeps buffering — a record must fit in memory regardless)."""
-    if fmt != "csv":
+    configured quote char's count so far is even. Returns 0 when no
+    complete record is buffered yet (a single record larger than the
+    chunk size keeps buffering — a record must fit in memory
+    regardless)."""
+    if co.fmt != "csv":
         i = bytes(buf).rfind(b"\n")
         return i + 1 if i >= 0 else 0
     b = bytes(buf)
+    q = co.quote.encode("utf-8")[:1]
+    if co.escape and co.escape != co.quote:
+        # a custom escape can hide quote chars, so parity counting
+        # would miscut inside a quoted field — run the exact state
+        # machine (escape is only active inside quotes, per Postgres)
+        e = co.escape.encode("utf-8")[0]
+        qq = q[0]
+        in_q = False
+        esc = False
+        cut = 0
+        for idx, byte in enumerate(b):
+            if esc:
+                esc = False
+                continue
+            if in_q and byte == e:
+                esc = True
+                continue
+            if byte == qq:
+                in_q = not in_q
+                continue
+            if byte == 0x0A and not in_q:
+                cut = idx + 1
+        return cut
     cut = 0
     quotes = 0
     start = 0
@@ -698,7 +853,7 @@ def _copy_cut_point(buf: bytes | bytearray, fmt: str) -> int:
         i = b.find(b"\n", start)
         if i < 0:
             return cut
-        quotes += b.count(b'"', start, i)
+        quotes += b.count(q, start, i)
         if quotes % 2 == 0:
             cut = i + 1
         start = i + 1
@@ -1528,25 +1683,14 @@ class WireServer:
                 "COPY table|(query) TO STDOUT [WITH (FORMAT text|csv"
                 "[, HEADER])]"
             )
-        opts = m.group("opts") or ""
-        if re.search(r"\bbinary\b", opts, re.IGNORECASE):
-            fmt = "binary"
-        elif re.search(r"\bcsv\b", opts, re.IGNORECASE):
-            fmt = "csv"
-        else:
-            fmt = "text"
-        header = bool(
-            re.search(r"\bheader\b(?!\s*(false|off|0))", opts, re.IGNORECASE)
-        )
-        if fmt == "binary" and header:
-            raise ValueError("COPY HEADER is not valid in BINARY format")
+        co = _parse_copy_opts(m.group("opts") or "")
         cols = [
             c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
         ]
         if m.group("dir").lower().startswith("from"):
             if m.group("query"):
                 raise ValueError("COPY FROM STDIN requires a table name")
-            self._copy_in(conn, m.group("table"), cols, fmt, header)
+            self._copy_in(conn, m.group("table"), cols, co)
         else:
             source = (
                 m.group("query")
@@ -1555,11 +1699,11 @@ class WireServer:
                     ", ".join(cols) if cols else "*", m.group("table")
                 )
             )
-            self._copy_out(conn, self._sql_with_mirror_targets(source), fmt, header)
+            self._copy_out(conn, self._sql_with_mirror_targets(source), co)
 
     def _copy_in(
         self, conn: socket.socket, table: str, cols: list[str],
-        fmt: str, header: bool,
+        co: _CopyOpts,
     ) -> None:
         """Chunked COPY FROM STDIN (VERDICT r8 #1): CopyData is parsed
         and applied every ~``copy_chunk_bytes`` instead of buffered
@@ -1572,7 +1716,7 @@ class WireServer:
         session stays usable."""
         ncols = len(cols) if cols else len(self._copy_target_columns(table))
         sink = self._copy_sink(table, cols)
-        binary = fmt == "binary"
+        binary = co.fmt == "binary"
         code = 1 if binary else 0
         conn.sendall(
             _msg(
@@ -1585,14 +1729,14 @@ class WireServer:
         failed = False
         error: Exception | None = None
         eof = False
-        skip_header = header
+        skip_header = co.header
         bin_header_done = False
         bin_parsed_header = False
 
         def cut_point() -> int:
             nonlocal bin_header_done
             if not binary:
-                return _copy_cut_point(buf, fmt)
+                return _copy_cut_point(buf, co)
             cut, bin_header_done, _ = _copy_binary_scan(
                 buf, bin_header_done
             )
@@ -1610,7 +1754,7 @@ class WireServer:
                     bin_parsed_header = True
                 else:
                     rows, eof = _copy_parse_rows(
-                        data.decode("utf-8", "replace"), fmt, skip_header
+                        data.decode("utf-8", "replace"), co, skip_header
                     )
                     skip_header = False
                 sink.apply(rows)
@@ -1687,10 +1831,10 @@ class WireServer:
         return self.spark.table(table).columns
 
     def _copy_out(
-        self, conn: socket.socket, df: DataFrame, fmt: str, header: bool
+        self, conn: socket.socket, df: DataFrame, co: _CopyOpts
     ) -> None:
         ncols = len(df.columns)
-        code = 1 if fmt == "binary" else 0
+        code = 1 if co.fmt == "binary" else 0
         conn.sendall(
             _msg(
                 b"H",
@@ -1698,7 +1842,7 @@ class WireServer:
                 + struct.pack("!h", code) * ncols,
             )
         )
-        if fmt == "binary":
+        if co.fmt == "binary":
             # PGCOPY header + per-tuple (int16 nfields, per-field
             # int32 length + typed bytes) + int16 -1 trailer — still
             # streamed via toLocalIterator (constant frontend memory)
@@ -1731,15 +1875,24 @@ class WireServer:
         import io as _io
 
         def render(row) -> bytes:
-            if fmt == "csv":
+            if co.fmt == "csv":
                 sio = _io.StringIO()
-                _csv.writer(sio, lineterminator="\n").writerow(
-                    ["" if v is None else _text(v) for v in row]
+                kw: dict = {
+                    "delimiter": co.delimiter, "quotechar": co.quote,
+                    "lineterminator": "\n",
+                }
+                if co.escape and co.escape != co.quote:
+                    kw["escapechar"] = co.escape
+                    kw["doublequote"] = False
+                _csv.writer(sio, **kw).writerow(
+                    [co.null if v is None else _text(v) for v in row]
                 )
                 return sio.getvalue().encode()
             return (
-                "\t".join(
-                    "\\N" if v is None else _copy_text_escape(_text(v))
+                co.delimiter.join(
+                    co.null
+                    if v is None
+                    else _copy_text_escape(_text(v), co.delimiter)
                     for v in row
                 )
                 + "\n"
@@ -1750,7 +1903,7 @@ class WireServer:
             return r.decode("utf-8", "replace") if r is not None else ""
 
         chunk = bytearray()
-        if header:
+        if co.header:
             chunk += _msg(b"d", render(df.columns))
         n = 0
         for row in df.toLocalIterator():

@@ -1721,3 +1721,108 @@ def test_copy_binary_into_mirrored_table(server, spark):
     assert (
         ev.filter("key >= 30000000 AND key < 30000004").count() == 4
     )
+
+
+# -- COPY options: DELIMITER / NULL / QUOTE / ESCAPE (r9) ---------------
+
+
+def test_copy_options_text_delimiter_and_null(server, spark):
+    """Pipe-delimited text dumps with a custom NULL marker — the
+    classic pre-csv dump shape — round-trip both directions."""
+    import uuid as _uuid
+
+    tbl = f"w9_opts_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT, s STRING) USING parquet")
+    try:
+        data = b"1|one\n2|NA\n3|pipe\\|in data\n"
+        c = _connect_raw(server.port)
+        try:
+            msgs = _copy_in_raw(
+                c,
+                f"COPY {tbl} FROM STDIN WITH "
+                "(FORMAT text, DELIMITER '|', NULL 'NA')",
+                [data],
+            )
+            assert [p for k, p in msgs if k == b"C"] == [b"COPY 3\x00"]
+            out = _copy_out_raw_text(
+                c,
+                f"COPY (SELECT * FROM {tbl} ORDER BY x) TO STDOUT "
+                "WITH (DELIMITER '|', NULL 'NA')",
+            )
+        finally:
+            c.close()
+        assert out == "1|one\n2|NA\n3|pipe\\|in data\n"
+        got = {
+            r["x"]: r["s"]
+            for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert got == {1: "one", 2: None, 3: "pipe|in data"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def _copy_out_raw_text(c, sql: str) -> str:
+    c.sendall(_frame(b"Q", sql.encode() + b"\x00"))
+    kind, _ = _read_msg(c)
+    assert kind == b"H", kind
+    out = bytearray()
+    while True:
+        kind, payload = _read_msg(c)
+        if kind == b"d":
+            out += payload
+        elif kind == b"c":
+            break
+    while True:
+        if _read_msg(c)[0] == b"Z":
+            return out.decode()
+
+
+def test_copy_options_csv_quote_escape_and_semantics(server, spark):
+    """CSV with a custom quote char and a custom (non-doubling)
+    escape: quoted newlines and escaped quotes survive the chunked
+    scanner (tiny chunk, slivered messages)."""
+    import uuid as _uuid
+
+    server.copy_chunk_bytes = 32
+    tbl = f"w9_csvq_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {tbl} (x INT, s STRING) USING parquet")
+    try:
+        # quote = $, escape = \ : fields with embedded newline, the
+        # quote char itself (escaped as \$ inside quotes), and the
+        # delimiter
+        data = b"1,$li\\$\nnext$\n2,$a,b$\n3,plain\n"
+        msgs = [data[i : i + 3] for i in range(0, len(data), 3)]
+        c = _connect_raw(server.port)
+        try:
+            out = _copy_in_raw(
+                c,
+                f"COPY {tbl} FROM STDIN WITH (FORMAT csv, "
+                "QUOTE '$', ESCAPE E'\\\\')",
+                msgs,
+            )
+            assert [p for k, p in out if k == b"C"] == [b"COPY 3\x00"]
+        finally:
+            c.close()
+        got = {
+            r["x"]: r["s"]
+            for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert got == {1: "li$\nnext", 2: "a,b", 3: "plain"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_copy_options_invalid_rejected(server):
+    """Postgres-parity validation: multi-char delimiter, QUOTE in
+    text format, options in binary format — typed errors, session
+    survives."""
+    for sql in (
+        "COPY nation TO STDOUT WITH (DELIMITER 'ab')",
+        "COPY nation TO STDOUT WITH (FORMAT text, QUOTE 'x')",
+        "COPY nation TO STDOUT WITH (FORMAT binary, DELIMITER '|')",
+        "COPY nation TO STDOUT WITH (FORMAT nonsense)",
+    ):
+        r = _psql(server.port, sql)
+        assert r.returncode != 0 and "ERROR" in r.stderr, sql
+    r = _psql(server.port, "SELECT 9 AS ok")
+    assert r.returncode == 0 and r.stdout.strip() == "9"
