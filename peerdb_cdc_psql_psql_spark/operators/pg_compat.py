@@ -403,7 +403,57 @@ def _register_infoschema(spark: SparkSession) -> None:
         "string, character_maximum_length int, numeric_precision "
         "int, numeric_scale int, udt_name string",
     ).createOrReplaceTempView("information_schema_columns")
+    # PK/FK constraints are REAL where the engine knows them: the
+    # DDL surface (sources/ddl.py::create_table, D2) records
+    # 'primary_key' and 'fk_<col>' TBLPROPERTIES — serve those back
+    # through the standard relations instead of always-empty (r9).
+    cons_rows: list[tuple] = []
+    kcu_rows: list[tuple] = []
+    for t in spark.catalog.listTables():
+        if t.tableType == "TEMPORARY" or t.name.startswith(
+            ("pg_", "information_schema_")
+        ):
+            continue
+        try:
+            props = {
+                r[0]: r[1]
+                for r in spark.sql(
+                    f"SHOW TBLPROPERTIES {t.name}"
+                ).collect()
+            }
+        except Exception:  # noqa: BLE001 — view/table vanished
+            continue
+        pk = props.get("primary_key")
+        if pk:
+            cn = f"{t.name}_pkey"
+            cons_rows.append((cat, sch, cn, cat, sch, t.name,
+                              "PRIMARY KEY"))
+            kcu_rows.append((cat, sch, cn, cat, sch, t.name, pk, 1))
+        for k, v in props.items():
+            if k.startswith("fk_"):
+                col = k[3:]
+                cn = f"{t.name}_{col}_fkey"
+                cons_rows.append((cat, sch, cn, cat, sch, t.name,
+                                  "FOREIGN KEY"))
+                kcu_rows.append(
+                    (cat, sch, cn, cat, sch, t.name, col, 1)
+                )
+    spark.createDataFrame(
+        cons_rows,
+        "constraint_catalog string, constraint_schema string, "
+        "constraint_name string, table_catalog string, table_schema "
+        "string, table_name string, constraint_type string",
+    ).createOrReplaceTempView("information_schema_table_constraints")
+    spark.createDataFrame(
+        kcu_rows,
+        "constraint_catalog string, constraint_schema string, "
+        "constraint_name string, table_catalog string, table_schema "
+        "string, table_name string, column_name string, "
+        "ordinal_position int",
+    ).createOrReplaceTempView("information_schema_key_column_usage")
     for rel in _INFOSCHEMA_EMPTY:
+        if rel in ("table_constraints", "key_column_usage"):
+            continue
         spark.createDataFrame(
             [],
             "constraint_catalog string, constraint_schema string, "

@@ -379,3 +379,37 @@ def test_stat_views_shaped_empty_without_provider(spark):
         "SELECT slot_name FROM pg_replication_slots WHERE active",
     )
     assert spark.sql(out).columns == ["slot_name"]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_infoschema_constraints_from_ddl_properties(pg_server, spark, tmp_path):
+    """PK/FK metadata recorded by the DDL surface (D2 TBLPROPERTIES)
+    answers information_schema.table_constraints/key_column_usage —
+    the shape schema-introspection tools ask for."""
+    import uuid as _uuid
+
+    from peerdb_cdc_psql_psql_spark.sources.ddl import create_table
+    from pyspark.sql import types as T
+
+    tbl = f"w9_cons_{_uuid.uuid4().hex[:8]}"
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("p", T.LongType())]
+    )
+    create_table(
+        spark, "default", tbl, schema, str(tmp_path / "t"),
+        primary_key="id", foreign_keys={"p": ("parent", "id")},
+    )
+    try:
+        r = _psql(
+            pg_server.port,
+            "SELECT tc.constraint_type, k.column_name "
+            "FROM information_schema.table_constraints tc "
+            "JOIN information_schema.key_column_usage k "
+            "USING (constraint_name) "
+            f"WHERE tc.table_name = '{tbl}' ORDER BY 1",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "PRIMARY KEY" in r.stdout and "id" in r.stdout
+        assert "FOREIGN KEY" in r.stdout and "p" in r.stdout
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS default.{tbl}")
