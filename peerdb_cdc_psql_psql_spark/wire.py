@@ -1223,6 +1223,7 @@ class WireServer:
                     "backend_start": _dt.datetime.now(),
                     "state": "idle", "query": "",
                 }
+            self._session_local.pid = pid  # for extended-protocol rows
             self.spark.sparkContext.setJobGroup(
                 group, f"wire connection {pid}", interruptOnCancel=True
             )
@@ -1298,11 +1299,22 @@ class WireServer:
                     # Parse/Bind/Describe/Execute/Close (enough for
                     # psycopg2/JDBC default mode — VERDICT r5 #6)
                     if not ext.skip_to_sync:
+                        if kind == b"E":
+                            with self._cancel_lock:
+                                row = self._activity.get(pid)
+                                if row is not None:
+                                    row["state"] = "active"
                         try:
                             self._extended(conn, kind, payload, ext)
                         except Exception as e:  # noqa: BLE001
                             conn.sendall(_error_for(e))
                             ext.skip_to_sync = True
+                        finally:
+                            if kind == b"E":
+                                with self._cancel_lock:
+                                    row = self._activity.get(pid)
+                                    if row is not None:
+                                        row["state"] = "idle"
                 else:
                     conn.sendall(
                         _error(
@@ -2068,6 +2080,14 @@ class WireServer:
             if name not in ext.portals:
                 raise ValueError(f"unknown portal {name!r}")
             portal = ext.portals[name]
+            # pg_stat_activity: extended-protocol traffic (JDBC/
+            # psycopg) reports its query text too, not just 'Q'
+            pid = getattr(self._session_local, "pid", None)
+            if pid is not None:
+                with self._cancel_lock:
+                    row = self._activity.get(pid)
+                    if row is not None:
+                        row["query"] = (portal.get("sql") or "")[:1024]
             if portal["iter"] is not None:
                 # resume a suspended portal (cursor paging)
                 self._send_portal_rows(conn, portal, max_rows)
