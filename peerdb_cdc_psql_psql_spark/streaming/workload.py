@@ -204,6 +204,46 @@ def events_df(spark: SparkSession, events: list[tuple]) -> DataFrame:
 
 _EVENTS_PER_FILE = 500_000  # keep WAL batch files task-sized
 
+# -- serialized LSN allocation (VERDICT r9 #2) -------------------------
+#
+# Every interactive WAL writer in this process (wire DML statements,
+# COPY FROM STDIN chunks, tests) reserves LSNs through ONE lock +
+# per-WAL high-water cache: two concurrent sessions writing the same
+# table — or a long COPY overlapping any DML — can no longer read the
+# same MAX(lsn) and mint colliding LSNs (the merge tiebreak is
+# lsn-first, so a collision picked a nondeterministic winner). The
+# cache also covers writes still sitting in dot-prefixed staging dirs
+# (invisible to the MAX(lsn) scan until commit); the disk re-read
+# under the lock covers external writers that appended with
+# pre-assigned ranges. Aborted reservations leave gaps — fine, like
+# Postgres sequences.
+import threading as _threading
+
+_LSN_LOCK = _threading.Lock()
+_LSN_NEXT: dict[str, int] = {}
+
+
+def allocate_lsns(spark: SparkSession, event_dir: str, n: int) -> int:
+    """Reserve ``n`` consecutive LSNs for the WAL at ``event_dir``;
+    returns the first. Serialized process-wide (the single-driver
+    frontend's writer set); the MAX(lsn) read is parquet footer
+    statistics only."""
+    key = event_dir.rstrip("/")
+    with _LSN_LOCK:
+        try:
+            row = (
+                spark.read.schema(CDC_EVENT_SCHEMA)
+                .parquet(key)
+                .agg({"lsn": "max"})
+                .collect()[0]
+            )
+            disk = row[0] or 0
+        except Exception:  # noqa: BLE001 — empty/missing WAL starts at 0
+            disk = 0
+        first = max(disk + 1, _LSN_NEXT.get(key, 1))
+        _LSN_NEXT[key] = first + n
+        return first
+
 
 def append_events(spark: SparkSession, events: list[tuple], event_dir: str) -> None:
     """Append a batch of change events to the WAL-equivalent log dir

@@ -1826,3 +1826,349 @@ def test_copy_options_invalid_rejected(server):
         assert r.returncode != 0 and "ERROR" in r.stderr, sql
     r = _psql(server.port, "SELECT 9 AS ok")
     assert r.returncode == 0 and r.stdout.strip() == "9"
+
+
+# -- password authentication (r10): SCRAM-SHA-256 + cleartext -----------
+
+
+def _psql_auth(port: int, sql: str, user="u", password=None, extra=""):
+    conninfo = f"host=127.0.0.1 port={port} user={user} dbname=d " + (
+        f"password={password} " if password is not None else ""
+    ) + (extra or "sslmode=disable")
+    return subprocess.run(
+        ["psql", conninfo, "-tA", "-c", sql],
+        capture_output=True, text=True, timeout=120,
+    )
+
+
+@pytest.fixture()
+def auth_server(spark):
+    srv = WireServer(
+        spark, port=0, sf_dir=SF, auth={"u": "s3kret", "etl": "pw2"}
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_scram_auth_roundtrip(auth_server):
+    """libpq negotiates SCRAM-SHA-256 end-to-end: right password in,
+    rows out — the exchange the reference's password-protected
+    peerdb-server requires (docker-compose.yml:161)."""
+    r = _psql_auth(auth_server.port, "SELECT 7 AS ok", password="s3kret")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "7"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_scram_wrong_password_28p01(auth_server):
+    r = _psql_auth(auth_server.port, "SELECT 1", password="nope")
+    assert r.returncode != 0
+    assert "password authentication failed" in r.stderr
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_scram_unknown_user_indistinguishable(auth_server):
+    """Unknown user runs a mock exchange — same message, no
+    user-enumeration oracle."""
+    r = _psql_auth(
+        auth_server.port, "SELECT 1", user="ghost", password="s3kret"
+    )
+    assert r.returncode != 0
+    assert "password authentication failed" in r.stderr
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_cleartext_auth_roundtrip(spark):
+    srv = WireServer(
+        spark, port=0, sf_dir=SF, auth={"u": "pw"}, auth_method="password"
+    )
+    srv.start()
+    try:
+        ok = _psql_auth(srv.port, "SELECT 3 AS ok", password="pw")
+        assert ok.returncode == 0, ok.stderr
+        assert ok.stdout.strip() == "3"
+        bad = _psql_auth(srv.port, "SELECT 1", password="wrong")
+        assert bad.returncode != 0
+        assert "password authentication failed" in bad.stderr
+    finally:
+        srv.stop()
+
+
+def _scram_client_exchange(c, user: str, password: str):
+    """Hand-rolled RFC 5802 client over a raw socket; returns
+    (final auth kind byte, payload, expected server signature)."""
+    import base64
+    import hashlib
+    import hmac
+    import os as _os
+
+    params = f"user\x00{user}\x00database\x00d\x00\x00".encode()
+    c.sendall(_struct.pack("!ii", 8 + len(params), 196608) + params)
+    kind, payload = _read_msg(c)
+    assert kind == b"R"
+    assert _struct.unpack("!i", payload[:4])[0] == 10  # AuthenticationSASL
+    assert b"SCRAM-SHA-256\x00" in payload[4:]
+    cnonce = base64.b64encode(_os.urandom(16)).decode()
+    gs2 = "n,,"
+    cfb = f"n=,r={cnonce}"
+    init = (gs2 + cfb).encode()
+    c.sendall(
+        _frame(
+            b"p",
+            b"SCRAM-SHA-256\x00" + _struct.pack("!i", len(init)) + init,
+        )
+    )
+    kind, payload = _read_msg(c)
+    assert kind == b"R"
+    assert _struct.unpack("!i", payload[:4])[0] == 11  # SASLContinue
+    server_first = payload[4:].decode()
+    attrs = dict(p.split("=", 1) for p in server_first.split(","))
+    nonce = attrs["r"]
+    assert nonce.startswith(cnonce) and len(nonce) > len(cnonce)
+    salt, iters = base64.b64decode(attrs["s"]), int(attrs["i"])
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    ckey = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored = hashlib.sha256(ckey).digest()
+    cwp = f"c={base64.b64encode(gs2.encode()).decode()},r={nonce}"
+    auth_msg = f"{cfb},{server_first},{cwp}".encode()
+    csig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
+    proof = bytes(a ^ b for a, b in zip(ckey, csig))
+    c.sendall(
+        _frame(b"p", f"{cwp},p={base64.b64encode(proof).decode()}".encode())
+    )
+    skey = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    expect_sig = hmac.new(skey, auth_msg, hashlib.sha256).digest()
+    kind, payload = _read_msg(c)
+    return kind, payload, expect_sig
+
+
+def test_scram_raw_exchange_verifies_server_signature(auth_server):
+    """No-psql SCRAM pin: the exact RFC 5802 exchange, including the
+    server signature (v=…) that proves the SERVER knew the password —
+    mutual authentication, which cleartext auth cannot give."""
+    import base64
+
+    c = _sk.create_connection(("127.0.0.1", auth_server.port), timeout=30)
+    try:
+        kind, payload, expect_sig = _scram_client_exchange(c, "u", "s3kret")
+        assert kind == b"R"
+        assert _struct.unpack("!i", payload[:4])[0] == 12  # SASLFinal
+        assert payload[4:] == b"v=" + base64.b64encode(expect_sig)
+        msgs = _drain_until_ready(c)
+        assert (b"R", _struct.pack("!i", 0)) in msgs  # AuthenticationOk
+        c.sendall(_frame(b"Q", b"SELECT 11 AS authed\x00"))
+        msgs = _drain_until_ready(c)
+        assert b"11" in [p for k, p in msgs if k == b"D"][0]
+    finally:
+        c.close()
+
+
+def test_scram_raw_wrong_password_gets_fatal_28p01(auth_server):
+    c = _sk.create_connection(("127.0.0.1", auth_server.port), timeout=30)
+    try:
+        kind, payload, _ = _scram_client_exchange(c, "u", "wrong")
+        assert kind == b"E"
+        assert b"28P01" in payload and b"FATAL" in payload
+        assert c.recv(1) == b""  # server closed the connection
+    finally:
+        c.close()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_tls_plus_scram_roundtrip(spark, tmp_path):
+    """TLS + SCRAM combined — the r9 encrypted channel now also
+    authenticates (VERDICT r9 #1 'done' criterion)."""
+    import subprocess as _sp
+
+    cert, key = str(tmp_path / "cert.pem"), str(tmp_path / "key.pem")
+    r = _sp.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout",
+         key, "-out", cert, "-days", "1", "-nodes", "-subj",
+         "/CN=localhost"],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"openssl cert generation failed: {r.stderr[:200]}")
+    srv = WireServer(
+        spark, port=0, sf_dir=SF, tls_cert=cert, tls_key=key,
+        auth={"u": "tlspw"},
+    )
+    srv.start()
+    try:
+        ok = _psql_auth(
+            srv.port, "SELECT COUNT(*) AS n FROM nation",
+            password="tlspw", extra="sslmode=require",
+        )
+        if ok.returncode != 0 and "not compiled" in (ok.stderr or "").lower():
+            pytest.skip("libpq built without SSL support")
+        assert ok.returncode == 0, ok.stderr
+        assert int(ok.stdout.strip()) > 0
+        bad = _psql_auth(
+            srv.port, "SELECT 1", password="bad", extra="sslmode=require",
+        )
+        assert bad.returncode != 0
+        assert "password authentication failed" in bad.stderr
+    finally:
+        srv.stop()
+
+
+# -- non-key DML predicates + serialized LSN allocation (r10) -----------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_update_delete_non_key_predicate(server, spark):
+    """VERDICT r9 #3: UPDATE/DELETE with an arbitrary WHERE evaluate
+    against the merged source state and emit one event per matched
+    key — the multi-row command tag psql prints for the reference
+    schema's ordinary statements."""
+    # fixture WAL state: key 1 quantity 9 (after the U), key 2 qty 7
+    r = _psql(
+        server.port, "UPDATE orders SET quantity = 42 WHERE quantity > 6"
+    )
+    assert r.returncode == 0, r.stderr
+    assert "UPDATE 2" in r.stdout
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+    ev = (
+        spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(server.mirror_env["event_dir"])
+        .collect()
+    )
+    ups = [e for e in ev if e["op"] == "U" and '"quantity": 42' in (e["after_json"] or "")]
+    assert sorted(e["key"] for e in ups) == [1, 2]
+    assert len({e["lsn"] for e in ev}) == len(ev)  # all LSNs distinct
+    # zero-match predicate → UPDATE 0, no event
+    r0 = _psql(server.port, "UPDATE orders SET quantity = 1 WHERE quantity > 999")
+    assert "UPDATE 0" in r0.stdout
+    # DELETE by predicate
+    rd = _psql(server.port, "DELETE FROM orders WHERE quantity = 42")
+    assert rd.returncode == 0, rd.stderr
+    assert "DELETE 2" in rd.stdout
+    # bad predicate = typed error, session still alive
+    rb = _psql(server.port, "UPDATE orders SET quantity = 1 WHERE bogus_col = 3")
+    assert rb.returncode != 0 and "ERROR" in rb.stderr
+    ok = _psql(server.port, "SELECT 5 AS alive")
+    assert ok.returncode == 0 and ok.stdout.strip() == "5"
+
+
+def test_concurrent_dml_and_copy_mint_distinct_lsns(spark, tmp_path):
+    """VERDICT r9 #2 e2e: two concurrent DML writer threads plus a
+    chunked COPY sink on one WAL — every event lands a distinct LSN
+    (the serialized allocator), where the old per-statement
+    MAX(lsn)+1 read raced."""
+    import threading
+
+    from peerdb_cdc_psql_psql_spark.catalog import DEMO_SCHEMAS
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import (
+        execute_dml_command,
+    )
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+    from peerdb_cdc_psql_psql_spark.wire import _MirrorCopySink
+
+    event_dir = str(tmp_path / "wal")
+    t0 = dt.datetime(2024, 1, 1)
+    workload.append_events(
+        spark, [(1, t0, "I", "orders", 1, '{"id": 1}')], event_dir
+    )
+    errors: list = []
+
+    def dml(base: int) -> None:
+        try:
+            for i in range(4):
+                execute_dml_command(
+                    spark,
+                    f"INSERT INTO orders (id, quantity) VALUES ({base + i}, 1)",
+                    schemas=DEMO_SCHEMAS, event_dir=event_dir,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def copy() -> None:
+        try:
+            sink = _MirrorCopySink(
+                spark, "orders", ["id", "quantity"], DEMO_SCHEMAS,
+                event_dir, "id",
+            )
+            for c in range(3):
+                sink.apply(
+                    [[str(1000 + c * 10 + j), "2"] for j in range(4)]
+                )
+            sink.commit()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=dml, args=(100,)),
+        threading.Thread(target=dml, args=(200,)),
+        threading.Thread(target=copy),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    rows = (
+        spark.read.schema(CDC_EVENT_SCHEMA).parquet(event_dir).collect()
+    )
+    assert len(rows) == 1 + 8 + 12
+    lsns = [r["lsn"] for r in rows]
+    assert len(set(lsns)) == len(lsns), "colliding LSNs minted"
+
+
+# -- COPY option validation hardening (ADVICE r9) -----------------------
+
+
+def test_copy_delimiter_postgres_bad_chars_rejected(server):
+    """copy.c parity: backslash, dot, lowercase letters, digits are
+    not legal delimiters (DELIMITER 'n' silently corrupted data —
+    'banana' round-tripped with embedded newlines), and the delimiter
+    must not appear in the NULL string."""
+    for sql in (
+        "COPY nation TO STDOUT WITH (DELIMITER 'n')",
+        "COPY nation TO STDOUT WITH (DELIMITER '.')",
+        "COPY nation TO STDOUT WITH (DELIMITER E'\\\\')",
+        "COPY nation TO STDOUT WITH (FORMAT csv, DELIMITER '7')",
+        "COPY nation TO STDOUT WITH (DELIMITER '|', NULL 'a|b')",
+    ):
+        r = _psql(server.port, sql)
+        assert r.returncode != 0 and "ERROR" in r.stderr, sql
+    ok = _psql(server.port, "SELECT 8 AS ok")
+    assert ok.returncode == 0 and ok.stdout.strip() == "8"
+
+
+def test_copy_legacy_as_option_syntax():
+    """Pre-9.0 'DELIMITER AS X' / 'NULL AS Y' must be honored — the
+    old regex required the value to ABUT the keyword, so the AS form
+    parsed as tab-delimited and mis-split every field (ADVICE r9)."""
+    from peerdb_cdc_psql_psql_spark.wire import _parse_copy_opts
+
+    co = _parse_copy_opts("DELIMITER AS '|'")
+    assert co.delimiter == "|"
+    co = _parse_copy_opts("CSV DELIMITER AS ';' NULL AS 'NA'")
+    assert co.fmt == "csv" and co.delimiter == ";" and co.null == "NA"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_copy_to_stdout_legacy_as_delimiter(server):
+    r = _psql(server.port, "COPY region TO STDOUT WITH DELIMITER AS '|'")
+    assert r.returncode == 0, r.stderr
+    first = r.stdout.splitlines()[0]
+    assert first.count("|") >= 1 and "\t" not in first
+
+
+def test_binary_copy_negative_length_rejected():
+    """Only -1 is NULL in binary COPY; -5 is a corrupt stream and
+    must raise, not silently decode as NULL (ADVICE r9)."""
+    from peerdb_cdc_psql_psql_spark.wire import (
+        _copy_binary_scan,
+        _copy_parse_binary_rows,
+    )
+
+    row = _struct.pack("!h", 1) + _struct.pack("!i", -5)
+    with pytest.raises(ValueError, match="field length"):
+        _copy_parse_binary_rows(row, ["int"], skip_header=False)
+    hdr = b"PGCOPY\n\xff\r\n\x00" + _struct.pack("!ii", 0, 0)
+    with pytest.raises(ValueError, match="field length"):
+        _copy_binary_scan(hdr + row, header_done=False)
