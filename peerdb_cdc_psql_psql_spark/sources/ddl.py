@@ -37,6 +37,13 @@ def create_table(
         props.append(f"'primary_key' = '{primary_key}'")
     for col, (ref_t, ref_c) in (foreign_keys or {}).items():
         props.append(f"'fk_{col}' = '{ref_t}.{ref_c}'")
+    # Parquet-backed catalog tables erase StructField nullability, so
+    # declared NOT NULL columns are recorded as a property too — the
+    # information_schema check_constraints emulation serves them back
+    # (pg_compat, r10), like Postgres surfaces NOT NULL as CHECKs.
+    not_null = [f.name for f in schema.fields if not f.nullable]
+    if not_null:
+        props.append(f"'not_null' = '{','.join(not_null)}'")
     if props:
         spark.sql(
             f"ALTER TABLE {database}.{table} SET TBLPROPERTIES ({', '.join(props)})"
