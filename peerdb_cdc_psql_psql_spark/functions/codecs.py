@@ -11,16 +11,16 @@ JPEG (numpy DCT, canonical Huffman, 4:4:4 and 4:2:0, DRI/RSTn in
 both scan families, interleaved / non-interleaved / §A.2.3 partially
 interleaved scans, 8/16-bit DQT, EXIF APP1 orientation applied on
 decode — r9), TIFF (both byte orders, strips and tiles, chunky and
-planar, 8/16-bit, PackBits + EarlyChange-LZW, predictor 2, and — r9
-— 32-bit IEEE-float samples with TechNote-3 predictor 3 in the
-chunky strip layout), DIB/MJPG AVI, and the MP4/ISO-BMFF container
+planar, 8/16-bit, PackBits + EarlyChange-LZW, predictor 2, and
+32-bit IEEE-float samples with TechNote-3 predictor 3 across ALL
+four layout combinations — r10 closes the last tiled/planar float
+boundary), DIB/MJPG AVI, and the MP4/ISO-BMFF container
 (photo-JPEG tracks, stco and co64). These are REAL codecs — they
 parse the actual bytes (chunk/box walking, stride padding, filter
 reconstruction, entropy decode), not fakes. What still raises
 ``NotImplementedError`` is the H.264/HEVC *bitstream* (CABAC +
-inter-frame prediction — a codec library, not a struct walk) plus
-tiled/planar FLOAT TIFF (float rasters ship overwhelmingly as
-chunky strips; the integer tiled/planar paths exist).
+inter-frame prediction — a codec library, not a struct walk; the
+sanctioned exclusion).
 
 Everything here is per-payload pure functions; the Spark side wraps
 them in Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
@@ -4237,6 +4237,41 @@ def _tiff_undiff(
     return (np.cumsum(a.astype(np.int64), axis=1) & mask).astype(dtype)
 
 
+def _tiff_float_diff(block: np.ndarray) -> bytes:
+    """TIFF TechNote 3 floating-point differencing over a (rows,
+    cols, ch) float32 block: per row, samples to big-endian,
+    byte-plane reorder (all MSBs first, then every sample's next
+    byte, …), horizontal byte difference."""
+    rows, cols, ch = block.shape
+    be = np.frombuffer(
+        np.ascontiguousarray(block).astype(">f4").tobytes(), np.uint8
+    ).reshape(rows, cols * ch, 4)
+    reordered = np.moveaxis(be, 2, 1).reshape(rows, cols * ch * 4)
+    d = reordered.astype(np.int16)
+    d[:, 1:] -= reordered[:, :-1].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _tiff_float_undiff(
+    raw: bytes, rows: int, cols: int, ch: int
+) -> np.ndarray:
+    """Inverse of TechNote 3 differencing — cumulative byte sum per
+    row (mod 256), then gather each sample's 4 bytes back from the
+    byte planes as big-endian. Row width is the STORED segment's
+    width (tile-wide in tiled files), exactly like the §14 integer
+    predictor."""
+    a = np.frombuffer(raw, np.uint8).reshape(rows, cols * ch * 4)
+    acc = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+    be = np.moveaxis(acc.reshape(rows, 4, cols * ch), 1, 2)
+    return (
+        np.frombuffer(
+            np.ascontiguousarray(be).tobytes(), np.dtype(">f4")
+        )
+        .reshape(rows, cols, ch)
+        .astype(np.float32)
+    )
+
+
 def encode_tiff_ext(
     pixels: np.ndarray, compression: str = "none", predictor: int = 1,
     rows_per_strip: int = 8, tile: tuple[int, int] | None = None,
@@ -4254,11 +4289,24 @@ def encode_tiff_ext(
     16 for real interchange but any positive size decodes here.
     uint16 input writes a 16-bit file (bits-per-sample 16, samples in
     the header's little-endian order — r8 second pass, the
-    scientific/scanner depth)."""
+    scientific/scanner depth). float input writes a SampleFormat-3
+    32-bit IEEE file (r10 — tiled/planar FLOAT composition closes the
+    r9 typed boundary); ``predictor=3`` applies TechNote 3 float
+    differencing per stored segment row, ``predictor=2`` is invalid
+    on float samples per the spec."""
     src = np.asarray(pixels)
-    dt = np.dtype("<u2") if src.dtype == np.uint16 else np.dtype("u1")
-    depth = 8 * dt.itemsize
-    mask = (1 << depth) - 1
+    is_float = np.issubdtype(src.dtype, np.floating)
+    if is_float:
+        dt = np.dtype("<f4")
+        depth, mask = 32, 0
+        if predictor == 2:
+            raise ValueError("predictor 2 is invalid on float samples")
+    else:
+        dt = np.dtype("<u2") if src.dtype == np.uint16 else np.dtype("u1")
+        depth = 8 * dt.itemsize
+        mask = (1 << depth) - 1
+        if predictor == 3:
+            raise ValueError("predictor 3 requires float samples")
     px = src.astype(dt)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -4279,21 +4327,25 @@ def encode_tiff_ext(
                     block = np.zeros((th, tw, seg_ch), dt)
                     part = plane[y0 : y0 + th, x0 : x0 + tw, :]
                     block[: part.shape[0], : part.shape[1], :] = part
-                    raw = (
-                        _tiff_diff(block, dt, mask)
-                        if predictor == 2
-                        else block.tobytes()
-                    )
+                    if predictor == 2:
+                        raw = _tiff_diff(block, dt, mask)
+                    elif predictor == 3:
+                        raw = _tiff_float_diff(block.astype(np.float32))
+                    else:
+                        raw = block.tobytes()
                     segments.append(_tiff_compress(raw, compression))
     else:
         for plane in planes:
             for y0 in range(0, h, rows_per_strip):
-                block = plane[y0 : y0 + rows_per_strip, :, :]
-                raw = (
-                    _tiff_diff(block, dt, mask)
-                    if predictor == 2
-                    else np.ascontiguousarray(block).tobytes()
+                block = np.ascontiguousarray(
+                    plane[y0 : y0 + rows_per_strip, :, :]
                 )
+                if predictor == 2:
+                    raw = _tiff_diff(block, dt, mask)
+                elif predictor == 3:
+                    raw = _tiff_float_diff(block.astype(np.float32))
+                else:
+                    raw = block.tobytes()
                 segments.append(_tiff_compress(raw, compression))
 
     # IFD builder: entries in ascending tag order, out-of-line value
@@ -4307,8 +4359,10 @@ def encode_tiff_ext(
         (277, 3, [ch]),
         (284, 3, [2 if planar else 1]),
     ]
-    if predictor == 2:
-        entries.append((317, 3, [2]))
+    if predictor in (2, 3):
+        entries.append((317, 3, [predictor]))
+    if is_float:
+        entries.append((339, 3, [3] * ch))  # SampleFormat: IEEE float
     if tile is not None:
         entries.append((322, 4, [tile[0]]))
         entries.append((323, 4, [tile[1]]))
@@ -4390,13 +4444,16 @@ def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
                         payload[off : off + cnt],
                         tw * th * seg_ch * sz, comp,
                     )
-                    block = (
-                        _tiff_undiff(raw, th, tw, seg_ch, dtype, mask)
-                        if d["predictor"] == 2
-                        else np.frombuffer(raw, dtype).reshape(
+                    if d["predictor"] == 2:
+                        block = _tiff_undiff(
+                            raw, th, tw, seg_ch, dtype, mask
+                        )
+                    elif d["predictor"] == 3:
+                        block = _tiff_float_undiff(raw, th, tw, seg_ch)
+                    else:
+                        block = np.frombuffer(raw, dtype).reshape(
                             th, tw, seg_ch
                         )
-                    )
                     ys, xs = ti * th, tj * tw
                     hh, ww_ = min(th, h - ys), min(tw, w - xs)
                     if planar:
@@ -4420,13 +4477,16 @@ def _assemble_tiff_general(payload: bytes, d: dict) -> np.ndarray:
                     payload[off : off + cnt], rows * w * seg_ch * sz,
                     comp,
                 )
-                block = (
-                    _tiff_undiff(raw, rows, w, seg_ch, dtype, mask)
-                    if d["predictor"] == 2
-                    else np.frombuffer(raw, dtype).reshape(
+                if d["predictor"] == 2:
+                    block = _tiff_undiff(
+                        raw, rows, w, seg_ch, dtype, mask
+                    )
+                elif d["predictor"] == 3:
+                    block = _tiff_float_undiff(raw, rows, w, seg_ch)
+                else:
+                    block = np.frombuffer(raw, dtype).reshape(
                         rows, w, seg_ch
                     )
-                )
                 out[si * rps : si * rps + rows, :, p] = block[:, :, 0]
     return out.reshape((h, w) if ch == 1 else (h, w, ch))
 
@@ -4439,12 +4499,12 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     d = decode_tiff_meta(payload)
     h, w, ch = d["height"], d["width"], d["n_channels"]
     if d["layout"] == "tiles" or d["planar"]:
+        px = _assemble_tiff_general(payload, d)
+        # float rasters surface as native float32 regardless of the
+        # file's byte order, matching the chunky-strip float path
         if d["sample_format"] == "float":
-            raise NotImplementedError(
-                "floating-point TIFF supports the chunky strip "
-                "layout only"
-            )
-        return _assemble_tiff_general(payload, d)
+            px = px.astype(np.float32)
+        return px
     dtype, mask = _tiff_sample_type(d)
     row_bytes = w * ch * dtype.itemsize
     raw = bytearray()
@@ -4458,21 +4518,9 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         )
     if d["sample_format"] == "float":
         if d["predictor"] == 3:
-            # TIFF TechNote 3: each row was byte-plane-reordered (all
-            # big-endian MSBs first, then the next byte of every
-            # sample, …) and horizontally byte-differenced. Invert:
-            # cumulative byte sum per row (mod 256), then gather each
-            # sample's 4 bytes back from the planes as big-endian.
-            rows = np.frombuffer(bytes(raw), np.uint8).reshape(
-                h, w * ch * 4
-            )
-            acc = np.cumsum(rows.astype(np.int64), axis=1).astype(
-                np.uint8
-            )
-            be = np.moveaxis(acc.reshape(h, 4, w * ch), 1, 2)
-            arr = np.frombuffer(
-                np.ascontiguousarray(be).tobytes(), np.dtype(">f4")
-            )
+            # TIFF TechNote 3 inversion (shared with the tiled/planar
+            # assembly, where it runs per stored segment)
+            arr = _tiff_float_undiff(bytes(raw), h, w, ch)
         else:
             arr = np.frombuffer(bytes(raw), dtype=dtype)
         return (

@@ -3236,6 +3236,127 @@ def multimodal_tiff_float_decode(
     )
 
 
+_TIFF_FLOAT_EXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("layout", T.StringType()),
+        T.StructField("planar", T.LongType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("predictor", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("sum_val", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_tiff_float_tiled_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS m, doc_id // 3 AS k,
+         (doc_id // 3) % 5 * 3 + 7 AS h,
+         (doc_id // 3) % 4 * 5 + 9 AS w,
+         doc_id % 50 AS b0,
+         doc_id % 5 + 3 AS rps,
+         (doc_id // 3) % 3 AS lay,
+         ((doc_id // 3) // 2) % 2 * 8 + 8 AS tw
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id >= 200 AND doc_id < 350
+)
+SELECT m AS media_id,
+       CASE WHEN lay IN (0, 2) THEN 'tiles' ELSE 'strips' END AS layout,
+       CASE WHEN lay IN (1, 2) THEN 1 ELSE 0 END AS planar,
+       CASE (k // 3) % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+            WHEN 2 THEN 'lzw' ELSE 'deflate' END AS compression,
+       k % 2 * 2 + 1 AS predictor,
+       w AS width, h AS height, 3 AS n_channels,
+       CASE WHEN lay IN (0, 2)
+            THEN ((w + tw - 1) // tw) * ((h + 7) // 8)
+                 * (CASE WHEN lay = 2 THEN 3 ELSE 1 END)
+            ELSE ((h + rps - 1) // rps) * 3 END AS n_segments,
+       3 * h * w * b0 + 9 * w * (h * (h - 1) // 2)
+         + 21 * h * (w * (w - 1) // 2) + 33 * h * w AS sum_val
+FROM p
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_tiff_float_tiled_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TILED and PLANAR floating-point TIFF decode (X5, r10 — closes
+    the r9 documented boundary: TechNote-3 float rasters in all four
+    layout combinations, not only chunky strips). 3-band
+    integer-valued float32 gradients rotate over layout (tiled
+    chunky / planar strips / tiled planar), tile width 8 vs 16,
+    none/PackBits/LZW/Deflate, and predictor 1 vs 3 — the predictor
+    inverts per STORED segment row (tile-wide in tiled files), so a
+    whole-image inversion or a wrong plane-major segment order each
+    breaks the closed-form band sums the oracle pins."""
+    from ..functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 200)
+        & (F.col("media_id") < 350)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw", "deflate")
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                k = m // 3
+                h, w = k % 5 * 3 + 7, k % 4 * 5 + 9
+                b0, rps = m % 50, m % 5 + 3
+                lay, tw = k % 3, (k // 2) % 2 * 8 + 8
+                px = (
+                    b0
+                    + 3 * np.arange(h, dtype=np.int64)[:, None, None]
+                    + 7 * np.arange(w, dtype=np.int64)[None, :, None]
+                    + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+                ).astype(np.float32)
+                payload = encode_tiff_ext(
+                    px,
+                    compression=comps[(k // 3) % 4],
+                    predictor=k % 2 * 2 + 1,
+                    rows_per_strip=rps,
+                    tile=(tw, 8) if lay in (0, 2) else None,
+                    planar=lay in (1, 2),
+                )
+                meta = decode_tiff_meta(payload)
+                got = decode_tiff_pixels(payload)
+                rows.append(
+                    (
+                        m, meta["layout"], int(meta["planar"]),
+                        meta["compression"], meta["predictor"],
+                        meta["width"], meta["height"],
+                        meta["n_channels"], len(meta["segments"]),
+                        int(got.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _TIFF_FLOAT_EXT_SCHEMA.fields],
+            )
+
+    return (
+        ids.select("media_id")
+        .mapInPandas(gen, schema=_TIFF_FLOAT_EXT_SCHEMA)
+        .select(*[f.name for f in _TIFF_FLOAT_EXT_SCHEMA.fields])
+    )
+
+
 _JPEG_CMYK_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

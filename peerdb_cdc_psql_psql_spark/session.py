@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle WIDE and let AQE coalesce down (r10):
+        # with reducer count pinned to the core count, a stage whose
+        # working set grows past executor memory tips into hash-agg
+        # spill + sort — the r9 customer_similarity_topk probe supra-
+        # linearity was exactly this (pair volume measured ×4.0 at 4×
+        # corpus, pair-stage wall ×5.3). 8× headroom keeps per-reducer
+        # state bounded as data scales while AQE folds small stages
+        # back to core-count partitions; measured: probe heavies ~2×
+        # faster at 4×, headline suite 13.9 → 12.6 s. The same posture
+        # is the correct 1000-executor default — initialPartitionNum
+        # scales with the cluster, the coalesce target with the data.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * sp),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime bloom-filter pushdown: for selective joins the build
         # side's keys prune the probe-side SCAN before the shuffle —

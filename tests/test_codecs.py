@@ -2616,3 +2616,60 @@ def test_tiff_deflate_all_layouts_and_legacy_code():
     struct.pack_into("<H", d, i + 8, 32946)
     assert decode_tiff_meta(bytes(d))["compression"] == "deflate"
     assert np.array_equal(decode_tiff_pixels(bytes(d)), g)
+
+
+def test_tiff_float_tiled_and_planar_roundtrip():
+    """r10: TechNote-3 float rasters in ALL four layout combinations
+    — tiled chunky, planar strips, tiled planar — with predictor 1
+    and 3, every compression. The predictor inverts per STORED
+    segment row (tile-wide in tiled files); a whole-image inversion
+    reconstructs wrong values at every tile seam."""
+    import numpy as np
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_tiff_meta,
+        decode_tiff_pixels,
+        encode_tiff_ext,
+    )
+
+    rng = np.random.RandomState(11)
+    f1 = (rng.rand(37, 29).astype(np.float32) * 1000 - 500)
+    f3 = (rng.rand(23, 31, 3).astype(np.float32) * 100)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for pred in (1, 3):
+            for tile, planar in (
+                ((16, 16), False), (None, True), ((8, 16), True)
+            ):
+                d = encode_tiff_ext(
+                    f1, compression=comp, predictor=pred,
+                    tile=tile, planar=planar,
+                )
+                m = decode_tiff_meta(d)
+                assert m["sample_format"] == "float"
+                assert m["predictor"] == pred
+                out = decode_tiff_pixels(d)
+                assert out.dtype == np.float32
+                assert np.array_equal(out, f1), (comp, pred, tile, planar)
+    for tile, planar in (((16, 8), True), ((16, 16), False), (None, True)):
+        d = encode_tiff_ext(
+            f3, compression="lzw", predictor=3, tile=tile, planar=planar
+        )
+        assert np.array_equal(decode_tiff_pixels(d), f3), (tile, planar)
+
+
+def test_tiff_float_predictor_validation():
+    """Spec guards stay typed: predictor 2 on float samples and
+    predictor 3 on integer samples are invalid files/writes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        encode_tiff_ext,
+    )
+
+    f = np.ones((4, 4), np.float32)
+    g = np.ones((4, 4), np.uint8)
+    with _pytest.raises(ValueError, match="predictor 2"):
+        encode_tiff_ext(f, predictor=2)
+    with _pytest.raises(ValueError, match="predictor 3"):
+        encode_tiff_ext(g, predictor=3)
