@@ -116,6 +116,16 @@ _STAT_RELS: dict[str, str] = {
         "state string, sent_lsn string, replay_lsn string, "
         "sync_state string"
     ),
+    # r10: per-normalized-statement counters from the wire server
+    # (literals folded to $n, like the real extension) — the workload
+    # half of the reference's monitoring story next to
+    # pg_stat_activity's connection half
+    "pg_stat_statements": (
+        "userid bigint, dbid bigint, queryid bigint, query string, "
+        "calls bigint, rows bigint, total_exec_time double, "
+        "min_exec_time double, max_exec_time double, "
+        "mean_exec_time double"
+    ),
 }
 
 

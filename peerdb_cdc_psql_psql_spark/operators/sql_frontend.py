@@ -8,6 +8,8 @@ surface; a catalog-introspection query covers F19.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -340,13 +342,83 @@ _DML_PREDICATE_MAX_ROWS = 10_000
 
 _DML_HELP = f"""supported DML grammar (events land in the mirror WAL):
   INSERT INTO <table> [(c1, c2, ...)] VALUES (v1, ...), (...)
+      [ON CONFLICT [(<key>)] DO NOTHING
+       | ON CONFLICT [(<key>)] DO UPDATE SET c = v | EXCLUDED.c, ...]
   UPDATE <table> SET c1 = v1[, ...] WHERE <predicate>
   DELETE FROM <table> WHERE <predicate>
+  ... RETURNING * | c1[, c2, ...]
 values: numbers, 'strings', NULL, true/false
 predicates: '<key> = <n>' takes the single-key fast path; any other
 SQL boolean expression is evaluated against the merged source state
 (bounded to {_DML_PREDICATE_MAX_ROWS} matched rows on this
 interactive path)"""
+
+# RETURNING tail: a quote-free trailing column list (or *) — the
+# character class cannot match into a string literal, so
+# VALUES (1, 'hello returning id') never mis-parses.
+_RETURNING_RE = re.compile(r"(?is)\s+RETURNING\s+(\*|[\w\s,]+)$")
+_ON_CONFLICT_RE = re.compile(
+    r"(?is)\s+ON\s+CONFLICT\s*(?:\(\s*(\w+)\s*\))?\s+DO\s+"
+    r"(NOTHING|UPDATE\s+SET\s+(.+))$"
+)
+
+
+def _parse_returning(s: str, schema) -> tuple[str, list[str] | None]:
+    """Strip a trailing RETURNING clause; returns (statement without
+    it, requested column list or None)."""
+    m = _RETURNING_RE.search(s)
+    if not m:
+        return s, None
+    spec = m.group(1).strip()
+    names = [f.name for f in schema.fields]
+    if spec == "*":
+        cols = names
+    else:
+        cols = [c.strip() for c in spec.split(",") if c.strip()]
+        bad = [c for c in cols if c not in names]
+        if bad:
+            raise ValueError(f"RETURNING references unknown columns {bad}")
+    return s[: m.start()], cols
+
+
+def _current_rows_for_keys(
+    spark: SparkSession, event_dir: str, table: str, keys: list[int]
+) -> dict[int, dict]:
+    """Current full rows for a bounded key set, folded from the WAL in
+    LSN order (the batch form of ``_current_source_row`` — one scan
+    for the whole statement instead of one per key)."""
+    import json as _json
+
+    from ..streaming.cdc import CDC_EVENT_SCHEMA
+
+    if not keys:
+        return {}
+    try:
+        rows = (
+            spark.read.schema(CDC_EVENT_SCHEMA)
+            .parquet(event_dir)
+            .where(
+                (F.col("table") == table)
+                & (F.col("key").isin([int(k) for k in keys]))
+            )
+            .orderBy("lsn")
+            .collect()  # bounded: the statement's own key set
+        )
+    except Exception:  # noqa: BLE001 — empty/missing WAL → no rows
+        return {}
+    out: dict[int, dict] = {}
+    for r in rows:
+        k = int(r["key"])
+        if r["op"] == "D":
+            out.pop(k, None)
+        else:
+            payload = _json.loads(r["after_json"]) if r["after_json"] else {}
+            out[k] = (
+                payload
+                if (r["op"] == "I" or k not in out)
+                else {**out[k], **payload}
+            )
+    return out
 
 
 def _split_top_level(raw: str) -> list[str]:
@@ -594,29 +666,79 @@ def execute_dml_command(
     purchaser=3` works like it does against the reference schema
     (quickstart_prepare_peers.sh:72-77).
 
-    Returns (tag, n_events) — e.g. ("INSERT 0 2", 2) — the exact
-    command tag psql prints."""
+    RETURNING (r10): a trailing ``RETURNING * | c1, c2`` returns the
+    affected rows' values alongside the tag — (tag, n_events,
+    (cols, spark_types, rows)); without it the third element is None.
+    ON CONFLICT (r10): the Postgres upsert surface — ``DO NOTHING``
+    skips keys that currently exist in the merged source state,
+    ``DO UPDATE SET c = v | EXCLUDED.c`` emits U events merging the
+    SET list into the existing row (EXCLUDED.c takes the incoming
+    tuple's value). The conflict target, when given, must be the key
+    column (the only uniqueness the engine enforces)."""
     import datetime as _dt
     import json as _json
-    import re
 
     from ..streaming.workload import allocate_lsns, append_events
 
     s = sql.strip().rstrip(";").strip()
     now = _dt.datetime.now()
 
+    tm = re.match(
+        r"(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+(\w+)", s,
+        re.IGNORECASE,
+    )
+    if tm is None:
+        raise ValueError(f"unrecognized DML: {sql!r}\n{_DML_HELP}")
+    table = tm.group(1)
+    if table not in schemas:
+        raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+    schema = schemas[table]
+    s, ret_cols = _parse_returning(s, schema)
+    types_by_col = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    def _ret(rows_src: list[dict]):
+        if ret_cols is None:
+            return None
+        return (
+            list(ret_cols),
+            [types_by_col[c] for c in ret_cols],
+            [tuple(r.get(c) for c in ret_cols) for r in rows_src],
+        )
+
     m = re.match(
         r"INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        table, cols_raw, tuples_raw = m.groups()
-        if table not in schemas:
-            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        _, cols_raw, tuples_raw = m.groups()
+        conflict = None  # (target_col|None, "nothing" | sets dict)
+        cm = _ON_CONFLICT_RE.search(tuples_raw)
+        if cm:
+            tuples_raw = tuples_raw[: cm.start()]
+            target = cm.group(1)
+            if target and target.lower() != key_column.lower():
+                raise ValueError(
+                    f"ON CONFLICT target must be the key column "
+                    f"{key_column!r} (the only enforced uniqueness)"
+                )
+            if cm.group(2).lower() == "nothing":
+                conflict = (target, "nothing")
+            else:
+                sets = {}
+                for item in _split_top_level(cm.group(3)):
+                    c, _, v = item.partition("=")
+                    v = v.strip()
+                    xm = re.match(r"(?i)EXCLUDED\s*\.\s*(\w+)$", v)
+                    sets[c.strip()] = (
+                        ("excluded", xm.group(1))
+                        if xm
+                        else ("literal", _sql_literal(v))
+                    )
+                conflict = (target, sets)
         cols = (
             [c.strip() for c in cols_raw.split(",")]
             if cols_raw
-            else [f.name for f in schemas[table].fields]
+            else [f.name for f in schema.fields]
         )
         tuples = _top_level_groups(tuples_raw)
         if not tuples:
@@ -632,23 +754,52 @@ def execute_dml_command(
             if key_column not in rec:
                 raise ValueError(f"INSERT must set the key column {key_column!r}")
             recs.append(rec)
-        first = allocate_lsns(spark, event_dir, len(recs))
+        if conflict is None:
+            first = allocate_lsns(spark, event_dir, len(recs))
+            events = [
+                (first + i, now, "I", table, int(rec[key_column]),
+                 _json.dumps(rec))
+                for i, rec in enumerate(recs)
+            ]
+            append_events(spark, events, event_dir)
+            return f"INSERT 0 {len(events)}", len(events), _ret(recs)
+        existing = _current_rows_for_keys(
+            spark, event_dir, table,
+            [int(r[key_column]) for r in recs],
+        )
+        plan: list[tuple[str, dict]] = []  # (op, after-image)
+        for rec in recs:
+            k = int(rec[key_column])
+            if k not in existing:
+                plan.append(("I", rec))
+            elif conflict[1] == "nothing":
+                continue  # DO NOTHING: conflicting tuple skipped
+            else:
+                merged = {**existing[k], key_column: k}
+                for c, (kind_, v) in conflict[1].items():
+                    merged[c] = rec.get(v) if kind_ == "excluded" else v
+                plan.append(("U", merged))
+        if not plan:
+            return "INSERT 0 0", 0, _ret([])
+        first = allocate_lsns(spark, event_dir, len(plan))
         events = [
-            (first + i, now, "I", table, int(rec[key_column]),
+            (first + i, now, op, table, int(rec[key_column]),
              _json.dumps(rec))
-            for i, rec in enumerate(recs)
+            for i, (op, rec) in enumerate(plan)
         ]
         append_events(spark, events, event_dir)
-        return f"INSERT 0 {len(events)}", len(events)
+        # Postgres counts inserted + upserted rows in the INSERT tag
+        return (
+            f"INSERT 0 {len(events)}", len(events),
+            _ret([rec for _, rec in plan]),
+        )
 
     m = re.match(
         r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        table, set_raw, where_raw = m.groups()
-        if table not in schemas:
-            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        _, set_raw, where_raw = m.groups()
         sets = {}
         for item in _split_top_level(set_raw):
             c, _, v = item.partition("=")
@@ -659,56 +810,60 @@ def execute_dml_command(
             key = int(km.group(1))
             current = _current_source_row(spark, event_dir, table, key)
             if current is None:
-                return "UPDATE 0", 0
+                return "UPDATE 0", 0, _ret([])
             currents = [{**current, key_column: key}]
         else:
             currents = _matched_rows(
-                spark, event_dir, table, schemas[table], where_raw,
-                "UPDATE",
+                spark, event_dir, table, schema, where_raw, "UPDATE"
             )
             if not currents:
-                return "UPDATE 0", 0
+                return "UPDATE 0", 0, _ret([])
         first = allocate_lsns(spark, event_dir, len(currents))
-        events = []
+        events, afters = [], []
         for i, cur in enumerate(currents):
             # full after-image: merge SET values into the current row
             # so non-SET columns survive the apply (Postgres UPDATE
             # semantics)
             rec = {**_json_safe(cur), **sets}
+            afters.append(rec)
             events.append(
                 (first + i, now, "U", table, int(rec[key_column]),
                  _json.dumps(rec))
             )
         append_events(spark, events, event_dir)
-        return f"UPDATE {len(events)}", len(events)
+        return f"UPDATE {len(events)}", len(events), _ret(afters)
 
     m = re.match(
         r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        table, where_raw = m.groups()
-        if table not in schemas:
-            raise ValueError(f"unknown source table {table!r}\n{_DML_HELP}")
+        _, where_raw = m.groups()
         km = re.match(rf"(?i){key_column}\s*=\s*(\d+)\s*$", where_raw)
         if km:
-            keys = [int(km.group(1))]
+            key = int(km.group(1))
+            if ret_cols is None:
+                # no-lookup fast path: D is idempotent downstream
+                victims = [{key_column: key}]
+            else:
+                # RETURNING needs the row's last-known values — and
+                # gets Postgres-exact existence semantics for free
+                current = _current_source_row(spark, event_dir, table, key)
+                if current is None:
+                    return "DELETE 0", 0, _ret([])
+                victims = [{**current, key_column: key}]
         else:
-            keys = [
-                int(r[key_column])
-                for r in _matched_rows(
-                    spark, event_dir, table, schemas[table], where_raw,
-                    "DELETE",
-                )
-            ]
-            if not keys:
-                return "DELETE 0", 0
-        first = allocate_lsns(spark, event_dir, len(keys))
+            victims = _matched_rows(
+                spark, event_dir, table, schema, where_raw, "DELETE"
+            )
+            if not victims:
+                return "DELETE 0", 0, _ret([])
+        first = allocate_lsns(spark, event_dir, len(victims))
         events = [
-            (first + i, now, "D", table, k, None)
-            for i, k in enumerate(keys)
+            (first + i, now, "D", table, int(v[key_column]), None)
+            for i, v in enumerate(victims)
         ]
         append_events(spark, events, event_dir)
-        return f"DELETE {len(events)}", len(events)
+        return f"DELETE {len(events)}", len(events), _ret(victims)
 
     raise ValueError(f"unrecognized DML: {sql!r}\n{_DML_HELP}")

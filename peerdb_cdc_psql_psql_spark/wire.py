@@ -1075,6 +1075,21 @@ class _CatalogCopySink:
 _SCRAM_ITERATIONS = 4096  # Postgres's default scram_iterations pre-16
 
 
+def _normalize_statement(sql: str) -> str:
+    """pg_stat_statements-style query normalization: string and
+    numeric literals become $1..$n placeholders (so two INSERTs
+    differing only in values aggregate into one row), whitespace
+    collapses. Pure text — applied once per executed statement."""
+    n = [0]
+
+    def sub(m: "re.Match") -> str:
+        n[0] += 1
+        return f"${n[0]}"
+
+    s = re.sub(r"'(?:[^']|'')*'|\b\d+(?:\.\d+)?\b", sub, sql)
+    return " ".join(s.split())
+
+
 def _scram_keys(password: str, salt: bytes, iterations: int):
     """(StoredKey, ServerKey) per RFC 5802 — the server-side verifier
     pair derived from the cleartext credential at exchange time."""
@@ -1151,6 +1166,10 @@ class WireServer:
     auth: dict | None = None
     auth_method: str = "scram-sha-256"
     _ssl_ctx: "ssl.SSLContext | None" = None
+    # tls-server-end-point channel-binding data (RFC 5929): SHA-256 of
+    # the server certificate's DER form, computed at start() when TLS
+    # is configured — enables SCRAM-SHA-256-PLUS on TLS connections
+    _cb_data: bytes | None = None
     _sock: socket.socket | None = None
     _thread: threading.Thread | None = None
     _stop: threading.Event = field(default_factory=threading.Event)
@@ -1169,6 +1188,9 @@ class WireServer:
     # live pg_stat_activity rows: pid → mutable row dict, guarded by
     # _cancel_lock (same lifecycle as the cancel-key table)
     _activity: dict = field(default_factory=dict)
+    # pg_stat_statements: normalized query → counters, guarded by
+    # _cancel_lock (recorded once per executed statement)
+    _stmt_stats: dict = field(default_factory=dict)
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -1177,6 +1199,24 @@ class WireServer:
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(self.tls_cert, self.tls_key)
             self._ssl_ctx = ctx
+            # tls-server-end-point binding data: hash of the leaf
+            # cert's DER. RFC 5929 says "the cert's signature hash,
+            # with MD5/SHA-1 upgraded to SHA-256" — SHA-256-signed
+            # certs (the universal modern default, and what the test
+            # fixtures generate) hash with SHA-256; an exotic
+            # signature algorithm would fail binding cleanly rather
+            # than silently downgrade.
+            import hashlib as _hl
+
+            with open(self.tls_cert) as fh:
+                pem = fh.read()
+            m = re.search(
+                r"-----BEGIN CERTIFICATE-----.*?-----END CERTIFICATE-----",
+                pem, re.DOTALL,
+            )
+            if m:
+                der = ssl.PEM_cert_to_DER_cert(m.group(0))
+                self._cb_data = _hl.sha256(der).digest()
         # live monitoring relations (monitoring.ps1:976,991,1006):
         # pg_stat_activity from the connection table, replication
         # slots/stat from the mirror registry + running streams
@@ -1190,6 +1230,9 @@ class WireServer:
         )
         set_stat_provider(
             self.spark, "pg_stat_replication", self._replication_rows
+        )
+        set_stat_provider(
+            self.spark, "pg_stat_statements", self._stmt_stat_rows
         )
         if self.sf_dir:
             from .operators.sql_frontend import register_views
@@ -1268,6 +1311,45 @@ class WireServer:
             (0, "spark", n, "streaming", None, None, "async")
             for n in names
             if n in active
+        ]
+
+    # -- pg_stat_statements (r10) ----------------------------------------
+    def _record_statement(
+        self, stmt: str, dt_ms: float, rows: int
+    ) -> None:
+        import hashlib as _hl
+
+        q = _normalize_statement(stmt)[:1024]
+        with self._cancel_lock:
+            st = self._stmt_stats.get(q)
+            if st is None:
+                qid = (
+                    int.from_bytes(
+                        _hl.md5(q.encode()).digest()[:8], "big"
+                    )
+                    >> 1  # non-negative int64, like pg's queryid
+                )
+                st = self._stmt_stats[q] = {
+                    "queryid": qid, "calls": 0, "rows": 0,
+                    "total": 0.0, "min": float("inf"), "max": 0.0,
+                }
+            st["calls"] += 1
+            st["rows"] += int(rows)
+            st["total"] += dt_ms
+            st["min"] = min(st["min"], dt_ms)
+            st["max"] = max(st["max"], dt_ms)
+
+    def _stmt_stat_rows(self) -> list[tuple]:
+        with self._cancel_lock:
+            items = [
+                (q, dict(st)) for q, st in self._stmt_stats.items()
+            ]
+        return [
+            (10, 1, st["queryid"], q, st["calls"], st["rows"],
+             round(st["total"], 3), round(st["min"], 3),
+             round(st["max"], 3),
+             round(st["total"] / st["calls"], 3))
+            for q, st in sorted(items, key=lambda kv: kv[1]["queryid"])
         ]
 
     # -- per-connection ------------------------------------------------
@@ -1547,30 +1629,38 @@ class WireServer:
         return self._scram_exchange(conn, user)
 
     def _scram_exchange(self, conn: socket.socket, user: str) -> bool:
-        """Server side of SCRAM-SHA-256 (RFC 5802/7677) — the SASL
-        flow libpq ≥10 and pgjdbc negotiate by default. Only the
-        non-channel-binding mechanism is advertised, so a client on
-        TLS sends gs2 'y,,' and one on plaintext 'n,,' — both
-        accepted; 'p=…' (client demands binding we did not offer) is
-        a protocol violation. An unknown user runs a mock exchange
-        against a random credential (like Postgres's mock SCRAM), so
-        the failure is indistinguishable from a wrong password — no
+        """Server side of SCRAM-SHA-256 / SCRAM-SHA-256-PLUS
+        (RFC 5802/7677/5929) — the SASL flow libpq ≥10 and pgjdbc
+        negotiate by default. On a TLS connection the -PLUS mechanism
+        (tls-server-end-point channel binding) is advertised first and
+        libpq's default channel_binding=prefer selects it — the proof
+        then binds the password to THIS server's certificate, closing
+        MITM-with-stolen-credentials. Downgrade protection per RFC
+        5802 §6: a client that signals binding support ('y,,') while
+        picking the non-PLUS mechanism when PLUS was on offer is
+        rejected. An unknown user runs a mock exchange against a
+        random credential (like Postgres's mock SCRAM), so the
+        failure is indistinguishable from a wrong password — no
         user-enumeration oracle."""
         import base64
         import hashlib
         import hmac as _hmac
 
-        conn.sendall(
-            _msg(
-                b"R",
-                struct.pack("!i", 10) + _cstr("SCRAM-SHA-256") + b"\x00",
-            )
+        plus_offered = (
+            isinstance(conn, ssl.SSLSocket) and self._cb_data is not None
         )
+        mechs = b""
+        if plus_offered:
+            mechs += _cstr("SCRAM-SHA-256-PLUS")
+        mechs += _cstr("SCRAM-SHA-256")
+        conn.sendall(_msg(b"R", struct.pack("!i", 10) + mechs + b"\x00"))
         body = self._read_p_message(conn)
         if body is None or b"\x00" not in body:
             return False
         mech_raw, rest = body.split(b"\x00", 1)
-        if mech_raw.decode("utf-8", "replace") != "SCRAM-SHA-256":
+        mech = mech_raw.decode("utf-8", "replace")
+        plus = mech == "SCRAM-SHA-256-PLUS"
+        if mech != "SCRAM-SHA-256" and not (plus and plus_offered):
             conn.sendall(
                 _error(
                     "unsupported SASL mechanism", code="28000",
@@ -1582,11 +1672,28 @@ class WireServer:
             return False
         (ln,) = struct.unpack_from("!i", rest, 0)
         initial = rest[4 : 4 + ln].decode("utf-8") if ln > 0 else ""
-        gs2 = next((g for g in ("n,,", "y,,") if initial.startswith(g)), None)
+        allowed = (
+            ("p=tls-server-end-point,,",)
+            if plus
+            else ("n,,", "y,,")
+        )
+        gs2 = next((g for g in allowed if initial.startswith(g)), None)
         if gs2 is None:
             conn.sendall(
                 _error(
-                    "channel binding not supported by this server",
+                    "malformed SCRAM channel-binding header",
+                    code="28000", severity="FATAL",
+                )
+            )
+            return False
+        if not plus and plus_offered and gs2 == "y,,":
+            # RFC 5802 §6: 'y' = "I support binding but think you
+            # don't" — but we DID advertise -PLUS, so something
+            # stripped it: a downgrade attack, not a legal choice
+            conn.sendall(
+                _error(
+                    "channel binding required on this connection "
+                    "(SCRAM-SHA-256-PLUS was offered)",
                     code="28000", severity="FATAL",
                 )
             )
@@ -1612,10 +1719,14 @@ class WireServer:
         client_final = body.decode("utf-8", "replace")
         attrs = _scram_attrs(client_final)
         proof_b64 = attrs.get("p", "")
+        # channel-binding input: the gs2 header verbatim, plus (for
+        # -PLUS) the tls-server-end-point cert-hash bytes (RFC 5802
+        # cbind-input) — a proof computed against a DIFFERENT server
+        # cert fails here even with the right password
+        cbind = gs2.encode() + (self._cb_data if plus else b"")
         if (
             attrs.get("r") != snonce
-            or attrs.get("c")
-            != base64.b64encode(gs2.encode()).decode("ascii")
+            or attrs.get("c") != base64.b64encode(cbind).decode("ascii")
             or not proof_b64
         ):
             return self._auth_failed(conn, user)
@@ -1750,13 +1861,19 @@ class WireServer:
         return "".join(out)
 
     def _simple_query(self, conn: socket.socket, sql: str) -> None:
+        import time as _time
+
         for stmt in self._split_statements(sql):
+            t0 = _time.perf_counter()
             try:
-                self._run_statement(conn, stmt)
+                rows = self._run_statement(conn, stmt)
             except Exception as e:  # noqa: BLE001 — every engine error
                 # becomes one wire ErrorResponse; the session survives
                 conn.sendall(_error_for(e))
                 return
+            self._record_statement(
+                stmt, (_time.perf_counter() - t0) * 1000.0, rows or 0
+            )
         if not sql.strip():
             conn.sendall(_msg(b"I", b""))  # EmptyQueryResponse
 
@@ -1897,15 +2014,17 @@ class WireServer:
                 return True
         return False
 
-    def _run_statement(self, conn: socket.socket, stmt: str) -> None:
+    def _run_statement(self, conn: socket.socket, stmt: str) -> int:
+        """Dispatch one statement; returns the row count it streamed
+        (0 for commands) — pg_stat_statements raw material."""
         # verb dispatch ignores comments (`/* hint */ INSERT …` routes
         # to the DML path), but the dispatched text keeps them
         low = " ".join(self._strip_comments(stmt).lower().split())
         if self._pg_session_statement(conn, stmt):
-            return
+            return 0
         if low.startswith("copy "):
             self._copy_command(conn, stmt)
-            return
+            return 0
         kind = self._statement_kind(stmt)
         if kind == "dml":
             # DML against a mirrored source table = change-event
@@ -1913,14 +2032,37 @@ class WireServer:
             # reference); a running/resumed mirror applies it.
             from .operators.sql_frontend import execute_dml_command
 
-            tag, _ = execute_dml_command(
+            tag, _, returning = execute_dml_command(
                 self.spark, stmt,
                 schemas=self.mirror_env["schemas"],
                 event_dir=self.mirror_env["event_dir"],
                 key_column=self.mirror_env.get("key_column", "id"),
             )
+            if returning is not None:
+                # RETURNING (r10): RowDescription + one DataRow per
+                # affected row, straight from the after-images — no
+                # round trip through spark.sql
+                cols, typs, rows = returning
+                desc = struct.pack("!h", len(cols))
+                for cname, typ in zip(cols, typs):
+                    desc += _cstr(cname) + struct.pack(
+                        "!ihihih", 0, 0, _oid_for(typ), -1, -1, 0
+                    )
+                out = _msg(b"T", desc)
+                for row in rows:
+                    payload = struct.pack("!h", len(row))
+                    for v in row:
+                        rv = _render(v)
+                        payload += (
+                            struct.pack("!i", -1)
+                            if rv is None
+                            else struct.pack("!i", len(rv)) + rv
+                        )
+                    out += _msg(b"D", payload)
+                conn.sendall(out + _msg(b"C", _cstr(tag)))
+                return len(rows)
             conn.sendall(_msg(b"C", _cstr(tag)))
-            return
+            return 0
         if kind == "mirror":
             from .operators.sql_frontend import execute_mirror_command
 
@@ -1929,18 +2071,17 @@ class WireServer:
             )
             verb = low.split(" mirror")[0].upper()
             if isinstance(result, DataFrame):
-                self._send_result(conn, result)
-            else:
-                conn.sendall(_msg(b"C", _cstr(f"{verb} MIRROR")))
-            return
+                return self._send_result(conn, result)
+            conn.sendall(_msg(b"C", _cstr(f"{verb} MIRROR")))
+            return 0
         df = self._sql_with_mirror_targets(stmt)
         if df.columns:
-            self._send_result(conn, df)
-        else:
-            # DDL/utility statements (SET, CREATE VIEW, ...) return an
-            # empty-schema frame; complete with the leading keyword
-            df.collect()
-            conn.sendall(_msg(b"C", _cstr(stmt.split()[0].upper())))
+            return self._send_result(conn, df)
+        # DDL/utility statements (SET, CREATE VIEW, ...) return an
+        # empty-schema frame; complete with the leading keyword
+        df.collect()
+        conn.sendall(_msg(b"C", _cstr(stmt.split()[0].upper())))
+        return 0
 
     # -- COPY (bulk load/export over the wire — r8) ---------------------
     def _copy_command(self, conn: socket.socket, stmt: str) -> None:
@@ -2381,18 +2522,25 @@ class WireServer:
                 # (VERDICT r7 #1 — JDBC INSERT applied 2-3x)
                 df = self._sql_with_mirror_targets(stmt)
                 portal["df"] = df
+            import time as _time
+
+            t0 = _time.perf_counter()
             if df is not None and df.columns:
                 if max_rows > 0:
                     # row-limited Execute: open the portal's iterator
                     # and suspend when the budget is exhausted
                     portal["iter"] = df.toLocalIterator()
                     self._send_portal_rows(conn, portal, max_rows)
+                    rows = 0  # paged portals report rows at the tag
                 else:
                     # RowDescription was sent at Describe (or the
                     # client knows the shape) — ship only DataRows
-                    self._send_result(conn, df, desc=False)
+                    rows = self._send_result(conn, df, desc=False)
             else:
-                self._run_statement(conn, stmt)
+                rows = self._run_statement(conn, stmt)
+            self._record_statement(
+                stmt, (_time.perf_counter() - t0) * 1000.0, rows or 0
+            )
         elif kind == b"C":  # Close: 'S'|'P' + name
             what, name = payload[0:1], payload[1:].split(b"\x00")[0].decode()
             (ext.prepared if what == b"S" else ext.portals).pop(name, None)
@@ -2493,7 +2641,7 @@ class WireServer:
 
     def _send_result(
         self, conn: socket.socket, df: DataFrame, desc: bool = True
-    ) -> None:
+    ) -> int:
         if desc:
             conn.sendall(_msg(b"T", self._row_description(df)))
         n = 0
@@ -2508,6 +2656,7 @@ class WireServer:
                 chunk.clear()
         chunk += _msg(b"C", _cstr(f"SELECT {n}"))
         conn.sendall(bytes(chunk))
+        return n
 
     def _send_portal_rows(
         self, conn: socket.socket, portal: dict, max_rows: int

@@ -532,3 +532,40 @@ def test_infoschema_empty_relations_standard_columns(pg_server):
         r = _psql(pg_server.port, sql)
         assert r.returncode == 0, (sql, r.stderr)
         assert "(0 rows)" in r.stdout, sql
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_pg_stat_statements_aggregates_normalized(spark):
+    """r10: pg_stat_statements serves per-normalized-statement
+    counters from the wire server — two SELECTs differing only in a
+    literal fold into ONE row with calls >= 2 and real timings.
+    Own server: the stat providers are session-level and follow the
+    most recently STARTED server (one server per session in
+    production; earlier fixture servers would read stale)."""
+    srv = WireServer(spark, port=0, sf_dir=SF)
+    srv.start()
+    try:
+        for lit in (7, 9):
+            r = _psql(
+                srv.port,
+                f"SELECT {lit} AS probe_stat_marker",
+            )
+            assert r.returncode == 0, r.stderr
+        r = _psql(
+            srv.port,
+            "SELECT query, calls, rows, mean_exec_time "
+            "FROM pg_stat_statements "
+            "WHERE query LIKE '%probe_stat_marker%' "
+            "AND query NOT LIKE '%pg_stat_statements%'",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "SELECT $1 AS probe_stat_marker" in r.stdout
+        assert "(1 row)" in r.stdout  # both literals fold to one entry
+        import re as _re
+
+        m = _re.search(
+            r"probe_stat_marker\s*\|\s*(\d+)\s*\|\s*(\d+)", r.stdout
+        )
+        assert m and int(m.group(1)) >= 2 and int(m.group(2)) >= 2
+    finally:
+        srv.stop()

@@ -1997,9 +1997,13 @@ def test_tls_plus_scram_roundtrip(spark, tmp_path):
     )
     srv.start()
     try:
+        # channel_binding=require forces SCRAM-SHA-256-PLUS: libpq
+        # fails the connection unless the server's advertised -PLUS
+        # binding actually verifies against the TLS certificate
         ok = _psql_auth(
             srv.port, "SELECT COUNT(*) AS n FROM nation",
-            password="tlspw", extra="sslmode=require",
+            password="tlspw",
+            extra="sslmode=require channel_binding=require",
         )
         if ok.returncode != 0 and "not compiled" in (ok.stderr or "").lower():
             pytest.skip("libpq built without SSL support")
@@ -2011,6 +2015,56 @@ def test_tls_plus_scram_roundtrip(spark, tmp_path):
         assert bad.returncode != 0
         assert "password authentication failed" in bad.stderr
     finally:
+        srv.stop()
+
+
+def test_scram_downgrade_from_plus_rejected(spark, tmp_path):
+    """RFC 5802 §6 downgrade protection: over TLS (PLUS advertised) a
+    client sending gs2 'y,,' with the non-PLUS mechanism claims the
+    server offered no binding — a stripped advertisement. Reject."""
+    import base64
+    import os as _os
+    import socket as _sk2
+    import ssl as _ssl
+    import subprocess as _sp
+
+    cert, key = str(tmp_path / "cert.pem"), str(tmp_path / "key.pem")
+    r = _sp.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout",
+         key, "-out", cert, "-days", "1", "-nodes", "-subj",
+         "/CN=localhost"],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"openssl cert generation failed: {r.stderr[:200]}")
+    srv = WireServer(spark, port=0, sf_dir=SF, tls_cert=cert,
+                     tls_key=key, auth={"u": "pw"})
+    srv.start()
+    raw = _sk2.create_connection(("127.0.0.1", srv.port), timeout=30)
+    try:
+        raw.sendall(_struct.pack("!ii", 8, 80877103))  # SSLRequest
+        assert raw.recv(1) == b"S"
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = _ssl.CERT_NONE
+        c = ctx.wrap_socket(raw)
+        params = b"user\x00u\x00database\x00d\x00\x00"
+        c.sendall(_struct.pack("!ii", 8 + len(params), 196608) + params)
+        kind, payload = _read_msg(c)
+        assert kind == b"R"
+        assert b"SCRAM-SHA-256-PLUS\x00" in payload  # PLUS advertised
+        cnonce = base64.b64encode(_os.urandom(16)).decode()
+        init = f"y,,n=,r={cnonce}".encode()  # downgrade signal
+        c.sendall(_frame(
+            b"p",
+            b"SCRAM-SHA-256\x00" + _struct.pack("!i", len(init)) + init,
+        ))
+        kind, payload = _read_msg(c)
+        assert kind == b"E"
+        assert b"28000" in payload and b"channel binding" in payload
+        c.close()
+    finally:
+        raw.close()
         srv.stop()
 
 
@@ -2172,3 +2226,102 @@ def test_binary_copy_negative_length_rejected():
     hdr = b"PGCOPY\n\xff\r\n\x00" + _struct.pack("!ii", 0, 0)
     with pytest.raises(ValueError, match="field length"):
         _copy_binary_scan(hdr + row, header_done=False)
+
+
+# -- RETURNING + ON CONFLICT upsert (r10) -------------------------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_dml_returning(server, spark):
+    """INSERT/UPDATE/DELETE ... RETURNING — rows come back from the
+    after-images with the Postgres tag; DELETE RETURNING on a missing
+    key gets exact existence semantics (DELETE 0, no rows)."""
+    r = _psql(
+        server.port,
+        "INSERT INTO orders (id, quantity) VALUES (50, 3) "
+        "RETURNING id, quantity",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "50|3" in r.stdout
+    r = _psql(
+        server.port,
+        "UPDATE orders SET quantity = 11 WHERE id = 1 "
+        "RETURNING id, quantity",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "1|11" in r.stdout
+    r = _psql(
+        server.port, "DELETE FROM orders WHERE id = 50 RETURNING *"
+    )
+    assert r.returncode == 0, r.stderr
+    assert "50" in r.stdout and "|3|" in r.stdout
+    # missing key + RETURNING = DELETE 0, zero rows (Postgres parity)
+    r = _psql(
+        server.port, "DELETE FROM orders WHERE id = 999 RETURNING id"
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() in ("", "DELETE 0")  # tag only, no rows
+    # a string literal containing the word 'returning' must not parse
+    # as a RETURNING clause
+    r = _psql(
+        server.port,
+        "INSERT INTO customers (id, first_name, last_name, email) "
+        "VALUES (70, 'keen on returning id', 'x', 'a@b.c')",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "INSERT 0 1" in r.stdout
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_insert_on_conflict_upsert(server, spark):
+    """ON CONFLICT (key) DO NOTHING / DO UPDATE SET ... EXCLUDED.c —
+    the Postgres upsert surface realized as I/U change events against
+    the merged source state."""
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+    # fixture WAL: keys 1 (qty 9) and 2 (qty 7) exist
+    r = _psql(
+        server.port,
+        "INSERT INTO orders (id, quantity) VALUES (1, 99), (60, 4) "
+        "ON CONFLICT (id) DO NOTHING",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "INSERT 0 1" in r.stdout  # only key 60 inserted
+    ev = (
+        spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(server.mirror_env["event_dir"])
+        .collect()
+    )
+    assert not any(
+        e["key"] == 1 and '"quantity": 99' in (e["after_json"] or "")
+        for e in ev
+    )
+    assert any(e["key"] == 60 and e["op"] == "I" for e in ev)
+    # DO UPDATE takes EXCLUDED values and keeps non-SET columns
+    r = _psql(
+        server.port,
+        "INSERT INTO orders (id, quantity) VALUES (2, 55) "
+        "ON CONFLICT (id) DO UPDATE SET quantity = EXCLUDED.quantity "
+        "RETURNING id, quantity",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "2|55" in r.stdout
+    ev = (
+        spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(server.mirror_env["event_dir"])
+        .collect()
+    )
+    assert any(
+        e["key"] == 2 and e["op"] == "U"
+        and '"quantity": 55' in (e["after_json"] or "")
+        for e in ev
+    )
+    # conflict target must be the enforced key
+    r = _psql(
+        server.port,
+        "INSERT INTO orders (id, quantity) VALUES (3, 1) "
+        "ON CONFLICT (quantity) DO NOTHING",
+    )
+    assert r.returncode != 0 and "key column" in r.stderr
+    ok = _psql(server.port, "SELECT 6 AS alive")
+    assert ok.returncode == 0 and ok.stdout.strip() == "6"
