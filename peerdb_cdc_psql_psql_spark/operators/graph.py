@@ -240,9 +240,17 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     from .joins import basket_pairs
 
+    n_part = spark.sparkContext.defaultParallelism
+    # Pin the cached edge set to core-count partitioning on the
+    # closure key: under the session's wide-start AQE default (r10)
+    # the persist would otherwise materialize at 8× width and every
+    # downstream stage over the cache pays 8 task waves (measured
+    # ~1.5× wall on the 4× probe); (u,v) partitioning also feeds the
+    # closure join's build side directly.
     edges = (
         basket_pairs(li, cap=_TRI_CAP)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .repartition(n_part, "u", "v")
         .persist()
     )
     deg = (
@@ -265,19 +273,39 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ed.select(
-        F.when(src_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(src_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist()
+    # Cache `oriented` ALREADY hash-partitioned on the wedge key: the
+    # w1⋈w2 self-join then reads both sides from the same cached
+    # partitioning — zero exchanges for wedge generation. The explicit
+    # core-count width also pins the wedge stage out of the session's
+    # wide-start AQE default (r10 initialPartitionNum): wedge volume
+    # per partition is bounded by the orientation's O(√E) out-degree
+    # cap, not by input bytes, so the spill-avoidance rationale for
+    # starting wide does not apply — and the measured 4× probe wall
+    # was ~1.5× worse at 8× width (task-wave overhead on the O(E^1.5)
+    # stream, nothing spilled at core-count width).
+    oriented = (
+        ed.select(
+            F.when(src_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(src_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .repartition(n_part, "s")
+        .persist()
+    )
     w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
     wedge_pairs = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
     # hash-build the canonical edge set rather than sorting the wedge
-    # stream (the largest intermediate in the whole query, O(E^1.5))
-    tri = wedge_pairs.join(
-        edges.hint("shuffle_hash"),
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    # stream (the largest intermediate in the whole query, O(E^1.5));
+    # pre-partitioning the wedges on the closure key at core-count
+    # width keeps this exchange at the pinned width too
+    tri = (
+        wedge_pairs.repartition(n_part, "x", "y")
+        .join(
+            edges.hint("shuffle_hash"),
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
     nodes = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),

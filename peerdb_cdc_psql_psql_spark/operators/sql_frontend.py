@@ -713,6 +713,11 @@ def execute_dml_command(
         _, cols_raw, tuples_raw = m.groups()
         conflict = None  # (target_col|None, "nothing" | sets dict)
         cm = _ON_CONFLICT_RE.search(tuples_raw)
+        # quote-parity guard: an odd number of quotes before the match
+        # means it sits INSIDE a string literal ('' escapes count as
+        # two, preserving parity) — leave the literal alone
+        if cm and tuples_raw[: cm.start()].count("'") % 2 != 0:
+            cm = None
         if cm:
             tuples_raw = tuples_raw[: cm.start()]
             target = cm.group(1)

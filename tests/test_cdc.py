@@ -946,3 +946,27 @@ def test_mirror_ddl_dialect_end_to_end(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="TABLE MAPPING"):
         execute_mirror_command(spark, "CREATE MIRROR broken", **ctx)
+
+
+def test_allocate_lsns_cache_and_disk_interplay(spark, tmp_path):
+    """r10 allocator semantics: reservations advance a per-WAL cache
+    (covering staged writes invisible to MAX(lsn)), while an external
+    writer appending HIGHER LSNs directly pushes the next reservation
+    past them (disk re-read under the lock)."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_psql_spark.streaming.workload import (
+        allocate_lsns,
+        append_events,
+    )
+
+    wal = str(tmp_path / "wal")
+    t0 = dt.datetime(2024, 1, 1)
+    append_events(spark, [(5, t0, "I", "orders", 1, "{}")], wal)
+    first = allocate_lsns(spark, wal, 3)
+    assert first == 6  # MAX(lsn)=5 on disk
+    # nothing written yet — the cache alone must advance
+    assert allocate_lsns(spark, wal, 1) == 9
+    # an external writer lands a HIGHER range directly
+    append_events(spark, [(50, t0, "I", "orders", 2, "{}")], wal)
+    assert allocate_lsns(spark, wal, 1) == 51

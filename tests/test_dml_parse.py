@@ -99,3 +99,29 @@ def test_tuple_groups_roundtrip_property(rows):
     )
     got = [_parse_sql_values(g) for g in _top_level_groups(rendered)]
     assert got == [list(r) for r in rows]
+
+
+def test_on_conflict_inside_string_literal_not_parsed():
+    """A VALUES literal containing 'on conflict do nothing' text must
+    not be parsed as an upsert clause (quote-parity guard)."""
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import (
+        _ON_CONFLICT_RE,
+    )
+
+    raw = "(1, 'prefers on conflict do nothing')"
+    m = _ON_CONFLICT_RE.search(raw)
+    # regex may or may not hit; the guard is quote parity
+    if m:
+        assert raw[: m.start()].count("'") % 2 != 0
+
+
+def test_returning_regex_never_matches_into_literal():
+    from peerdb_cdc_psql_psql_spark.operators.sql_frontend import (
+        _RETURNING_RE,
+    )
+
+    assert _RETURNING_RE.search(
+        "INSERT INTO t VALUES (1, 'keen on returning id')"
+    ) is None
+    m = _RETURNING_RE.search("INSERT INTO t VALUES (1) RETURNING id, x")
+    assert m and m.group(1).strip() == "id, x"
