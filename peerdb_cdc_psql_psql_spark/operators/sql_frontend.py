@@ -381,22 +381,38 @@ def _parse_returning(s: str, schema) -> tuple[str, list[str] | None]:
     return s[: m.start()], cols
 
 
+def _read_wal(
+    spark: SparkSession, event_dir: str, staging_dir: str | None
+) -> DataFrame:
+    """The WAL plus (inside an open wire transaction, r10) the
+    connection's dot-prefixed staged events — so a transaction's own
+    uncommitted writes are visible to its later statements, exactly
+    Postgres's read-your-own-writes, while the streaming tail (which
+    lists only the WAL dir, where dot-prefixes are hidden) never sees
+    them until COMMIT renames them in."""
+    from .. import fs
+    from ..streaming.cdc import CDC_EVENT_SCHEMA
+
+    paths = [event_dir]
+    if staging_dir and fs.exists(spark, staging_dir):
+        paths.append(staging_dir)
+    return spark.read.schema(CDC_EVENT_SCHEMA).parquet(*paths)
+
+
 def _current_rows_for_keys(
-    spark: SparkSession, event_dir: str, table: str, keys: list[int]
+    spark: SparkSession, event_dir: str, table: str, keys: list[int],
+    staging_dir: str | None = None,
 ) -> dict[int, dict]:
     """Current full rows for a bounded key set, folded from the WAL in
     LSN order (the batch form of ``_current_source_row`` — one scan
     for the whole statement instead of one per key)."""
     import json as _json
 
-    from ..streaming.cdc import CDC_EVENT_SCHEMA
-
     if not keys:
         return {}
     try:
         rows = (
-            spark.read.schema(CDC_EVENT_SCHEMA)
-            .parquet(event_dir)
+            _read_wal(spark, event_dir, staging_dir)
             .where(
                 (F.col("table") == table)
                 & (F.col("key").isin([int(k) for k in keys]))
@@ -520,7 +536,8 @@ def _parse_sql_values(raw: str) -> list:
 
 
 def _current_source_row(
-    spark: SparkSession, event_dir: str, table: str, key: int
+    spark: SparkSession, event_dir: str, table: str, key: int,
+    staging_dir: str | None = None,
 ) -> dict | None:
     """Reconstruct the current full row of a mirrored source table
     from the WAL by folding its events in LSN order (I replaces,
@@ -533,12 +550,9 @@ def _current_source_row(
 
     from pyspark.sql import functions as F
 
-    from ..streaming.cdc import CDC_EVENT_SCHEMA
-
     try:
         events = (
-            spark.read.schema(CDC_EVENT_SCHEMA)
-            .parquet(event_dir)
+            _read_wal(spark, event_dir, staging_dir)
             .where((F.col("table") == table) & (F.col("key") == int(key)))
             .orderBy("lsn")
             .collect()  # bounded: one key's history on the interactive path
@@ -556,7 +570,8 @@ def _current_source_row(
 
 
 def _merged_source_view(
-    spark: SparkSession, event_dir: str, table: str, schema
+    spark: SparkSession, event_dir: str, table: str, schema,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Current rows of a mirrored source table, reconstructed from the
     WAL: latest event per key (the engine's U-event contract carries
@@ -566,12 +581,8 @@ def _merged_source_view(
     interactive non-key-predicate DML path."""
     from pyspark.sql import Window
 
-    from ..streaming.cdc import CDC_EVENT_SCHEMA
-
-    events = (
-        spark.read.schema(CDC_EVENT_SCHEMA)
-        .parquet(event_dir)
-        .where(F.col("table") == table)
+    events = _read_wal(spark, event_dir, staging_dir).where(
+        F.col("table") == table
     )
     w = Window.partitionBy("key").orderBy(
         F.desc("lsn"), F.desc("commit_ts"), F.asc("op")
@@ -593,6 +604,7 @@ def _matched_rows(
     schema,
     predicate: str,
     verb: str,
+    staging_dir: str | None = None,
 ) -> list[dict]:
     """Rows of the merged source state matching an arbitrary WHERE
     predicate, as dicts — bounded by ``_DML_PREDICATE_MAX_ROWS`` (the
@@ -600,7 +612,9 @@ def _matched_rows(
     rewrite belongs in a batch job, and the guard makes that a typed
     error instead of a driver OOM)."""
     try:
-        view = _merged_source_view(spark, event_dir, table, schema)
+        view = _merged_source_view(
+            spark, event_dir, table, schema, staging_dir
+        )
     except Exception:  # noqa: BLE001 — empty/missing WAL → no rows
         return []
     vname = f"_dml_{table}_state"
@@ -647,6 +661,7 @@ def execute_dml_command(
     schemas: dict,
     event_dir: str,
     key_column: str = "id",
+    staging_dir: str | None = None,
 ) -> tuple[str, int]:
     """INSERT/UPDATE/DELETE against a mirrored SOURCE table, realized
     as change-event production: each statement appends I/U/D events to
@@ -766,11 +781,12 @@ def execute_dml_command(
                  _json.dumps(rec))
                 for i, rec in enumerate(recs)
             ]
-            append_events(spark, events, event_dir)
+            append_events(spark, events, staging_dir or event_dir)
             return f"INSERT 0 {len(events)}", len(events), _ret(recs)
         existing = _current_rows_for_keys(
             spark, event_dir, table,
             [int(r[key_column]) for r in recs],
+            staging_dir=staging_dir,
         )
         plan: list[tuple[str, dict]] = []  # (op, after-image)
         for rec in recs:
@@ -792,7 +808,7 @@ def execute_dml_command(
              _json.dumps(rec))
             for i, (op, rec) in enumerate(plan)
         ]
-        append_events(spark, events, event_dir)
+        append_events(spark, events, staging_dir or event_dir)
         # Postgres counts inserted + upserted rows in the INSERT tag
         return (
             f"INSERT 0 {len(events)}", len(events),
@@ -813,13 +829,14 @@ def execute_dml_command(
         if km:
             # single-key fast path: one bounded key-history read
             key = int(km.group(1))
-            current = _current_source_row(spark, event_dir, table, key)
+            current = _current_source_row(spark, event_dir, table, key, staging_dir)
             if current is None:
                 return "UPDATE 0", 0, _ret([])
             currents = [{**current, key_column: key}]
         else:
             currents = _matched_rows(
-                spark, event_dir, table, schema, where_raw, "UPDATE"
+                spark, event_dir, table, schema, where_raw, "UPDATE",
+                staging_dir=staging_dir,
             )
             if not currents:
                 return "UPDATE 0", 0, _ret([])
@@ -835,7 +852,7 @@ def execute_dml_command(
                 (first + i, now, "U", table, int(rec[key_column]),
                  _json.dumps(rec))
             )
-        append_events(spark, events, event_dir)
+        append_events(spark, events, staging_dir or event_dir)
         return f"UPDATE {len(events)}", len(events), _ret(afters)
 
     m = re.match(
@@ -853,13 +870,14 @@ def execute_dml_command(
             else:
                 # RETURNING needs the row's last-known values — and
                 # gets Postgres-exact existence semantics for free
-                current = _current_source_row(spark, event_dir, table, key)
+                current = _current_source_row(spark, event_dir, table, key, staging_dir)
                 if current is None:
                     return "DELETE 0", 0, _ret([])
                 victims = [{**current, key_column: key}]
         else:
             victims = _matched_rows(
-                spark, event_dir, table, schema, where_raw, "DELETE"
+                spark, event_dir, table, schema, where_raw, "DELETE",
+                staging_dir=staging_dir,
             )
             if not victims:
                 return "DELETE 0", 0, _ret([])
@@ -868,7 +886,7 @@ def execute_dml_command(
             (first + i, now, "D", table, int(v[key_column]), None)
             for i, v in enumerate(victims)
         ]
-        append_events(spark, events, event_dir)
+        append_events(spark, events, staging_dir or event_dir)
         return f"DELETE {len(events)}", len(events), _ret(victims)
 
     raise ValueError(f"unrecognized DML: {sql!r}\n{_DML_HELP}")

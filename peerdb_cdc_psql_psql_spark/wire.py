@@ -1494,6 +1494,12 @@ class WireServer:
             # leak an unhandled-thread traceback (VERDICT r5 "wrong" #1)
             pass
         finally:
+            try:
+                # disconnect with an open transaction = ROLLBACK
+                # (Postgres semantics; also reclaims the staging dir)
+                self._txn_finish(commit=False)
+            except Exception:  # noqa: BLE001 — cleanup must not raise
+                pass
             with self._cancel_lock:
                 self._cancel_keys.pop((pid, secret), None)
                 self._activity.pop(pid, None)
@@ -1947,6 +1953,27 @@ class WireServer:
             name, self._PG_GUC_DEFAULTS.get(name, "")
         )
 
+    def _txn_finish(self, commit: bool) -> None:
+        """Close the connection's open transaction, if any: COMMIT
+        renames the staged event files into the WAL (per-file atomic;
+        the same torn-multi-file crash window append_events has —
+        the tail tolerates incremental arrival by construction);
+        ROLLBACK deletes the staging dir."""
+        txn = getattr(self._session_local, "txn_dir", None)
+        if txn is None:
+            return
+        self._session_local.txn_dir = None
+        from . import fs as _fs
+
+        if not _fs.exists(self.spark, txn):
+            return  # BEGIN with no DML — nothing staged
+        if commit:
+            event_dir = self.mirror_env["event_dir"].rstrip("/")
+            for f in _fs.list_files(self.spark, txn):
+                name = f.rstrip("/").rsplit("/", 1)[-1]
+                _fs.rename(self.spark, f, f"{event_dir}/{name}")
+        _fs.delete(self.spark, txn)
+
     def _pg_session_statement(
         self, conn: socket.socket, stmt: str
     ) -> bool:
@@ -1954,12 +1981,33 @@ class WireServer:
         low = " ".join(self._strip_comments(stmt).lower().split())
         word = low.split(" ", 1)[0] if low else ""
         if word in ("begin", "start"):
+            # Real DML transactions (r10): statements between BEGIN
+            # and COMMIT stage their change events in a dot-prefixed
+            # dir inside the WAL (hidden from the streaming tail —
+            # the COPY staging pattern); the DML readers include the
+            # staging dir, so the transaction reads its own writes.
+            # COMMIT renames the staged files in atomically-per-file;
+            # ROLLBACK (or disconnect) deletes them — nothing was
+            # ever visible. SELECTs over mirror TARGETS still see
+            # committed state only (the tail reads the WAL dir).
+            if (
+                self.mirror_env.get("event_dir")
+                and getattr(self._session_local, "txn_dir", None) is None
+            ):
+                import uuid as _uuid
+
+                ed = self.mirror_env["event_dir"].rstrip("/")
+                self._session_local.txn_dir = (
+                    f"{ed}/.txn_{_uuid.uuid4().hex[:12]}"
+                )
             conn.sendall(_msg(b"C", _cstr("BEGIN")))
             return True
         if word in ("commit", "end"):
+            self._txn_finish(commit=True)
             conn.sendall(_msg(b"C", _cstr("COMMIT")))
             return True
         if word in ("rollback", "abort"):
+            self._txn_finish(commit=False)
             conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
             return True
         if word == "discard":
@@ -2037,6 +2085,9 @@ class WireServer:
                 schemas=self.mirror_env["schemas"],
                 event_dir=self.mirror_env["event_dir"],
                 key_column=self.mirror_env.get("key_column", "id"),
+                # inside BEGIN…COMMIT events stage per-connection and
+                # the readers see the transaction's own writes (r10)
+                staging_dir=getattr(self._session_local, "txn_dir", None),
             )
             if returning is not None:
                 # RETURNING (r10): RowDescription + one DataRow per

@@ -2325,3 +2325,70 @@ def test_psql_insert_on_conflict_upsert(server, spark):
     assert r.returncode != 0 and "key column" in r.stderr
     ok = _psql(server.port, "SELECT 6 AS alive")
     assert ok.returncode == 0 and ok.stdout.strip() == "6"
+
+
+# -- DML transactions: BEGIN/COMMIT/ROLLBACK atomicity (r10) ------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_transaction_commit_rollback_disconnect(server, spark):
+    """Wire DML transactions: events stage per-connection in a
+    dot-prefixed dir (invisible to the WAL tail), COMMIT renames them
+    in, ROLLBACK discards, disconnect with an open txn rolls back —
+    and a later statement in the SAME txn sees the earlier one's
+    uncommitted write (read-your-own-writes)."""
+    import os
+
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+    event_dir = server.mirror_env["event_dir"]
+
+    def wal_keys():
+        return {
+            (e["key"], e["op"])
+            for e in spark.read.schema(CDC_EVENT_SCHEMA)
+            .parquet(event_dir)
+            .collect()
+        }
+
+    # disconnect mid-txn = rollback: psql exits without COMMIT
+    r = _psql(
+        server.port,
+        "BEGIN; INSERT INTO orders (id, quantity) VALUES (80, 1)",
+    )
+    assert r.returncode == 0, r.stderr
+    assert (80, "I") not in wal_keys()
+    # explicit ROLLBACK
+    r = _psql(
+        server.port,
+        "BEGIN; INSERT INTO orders (id, quantity) VALUES (81, 1); "
+        "ROLLBACK",
+    )
+    assert r.returncode == 0, r.stderr
+    assert (81, "I") not in wal_keys()
+    # COMMIT lands everything; the UPDATE inside the txn must SEE the
+    # uncommitted INSERT (UPDATE 1, and the U event carries qty 2)
+    r = _psql(
+        server.port,
+        "BEGIN; INSERT INTO orders (id, quantity) VALUES (80, 1); "
+        "UPDATE orders SET quantity = 2 WHERE id = 80; COMMIT",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "COMMIT" in r.stdout
+    keys = wal_keys()
+    assert (80, "I") in keys and (80, "U") in keys
+    ev = [
+        e
+        for e in spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(event_dir)
+        .collect()
+        if e["key"] == 80 and e["op"] == "U"
+    ]
+    assert any('"quantity": 2' in (e["after_json"] or "") for e in ev)
+    # no staging leftovers
+    assert not [
+        d for d in os.listdir(event_dir) if d.startswith(".txn_")
+    ]
+    # autocommit statements outside a txn unaffected
+    ok = _psql(server.port, "SELECT 4 AS alive")
+    assert ok.returncode == 0 and ok.stdout.strip() == "4"
