@@ -1953,6 +1953,32 @@ class WireServer:
             name, self._PG_GUC_DEFAULTS.get(name, "")
         )
 
+    def _rollback_to_savepoint(
+        self, conn: socket.socket, name: str
+    ) -> None:
+        """ROLLBACK TO [SAVEPOINT] <name>: delete staged event files
+        created after the marker; the savepoint itself survives
+        (Postgres semantics) while later savepoints are destroyed."""
+        txn = getattr(self._session_local, "txn_dir", None)
+        sps = getattr(self._session_local, "txn_savepoints", {}) or {}
+        if txn is None or name not in sps:
+            conn.sendall(
+                _error(
+                    f'savepoint "{name}" does not exist', code="3B001"
+                )
+            )
+            return
+        from . import fs as _fs
+
+        keep = sps[name]
+        for f in _fs.list_files(self.spark, txn):
+            if f not in keep:
+                _fs.delete(self.spark, f)
+        names = list(sps)
+        for n in names[names.index(name) + 1:]:
+            sps.pop(n, None)
+        conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
+
     def _txn_finish(self, commit: bool) -> None:
         """Close the connection's open transaction, if any: COMMIT
         renames the staged event files into the WAL (per-file atomic;
@@ -1960,6 +1986,7 @@ class WireServer:
         the tail tolerates incremental arrival by construction);
         ROLLBACK deletes the staging dir."""
         txn = getattr(self._session_local, "txn_dir", None)
+        self._session_local.txn_savepoints = {}
         if txn is None:
             return
         self._session_local.txn_dir = None
@@ -2007,8 +2034,58 @@ class WireServer:
             conn.sendall(_msg(b"C", _cstr("COMMIT")))
             return True
         if word in ("rollback", "abort"):
+            m = re.match(
+                r"rollback\s+(?:work\s+|transaction\s+)?to\s+"
+                r"(?:savepoint\s+)?(\w+)",
+                low,
+            )
+            if m:
+                self._rollback_to_savepoint(conn, m.group(1))
+                return True
             self._txn_finish(commit=False)
             conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
+            return True
+        if word == "savepoint":
+            # SAVEPOINT <name> (r10): marker = the staged file set at
+            # this point; ROLLBACK TO deletes files staged after it.
+            parts = low.split()
+            txn = getattr(self._session_local, "txn_dir", None)
+            if txn is None or len(parts) < 2:
+                conn.sendall(
+                    _error(
+                        "SAVEPOINT can only be used in transaction "
+                        "blocks",
+                        code="25P01",
+                    )
+                )
+                return True
+            from . import fs as _fs
+
+            sps = getattr(self._session_local, "txn_savepoints", None)
+            if sps is None:
+                sps = self._session_local.txn_savepoints = {}
+            name = parts[1]
+            sps.pop(name, None)  # re-declare shadows (newest wins)
+            sps[name] = set(_fs.list_files(self.spark, txn))
+            conn.sendall(_msg(b"C", _cstr("SAVEPOINT")))
+            return True
+        if word == "release":
+            m = re.match(r"release\s+(?:savepoint\s+)?(\w+)", low)
+            sps = getattr(self._session_local, "txn_savepoints", {}) or {}
+            if m is None or m.group(1) not in sps:
+                conn.sendall(
+                    _error(
+                        f'savepoint "{m.group(1) if m else "?"}" does '
+                        "not exist",
+                        code="3B001",
+                    )
+                )
+                return True
+            # RELEASE destroys the savepoint and every later one
+            names = list(sps)
+            for n in names[names.index(m.group(1)):]:
+                sps.pop(n, None)
+            conn.sendall(_msg(b"C", _cstr("RELEASE")))
             return True
         if word == "discard":
             self._conn_vars().clear()

@@ -2392,3 +2392,41 @@ def test_psql_transaction_commit_rollback_disconnect(server, spark):
     # autocommit statements outside a txn unaffected
     ok = _psql(server.port, "SELECT 4 AS alive")
     assert ok.returncode == 0 and ok.stdout.strip() == "4"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_savepoint_rollback_to(server, spark):
+    """SAVEPOINT / ROLLBACK TO / RELEASE inside a wire transaction:
+    partial rollback discards only the events staged after the
+    marker; the savepoint survives its own rollback (Postgres
+    semantics); SAVEPOINT outside a txn errors 25P01."""
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+    event_dir = server.mirror_env["event_dir"]
+    r = _psql(
+        server.port,
+        "BEGIN; "
+        "INSERT INTO orders (id, quantity) VALUES (90, 1); "
+        "SAVEPOINT sp1; "
+        "INSERT INTO orders (id, quantity) VALUES (91, 1); "
+        "ROLLBACK TO SAVEPOINT sp1; "
+        "INSERT INTO orders (id, quantity) VALUES (92, 1); "
+        "RELEASE SAVEPOINT sp1; "
+        "COMMIT",
+    )
+    assert r.returncode == 0, r.stderr
+    keys = {
+        e["key"]
+        for e in spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(event_dir)
+        .collect()
+        if e["op"] == "I"
+    }
+    assert 90 in keys and 92 in keys
+    assert 91 not in keys  # rolled back to sp1
+    # SAVEPOINT outside a transaction block
+    r = _psql(server.port, "SAVEPOINT nope")
+    assert r.returncode != 0 and "transaction blocks" in r.stderr
+    # unknown savepoint
+    r = _psql(server.port, "BEGIN; ROLLBACK TO SAVEPOINT ghost; COMMIT")
+    assert r.returncode != 0 and "does not exist" in r.stderr
