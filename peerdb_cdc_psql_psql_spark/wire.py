@@ -1953,6 +1953,95 @@ class WireServer:
             name, self._PG_GUC_DEFAULTS.get(name, "")
         )
 
+    _DECLARE_RE = re.compile(
+        r"(?is)^declare\s+(\w+)"
+        r"(?:\s+(?:binary|insensitive|asensitive|no\s+scroll|scroll))*"
+        r"\s+cursor(?:\s+with(?:out)?\s+hold)?\s+for\s+(.+)$"
+    )
+    _FETCH_RE = re.compile(
+        r"(?is)^(fetch|move)\s+(?:(?:forward|relative)\s+)?"
+        r"(all|next|\d+)?\s*(?:from\s+|in\s+)?(\w+)\s*$"
+    )
+    _CLOSE_RE = re.compile(r"(?is)^close\s+(all|\w+)\s*$")
+
+    def _cursor_statement(
+        self, conn: socket.socket, stmt: str, low: str
+    ) -> tuple[bool, int]:
+        """Simple-protocol cursors (r10): DECLARE … CURSOR FOR query /
+        FETCH [FORWARD] [n|ALL|NEXT] [FROM|IN] name / MOVE / CLOSE —
+        how psql users page a big result without a driver
+        (``FETCH 1000 FROM c`` in a loop). The cursor holds a lazy
+        ``toLocalIterator`` over the query's DataFrame, so paging a
+        100 TB scan streams partition-by-partition with constant
+        frontend memory — the same backpressure model as every other
+        result path. Cursors behave WITH HOLD (no transaction scoping
+        — the frontend's DML transactions don't scope reads);
+        returns (handled, rows_sent)."""
+        cursors = getattr(self._session_local, "cursors", None)
+        if cursors is None:
+            cursors = self._session_local.cursors = {}
+        m = self._DECLARE_RE.match(stmt.strip().rstrip(";"))
+        if m:
+            name, query = m.group(1).lower(), m.group(2)
+            df = self._sql_with_mirror_targets(query)
+            cursors[name] = {"df": df, "iter": None}
+            conn.sendall(_msg(b"C", _cstr("DECLARE CURSOR")))
+            return True, 0
+        m = self._CLOSE_RE.match(low)
+        if m:
+            if m.group(1) == "all":
+                cursors.clear()
+            elif cursors.pop(m.group(1), None) is None:
+                conn.sendall(
+                    _error(
+                        f'cursor "{m.group(1)}" does not exist',
+                        code="34000",
+                    )
+                )
+                return True, 0
+            conn.sendall(_msg(b"C", _cstr("CLOSE CURSOR")))
+            return True, 0
+        m = self._FETCH_RE.match(low)
+        if m:
+            verb, count_raw, name = m.groups()
+            cur = cursors.get(name)
+            if cur is None:
+                conn.sendall(
+                    _error(
+                        f'cursor "{name}" does not exist', code="34000"
+                    )
+                )
+                return True, 0
+            budget = (
+                None
+                if count_raw == "all"
+                else 1
+                if count_raw in (None, "next")
+                else int(count_raw)
+            )
+            if cur["iter"] is None:
+                cur["iter"] = cur["df"].toLocalIterator()
+            fetch = verb == "fetch"
+            out = bytearray()
+            if fetch:
+                out += _msg(b"T", self._row_description(cur["df"]))
+            n = 0
+            for row in cur["iter"]:
+                if fetch:
+                    out += self._data_row(row)
+                n += 1
+                if len(out) >= 1 << 16:
+                    conn.sendall(bytes(out))
+                    out.clear()
+                if budget is not None and n >= budget:
+                    break
+            out += _msg(
+                b"C", _cstr(f"{'FETCH' if fetch else 'MOVE'} {n}")
+            )
+            conn.sendall(bytes(out))
+            return True, n if fetch else 0
+        return False, 0
+
     def _rollback_to_savepoint(
         self, conn: socket.socket, name: str
     ) -> None:
@@ -2150,6 +2239,10 @@ class WireServer:
         if low.startswith("copy "):
             self._copy_command(conn, stmt)
             return 0
+        if low.startswith(("declare ", "fetch ", "move ", "close ")):
+            handled, rows = self._cursor_statement(conn, stmt, low)
+            if handled:
+                return rows
         kind = self._statement_kind(stmt)
         if kind == "dml":
             # DML against a mirrored source table = change-event

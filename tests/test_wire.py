@@ -2430,3 +2430,35 @@ def test_psql_savepoint_rollback_to(server, spark):
     # unknown savepoint
     r = _psql(server.port, "BEGIN; ROLLBACK TO SAVEPOINT ghost; COMMIT")
     assert r.returncode != 0 and "does not exist" in r.stderr
+
+
+# -- simple-protocol cursors: DECLARE / FETCH / MOVE / CLOSE (r10) ------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_declare_fetch_close_cursor(server):
+    """The psql paging loop: DECLARE … CURSOR FOR query, FETCH n in
+    batches (each its own result set), MOVE skips, exhaustion gives
+    FETCH 0, CLOSE frees — all on one connection via one -c."""
+    r = _psql(
+        server.port,
+        "DECLARE c1 CURSOR FOR SELECT n_nationkey FROM nation "
+        "ORDER BY n_nationkey; "
+        "FETCH 5 FROM c1; "
+        "MOVE 3 IN c1; "
+        "FETCH 2 FROM c1; "
+        "FETCH ALL FROM c1; "
+        "CLOSE c1",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    nums = [int(x) for x in lines if x.strip().isdigit()]
+    # 5 rows, skip 3, then rows 8,9, then the rest (nation has 25)
+    assert nums[:5] == [0, 1, 2, 3, 4]
+    assert nums[5:7] == [8, 9]
+    assert nums[-1] == 24 and len(nums) == 25 - 3  # 22 fetched rows
+    # unknown cursor errors, session survives
+    bad = _psql(server.port, "FETCH 1 FROM ghost")
+    assert bad.returncode != 0 and "does not exist" in bad.stderr
+    ok = _psql(server.port, "SELECT 2 AS alive")
+    assert ok.returncode == 0 and ok.stdout.strip() == "2"
