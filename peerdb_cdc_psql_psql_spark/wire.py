@@ -1189,8 +1189,12 @@ class WireServer:
     # _cancel_lock (same lifecycle as the cancel-key table)
     _activity: dict = field(default_factory=dict)
     # pg_stat_statements: normalized query → counters, guarded by
-    # _cancel_lock (recorded once per executed statement)
+    # _cancel_lock (recorded once per executed statement); bounded
+    # like the real extension's pg_stat_statements.max — at the cap,
+    # the least-called decile is evicted (driver memory stays O(cap)
+    # however diverse the workload)
     _stmt_stats: dict = field(default_factory=dict)
+    stmt_stats_max: int = 5000
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -1322,6 +1326,15 @@ class WireServer:
         q = _normalize_statement(stmt)[:1024]
         with self._cancel_lock:
             st = self._stmt_stats.get(q)
+            if st is None and len(self._stmt_stats) >= self.stmt_stats_max:
+                # eviction at the cap, like the real extension: drop
+                # the least-called ~10% in one pass
+                victims = sorted(
+                    self._stmt_stats.items(),
+                    key=lambda kv: kv[1]["calls"],
+                )[: max(1, self.stmt_stats_max // 10)]
+                for vq, _ in victims:
+                    del self._stmt_stats[vq]
             if st is None:
                 qid = (
                     int.from_bytes(
@@ -1983,6 +1996,13 @@ class WireServer:
         m = self._DECLARE_RE.match(stmt.strip().rstrip(";"))
         if m:
             name, query = m.group(1).lower(), m.group(2)
+            if name in cursors:
+                conn.sendall(
+                    _error(
+                        f'cursor "{name}" already exists', code="42P03"
+                    )
+                )
+                return True, 0
             df = self._sql_with_mirror_targets(query)
             cursors[name] = {"df": df, "iter": None}
             conn.sendall(_msg(b"C", _cstr("DECLARE CURSOR")))

@@ -2462,3 +2462,30 @@ def test_psql_declare_fetch_close_cursor(server):
     assert bad.returncode != 0 and "does not exist" in bad.stderr
     ok = _psql(server.port, "SELECT 2 AS alive")
     assert ok.returncode == 0 and ok.stdout.strip() == "2"
+
+
+def test_stmt_stats_eviction_bounded(spark):
+    """pg_stat_statements driver memory stays O(stmt_stats_max): at
+    the cap the least-called decile evicts (the real extension's
+    pg_stat_statements.max behavior)."""
+    srv = WireServer(spark, port=0, stmt_stats_max=50)
+    for i in range(60):
+        srv._record_statement(f"SELECT col_{i} FROM t{i}", 1.0, 1)
+    assert len(srv._stmt_stats) <= 50
+    # a hot statement survives the churn
+    for _ in range(10):
+        srv._record_statement("SELECT hot FROM hott", 1.0, 1)
+    for i in range(100, 160):
+        srv._record_statement(f"SELECT col_{i} FROM t{i}", 1.0, 1)
+    assert any("hott" in q for q in srv._stmt_stats)
+    assert len(srv._stmt_stats) <= 50
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_duplicate_cursor_rejected(server):
+    r = _psql(
+        server.port,
+        "DECLARE dup1 CURSOR FOR SELECT 1; "
+        "DECLARE dup1 CURSOR FOR SELECT 2",
+    )
+    assert r.returncode != 0 and "already exists" in r.stderr
