@@ -326,3 +326,103 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_bp"),
         )
     )
+
+
+_BFS_MAX_LEVEL = 3
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+WITH RECURSIVE
+d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM d)
+  WHERE rn <= {_TRI_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+walk(node, lvl) AS (
+    SELECT (SELECT MIN(u) FROM edges), 0
+  UNION
+    SELECT s.v, w.lvl + 1
+    FROM walk w JOIN sym s ON s.u = w.node
+    WHERE w.lvl < {_BFS_MAX_LEVEL}
+),
+lv AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM lv GROUP BY lvl
+""",
+    tags=("graph", "recursive", "analytics"),
+    eager_build=True,  # the fixpoint loop runs jobs at build time
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-capped BFS over the part co-purchase graph from the
+    minimum part key — the engine's RECURSIVE-CTE equivalent: Spark
+    has no ``WITH RECURSIVE``, so frontier expansion runs as a
+    bounded ITERATIVE join loop (the standard Spark re-expression of
+    linear recursion — same family as the large-star/small-star CC
+    fold in the dedup pack), while the DuckDB oracle states the same
+    computation as a genuine recursive UNION. Per node the MIN level
+    wins — the Spark side gets that by construction (each frontier
+    anti-joins everything already visited).
+
+    Scale: each of the {_BFS_MAX_LEVEL} rounds is one equi-join of
+    the current frontier against the symmetric edge list plus one
+    anti-join against the visited set — O(frontier · avg-degree) work
+    per round, never paths (a path-enumerating recursion is
+    combinatorial on a co-purchase graph; level sets are linear).
+    Frontiers persist per round and unpersist after the next round
+    materializes; the visited set stays (node, lvl) pairs — two
+    BIGINTs — through every shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    from .joins import basket_pairs
+
+    edges = (
+        basket_pairs(li, cap=_TRI_CAP)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "u", "v")
+        .persist()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seed = edges.agg(F.min("u")).collect()[0][0]  # bounded 1-row agg
+    if seed is None:
+        return spark.createDataFrame(
+            [], "lvl bigint, n_nodes bigint, sum_nodes bigint"
+        )
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "node bigint, lvl bigint"
+    ).persist()
+    frontier = visited.select("node")
+    for i in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).cast("bigint").alias("lvl"))
+        )
+        new_visited = visited.unionAll(nxt).persist()
+        new_visited.count()  # materialize before dropping the parent
+        visited.unpersist()
+        visited = new_visited
+        frontier = nxt.select("node")
+    out = visited.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("sum_nodes"),
+    )
+    edges.unpersist()
+    return out
