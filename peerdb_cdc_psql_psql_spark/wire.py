@@ -1105,6 +1105,48 @@ def _scram_keys(password: str, salt: bytes, iterations: int):
     return stored_key, server_key
 
 
+def scram_verifier(password: str, iterations: int = _SCRAM_ITERATIONS) -> str:
+    """Build a Postgres-format stored SCRAM verifier
+    (``SCRAM-SHA-256$<iter>:<salt>$<StoredKey>:<ServerKey>`` — what
+    pg_authid.rolpassword holds) from a cleartext password. An
+    ``auth=`` map may carry these instead of cleartext: the server
+    then never holds the password, only the verifier pair — the
+    credential a stolen config leaks cannot log in anywhere else."""
+    import base64
+
+    salt = secrets.token_bytes(16)
+    stored, server = _scram_keys(password, salt, iterations)
+    b64 = lambda b: base64.b64encode(b).decode("ascii")  # noqa: E731
+    return (
+        f"SCRAM-SHA-256${iterations}:{b64(salt)}"
+        f"${b64(stored)}:{b64(server)}"
+    )
+
+
+def _parse_scram_verifier(
+    secret: str,
+) -> "tuple[int, bytes, bytes, bytes] | None":
+    """(iterations, salt, StoredKey, ServerKey) from a Postgres-format
+    verifier string, or None when the secret is a plain password."""
+    import base64
+
+    if not secret.startswith("SCRAM-SHA-256$"):
+        return None
+    try:
+        _, rest = secret.split("$", 1)
+        iter_salt, keys = rest.split("$", 1)
+        iters, salt_b64 = iter_salt.split(":", 1)
+        stored_b64, server_b64 = keys.split(":", 1)
+        return (
+            int(iters),
+            base64.b64decode(salt_b64),
+            base64.b64decode(stored_b64),
+            base64.b64decode(server_b64),
+        )
+    except (ValueError, TypeError):
+        return None
+
+
 def _scram_attrs(msg: str) -> dict[str, str]:
     """SCRAM attribute list 'k=v,k=v' → dict (v may contain '=' —
     base64 padding — so split on the FIRST '=' only)."""
@@ -1724,10 +1766,24 @@ class WireServer:
         snonce = cnonce + base64.b64encode(
             secrets.token_bytes(18)
         ).decode("ascii")
-        salt = secrets.token_bytes(16)
+        # credential resolution: the auth map may hold a cleartext
+        # password OR a Postgres-format stored verifier (r10,
+        # `scram_verifier` — the server then never holds the
+        # password); unknown users get a mock credential with the
+        # same message flow (no enumeration oracle)
+        secret = self.auth.get(user)
+        if secret is None:
+            secret = secrets.token_hex(16)
+        ver = _parse_scram_verifier(secret)
+        if ver is not None:
+            iters, salt, stored_key, server_key = ver
+        else:
+            iters = _SCRAM_ITERATIONS
+            salt = secrets.token_bytes(16)
+            stored_key, server_key = _scram_keys(secret, salt, iters)
         server_first = (
             f"r={snonce},s={base64.b64encode(salt).decode('ascii')},"
-            f"i={_SCRAM_ITERATIONS}"
+            f"i={iters}"
         )
         conn.sendall(
             _msg(b"R", struct.pack("!i", 11) + server_first.encode())
@@ -1749,14 +1805,6 @@ class WireServer:
             or not proof_b64
         ):
             return self._auth_failed(conn, user)
-        # mock credential for unknown users: same message flow,
-        # guaranteed-failing proof
-        password = self.auth.get(user)
-        if password is None:
-            password = secrets.token_hex(16)
-        stored_key, server_key = _scram_keys(
-            password, salt, _SCRAM_ITERATIONS
-        )
         without_proof = client_final[: client_final.rindex(",p=")]
         auth_message = (
             f"{client_first_bare},{server_first},{without_proof}"
@@ -2153,6 +2201,26 @@ class WireServer:
                 return True
             self._txn_finish(commit=False)
             conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
+            return True
+        if re.fullmatch(
+            r"select\s+pg_stat_statements_reset\s*\(\s*\)\s*;?", low
+        ):
+            with self._cancel_lock:
+                self._stmt_stats.clear()
+            row = b""
+            conn.sendall(
+                _msg(
+                    b"T",
+                    struct.pack("!h", 1)
+                    + _cstr("pg_stat_statements_reset")
+                    + struct.pack("!ihihih", 0, 0, _TEXT_OID, -1, -1, 0),
+                )
+                + _msg(
+                    b"D",
+                    struct.pack("!h", 1) + struct.pack("!i", len(row)) + row,
+                )
+                + _msg(b"C", _cstr("SELECT 1"))
+            )
             return True
         if word == "savepoint":
             # SAVEPOINT <name> (r10): marker = the staged file set at

@@ -2489,3 +2489,67 @@ def test_duplicate_cursor_rejected(server):
         "DECLARE dup1 CURSOR FOR SELECT 2",
     )
     assert r.returncode != 0 and "already exists" in r.stderr
+
+
+def test_scram_stored_verifier_and_reset(spark):
+    """r10: the auth map may hold a Postgres-format stored SCRAM
+    verifier instead of cleartext — the server never holds the
+    password; the raw RFC 5802 client authenticates against it and
+    the server signature still verifies (ServerKey from the
+    verifier). Also: SELECT pg_stat_statements_reset() clears the
+    statement counters."""
+    import base64
+
+    from peerdb_cdc_psql_psql_spark.wire import (
+        _parse_scram_verifier,
+        scram_verifier,
+    )
+
+    ver = scram_verifier("topsecret")
+    assert ver.startswith("SCRAM-SHA-256$4096:")
+    parsed = _parse_scram_verifier(ver)
+    assert parsed is not None and parsed[0] == 4096
+    assert _parse_scram_verifier("plainpassword") is None
+    srv = WireServer(spark, port=0, sf_dir=SF, auth={"u": ver})
+    srv.start()
+    try:
+        c = _sk.create_connection(("127.0.0.1", srv.port), timeout=30)
+        try:
+            kind, payload, expect_sig = _scram_client_exchange(
+                c, "u", "topsecret"
+            )
+            assert kind == b"R"
+            assert _struct.unpack("!i", payload[:4])[0] == 12
+            assert payload[4:] == b"v=" + base64.b64encode(expect_sig)
+            _drain_until_ready(c)
+            c.sendall(_frame(b"Q", b"SELECT 21 AS vok\x00"))
+            msgs = _drain_until_ready(c)
+            assert b"21" in [p for k, p in msgs if k == b"D"][0]
+            # wrong password against the verifier still fails
+        finally:
+            c.close()
+        c2 = _sk.create_connection(("127.0.0.1", srv.port), timeout=30)
+        try:
+            kind, payload, _ = _scram_client_exchange(c2, "u", "wrong")
+            assert kind == b"E" and b"28P01" in payload
+        finally:
+            c2.close()
+        # pg_stat_statements_reset over psql
+        if not psql_missing:
+            _psql_auth(srv.port, "SELECT 1 AS before_reset",
+                       password="topsecret")
+            r = _psql_auth(
+                srv.port, "SELECT pg_stat_statements_reset()",
+                password="topsecret",
+            )
+            assert r.returncode == 0, r.stderr
+            r = _psql_auth(
+                srv.port,
+                "SELECT COUNT(*) AS n FROM pg_stat_statements "
+                "WHERE query LIKE '%before_reset%'",
+                password="topsecret",
+            )
+            assert r.returncode == 0, r.stderr
+            assert r.stdout.strip().splitlines()[-1].strip() == "0"
+    finally:
+        srv.stop()
