@@ -1931,11 +1931,30 @@ class WireServer:
         import time as _time
 
         for stmt in self._split_statements(sql):
+            # aborted-transaction state (r10, Postgres semantics): an
+            # error INSIDE an open transaction poisons it — every
+            # later statement gets 25P02 until COMMIT (which rolls
+            # back, tag ROLLBACK) or ROLLBACK [TO earlier SAVEPOINT]
+            if getattr(self._session_local, "txn_aborted", False):
+                word = (
+                    self._strip_comments(stmt).lower().split() or [""]
+                )[0]
+                if word not in ("commit", "end", "rollback", "abort"):
+                    conn.sendall(
+                        _error(
+                            "current transaction is aborted, commands "
+                            "ignored until end of transaction block",
+                            code="25P02",
+                        )
+                    )
+                    return
             t0 = _time.perf_counter()
             try:
                 rows = self._run_statement(conn, stmt)
             except Exception as e:  # noqa: BLE001 — every engine error
                 # becomes one wire ErrorResponse; the session survives
+                if getattr(self._session_local, "txn_dir", None):
+                    self._session_local.txn_aborted = True
                 conn.sendall(_error_for(e))
                 return
             self._record_statement(
@@ -2144,6 +2163,7 @@ class WireServer:
         ROLLBACK deletes the staging dir."""
         txn = getattr(self._session_local, "txn_dir", None)
         self._session_local.txn_savepoints = {}
+        self._session_local.txn_aborted = False
         if txn is None:
             return
         self._session_local.txn_dir = None
@@ -2187,8 +2207,14 @@ class WireServer:
             conn.sendall(_msg(b"C", _cstr("BEGIN")))
             return True
         if word in ("commit", "end"):
-            self._txn_finish(commit=True)
-            conn.sendall(_msg(b"C", _cstr("COMMIT")))
+            # COMMIT of an ABORTED transaction rolls back and says so
+            # (Postgres's exact behavior)
+            aborted = getattr(self._session_local, "txn_aborted", False)
+            self._session_local.txn_aborted = False
+            self._txn_finish(commit=not aborted)
+            conn.sendall(
+                _msg(b"C", _cstr("ROLLBACK" if aborted else "COMMIT"))
+            )
             return True
         if word in ("rollback", "abort"):
             m = re.match(
@@ -2197,8 +2223,12 @@ class WireServer:
                 low,
             )
             if m:
+                # ROLLBACK TO an earlier savepoint clears the aborted
+                # state — the Postgres recovery path inside a txn
+                self._session_local.txn_aborted = False
                 self._rollback_to_savepoint(conn, m.group(1))
                 return True
+            self._session_local.txn_aborted = False
             self._txn_finish(commit=False)
             conn.sendall(_msg(b"C", _cstr("ROLLBACK")))
             return True

@@ -2553,3 +2553,38 @@ def test_scram_stored_verifier_and_reset(spark):
             assert r.stdout.strip().splitlines()[-1].strip() == "0"
     finally:
         srv.stop()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_aborted_transaction_25p02(server, spark):
+    """Postgres aborted-txn semantics (r10): an error inside an open
+    transaction poisons it — later statements get 25P02, COMMIT rolls
+    back (tag ROLLBACK, nothing lands), and the connection recovers
+    after the block ends."""
+    from peerdb_cdc_psql_psql_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+    r = subprocess.run(
+        [
+            "psql",
+            f"host=127.0.0.1 port={server.port} user=u dbname=d "
+            "sslmode=disable",
+            "-tA",
+            "-c", "BEGIN; INSERT INTO orders (id, quantity) VALUES "
+                  "(95, 1); SELECT bogus_col FROM nation",
+            "-c", "SELECT 7 AS poisoned",
+            "-c", "COMMIT",
+            "-c", "SELECT 8 AS recovered",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert "current transaction is aborted" in r.stderr
+    assert "ROLLBACK" in r.stdout  # COMMIT of an aborted txn
+    assert "COMMIT" not in r.stdout
+    assert "8" in r.stdout.splitlines()[-1]  # session recovered
+    keys = {
+        e["key"]
+        for e in spark.read.schema(CDC_EVENT_SCHEMA)
+        .parquet(server.mirror_env["event_dir"])
+        .collect()
+    }
+    assert 95 not in keys  # the poisoned txn's INSERT never landed
