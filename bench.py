@@ -189,6 +189,9 @@ EXTRA = [
     "multimodal_jpeg_cmyk_decode",       # Adobe APP14 CMYK/YCCK (r9)
     "crawl_charset_detect",             # WHATWG charset chain
     "line_dedup_boilerplate",           # CCNet line-level chrome drop
+    # Round-10 additions
+    "multimodal_tiff_float_tiled_decode",  # tiled/planar float TIFF
+    "graph_bfs_levels",                 # recursive-CTE-equivalent BFS
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
