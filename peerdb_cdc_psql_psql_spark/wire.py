@@ -2307,6 +2307,16 @@ class WireServer:
             conn.sendall(_msg(b"C", _cstr("RESET")))
             return True
         if word == "set":
+            if low.startswith(
+                ("set transaction", "set session characteristics")
+            ):
+                # JDBC setTransactionIsolation / setReadOnly emit
+                # these; the frontend's transaction model is fixed
+                # (read-committed-ish staged DML), so they are
+                # accepted no-ops with the SET tag — exactly what a
+                # driver needs to proceed (r10)
+                conn.sendall(_msg(b"C", _cstr("SET")))
+                return True
             if low.startswith("set time zone"):
                 val = stmt.split(None, 3)[3].strip().strip("'\"")
                 self._conn_vars()["timezone"] = val

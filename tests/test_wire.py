@@ -2588,3 +2588,17 @@ def test_aborted_transaction_25p02(server, spark):
         .collect()
     }
     assert 95 not in keys  # the poisoned txn's INSERT never landed
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_set_transaction_characteristics_noop(server):
+    """JDBC setTransactionIsolation/setReadOnly emit SET TRANSACTION
+    / SET SESSION CHARACTERISTICS — accepted no-ops with the SET tag
+    (the frontend's transaction model is fixed), so drivers proceed."""
+    for sql in (
+        "SET TRANSACTION ISOLATION LEVEL READ COMMITTED",
+        "SET SESSION CHARACTERISTICS AS TRANSACTION READ ONLY",
+        "BEGIN; SET TRANSACTION ISOLATION LEVEL SERIALIZABLE; COMMIT",
+    ):
+        r = _psql(server.port, sql)
+        assert r.returncode == 0, (sql, r.stderr)
