@@ -170,27 +170,134 @@ def _decode_binary_param(data: bytes, oid: int) -> str:
     )
 
 
+# Element-type OID → array-type OID, for RowDescription on Spark
+# array<> columns. psycopg/pgjdbc parse the cell BY THIS OID — a
+# float8[] declared as text (25) comes back as a Python string, so
+# the embeddings table's vectors were strings client-side. Nested
+# arrays and arrays of struct stay text: Spark nesting may be ragged,
+# which Postgres multidim arrays cannot represent.
+_ARRAY_OID = {
+    "tinyint": 1005, "smallint": 1005, "int": 1007, "integer": 1007,
+    "bigint": 1016, "float": 1021, "double": 1022, "decimal": 1231,
+    "boolean": 1000, "date": 1182, "timestamp": 1115,
+    "timestamp_ntz": 1115, "string": 1009, "varchar": 1009,
+    "char": 1009, "binary": 1001,
+}
+
+
 def _oid_for(spark_type: str) -> int:
-    base = spark_type.split("(")[0].split("<")[0].strip().lower()
+    t = spark_type.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        inner = t[6:-1]
+        if "<" in inner:  # array<array<…>> / array<struct<…>>
+            return _TEXT_OID
+        return _ARRAY_OID.get(inner.split("(")[0].strip(), _TEXT_OID)
+    base = t.split("(")[0].split("<")[0].strip()
+    if base == "struct":
+        return 2249  # anonymous record — psql prints the literal
+    if base == "binary":
+        return _BYTEA_OID
     return _OID.get(base, _TEXT_OID)
 
 
+def _pg_scalar_text(v) -> str:
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, bytes):
+        return "\\x" + v.hex()
+    return str(v)
+
+
+def _pg_quote(s: str, specials: str, quote_null_word: bool) -> str:
+    """Array-element / record-field quoting per the Postgres text
+    syntax: wrap in double quotes when the value is empty, is the
+    word NULL (array elements only — it would read back as NULL), or
+    contains a delimiter/brace/paren/quote/backslash/whitespace;
+    backslash-escape embedded quotes and backslashes."""
+    if (
+        s == ""
+        or (quote_null_word and s.upper() == "NULL")
+        or any(c in specials or c.isspace() for c in s)
+    ):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _pg_array_text(seq) -> str:
+    parts = []
+    for x in seq:
+        if x is None:
+            parts.append("NULL")
+        elif _is_row(x):
+            # a record inside an array: the rendered (…) contains
+            # commas, so the standard quote rule wraps it
+            parts.append(_pg_quote(_pg_record_text(x), '{},"\\', True))
+        elif isinstance(x, (list, tuple)):
+            parts.append(_pg_array_text(x))  # nested: unquoted braces
+        elif isinstance(x, dict):
+            parts.append(_pg_quote(_pg_hstore_text(x), '{},"\\', True))
+        else:
+            parts.append(_pg_quote(_pg_scalar_text(x), '{},"\\', True))
+    return "{" + ",".join(parts) + "}"
+
+
+def _pg_record_text(row) -> str:
+    """Composite text syntax: (f1,f2,…); NULL field = nothing between
+    the commas, empty string = ""."""
+    parts = []
+    for x in row:
+        if x is None:
+            parts.append("")
+        elif _is_row(x):
+            parts.append(_pg_quote(_pg_record_text(x), '(),"\\', False))
+        elif isinstance(x, (list, tuple)):
+            parts.append(_pg_quote(_pg_array_text(x), '(),"\\', False))
+        elif isinstance(x, dict):
+            parts.append(_pg_quote(_pg_hstore_text(x), '(),"\\', False))
+        else:
+            parts.append(_pg_quote(_pg_scalar_text(x), '(),"\\', False))
+    return "(" + ",".join(parts) + ")"
+
+
+def _pg_hstore_text(d: dict) -> str:
+    """Spark MapType rendered in hstore text syntax ("k"=>"v",
+    sorted keys for determinism) — the closest Postgres analogue of a
+    map column; psql shows it verbatim, hstore-aware clients parse."""
+    def q(s) -> str:
+        t = _pg_scalar_text(s)
+        return '"' + t.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    return ", ".join(
+        f"{q(k)}=>" + ("NULL" if v is None else q(v))
+        for k, v in sorted(d.items(), key=lambda kv: str(kv[0]))
+    )
+
+
+def _is_row(v) -> bool:
+    # pyspark Row is a tuple subclass — must be checked BEFORE the
+    # list/tuple array branch
+    from pyspark.sql import Row
+
+    return isinstance(v, Row)
+
+
 def _render(v) -> bytes | None:
-    """Text-format cell rendering (None → SQL NULL wire marker)."""
+    """Text-format cell rendering (None → SQL NULL wire marker), in
+    Postgres text syntax: arrays as quoted-element {…} literals
+    (embeddings ride array<float> — a comma inside a text element
+    must not split it), structs as (…) records, maps as hstore."""
     if v is None:
         return None
     if isinstance(v, bool):
         return b"t" if v else b"f"
     if isinstance(v, bytes):
         return b"\\x" + v.hex().encode()
+    if _is_row(v):
+        return _pg_record_text(v).encode()
     if isinstance(v, (list, tuple)):
-        return (
-            "{" + ",".join("NULL" if x is None else str(x) for x in v) + "}"
-        ).encode()
+        return _pg_array_text(v).encode()
     if isinstance(v, dict):
-        return (
-            "{" + ",".join(f"{k}={x}" for k, x in sorted(v.items())) + "}"
-        ).encode()
+        return _pg_hstore_text(v).encode()
     return str(v).encode()
 
 
@@ -695,7 +802,7 @@ def _copy_binary_cell(v, dtype: str) -> bytes | None:
         return _pg_numeric_bytes(v)
     if base == "binary":
         return bytes(v)
-    return str(v).encode("utf-8")
+    return _render(v)  # containers ride as their PG text literal
 
 
 def _copy_binary_cell_to_text(data: bytes | None, dtype: str) -> str | None:

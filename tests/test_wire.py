@@ -2602,3 +2602,96 @@ def test_set_transaction_characteristics_noop(server):
     ):
         r = _psql(server.port, sql)
         assert r.returncode == 0, (sql, r.stderr)
+
+
+# -- Postgres-exact container rendering (r10) -------------------------
+
+
+def test_render_array_text_quoting():
+    """Array cells must be real Postgres array literals: elements
+    containing commas/braces/quotes/backslashes/whitespace are
+    double-quoted with backslash escapes, NULL stays bare, the word
+    'NULL' and the empty string are quoted (else they read back as
+    SQL NULL / vanish)."""
+    from peerdb_cdc_psql_psql_spark.wire import _render
+
+    assert _render([1.5, 2.5]) == b"{1.5,2.5}"
+    assert _render(["a,b", 'c"d', None, "", "NULL", "back\\slash"]) == (
+        b'{"a,b","c\\"d",NULL,"","NULL","back\\\\slash"}'
+    )
+    assert _render([[1, 2], [3, 4]]) == b"{{1,2},{3,4}}"
+    assert _render([True, False, None]) == b"{t,f,NULL}"
+    assert _render([b"\x01\xff"]) == b'{"\\\\x01ff"}'  # bytea elem quoted
+
+
+def test_render_record_and_hstore_text():
+    from pyspark.sql import Row
+
+    from peerdb_cdc_psql_psql_spark.wire import _render
+
+    assert _render(Row(x=1, y="p,q")) == b'(1,"p,q")'
+    assert _render(Row(x=None, y="")) == b'(,"")'
+    assert _render(Row(x=Row(a=2), y=[1, 2])) == b'("(2)","{1,2}")'
+    assert _render({"k": "v", "j": None}) == b'"j"=>NULL, "k"=>"v"'
+    # record inside an array is a quoted element
+    assert _render([Row(a=1, b=2)]) == b'{"(1,2)"}'
+
+
+def test_oid_for_arrays_structs_binary():
+    from peerdb_cdc_psql_psql_spark.wire import _oid_for
+
+    assert _oid_for("array<double>") == 1022
+    assert _oid_for("array<float>") == 1021
+    assert _oid_for("array<int>") == 1007
+    assert _oid_for("array<bigint>") == 1016
+    assert _oid_for("array<string>") == 1009
+    assert _oid_for("array<boolean>") == 1000
+    assert _oid_for("array<decimal(12,2)>") == 1231
+    # ragged/nested shapes stay text — Spark nesting may not be a
+    # rectangular PG multidim array
+    assert _oid_for("array<array<int>>") == 25
+    assert _oid_for("array<struct<a:int>>") == 25
+    assert _oid_for("struct<a:int,b:string>") == 2249
+    assert _oid_for("binary") == 17
+    assert _oid_for("int") == 23  # scalars unchanged
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_container_literals(server):
+    """psql shows array/struct/map cells as Postgres text literals."""
+    r = _psql(
+        server.port,
+        "SELECT array('a,b', 'c\"d', cast(null as string), '') AS a, "
+        "named_struct('x', 1, 'y', 'p,q') AS s, "
+        "array(1.5, 2.5) AS v",
+    )
+    assert r.returncode == 0, r.stderr
+    a, s, v = r.stdout.strip().split("|")
+    assert a == '{"a,b","c\\"d",NULL,""}'
+    assert s == '(1,"p,q")'
+    assert v == "{1.5,2.5}"
+
+
+def test_array_column_declares_array_oid(server):
+    """RowDescription for array<double> declares float8[] (1022) so
+    drivers parse the cell into a list instead of a string."""
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(
+            _frame(
+                b"Q",
+                b"SELECT array(cast(1.5 as double), "
+                b"cast(2.5 as double)) AS v\x00",
+            )
+        )
+        msgs = _drain_until_ready(c)
+        rowdesc = next(p for k, p in msgs if k == b"T")
+        # payload: int16 nfields, name cstr, int32 tbl, int16 attnum,
+        # int32 TYPE OID, ...
+        name_end = rowdesc.index(b"\x00", 2)
+        oid = _struct.unpack("!i", rowdesc[name_end + 7:name_end + 11])[0]
+        assert oid == 1022
+        datarow = next(p for k, p in msgs if k == b"D")
+        assert b"{1.5,2.5}" in datarow
+    finally:
+        c.close()
