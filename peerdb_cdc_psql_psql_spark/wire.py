@@ -1344,6 +1344,16 @@ class WireServer:
     # however diverse the workload)
     _stmt_stats: dict = field(default_factory=dict)
     stmt_stats_max: int = 5000
+    # LISTEN/NOTIFY (r10): channel → {pid,…} plus pid → delivery entry
+    # (socket, outbound lock, pending frames), guarded by _listen_lock.
+    # An IDLE listener gets the NotificationResponse immediately (its
+    # handler thread holds the out-lock only while processing a
+    # message); a busy listener's frames queue and flush right before
+    # its next ReadyForQuery — Postgres's own delivery point (end of
+    # statement/transaction).
+    _listeners: dict = field(default_factory=dict)
+    _conn_notify: dict = field(default_factory=dict)
+    _listen_lock: threading.Lock = field(default_factory=threading.Lock)
 
     def start(self) -> int:
         """Bind, register fixture views (when ``sf_dir`` is given) and
@@ -1571,6 +1581,14 @@ class WireServer:
                 + _msg(b"K", struct.pack("!ii", pid, secret))
                 + _READY
             )
+            # LISTEN/NOTIFY delivery entry: out_lock serializes this
+            # connection's outbound stream between its own handler
+            # thread and async notification senders
+            out_lock = threading.Lock()
+            with self._listen_lock:
+                self._conn_notify[pid] = {
+                    "conn": conn, "lock": out_lock, "pending": [],
+                }
             while not self._stop.is_set():
                 # idle-tolerant read BETWEEN messages: a psql session
                 # left open must not be dropped after one socket
@@ -1609,17 +1627,21 @@ class WireServer:
                         if row is not None:
                             row["state"] = "active"
                             row["query"] = stmt_text[:1024]
-                    try:
-                        self._simple_query(conn, stmt_text)
-                    finally:
-                        with self._cancel_lock:
-                            row = self._activity.get(pid)
-                            if row is not None:
-                                row["state"] = "idle"
-                    conn.sendall(_READY)
+                    with out_lock:
+                        try:
+                            self._simple_query(conn, stmt_text)
+                        finally:
+                            with self._cancel_lock:
+                                row = self._activity.get(pid)
+                                if row is not None:
+                                    row["state"] = "idle"
+                        self._flush_notifications(conn)
+                        conn.sendall(_READY)
                 elif kind == b"S":  # Sync — ends an extended batch
                     ext.skip_to_sync = False
-                    conn.sendall(_READY)
+                    with out_lock:
+                        self._flush_notifications(conn)
+                        conn.sendall(_READY)
                 elif kind == b"H":  # Flush — responses already sent
                     pass
                 elif kind in (b"P", b"B", b"D", b"E", b"C"):
@@ -1632,25 +1654,27 @@ class WireServer:
                                 row = self._activity.get(pid)
                                 if row is not None:
                                     row["state"] = "active"
-                        try:
-                            self._extended(conn, kind, payload, ext)
-                        except Exception as e:  # noqa: BLE001
-                            conn.sendall(_error_for(e))
-                            ext.skip_to_sync = True
-                        finally:
-                            if kind == b"E":
-                                with self._cancel_lock:
-                                    row = self._activity.get(pid)
-                                    if row is not None:
-                                        row["state"] = "idle"
+                        with out_lock:
+                            try:
+                                self._extended(conn, kind, payload, ext)
+                            except Exception as e:  # noqa: BLE001
+                                conn.sendall(_error_for(e))
+                                ext.skip_to_sync = True
+                            finally:
+                                if kind == b"E":
+                                    with self._cancel_lock:
+                                        row = self._activity.get(pid)
+                                        if row is not None:
+                                            row["state"] = "idle"
                 else:
-                    conn.sendall(
-                        _error(
-                            f"unsupported message type {kind!r}",
-                            code="0A000",
+                    with out_lock:
+                        conn.sendall(
+                            _error(
+                                f"unsupported message type {kind!r}",
+                                code="0A000",
+                            )
+                            + _READY
                         )
-                        + _READY
-                    )
         except (OSError, struct.error, ValueError):
             # malformed framing from a hostile/broken client must not
             # leak an unhandled-thread traceback (VERDICT r5 "wrong" #1)
@@ -1665,6 +1689,12 @@ class WireServer:
             with self._cancel_lock:
                 self._cancel_keys.pop((pid, secret), None)
                 self._activity.pop(pid, None)
+            with self._listen_lock:
+                self._conn_notify.pop(pid, None)
+                for chan in list(self._listeners):
+                    self._listeners[chan].discard(pid)
+                    if not self._listeners[chan]:
+                        del self._listeners[chan]
             try:
                 conn.close()
             except OSError:
@@ -2236,6 +2266,244 @@ class WireServer:
             return True, n if fetch else 0
         return False, 0
 
+    # -- simple-protocol PREPARE / EXECUTE / DEALLOCATE (r10) ----------
+    # The SQL-level prepared-statement surface (what psql scripts and
+    # pgbench's default workload use) next to the extended protocol's
+    # Parse/Bind. EXECUTE substitutes the argument literals for $1..$n
+    # through the same quote-aware typed-literal path as Bind, then
+    # dispatches the substituted text through the normal statement
+    # pipeline — one inliner, two protocols.
+    _PREPARE_RE = re.compile(
+        r"(?is)^\s*prepare\s+(\w+)\s*(?:\(([^()]*)\))?\s+as\s+(.+)$"
+    )
+    _EXECUTE_RE = re.compile(
+        r"(?is)^\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$"
+    )
+    _DEALLOC_RE = re.compile(
+        r"(?is)^\s*deallocate\s+(?:prepare\s+)?(all|\w+)\s*;?\s*$"
+    )
+    _TYPE_NAME_OID = {
+        "int": 23, "int4": 23, "integer": 23, "int8": 20, "bigint": 20,
+        "int2": 21, "smallint": 21, "text": 25, "varchar": 25,
+        "char": 25, "name": 19, "float4": 700, "real": 700,
+        "float8": 701, "double precision": 701, "numeric": 1700,
+        "decimal": 1700, "boolean": 16, "bool": 16, "date": 1082,
+        "timestamp": 1114, "bytea": 17,
+    }
+
+    def _prepared_statement(
+        self, conn: socket.socket, stmt: str, low: str
+    ) -> tuple[bool, int]:
+        """Returns (handled, rows_sent)."""
+        prepared = getattr(self._session_local, "prepared_sql", None)
+        if prepared is None:
+            prepared = self._session_local.prepared_sql = {}
+        text = self._strip_comments(stmt).strip()
+        m = self._PREPARE_RE.match(text)
+        if m:
+            name = m.group(1).lower()
+            if name in prepared:
+                conn.sendall(
+                    _error(
+                        f'prepared statement "{name}" already exists',
+                        code="42P05",
+                    )
+                )
+                return True, 0
+            oids = tuple(
+                self._TYPE_NAME_OID.get(
+                    t.strip().lower().split("(")[0].strip(), 0
+                )
+                for t in (m.group(2) or "").split(",")
+                if t.strip()
+            )
+            prepared[name] = {"sql": m.group(3).rstrip("; \t\n"),
+                              "oids": oids}
+            conn.sendall(_msg(b"C", _cstr("PREPARE")))
+            return True, 0
+        m = self._EXECUTE_RE.match(text)
+        if m and not low.startswith("execute immediate"):
+            name = m.group(1).lower()
+            prep = prepared.get(name)
+            if prep is None:
+                conn.sendall(
+                    _error(
+                        f'prepared statement "{name}" does not exist',
+                        code="26000",
+                    )
+                )
+                return True, 0
+            from .operators.sql_frontend import _split_top_level
+
+            args = [
+                a.strip()
+                for a in _split_top_level(m.group(2) or "")
+                if a.strip()
+            ]
+            want = _count_params(prep["sql"])
+            if len(args) != want:
+                conn.sendall(
+                    _error(
+                        "wrong number of parameters for prepared "
+                        f'statement "{name}": got {len(args)}, '
+                        f"expected {want}",
+                        code="42601",
+                    )
+                )
+                return True, 0
+            values: list[str | None] = []
+            oids: list[int] = []
+            for i, a in enumerate(args):
+                declared = (
+                    prep["oids"][i] if i < len(prep["oids"]) else 0
+                )
+                if a.upper() == "NULL":
+                    values.append(None)
+                    oids.append(declared)
+                elif a.startswith("'") and a.endswith("'"):
+                    values.append(a[1:-1].replace("''", "'"))
+                    oids.append(declared)
+                elif _INT_RE.match(a):
+                    values.append(a)
+                    oids.append(declared or 20)
+                elif _NUM_RE.match(a):
+                    values.append(a)
+                    oids.append(declared or 1700)
+                elif a.lower() in ("true", "false"):
+                    values.append(a.lower())
+                    oids.append(declared or _BOOL_OID)
+                else:
+                    conn.sendall(
+                        _error(
+                            f"EXECUTE argument {i + 1} must be a "
+                            "literal (number, string, boolean, NULL)",
+                            code="42601",
+                        )
+                    )
+                    return True, 0
+            sub = _substitute_params(prep["sql"], values, tuple(oids))
+            return True, self._run_statement(conn, sub)
+        m = self._DEALLOC_RE.match(text)
+        if m:
+            name = m.group(1).lower()
+            if name == "all":
+                prepared.clear()
+            elif prepared.pop(name, None) is None:
+                conn.sendall(
+                    _error(
+                        f'prepared statement "{name}" does not exist',
+                        code="26000",
+                    )
+                )
+                return True, 0
+            conn.sendall(_msg(b"C", _cstr("DEALLOCATE")))
+            return True, 0
+        return False, 0
+
+    # -- EXPLAIN in Postgres clothing (r10) ----------------------------
+    # `EXPLAIN [ANALYZE] [VERBOSE] stmt` and the option-list form
+    # `EXPLAIN (ANALYZE, COSTS OFF, FORMAT TEXT) stmt` — what psql
+    # users and GUI clients send. The plan is Catalyst's (FORMATTED by
+    # default, EXTENDED under VERBOSE) shipped one line per row in a
+    # "QUERY PLAN" column, Postgres's result shape. ANALYZE executes
+    # the (read-only) statement and appends actual row count + wall
+    # time. Spark's own EXPLAIN EXTENDED/CODEGEN/COST/FORMATTED
+    # spellings pass through to spark.sql untouched.
+    _EXPLAIN_RE = re.compile(
+        r"(?is)^\s*explain\s+(?:\(([^()]*)\)\s*|"
+        r"((?:analy[sz]e|verbose)(?:\s+(?:analy[sz]e|verbose))*)\s+)?"
+        r"(.+)$"
+    )
+    _EXPLAIN_IGNORED = frozenset(
+        ("costs", "buffers", "timing", "summary", "settings", "wal",
+         "memory", "generic_plan", "serialize")
+    )
+
+    def _explain_statement(
+        self, conn: socket.socket, stmt: str
+    ) -> tuple[bool, int]:
+        m = self._EXPLAIN_RE.match(self._strip_comments(stmt).strip())
+        if not m:
+            return False, 0
+        opts, words, inner = m.group(1), m.group(2), m.group(3).strip()
+        first = inner.split(None, 1)[0].lower() if inner else ""
+        if opts is None and words is None and first in (
+            "extended", "codegen", "cost", "formatted"
+        ):
+            return False, 0  # Spark's native EXPLAIN spelling
+        analyze = verbose = False
+        if words:
+            toks = words.lower().split()
+            analyze = any(t.startswith("analy") for t in toks)
+            verbose = "verbose" in toks
+        for item in (opts or "").split(","):
+            parts = item.split()
+            if not parts:
+                continue
+            name = parts[0].lower()
+            val = parts[1].lower() if len(parts) > 1 else "on"
+            truthy = val in ("on", "true", "1", "yes")
+            if name.startswith("analy"):
+                analyze = truthy
+            elif name == "verbose":
+                verbose = truthy
+            elif name == "format":
+                if val != "text":
+                    conn.sendall(
+                        _error(
+                            f"EXPLAIN FORMAT {val} is not supported "
+                            "(text only)",
+                            code="0A000",
+                        )
+                    )
+                    return True, 0
+            elif name not in self._EXPLAIN_IGNORED:
+                conn.sendall(
+                    _error(
+                        f'unrecognized EXPLAIN option "{name}"',
+                        code="42601",
+                    )
+                )
+                return True, 0
+        if self._statement_kind(inner) != "sql":
+            conn.sendall(
+                _error(
+                    "EXPLAIN of mirror DDL / mirrored-table DML is "
+                    "not supported (those run outside Catalyst)",
+                    code="0A000",
+                )
+            )
+            return True, 0
+        if analyze and not self._is_read_only(inner):
+            conn.sendall(
+                _error(
+                    "EXPLAIN ANALYZE is supported for read-only "
+                    "statements only",
+                    code="0A000",
+                )
+            )
+            return True, 0
+        mode = "EXTENDED" if verbose else "FORMATTED"
+        plan_df = self._sql_with_mirror_targets(f"EXPLAIN {mode} {inner}")
+        lines = plan_df.collect()[0][0].rstrip("\n").split("\n")
+        if analyze:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            n = self._sql_with_mirror_targets(inner).count()
+            ms = (_time.perf_counter() - t0) * 1000.0
+            lines += ["", f"Execution: rows={n}, time={ms:.3f} ms"]
+        desc = struct.pack("!h", 1) + _cstr("QUERY PLAN") + struct.pack(
+            "!ihihih", 0, 0, _TEXT_OID, -1, -1, 0
+        )
+        out = _msg(b"T", desc)
+        for ln in lines:
+            b = ln.encode()
+            out += _msg(b"D", struct.pack("!hi", 1, len(b)) + b)
+        out += _msg(b"C", _cstr("EXPLAIN"))
+        conn.sendall(out)
+        return True, len(lines)
+
     def _rollback_to_savepoint(
         self, conn: socket.socket, name: str
     ) -> None:
@@ -2267,23 +2535,169 @@ class WireServer:
         renames the staged event files into the WAL (per-file atomic;
         the same torn-multi-file crash window append_events has —
         the tail tolerates incremental arrival by construction);
-        ROLLBACK deletes the staging dir."""
-        txn = getattr(self._session_local, "txn_dir", None)
-        self._session_local.txn_savepoints = {}
-        self._session_local.txn_aborted = False
-        if txn is None:
-            return
-        self._session_local.txn_dir = None
-        from . import fs as _fs
+        ROLLBACK deletes the staging dir. Transaction-queued NOTIFYs
+        deliver after a COMMIT (Postgres semantics) and are dropped
+        on ROLLBACK/disconnect."""
+        queued = getattr(self._session_local, "txn_notifies", None) or []
+        self._session_local.txn_notifies = []
+        self._session_local.txn_open = False
+        try:
+            txn = getattr(self._session_local, "txn_dir", None)
+            self._session_local.txn_savepoints = {}
+            self._session_local.txn_aborted = False
+            if txn is None:
+                return
+            self._session_local.txn_dir = None
+            from . import fs as _fs
 
-        if not _fs.exists(self.spark, txn):
-            return  # BEGIN with no DML — nothing staged
-        if commit:
-            event_dir = self.mirror_env["event_dir"].rstrip("/")
-            for f in _fs.list_files(self.spark, txn):
-                name = f.rstrip("/").rsplit("/", 1)[-1]
-                _fs.rename(self.spark, f, f"{event_dir}/{name}")
-        _fs.delete(self.spark, txn)
+            if not _fs.exists(self.spark, txn):
+                return  # BEGIN with no DML — nothing staged
+            if commit:
+                event_dir = self.mirror_env["event_dir"].rstrip("/")
+                for f in _fs.list_files(self.spark, txn):
+                    name = f.rstrip("/").rsplit("/", 1)[-1]
+                    _fs.rename(self.spark, f, f"{event_dir}/{name}")
+            _fs.delete(self.spark, txn)
+        finally:
+            if commit:
+                for chan, pay in queued:
+                    self._deliver_notify(chan, pay)
+
+    # -- LISTEN / UNLISTEN / NOTIFY (r10) ------------------------------
+    # The async half of the protocol: a CDC consumer can LISTEN on a
+    # channel and a producer session NOTIFYs it when new data lands
+    # (the poll-free "wake up and read the replica" pattern). Inside
+    # BEGIN…COMMIT a NOTIFY queues on the transaction, dedups exact
+    # repeats, delivers at COMMIT and evaporates on ROLLBACK —
+    # Postgres's documented behavior (ROLLBACK TO a savepoint does
+    # not unqueue notifications sent after it; documented deviation).
+    _LISTEN_RE = re.compile(
+        r'(?is)^\s*(listen|unlisten)\s+(\*|"[^"]+"|[a-z_][\w$]*)\s*;?\s*$'
+    )
+    _NOTIFY_RE = re.compile(
+        r"(?is)^\s*notify\s+(\"[^\"]+\"|[a-z_][\w$]*)"
+        r"(?:\s*,\s*'((?:[^']|'')*)')?\s*;?\s*$"
+    )
+    _PG_NOTIFY_FN = re.compile(
+        r"(?is)^\s*select\s+pg_notify\s*\(\s*'((?:[^']|'')*)'\s*,\s*"
+        r"'((?:[^']|'')*)'\s*\)\s*;?\s*$"
+    )
+
+    @staticmethod
+    def _chan_name(tok: str) -> str:
+        # quoted identifiers keep case; bare ones fold to lower
+        if tok.startswith('"'):
+            return tok[1:-1]
+        return tok.lower()
+
+    def _queue_or_deliver_notify(self, chan: str, payload: str) -> None:
+        if getattr(self._session_local, "txn_open", False):
+            q = getattr(self._session_local, "txn_notifies", None)
+            if q is None:
+                q = self._session_local.txn_notifies = []
+            if (chan, payload) not in q:  # PG dedups within a txn
+                q.append((chan, payload))
+            return
+        self._deliver_notify(chan, payload)
+
+    def _deliver_notify(self, channel: str, payload: str) -> None:
+        """Fan a NotificationResponse out to every listener: idle
+        connections get the frame immediately under their out-lock;
+        busy ones (including the notifying session itself, whose
+        handler holds its own out-lock mid-statement) queue for the
+        pre-ReadyForQuery flush."""
+        src = getattr(self._session_local, "pid", 0) or 0
+        frame = _msg(
+            b"A", struct.pack("!i", src) + _cstr(channel) + _cstr(payload)
+        )
+        with self._listen_lock:
+            targets = [
+                (p, self._conn_notify[p])
+                for p in self._listeners.get(channel, ())
+                if p in self._conn_notify
+            ]
+        for tpid, ent in targets:
+            if tpid == src:
+                # self-delivery: our own handler holds the out-lock
+                # right now — queue for the pre-ReadyForQuery flush
+                with self._listen_lock:
+                    ent["pending"].append(frame)
+                continue
+            if ent["lock"].acquire(timeout=0.2):
+                try:
+                    ent["conn"].sendall(frame)
+                except OSError:
+                    pass
+                finally:
+                    ent["lock"].release()
+            else:
+                with self._listen_lock:
+                    ent["pending"].append(frame)
+
+    def _flush_notifications(self, conn: socket.socket) -> None:
+        """Send this connection's queued NotificationResponses —
+        called right before ReadyForQuery with the out-lock held."""
+        pid = getattr(self._session_local, "pid", None)
+        if pid is None:
+            return
+        with self._listen_lock:
+            ent = self._conn_notify.get(pid)
+            frames = ent["pending"][:] if ent else []
+            if ent:
+                ent["pending"].clear()
+        for f in frames:
+            conn.sendall(f)
+
+    def _listen_statement(self, conn: socket.socket, stmt: str) -> bool:
+        """Handle LISTEN/UNLISTEN/NOTIFY/SELECT pg_notify(); False =
+        not one of ours."""
+        text = self._strip_comments(stmt)
+        m = self._LISTEN_RE.match(text)
+        if m:
+            verb, chan = m.group(1).lower(), self._chan_name(m.group(2))
+            pid = getattr(self._session_local, "pid", None)
+            with self._listen_lock:
+                if verb == "listen":
+                    if chan != "*" and pid is not None:
+                        self._listeners.setdefault(chan, set()).add(pid)
+                elif chan == "*":
+                    for c in list(self._listeners):
+                        self._listeners[c].discard(pid)
+                        if not self._listeners[c]:
+                            del self._listeners[c]
+                elif chan in self._listeners:
+                    self._listeners[chan].discard(pid)
+                    if not self._listeners[chan]:
+                        del self._listeners[chan]
+            conn.sendall(_msg(b"C", _cstr(verb.upper())))
+            return True
+        m = self._NOTIFY_RE.match(text)
+        if m:
+            payload = (m.group(2) or "").replace("''", "'")
+            self._queue_or_deliver_notify(
+                self._chan_name(m.group(1)), payload
+            )
+            conn.sendall(_msg(b"C", _cstr("NOTIFY")))
+            return True
+        m = self._PG_NOTIFY_FN.match(text)
+        if m:
+            self._queue_or_deliver_notify(
+                m.group(1).replace("''", "'"),
+                m.group(2).replace("''", "'"),
+            )
+            # pg_notify returns void: one column, one empty-text row
+            conn.sendall(
+                _msg(
+                    b"T",
+                    struct.pack("!h", 1)
+                    + _cstr("pg_notify")
+                    + struct.pack("!ihihih", 0, 0, _TEXT_OID, -1, -1, 0),
+                )
+                + _msg(b"D", struct.pack("!hi", 1, 0))
+                + _msg(b"C", _cstr("SELECT 1"))
+            )
+            return True
+        return False
 
     def _pg_session_statement(
         self, conn: socket.socket, stmt: str
@@ -2291,6 +2705,11 @@ class WireServer:
         """Answer Postgres session plumbing; False = not ours."""
         low = " ".join(self._strip_comments(stmt).lower().split())
         word = low.split(" ", 1)[0] if low else ""
+        if word in ("listen", "unlisten", "notify") or (
+            word == "select" and "pg_notify" in low
+        ):
+            if self._listen_statement(conn, stmt):
+                return True
         if word in ("begin", "start"):
             # Real DML transactions (r10): statements between BEGIN
             # and COMMIT stage their change events in a dot-prefixed
@@ -2311,6 +2730,9 @@ class WireServer:
                 self._session_local.txn_dir = (
                     f"{ed}/.txn_{_uuid.uuid4().hex[:12]}"
                 )
+            # NOTIFY queues on the open transaction even when no
+            # mirror WAL is configured (txn_dir stays None then)
+            self._session_local.txn_open = True
             conn.sendall(_msg(b"C", _cstr("BEGIN")))
             return True
         if word in ("commit", "end"):
@@ -2476,6 +2898,14 @@ class WireServer:
             return 0
         if low.startswith(("declare ", "fetch ", "move ", "close ")):
             handled, rows = self._cursor_statement(conn, stmt, low)
+            if handled:
+                return rows
+        if low.startswith(("prepare ", "execute ", "deallocate")):
+            handled, rows = self._prepared_statement(conn, stmt, low)
+            if handled:
+                return rows
+        if low.startswith("explain"):
+            handled, rows = self._explain_statement(conn, stmt)
             if handled:
                 return rows
         kind = self._statement_kind(stmt)

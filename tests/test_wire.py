@@ -2695,3 +2695,218 @@ def test_array_column_declares_array_oid(server):
         assert b"{1.5,2.5}" in datarow
     finally:
         c.close()
+
+
+# -- LISTEN / UNLISTEN / NOTIFY (r10) ---------------------------------
+
+
+def _notifications(msgs):
+    out = []
+    for k, p in msgs:
+        if k == b"A":
+            pid = _struct.unpack("!i", p[:4])[0]
+            chan, rest = p[4:].split(b"\x00", 1)
+            payload = rest.split(b"\x00", 1)[0]
+            out.append((pid, chan.decode(), payload.decode()))
+    return out
+
+
+def test_listen_notify_async_delivery(server):
+    """An idle LISTENing connection receives the NotificationResponse
+    asynchronously — no statement needed on the listener side."""
+    a = _connect_raw(server.port)
+    b = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"LISTEN chan1\x00"))
+        msgs = _drain_until_ready(a)
+        assert any(k == b"C" and p.startswith(b"LISTEN") for k, p in msgs)
+        b.sendall(_frame(b"Q", b"NOTIFY chan1, 'hello, world'\x00"))
+        _drain_until_ready(b)
+        a.settimeout(10)
+        kind, payload = _read_msg(a)
+        assert kind == b"A"
+        notes = _notifications([(kind, payload)])
+        assert notes[0][1] == "chan1"
+        assert notes[0][2] == "hello, world"
+        assert notes[0][0] > 0  # the notifying backend's pid
+    finally:
+        a.close()
+        b.close()
+
+
+def test_notify_self_delivery_and_unlisten(server):
+    """A session listening on a channel receives its own NOTIFY
+    (before ReadyForQuery); after UNLISTEN it stops."""
+    a = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"LISTEN me\x00"))
+        _drain_until_ready(a)
+        a.sendall(_frame(b"Q", b"NOTIFY me, 'ping'\x00"))
+        msgs = _drain_until_ready(a)
+        assert _notifications(msgs) != []
+        a.sendall(_frame(b"Q", b"UNLISTEN me\x00"))
+        _drain_until_ready(a)
+        a.sendall(_frame(b"Q", b"NOTIFY me, 'gone'\x00"))
+        msgs = _drain_until_ready(a)
+        assert _notifications(msgs) == []
+    finally:
+        a.close()
+
+
+def test_notify_transaction_scoped(server):
+    """NOTIFY inside BEGIN…COMMIT delivers at COMMIT (deduped within
+    the transaction); ROLLBACK drops queued notifications."""
+    a = _connect_raw(server.port)
+    b = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"LISTEN tx\x00"))
+        _drain_until_ready(a)
+        # rollback: nothing arrives
+        b.sendall(
+            _frame(b"Q", b"BEGIN; NOTIFY tx, 'x'; ROLLBACK\x00")
+        )
+        _drain_until_ready(b)
+        # commit: the deduped pair lands once
+        b.sendall(
+            _frame(
+                b"Q",
+                b"BEGIN; NOTIFY tx, 'z'; NOTIFY tx, 'z'; COMMIT\x00",
+            )
+        )
+        _drain_until_ready(b)
+        a.settimeout(10)
+        kind, payload = _read_msg(a)
+        notes = _notifications([(kind, payload)])
+        assert notes == [(notes[0][0], "tx", "z")]
+        # nothing else pending (the rolled-back 'x', the deduped 'z')
+        a.sendall(_frame(b"Q", b"SELECT 1 AS k\x00"))
+        msgs = _drain_until_ready(a)
+        assert _notifications(msgs) == []
+    finally:
+        a.close()
+        b.close()
+
+
+def test_select_pg_notify_function(server):
+    a = _connect_raw(server.port)
+    b = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"LISTEN fn\x00"))
+        _drain_until_ready(a)
+        b.sendall(_frame(b"Q", b"SELECT pg_notify('fn', 'via fn')\x00"))
+        msgs = _drain_until_ready(b)
+        # pg_notify returns void: one row, empty text
+        assert any(k == b"D" for k, _p in msgs)
+        a.settimeout(10)
+        kind, payload = _read_msg(a)
+        notes = _notifications([(kind, payload)])
+        assert notes[0][1:] == ("fn", "via fn")
+    finally:
+        a.close()
+        b.close()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_listen_notify_roundtrip(server):
+    """psql prints the standard asynchronous-notification notice when
+    LISTEN and NOTIFY run on one session."""
+    r = _psql(server.port, "LISTEN pchan; NOTIFY pchan, 'payload!'")
+    assert r.returncode == 0, r.stderr
+    blob = r.stdout + r.stderr
+    assert "pchan" in blob and "payload!" in blob
+
+
+# -- simple-protocol PREPARE / EXECUTE / DEALLOCATE (r10) -------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_prepare_execute_deallocate(server):
+    r = _psql(
+        server.port,
+        "PREPARE q (int) AS "
+        "SELECT n_name FROM nation WHERE n_nationkey = $1; "
+        "EXECUTE q(3); EXECUTE q(5); DEALLOCATE q",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [
+        ln
+        for ln in r.stdout.strip().splitlines()
+        if ln and ln not in ("PREPARE", "DEALLOCATE")
+    ]
+    assert len(lines) == 2 and lines[0] != lines[1]
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_prepare_errors(server):
+    # unknown name
+    r = _psql(server.port, "EXECUTE nope(1)")
+    assert "does not exist" in r.stderr
+    # duplicate name
+    r = _psql(
+        server.port,
+        "PREPARE d AS SELECT 1; PREPARE d AS SELECT 2",
+    )
+    assert "already exists" in r.stderr
+    # wrong arity
+    r = _psql(
+        server.port,
+        "PREPARE w AS SELECT $1::int + $2::int; EXECUTE w(1)",
+    )
+    assert "wrong number of parameters" in r.stderr
+    # DEALLOCATE ALL then reuse of the name succeeds
+    r = _psql(
+        server.port,
+        "PREPARE a AS SELECT 9 AS v; DEALLOCATE ALL; "
+        "PREPARE a AS SELECT 10 AS v; EXECUTE a",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines()[-1] == "10"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_execute_string_and_null_args(server):
+    r = _psql(
+        server.port,
+        "PREPARE s AS SELECT upper($1) AS u, $2 IS NULL AS n; "
+        "EXECUTE s('o''brien', NULL)",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines()[-1] == "O'BRIEN|t"
+
+
+# -- EXPLAIN in Postgres clothing (r10) -------------------------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_explain_postgres_forms(server):
+    # bare EXPLAIN: Catalyst plan under a QUERY PLAN column
+    r = _psql(server.port, "EXPLAIN SELECT COUNT(*) FROM nation")
+    assert r.returncode == 0, r.stderr
+    assert "Physical Plan" in r.stdout
+    # option-list form with ANALYZE: actual rows + time appended
+    r = _psql(
+        server.port,
+        "EXPLAIN (ANALYZE, COSTS OFF) "
+        "SELECT n_regionkey, COUNT(*) FROM nation GROUP BY 1",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Execution: rows=" in r.stdout
+    # keyword form
+    r = _psql(server.port, "EXPLAIN ANALYZE SELECT 1")
+    assert r.returncode == 0 and "Execution: rows=1" in r.stdout
+    # VERBOSE maps to the extended plan (logical + physical)
+    r = _psql(server.port, "EXPLAIN VERBOSE SELECT 1 AS one")
+    assert "Optimized Logical Plan" in r.stdout
+    # Spark's native spelling passes through untouched
+    r = _psql(server.port, "EXPLAIN FORMATTED SELECT 2")
+    assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_explain_rejections(server):
+    r = _psql(server.port, "EXPLAIN (FORMAT JSON) SELECT 1")
+    assert "not supported" in r.stderr
+    r = _psql(server.port, "EXPLAIN (FROBNICATE) SELECT 1")
+    assert "unrecognized EXPLAIN option" in r.stderr
+    r = _psql(server.port, "EXPLAIN ANALYZE CREATE TABLE t_x (a INT)")
+    assert "read-only" in r.stderr
