@@ -192,6 +192,8 @@ EXTRA = [
     # Round-10 additions
     "multimodal_tiff_float_tiled_decode",  # tiled/planar float TIFF
     "graph_bfs_levels",                 # recursive-CTE-equivalent BFS
+    "open_order_concurrency",           # sweep-line interval peak
+    "doc_priority_sample",              # weighted sample w/o replacement
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -790,3 +790,99 @@ def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "open_order_concurrency",
+    oracle="""
+WITH spans AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS d0,
+         CAST(o_orderdate AS DATE)
+           + CAST(substr(o_orderpriority, 1, 1) AS INTEGER) * 7 AS d1
+  FROM orders
+),
+ev AS (
+  SELECT o_orderpriority, d0 AS d, 1 AS delta, 1 AS starts FROM spans
+  UNION ALL
+  SELECT o_orderpriority, d1 + 1, -1, 0 FROM spans
+),
+byday AS (
+  SELECT o_orderpriority, d, SUM(delta) AS delta, SUM(starts) AS starts
+  FROM ev GROUP BY 1, 2
+),
+run AS (
+  SELECT o_orderpriority, d, starts,
+         SUM(delta) OVER (PARTITION BY o_orderpriority ORDER BY d)
+           AS inflight,
+         SUM(starts) OVER (PARTITION BY o_orderpriority) AS n_orders
+  FROM byday
+)
+SELECT o_orderpriority AS priority,
+       CAST(inflight AS BIGINT) AS peak_open,
+       d AS peak_first_date,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY inflight DESC, d
+  ) AS rn FROM run
+) WHERE rn = 1
+""",
+    tags=("window", "interval", "sweep-line"),
+)
+def open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency — the classic interval question
+    ("how many X were open at once?") that naive self-joins answer in
+    O(n²). Each order holds an open interval [orderdate, orderdate +
+    priority-class-derived fulfillment window]; the sweep unpivots to
+    ±1 boundary events, pre-aggregates per (priority, day) — so the
+    running-sum window sees DAYS, not rows: bounded state however
+    many orders share a date — and one cumulative sum gives the
+    in-flight load. Peak + first date it is reached come from a
+    row_number over the SAME partitioning (no extra shuffle: the
+    day-agg, both windows, and the rank all reuse one hash partition
+    by priority). At 100 TB the per-partition row count is bounded by
+    the date span (~2.5k days), so the window state stays tiny no
+    matter how the fact table grows."""
+    spans = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            F.substring("o_orderpriority", 1, 1).cast("int") * 7,
+        ).alias("d1"),
+    )
+    ev = spans.select(
+        "o_orderpriority", F.col("d0").alias("d"),
+        F.lit(1).alias("delta"), F.lit(1).alias("starts"),
+    ).unionByName(
+        spans.select(
+            "o_orderpriority", F.date_add("d1", 1).alias("d"),
+            F.lit(-1).alias("delta"), F.lit(0).alias("starts"),
+        )
+    )
+    byday = ev.groupBy("o_orderpriority", "d").agg(
+        F.sum("delta").alias("delta"), F.sum("starts").alias("starts")
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.partitionBy("o_orderpriority").orderBy("d")
+    w_all = Window.partitionBy("o_orderpriority")
+    run = byday.select(
+        "o_orderpriority", "d",
+        F.sum("delta").over(w_run).alias("inflight"),
+        F.sum("starts").over(w_all).alias("n_orders"),
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("inflight"), F.asc("d")
+    )
+    return (
+        run.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("inflight").cast("bigint").alias("peak_open"),
+            F.col("d").alias("peak_first_date"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+    )

@@ -547,3 +547,58 @@ def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_digest"),
         )
     )
+
+
+@register(
+    "doc_priority_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, GREATEST(n_chars, 1) AS weight,
+         (CAST(concat('0x', substr(md5('ps42:' || CAST(doc_id AS VARCHAR)),
+                                   1, 12)) AS BIGINT) + 1)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS key_ratio
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_ratio, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, lang, CAST(weight AS BIGINT) AS weight, key_ratio
+FROM keyed
+ORDER BY key_ratio, doc_id
+LIMIT 64
+""",
+    tags=("sampling", "weighted", "X4"),
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup): per-doc priority w/u with u seeded-md5
+    uniform — take the k largest priorities ⟺ the k SMALLEST
+    (h+1)/w ratios. Chosen over Efraimidis–Spirakis's u^(1/w)
+    because exp/ln are libm-dependent (Java vs DuckDB may differ in
+    the last ulp and flip marginal ranks); a single IEEE division of
+    a 48-bit integer by a small weight is correctly rounded and
+    bit-identical on every engine — the same determinism discipline
+    as the md5 membership tricks above. Plan: one projection, then
+    TakeOrderedAndProject (per-partition top-k, k rows to the
+    driver) — no full sort, no shuffle of the corpus; the length-
+    weighted sample favors long documents the way a token-budgeted
+    training mix would."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps42:"), F.col("doc_id").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id", "lang",
+        w.cast("bigint").alias("weight"),
+        ((h + 1).cast("double") / w.cast("double")).alias("key_ratio"),
+    )
+    top = keyed.orderBy("key_ratio", "doc_id").limit(64)
+    win = Window.orderBy("key_ratio", "doc_id")
+    return top.select(
+        F.row_number().over(win).cast("bigint").alias("rank"),
+        "doc_id", "lang", "weight", "key_ratio",
+    )
