@@ -194,6 +194,7 @@ EXTRA = [
     "graph_bfs_levels",                 # recursive-CTE-equivalent BFS
     "open_order_concurrency",           # sweep-line interval peak
     "doc_priority_sample",              # weighted sample w/o replacement
+    "hard_negative_mining",             # contrastive-training pair mine
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -1319,3 +1319,89 @@ def cosine_lsh_adaptive_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np").cast("bigint").alias("planes"),
         )
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+pos AS (
+  SELECT query_id, MAX(cosine) AS max_pos
+  FROM scored WHERE label = qlabel GROUP BY 1
+),
+negs AS (
+  SELECT query_id, vec_id, label, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rn
+  FROM scored WHERE label <> qlabel
+)
+SELECT n.query_id,
+       CAST(n.rn AS BIGINT) AS rank,
+       n.vec_id AS neg_vec_id,
+       n.label AS neg_label,
+       ROUND(n.cosine, 6) AS neg_cosine,
+       ROUND(p.max_pos, 6) AS max_pos_cosine,
+       n.cosine > p.max_pos AS margin_violation
+FROM negs n JOIN pos p USING (query_id)
+WHERE n.rn <= 5
+""",
+    tags=("X3", "similarity", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor vector, the top-5 most-similar OTHER-label vectors, each
+    flagged when it outscores the anchor's best same-label positive
+    (a margin violation — exactly the pairs a triplet-loss curriculum
+    wants). One broadcast cross of the 8 anchors against the corpus
+    scores every pair partition-locally (no corpus shuffle; the same
+    plan as similarity_topk_cosine), the positive ceiling is a tiny
+    per-anchor max, and only k·q negative rows plus q positive maxima
+    cross the final exchanges; the violation flag compares the two
+    bit-exact cosine folds, so it is engine-deterministic."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "en", _norm(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("en").alias("qn"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (F.col("en") * F.col("qn"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "vec_id", "label", cos.alias("cosine"))
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("max_pos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    negs = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return negs.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        F.col("rn").cast("bigint").alias("rank"),
+        F.col("vec_id").alias("neg_vec_id"),
+        F.col("label").alias("neg_label"),
+        F.round("cosine", 6).alias("neg_cosine"),
+        F.round("max_pos", 6).alias("max_pos_cosine"),
+        (F.col("cosine") > F.col("max_pos")).alias("margin_violation"),
+    )

@@ -2400,6 +2400,105 @@ class WireServer:
             return True, 0
         return False, 0
 
+    # -- session/admin function calls (r10) ----------------------------
+    # The whole-statement `SELECT fn(...)` forms psql users and
+    # monitoring scripts run: pg_cancel_backend / pg_terminate_backend
+    # (the runaway-query kill switch — cancels the target connection's
+    # Spark job group, the same path CancelRequest takes),
+    # current_setting / set_config (GUC access in SQL), and
+    # pg_listening_channels. Composed uses (a function inside a bigger
+    # query) fall through to spark.sql and error — same whole-
+    # statement contract as pg_stat_statements_reset.
+    _ADMIN_FN = re.compile(
+        r"(?is)^\s*select\s+(?:pg_catalog\.)?"
+        r"(pg_cancel_backend|pg_terminate_backend)\s*\(\s*(\d+)\s*\)"
+        r"\s*;?\s*$"
+    )
+    _CURRENT_SETTING = re.compile(
+        r"(?is)^\s*select\s+(?:pg_catalog\.)?current_setting\s*\(\s*"
+        r"'([^']+)'\s*(?:,\s*(?:true|false)\s*)?\)\s*;?\s*$"
+    )
+    _SET_CONFIG = re.compile(
+        r"(?is)^\s*select\s+(?:pg_catalog\.)?set_config\s*\(\s*"
+        r"'([^']+)'\s*,\s*'((?:[^']|'')*)'\s*,\s*(?:true|false)\s*\)"
+        r"\s*;?\s*$"
+    )
+    _LISTENING = re.compile(
+        r"(?is)^\s*select\s+(?:\*\s+from\s+)?(?:pg_catalog\.)?"
+        r"pg_listening_channels\s*\(\s*\)\s*;?\s*$"
+    )
+
+    def _send_text_rows(
+        self, conn: socket.socket, col: str, values: list[str]
+    ) -> None:
+        out = _msg(
+            b"T",
+            struct.pack("!h", 1)
+            + _cstr(col)
+            + struct.pack("!ihihih", 0, 0, _TEXT_OID, -1, -1, 0),
+        )
+        for v in values:
+            b = v.encode()
+            out += _msg(b"D", struct.pack("!hi", 1, len(b)) + b)
+        out += _msg(b"C", _cstr(f"SELECT {len(values)}"))
+        conn.sendall(out)
+
+    def _admin_fn_statement(self, conn: socket.socket, stmt: str) -> bool:
+        text = self._strip_comments(stmt)
+        m = self._ADMIN_FN.match(text)
+        if m:
+            fn, target = m.group(1).lower(), int(m.group(2))
+            with self._cancel_lock:
+                group = next(
+                    (
+                        g
+                        for (p, _s), g in self._cancel_keys.items()
+                        if p == target
+                    ),
+                    None,
+                )
+            if group is not None:
+                self.spark.sparkContext.cancelJobGroup(group)
+            if fn == "pg_terminate_backend":
+                with self._listen_lock:
+                    ent = self._conn_notify.get(target)
+                if ent is not None:
+                    try:
+                        # unblocks the target's recv; its handler
+                        # thread then runs the normal cleanup path
+                        ent["conn"].shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+            self._send_text_rows(
+                conn, fn, ["t" if group is not None else "f"]
+            )
+            return True
+        m = self._CURRENT_SETTING.match(text)
+        if m:
+            self._send_text_rows(
+                conn, "current_setting", [self._pg_guc_value(
+                    m.group(1).lower()
+                )]
+            )
+            return True
+        m = self._SET_CONFIG.match(text)
+        if m:
+            name = m.group(1).lower()
+            val = m.group(2).replace("''", "'")
+            self._conn_vars()[name] = val
+            self._send_text_rows(conn, "set_config", [val])
+            return True
+        m = self._LISTENING.match(text)
+        if m:
+            pid = getattr(self._session_local, "pid", None)
+            with self._listen_lock:
+                chans = sorted(
+                    c for c, pids in self._listeners.items() if pid in pids
+                )
+            self._send_text_rows(conn, "pg_listening_channels", chans)
+            return True
+        return False
+
     # -- EXPLAIN in Postgres clothing (r10) ----------------------------
     # `EXPLAIN [ANALYZE] [VERBOSE] stmt` and the option-list form
     # `EXPLAIN (ANALYZE, COSTS OFF, FORMAT TEXT) stmt` — what psql
@@ -2709,6 +2808,15 @@ class WireServer:
             word == "select" and "pg_notify" in low
         ):
             if self._listen_statement(conn, stmt):
+                return True
+        if word == "select" and (
+            "pg_cancel_backend" in low
+            or "pg_terminate_backend" in low
+            or "current_setting" in low
+            or "set_config" in low
+            or "pg_listening_channels" in low
+        ):
+            if self._admin_fn_statement(conn, stmt):
                 return True
         if word in ("begin", "start"):
             # Real DML transactions (r10): statements between BEGIN

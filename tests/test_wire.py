@@ -2910,3 +2910,69 @@ def test_psql_explain_rejections(server):
     assert "unrecognized EXPLAIN option" in r.stderr
     r = _psql(server.port, "EXPLAIN ANALYZE CREATE TABLE t_x (a INT)")
     assert "read-only" in r.stderr
+
+
+# -- session/admin functions (r10) ------------------------------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_current_setting_and_set_config(server):
+    r = _psql(
+        server.port,
+        "SELECT set_config('application_name', 'my app', false); "
+        "SELECT current_setting('application_name')",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines == ["my app", "my app"]
+
+
+def test_pg_listening_channels(server):
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(
+            _frame(b"Q", b"LISTEN aa; LISTEN zz; UNLISTEN aa\x00")
+        )
+        _drain_until_ready(c)
+        c.sendall(_frame(b"Q", b"SELECT pg_listening_channels()\x00"))
+        msgs = _drain_until_ready(c)
+        rows = [p for k, p in msgs if k == b"D"]
+        assert len(rows) == 1 and b"zz" in rows[0]
+    finally:
+        c.close()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_pg_cancel_and_terminate_backend(server):
+    """pg_terminate_backend closes the target's connection; unknown
+    pids answer f."""
+    victim = _connect_raw(server.port)
+    try:
+        # find the victim's pid via pg_stat_activity is indirect —
+        # grab it from BackendKeyData instead: reconnect capturing it
+        victim.close()
+        c = _sk.create_connection(("127.0.0.1", server.port), timeout=30)
+        params = b"user\x00u\x00database\x00d\x00\x00"
+        c.sendall(
+            _struct.pack("!ii", 8 + len(params), 196608) + params
+        )
+        vpid = None
+        for k, p in _drain_until_ready(c):
+            if k == b"K":
+                vpid = _struct.unpack("!i", p[:4])[0]
+        assert vpid is not None
+        r = _psql(server.port, f"SELECT pg_terminate_backend({vpid})")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip() == "t"
+        # the victim's socket is now closed by the server
+        c.settimeout(10)
+        got = c.recv(64)
+        assert got == b""
+        # unknown pid answers f
+        r = _psql(server.port, "SELECT pg_cancel_backend(999999)")
+        assert r.stdout.strip() == "f"
+    finally:
+        try:
+            c.close()
+        except OSError:
+            pass
