@@ -802,7 +802,69 @@ def _copy_binary_cell(v, dtype: str) -> bytes | None:
         return _pg_numeric_bytes(v)
     if base == "binary":
         return bytes(v)
-    return _render(v)  # containers ride as their PG text literal
+    if base.startswith("array<"):
+        return _pg_array_bytes(v, dtype)
+    return _render(v)  # struct/map ride as their PG text literal
+
+
+def _pg_array_bytes(v, dtype: str) -> bytes:
+    """PG binary array format (array_send): int32 ndim, int32 hasnull,
+    int32 element OID, per-dim (length, lower bound 1), then each
+    element as int32 length + its scalar binary encoding (-1 = NULL).
+    One-dimensional scalar arrays only — the shape Spark columns
+    actually carry; nested/ragged input is a typed error (text format
+    handles those as literals)."""
+    elem_type = dtype.strip()[6:-1].strip()
+    if elem_type.startswith(("array<", "struct<", "map<")):
+        raise ValueError(
+            "binary COPY supports one-dimensional scalar arrays only "
+            f"(column type {dtype}); use FORMAT text"
+        )
+    vals = list(v)
+    hasnull = any(x is None for x in vals)
+    out = bytearray(
+        struct.pack(
+            "!iii", 1, 1 if hasnull else 0, _oid_for(elem_type)
+        )
+        + struct.pack("!ii", len(vals), 1)
+    )
+    for x in vals:
+        if x is None:
+            out += struct.pack("!i", -1)
+            continue
+        cell = _copy_binary_cell(x, elem_type)
+        out += struct.pack("!i", len(cell)) + cell
+    return bytes(out)
+
+
+def _pg_array_from_bytes(data: bytes, dtype: str) -> str:
+    """Inverse of _pg_array_bytes → the PG array TEXT literal the
+    staged sink pipeline consumes."""
+    elem_type = dtype.strip()[6:-1].strip()
+    if len(data) < 12:
+        raise ValueError("malformed binary array field")
+    ndim, _hasnull, _oid = struct.unpack_from("!iii", data, 0)
+    if ndim == 0:
+        return "{}"
+    if ndim != 1:
+        raise ValueError(
+            f"{ndim}-dimensional binary arrays are not supported"
+        )
+    n, _lb = struct.unpack_from("!ii", data, 12)
+    pos, vals = 20, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("!i", data, pos)
+        pos += 4
+        if ln == -1:
+            vals.append(None)
+            continue
+        if ln < -1 or pos + ln > len(data):
+            raise ValueError("malformed binary array element length")
+        vals.append(
+            _copy_binary_cell_to_text(data[pos : pos + ln], elem_type)
+        )
+        pos += ln
+    return _pg_array_text(vals)
 
 
 def _copy_binary_cell_to_text(data: bytes | None, dtype: str) -> str | None:
@@ -846,6 +908,8 @@ def _copy_binary_cell_to_text(data: bytes | None, dtype: str) -> str | None:
                 "binary COPY into BINARY columns is not supported "
                 "(the staged text pipeline cannot carry raw bytes)"
             )
+        if dtype.strip().startswith("array<"):
+            return _pg_array_from_bytes(data, dtype)
         return data.decode("utf-8")
     except struct.error:
         raise ValueError(

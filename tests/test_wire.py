@@ -2976,3 +2976,76 @@ def test_pg_cancel_and_terminate_backend(server):
             c.close()
         except OSError:
             pass
+
+
+# -- binary COPY arrays (r10) -----------------------------------------
+
+
+def test_binary_copy_array_cell_roundtrip():
+    """Arrays in binary COPY ride the real PG array wire structure
+    (array_send): ndim/hasnull/elemoid header, per-element length +
+    scalar encoding — not a text literal."""
+    from peerdb_cdc_psql_psql_spark.wire import (
+        _copy_binary_cell,
+        _copy_binary_cell_to_text,
+    )
+
+    b = _copy_binary_cell([1.5, None, -2.25], "array<double>")
+    ndim, hasnull, oid = _struct.unpack_from("!iii", b, 0)
+    assert (ndim, hasnull, oid) == (1, 1, 701)
+    n, lb = _struct.unpack_from("!ii", b, 12)
+    assert (n, lb) == (3, 1)
+    assert _copy_binary_cell_to_text(b, "array<double>") == (
+        "{1.5,NULL,-2.25}"
+    )
+    b = _copy_binary_cell(["a,b", None, ""], "array<string>")
+    assert _copy_binary_cell_to_text(b, "array<string>") == (
+        '{"a,b",NULL,""}'
+    )
+    b = _copy_binary_cell([7, 8], "array<bigint>")
+    assert _copy_binary_cell_to_text(b, "array<bigint>") == "{7,8}"
+
+
+def test_binary_copy_array_rejects_nested_and_corrupt():
+    import pytest as _pt
+
+    from peerdb_cdc_psql_psql_spark.wire import (
+        _copy_binary_cell,
+        _pg_array_from_bytes,
+    )
+
+    with _pt.raises(ValueError):
+        _copy_binary_cell([[1, 2]], "array<array<int>>")
+    with _pt.raises(ValueError):
+        _pg_array_from_bytes(_struct.pack("!iii", 2, 0, 23), "array<int>")
+    with _pt.raises(ValueError):
+        _pg_array_from_bytes(b"\x00\x00", "array<int>")
+
+
+def test_copy_to_stdout_binary_array_column(server):
+    """COPY (SELECT array…) TO STDOUT (FORMAT binary) ships the PG
+    binary array structure inside the tuple field."""
+    c = _connect_raw(server.port)
+    try:
+        c.sendall(
+            _frame(
+                b"Q",
+                b"COPY (SELECT array(cast(1.5 as double), "
+                b"cast(2.5 as double)) AS v) TO STDOUT "
+                b"(FORMAT binary)\x00",
+            )
+        )
+        msgs = _drain_until_ready(c)
+        data = b"".join(p for k, p in msgs if k == b"d")
+        # strip PGCOPY header: 11-sig + int32 flags + int32 extlen
+        body = data[19:]
+        nf, flen = _struct.unpack_from("!hi", body, 0)
+        assert nf == 1
+        ndim, hasnull, oid = _struct.unpack_from("!iii", body, 6)
+        assert (ndim, hasnull, oid) == (1, 0, 701)
+        n, _lb = _struct.unpack_from("!ii", body, 18)
+        assert n == 2
+        ln, val = _struct.unpack_from("!id", body, 26)
+        assert ln == 8 and val == 1.5
+    finally:
+        c.close()
