@@ -69,6 +69,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        # Local-mode heap: the driver JVM IS the whole engine (all 32
+        # task threads' shuffle/agg state live here). 4g starved at
+        # probe scale — TaskMemoryManager page-allocation failures +
+        # GCLocker retry storms turned linear pair streams into 2-4×
+        # wall-clock lotteries (r10 measurement: customer_similarity
+        # t4 15 s clean vs 30-70 s stalling on byte-identical plans).
+        # 16g on the 128 GiB test box removes the stalls; on a real
+        # cluster executor memory is sized per node and this knob is
+        # driver-only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()
