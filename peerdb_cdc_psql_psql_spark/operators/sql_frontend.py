@@ -816,7 +816,7 @@ def execute_dml_command(
         )
 
     m = re.match(
-        r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$",
+        r"UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -825,6 +825,11 @@ def execute_dml_command(
         for item in _split_top_level(set_raw):
             c, _, v = item.partition("=")
             sets[c.strip()] = _sql_literal(v)
+        if where_raw is None:
+            # WHERE-less UPDATE (Postgres semantics: every row) rides
+            # the predicate path with a match-all — still bounded by
+            # the interactive-path row guard
+            where_raw = "true"
         km = re.match(rf"(?i){key_column}\s*=\s*(\d+)\s*$", where_raw)
         if km:
             # single-key fast path: one bounded key-history read
@@ -856,11 +861,13 @@ def execute_dml_command(
         return f"UPDATE {len(events)}", len(events), _ret(afters)
 
     m = re.match(
-        r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$",
+        r"DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
         _, where_raw = m.groups()
+        if where_raw is None:
+            where_raw = "true"  # WHERE-less DELETE = every current row
         km = re.match(rf"(?i){key_column}\s*=\s*(\d+)\s*$", where_raw)
         if km:
             key = int(km.group(1))

@@ -1698,7 +1698,17 @@ class WireServer:
                             with self._cancel_lock:
                                 row = self._activity.get(pid)
                                 if row is not None:
-                                    row["state"] = "idle"
+                                    # pg_stat_activity parity: an open
+                                    # BEGIN block shows as
+                                    # "idle in transaction"
+                                    row["state"] = (
+                                        "idle in transaction"
+                                        if getattr(
+                                            self._session_local,
+                                            "txn_open", False,
+                                        )
+                                        else "idle"
+                                    )
                         self._flush_notifications(conn)
                         conn.sendall(_READY)
                 elif kind == b"S":  # Sync — ends an extended batch
@@ -2563,6 +2573,90 @@ class WireServer:
             return True
         return False
 
+    # -- TRUNCATE / VACUUM / ANALYZE (r10) -----------------------------
+    # The Postgres maintenance verbs a real operator runs. TRUNCATE on
+    # a mirrored source table rides the WHERE-less DELETE path (one D
+    # event per current key — CDC-visible, exactly what truncating the
+    # source would replicate); on a catalog table it passes to Spark's
+    # own TRUNCATE TABLE. VACUUM <mirror target table> triggers the
+    # engine's real maintenance (compact_target: fold deltas into a
+    # fresh versioned base + deferred GC — Postgres's "reclaim dead
+    # tuples" has an exact analogue here); bare VACUUM / non-mirror
+    # targets are accepted no-ops with the VACUUM tag. ANALYZE <t>
+    # maps to Spark's ANALYZE TABLE ... COMPUTE STATISTICS when the
+    # table is in the catalog (CBO stats — the same purpose);
+    # Spark-native ANALYZE TABLE spellings pass through untouched.
+    _TRUNCATE_RE = re.compile(
+        r"(?is)^\s*truncate\s+(?:table\s+)?(?:only\s+)?(\w+)"
+        r"(?:\s+(?:restart|continue)\s+identity)?"
+        r"(?:\s+(?:cascade|restrict))?\s*;?\s*$"
+    )
+    _VACUUM_RE = re.compile(
+        r"(?is)^\s*vacuum(?:\s+(?:full|freeze|verbose|analyze))*"
+        r"(?:\s+(\w+))?\s*;?\s*$"
+    )
+    _ANALYZE_RE = re.compile(
+        r"(?is)^\s*analyze(?:\s+verbose)?(?:\s+(\w+))?\s*;?\s*$"
+    )
+
+    def _utility_statement(
+        self, conn: socket.socket, stmt: str, low: str
+    ) -> bool:
+        text = self._strip_comments(stmt)
+        m = self._TRUNCATE_RE.match(text)
+        if m:
+            table = m.group(1).lower()
+            if (
+                table in (self.mirror_env.get("schemas") or {})
+                and self.mirror_env.get("event_dir")
+            ):
+                from .operators.sql_frontend import execute_dml_command
+
+                execute_dml_command(
+                    self.spark, f"DELETE FROM {table}",
+                    schemas=self.mirror_env["schemas"],
+                    event_dir=self.mirror_env["event_dir"],
+                    key_column=self.mirror_env.get("key_column", "id"),
+                    staging_dir=getattr(
+                        self._session_local, "txn_dir", None
+                    ),
+                )
+            else:
+                self.spark.sql(f"TRUNCATE TABLE {table}").collect()
+            conn.sendall(_msg(b"C", _cstr("TRUNCATE TABLE")))
+            return True
+        m = self._VACUUM_RE.match(text)
+        if m:
+            table = (m.group(1) or "").lower()
+            if table:
+                from .operators.sql_frontend import _DDL_MIRRORS
+                from .streaming.cdc import compact_target
+
+                target_root = self.mirror_env.get("target_root")
+                for mirror in _DDL_MIRRORS.values():
+                    if table in mirror.tables and target_root:
+                        compact_target(
+                            self.spark, mirror, table, target_root
+                        )
+                        break
+            conn.sendall(_msg(b"C", _cstr("VACUUM")))
+            return True
+        if low.startswith(("analyze table", "analyze tables")):
+            return False  # Spark-native spelling passes through
+        m = self._ANALYZE_RE.match(text)
+        if m:
+            table = (m.group(1) or "").lower()
+            if table and self.spark.catalog.tableExists(table):
+                try:
+                    self.spark.sql(
+                        f"ANALYZE TABLE {table} COMPUTE STATISTICS"
+                    ).collect()
+                except Exception:  # noqa: BLE001 — temp views /
+                    pass  # non-stats providers: best-effort, tag anyway
+            conn.sendall(_msg(b"C", _cstr("ANALYZE")))
+            return True
+        return False
+
     # -- EXPLAIN in Postgres clothing (r10) ----------------------------
     # `EXPLAIN [ANALYZE] [VERBOSE] stmt` and the option-list form
     # `EXPLAIN (ANALYZE, COSTS OFF, FORMAT TEXT) stmt` — what psql
@@ -2672,7 +2766,10 @@ class WireServer:
     ) -> None:
         """ROLLBACK TO [SAVEPOINT] <name>: delete staged event files
         created after the marker; the savepoint itself survives
-        (Postgres semantics) while later savepoints are destroyed."""
+        (Postgres semantics) while later savepoints are destroyed.
+        Transaction-queued NOTIFYs issued after the savepoint are
+        unqueued too (Postgres rolls notifications back with the
+        subtransaction)."""
         txn = getattr(self._session_local, "txn_dir", None)
         sps = getattr(self._session_local, "txn_savepoints", {}) or {}
         if txn is None or name not in sps:
@@ -2684,10 +2781,13 @@ class WireServer:
             return
         from . import fs as _fs
 
-        keep = sps[name]
+        keep = sps[name]["files"]
         for f in _fs.list_files(self.spark, txn):
             if f not in keep:
                 _fs.delete(self.spark, f)
+        q = getattr(self._session_local, "txn_notifies", None)
+        if q is not None:
+            del q[sps[name]["notifies"]:]
         names = list(sps)
         for n in names[names.index(name) + 1:]:
             sps.pop(n, None)
@@ -2731,9 +2831,9 @@ class WireServer:
     # channel and a producer session NOTIFYs it when new data lands
     # (the poll-free "wake up and read the replica" pattern). Inside
     # BEGIN…COMMIT a NOTIFY queues on the transaction, dedups exact
-    # repeats, delivers at COMMIT and evaporates on ROLLBACK —
-    # Postgres's documented behavior (ROLLBACK TO a savepoint does
-    # not unqueue notifications sent after it; documented deviation).
+    # repeats, delivers at COMMIT and evaporates on ROLLBACK; ROLLBACK
+    # TO a savepoint unqueues notifications issued after it —
+    # Postgres's documented behavior on all three paths.
     _LISTEN_RE = re.compile(
         r'(?is)^\s*(listen|unlisten)\s+(\*|"[^"]+"|[a-z_][\w$]*)\s*;?\s*$'
     )
@@ -2974,7 +3074,13 @@ class WireServer:
                 sps = self._session_local.txn_savepoints = {}
             name = parts[1]
             sps.pop(name, None)  # re-declare shadows (newest wins)
-            sps[name] = set(_fs.list_files(self.spark, txn))
+            sps[name] = {
+                "files": set(_fs.list_files(self.spark, txn)),
+                "notifies": len(
+                    getattr(self._session_local, "txn_notifies", None)
+                    or []
+                ),
+            }
             conn.sendall(_msg(b"C", _cstr("SAVEPOINT")))
             return True
         if word == "release":
@@ -3080,6 +3186,9 @@ class WireServer:
             handled, rows = self._explain_statement(conn, stmt)
             if handled:
                 return rows
+        if low.startswith(("truncate", "vacuum", "analyze")):
+            if self._utility_statement(conn, stmt, low):
+                return 0
         kind = self._statement_kind(stmt)
         if kind == "dml":
             # DML against a mirrored source table = change-event

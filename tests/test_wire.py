@@ -3049,3 +3049,90 @@ def test_copy_to_stdout_binary_array_column(server):
         assert ln == 8 and val == 1.5
     finally:
         c.close()
+
+
+# -- TRUNCATE / VACUUM / ANALYZE + WHERE-less DML (r10) ---------------
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_whereless_update_and_truncate(server):
+    """UPDATE without WHERE touches every current row; TRUNCATE on a
+    mirrored source rides the delete-all path (CDC-visible)."""
+    r = _psql(server.port, "UPDATE orders SET quantity = 77")
+    assert r.returncode == 0, r.stderr
+    m = r.stdout.strip()
+    assert m.startswith("UPDATE ") and int(m.split()[1]) > 0
+    r = _psql(server.port, "TRUNCATE orders")
+    assert r.returncode == 0, r.stderr
+    assert "TRUNCATE TABLE" in r.stdout
+    # every key now tombstoned: a delete-all matches nothing
+    r = _psql(server.port, "DELETE FROM orders")
+    assert r.stdout.strip() == "DELETE 0"
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_vacuum_analyze_accepted(server):
+    for sql, tag in (
+        ("VACUUM", "VACUUM"),
+        ("VACUUM FULL VERBOSE", "VACUUM"),
+        ("VACUUM not_a_mirror_table", "VACUUM"),
+        ("ANALYZE", "ANALYZE"),
+        ("ANALYZE nation", "ANALYZE"),
+        ("ANALYZE VERBOSE nation", "ANALYZE"),
+    ):
+        r = _psql(server.port, sql)
+        assert r.returncode == 0, (sql, r.stderr)
+        assert tag in r.stdout, (sql, r.stdout)
+    r = _psql(server.port, "SELECT 5 AS alive")
+    assert r.stdout.strip() == "5"
+
+
+def test_idle_in_transaction_state(server):
+    a = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"BEGIN\x00"))
+        _drain_until_ready(a)
+        r = _psql(
+            server.port,
+            "SELECT COUNT(*) AS n FROM pg_stat_activity "
+            "WHERE state = 'idle in transaction'",
+        )
+        assert r.returncode == 0, r.stderr
+        assert int(r.stdout.strip()) >= 1
+        a.sendall(_frame(b"Q", b"ROLLBACK\x00"))
+        _drain_until_ready(a)
+        r = _psql(
+            server.port,
+            "SELECT COUNT(*) AS n FROM pg_stat_activity "
+            "WHERE state = 'idle in transaction'",
+        )
+        assert int(r.stdout.strip()) == 0
+    finally:
+        a.close()
+
+
+def test_notify_rolls_back_with_savepoint(server):
+    """ROLLBACK TO a savepoint unqueues NOTIFYs issued after it."""
+    a = _connect_raw(server.port)
+    b = _connect_raw(server.port)
+    try:
+        a.sendall(_frame(b"Q", b"LISTEN sv\x00"))
+        _drain_until_ready(a)
+        b.sendall(
+            _frame(
+                b"Q",
+                b"BEGIN; NOTIFY sv, 'keep'; SAVEPOINT s1; "
+                b"NOTIFY sv, 'drop'; ROLLBACK TO s1; COMMIT\x00",
+            )
+        )
+        _drain_until_ready(b)
+        a.settimeout(10)
+        kind, payload = _read_msg(a)
+        notes = _notifications([(kind, payload)])
+        assert notes[0][2] == "keep"
+        a.sendall(_frame(b"Q", b"SELECT 1 AS k\x00"))
+        msgs = _drain_until_ready(a)
+        assert _notifications(msgs) == []  # 'drop' never delivered
+    finally:
+        a.close()
+        b.close()
