@@ -1749,6 +1749,17 @@ class WireServer:
                             )
                             + _READY
                         )
+                # close the notify-delivery race: a NOTIFY that found
+                # our out-lock busy between this message's in-block
+                # flush and the lock release queued on pending — we
+                # are idle now, deliver instead of stranding it until
+                # the client's next statement
+                with self._listen_lock:
+                    ent = self._conn_notify.get(pid)
+                    stranded = bool(ent and ent["pending"])
+                if stranded:
+                    with out_lock:
+                        self._flush_notifications(conn)
         except (OSError, struct.error, ValueError):
             # malformed framing from a hostile/broken client must not
             # leak an unhandled-thread traceback (VERDICT r5 "wrong" #1)
