@@ -253,11 +253,14 @@ def _register_static(spark: SparkSession) -> None:
         "timestamp, rolreplication boolean, rolbypassrls boolean",
     ).createOrReplaceTempView("pg_roles")
     spark.createDataFrame(
-        [(oid, name, 11, 0)
+        [(oid, name, 11, 0, 0, 0, 0)
          for oid, name in sorted({v[0]: v[1] for v in _PG_TYPES.values()}
                                  .items())],
         "oid bigint, typname string, typnamespace bigint, "
-        "typcollation bigint",
+        # typrelid/typelem/typarray = 0: every served type is a base
+        # scalar (psql \dT filters on these three)
+        "typcollation bigint, typrelid bigint, typelem bigint, "
+        "typarray bigint",
     ).createOrReplaceTempView("pg_type")
     spark.createDataFrame(
         [],
@@ -705,6 +708,7 @@ def rewrite_pg_sql(sql: str) -> str:
     sql = _shim_call(sql, "pg_get_userbyid", lambda a: "'spark'")
     sql = _shim_call(sql, "pg_table_is_visible", lambda a: "true")
     sql = _shim_call(sql, "pg_function_is_visible", lambda a: "true")
+    sql = _shim_call(sql, "pg_type_is_visible", lambda a: "true")
     sql = _shim_call(sql, "pg_relation_is_publishable", lambda a: "true")
     sql = _shim_call(sql, "pg_encoding_to_char", lambda a: "'UTF8'")
     for f in (

@@ -571,3 +571,16 @@ def test_pg_stat_statements_aggregates_normalized(spark):
         assert m and int(m.group(1)) >= 2 and int(m.group(2)) >= 2
     finally:
         srv.stop()
+
+
+@pytest.mark.skipif(psql_missing, reason="psql client not installed")
+def test_psql_list_data_types(pg_server):
+    """\\dTS lists the served base types (pg_type_is_visible shim +
+    typrelid/typelem/typarray columns); \\dT <name> filters."""
+    r = _psql(pg_server.port, r"\dTS")
+    assert r.returncode == 0, r.stderr
+    for t in ("bigint", "integer", "double precision", "timestamp"):
+        assert t in r.stdout
+    r = _psql(pg_server.port, r"\dT int4")
+    assert r.returncode == 0, r.stderr
+    assert "integer" in r.stdout
