@@ -195,6 +195,7 @@ EXTRA = [
     "open_order_concurrency",           # sweep-line interval peak
     "doc_priority_sample",              # weighted sample w/o replacement
     "hard_negative_mining",             # contrastive-training pair mine
+    "token_budget_mixture",             # budgeted mixture fill
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -602,3 +602,111 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(win).cast("bigint").alias("rank"),
         "doc_id", "lang", "weight", "key_ratio",
     )
+
+
+@register(
+    "token_budget_mixture",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, (n_chars + 3) // 4 AS toks,
+         CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS w,
+         md5('tb42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+tot AS (
+  SELECT SUM(toks) * 3 // 10 AS budget_total, SUM(w_src) AS w_sum
+  FROM (SELECT MAX(w) AS w_src, SUM(toks) AS toks
+        FROM toks GROUP BY source) s
+),
+budgets AS (
+  SELECT t.source, MAX(t.w) AS w,
+         MAX(tot.budget_total) * MAX(t.w) // MAX(tot.w_sum)
+           AS budget_tokens
+  FROM toks t CROSS JOIN tot GROUP BY t.source
+),
+ordered AS (
+  SELECT t.source, t.toks,
+         SUM(t.toks) OVER (
+           PARTITION BY t.source ORDER BY t.h, t.doc_id
+         ) AS cum
+  FROM toks t
+)
+SELECT b.source,
+       CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+       CAST(COUNT(o.cum) AS BIGINT) AS n_picked,
+       CAST(COALESCE(MAX(o.cum), 0) AS BIGINT) AS tokens_picked,
+       CAST(COALESCE(MAX(o.cum), 0) * 10000 // b.budget_tokens
+            AS BIGINT) AS utilization_bp
+FROM budgets b
+LEFT JOIN ordered o ON o.source = b.source AND o.cum <= b.budget_tokens
+GROUP BY b.source, b.budget_tokens
+""",
+    tags=("sampling", "mixture", "X4"),
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED mixture selection — the other half of the
+    mixture story: `corpus_mixture_sample` answers "sample at these
+    RATES", this answers "fill exactly this many training tokens at
+    these mixture WEIGHTS" (the way an actual pretraining data order
+    is cut). Per source: budget = total-corpus budget × weight share;
+    docs admit in seeded-md5 order while the running token count
+    stays inside the budget — deterministic membership on any
+    engine/partitioning. Plan: one tiny per-source aggregate
+    broadcast back (budgets), one window cumsum per source (the only
+    corpus-wide shuffle, on the natural mixture key), one grouped
+    rollup; the corpus crosses exactly one exchange. Token counts use
+    the chars//4 proxy (the real tokenizer runs in bpe_tokenize_stats
+    — budget arithmetic is identical either way)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("n_chars") + 3) / 4).cast("bigint").alias("toks"),
+        (
+            F.substring("source", 4, 10).cast("int") % 4 + 1
+        ).alias("w"),
+        F.md5(
+            F.concat(F.lit("tb42:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.max("w").alias("w"), F.sum("toks").alias("src_toks")
+    )
+    tot = per_src.agg(
+        (F.sum("src_toks") * 3 / 10).cast("bigint").alias("budget_total"),
+        F.sum("w").alias("w_sum"),
+    )
+    budgets = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("budget_total") * F.col("w") / F.col("w_sum"))
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+    win = Window.partitionBy("source").orderBy("h", "doc_id")
+    ordered = toks.select(
+        "source", F.sum("toks").over(win).alias("cum")
+    )
+    picked = ordered.join(F.broadcast(budgets), "source").filter(
+        F.col("cum") <= F.col("budget_tokens")
+    )
+    agg = picked.groupBy("source", "budget_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_picked"),
+        F.max("cum").cast("bigint").alias("tokens_picked"),
+    )
+    return (
+        F.broadcast(budgets)
+        .join(agg, ["source", "budget_tokens"], "left")
+        .select(
+            "source",
+            F.col("budget_tokens").cast("bigint").alias("budget_tokens"),
+            F.coalesce("n_picked", F.lit(0)).cast("bigint").alias(
+                "n_picked"
+            ),
+            F.coalesce("tokens_picked", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_picked"),
+            F.expr(
+                "CAST(coalesce(tokens_picked, 0) * 10000 div "
+                "budget_tokens AS BIGINT)"
+            ).alias("utilization_bp"),
+        )
+    )
