@@ -1739,7 +1739,14 @@ class WireServer:
                                     with self._cancel_lock:
                                         row = self._activity.get(pid)
                                         if row is not None:
-                                            row["state"] = "idle"
+                                            row["state"] = (
+                                                "idle in transaction"
+                                                if getattr(
+                                                    self._session_local,
+                                                    "txn_open", False,
+                                                )
+                                                else "idle"
+                                            )
                 else:
                     with out_lock:
                         conn.sendall(
