@@ -8,13 +8,15 @@ cleartext via ``auth=``/``auth_method=``, mirroring the reference's
 password-protected peerdb-server, docker-compose.yml:161), ``Q``
 messages, text-format
 result sets, error responses — plus the extended protocol
-(Parse/Bind/Describe/Execute/Close/Sync) with TEXT-format bind
-parameters, which covers psycopg2 and JDBC drivers in their default
-mode: ``$1..$n`` are inlined as quoted SQL literals at Bind time
-(quote-aware, never spliced raw), relying on Spark's
+(Parse/Bind/Describe/Execute/Close/Sync) with text- and binary-format
+bind parameters, which covers psycopg2 and JDBC drivers in their
+default mode: ``$1..$n`` are inlined as quoted SQL literals at Bind
+time (quote-aware, never spliced raw), relying on Spark's
 implicit-coercion rules the way Postgres treats unknown-type
-parameters. Binary-format parameters are refused with SQLSTATE
-0A000; Execute honors the max-row count (r8): a positive count
+parameters. Bind's RESULT-format codes are honored too (r10): a
+column requested binary encodes through the same per-type codec as
+binary COPY, and RowDescription reports the per-column format code.
+Execute honors the max-row count (r8): a positive count
 streams that many rows then PortalSuspended, and re-Executing the
 same portal resumes its server-side iterator — the pgjdbc
 ``setFetchSize`` / libpq cursor paging flow; count 0 streams all
@@ -3612,21 +3614,24 @@ class WireServer:
                     values.append(_decode_binary_param(raw, oid))
                 else:
                     values.append(raw.decode("utf-8"))
-            # result-format codes: text (0) is the only encoding this
-            # frontend emits; a binary request must be refused, not
-            # answered with text bytes the client will misparse (r8)
+            # result-format codes (r10): 0 = text, 1 = binary —
+            # binary results now encode through the same per-type
+            # codec as binary COPY (one encoder, two surfaces);
+            # unknown codes are a protocol violation
+            rfmts: tuple = ()
             if len(rest) >= 2:
                 nrfmt = struct.unpack("!h", rest[:2])[0]
                 rfmts = struct.unpack(
                     f"!{nrfmt}h", rest[2 : 2 + 2 * nrfmt]
                 )
-                if any(rfmts):
+                if any(f not in (0, 1) for f in rfmts):
                     raise ValueError(
-                        "binary result format is not supported "
-                        "(text format only)"
+                        f"invalid result format codes {rfmts!r}"
                     )
             sql = _substitute_params(prep["sql"], values, prep["oids"])
-            ext.portals[portal] = {"sql": sql, "df": None, "iter": None}
+            ext.portals[portal] = {
+                "sql": sql, "df": None, "iter": None, "rfmts": rfmts,
+            }
             conn.sendall(_msg(b"2", b""))
         elif kind == b"D":  # Describe: 'S'|'P' + name
             what, name = payload[0:1], payload[1:].split(b"\x00")[0].decode()
@@ -3720,7 +3725,10 @@ class WireServer:
                 else:
                     # RowDescription was sent at Describe (or the
                     # client knows the shape) — ship only DataRows
-                    rows = self._send_result(conn, df, desc=False)
+                    rows = self._send_result(
+                        conn, df, desc=False,
+                        rfmts=portal.get("rfmts") or (),
+                    )
             else:
                 rows = self._run_statement(conn, stmt)
             self._record_statement(
@@ -3800,21 +3808,60 @@ class WireServer:
             return
         if portal is not None:
             portal["df"] = df
-        conn.sendall(_msg(b"T", self._row_description(df)))
+        conn.sendall(
+            _msg(
+                b"T",
+                self._row_description(
+                    df, (portal.get("rfmts") or ()) if portal else ()
+                ),
+            )
+        )
 
     @staticmethod
-    def _row_description(df: DataFrame) -> bytes:
+    def _col_formats(rfmts: tuple, ncols: int) -> list[int]:
+        """Per-column result-format codes from Bind's code list: none
+        = all text, one = applies to every column, else one per column
+        (protocol rule; a mismatched explicit list is an error)."""
+        if not rfmts:
+            return [0] * ncols
+        if len(rfmts) == 1:
+            return [rfmts[0]] * ncols
+        if len(rfmts) != ncols:
+            raise ValueError(
+                f"bind message has {len(rfmts)} result format codes "
+                f"but query returns {ncols} columns"
+            )
+        return list(rfmts)
+
+    @classmethod
+    def _row_description(
+        cls, df: DataFrame, rfmts: tuple = ()
+    ) -> bytes:
+        fmts = cls._col_formats(rfmts, len(df.dtypes))
         desc = struct.pack("!h", len(df.dtypes))
-        for name, typ in df.dtypes:
+        for (name, typ), f in zip(df.dtypes, fmts):
             desc += (
                 _cstr(name)
-                + struct.pack("!ihihih", 0, 0, _oid_for(typ), -1, -1, 0)
+                + struct.pack("!ihihih", 0, 0, _oid_for(typ), -1, -1, f)
             )
         return desc
 
     @staticmethod
-    def _data_row(row) -> bytes:
-        cells = [_render(v) for v in row]
+    def _data_row(row, encs: list | None = None) -> bytes:
+        """One DataRow; ``encs`` = per-column (fmt, spark_type) when
+        the portal asked for binary columns — binary cells ride the
+        SAME per-type codec as binary COPY."""
+        if encs is None:
+            cells = [_render(v) for v in row]
+        else:
+            cells = [
+                (
+                    _copy_binary_cell(v, t)
+                    if f == 1 and v is not None
+                    else _render(v)
+                )
+                for v, (f, t) in zip(row, encs)
+            ]
         body = struct.pack("!h", len(cells))
         for c in cells:
             body += (
@@ -3824,17 +3871,26 @@ class WireServer:
             )
         return _msg(b"D", body)
 
+    @staticmethod
+    def _row_encoders(df: DataFrame, rfmts: tuple) -> list | None:
+        if not rfmts or not any(rfmts):
+            return None
+        fmts = WireServer._col_formats(rfmts, len(df.dtypes))
+        return [(f, t) for f, (_n, t) in zip(fmts, df.dtypes)]
+
     def _send_result(
-        self, conn: socket.socket, df: DataFrame, desc: bool = True
+        self, conn: socket.socket, df: DataFrame, desc: bool = True,
+        rfmts: tuple = (),
     ) -> int:
         if desc:
-            conn.sendall(_msg(b"T", self._row_description(df)))
+            conn.sendall(_msg(b"T", self._row_description(df, rfmts)))
+        encs = self._row_encoders(df, rfmts)
         n = 0
         chunk = bytearray()
         # toLocalIterator: one partition in flight — constant frontend
         # memory however large the result
         for row in df.toLocalIterator():
-            chunk += self._data_row(row)
+            chunk += self._data_row(row, encs)
             n += 1
             if len(chunk) >= 1 << 16:
                 conn.sendall(bytes(chunk))
@@ -3853,6 +3909,11 @@ class WireServer:
         iterator holds one Spark partition in flight, so a suspended
         TB-sized result costs the frontend constant memory."""
         it = portal["iter"]
+        encs = (
+            self._row_encoders(portal["df"], portal.get("rfmts") or ())
+            if portal.get("df") is not None
+            else None
+        )
         chunk = bytearray()
         n = 0
         while max_rows <= 0 or n < max_rows:
@@ -3863,7 +3924,7 @@ class WireServer:
                 chunk += _msg(b"C", _cstr(f"SELECT {n}"))
                 conn.sendall(bytes(chunk))
                 return
-            chunk += self._data_row(row)
+            chunk += self._data_row(row, encs)
             n += 1
             if len(chunk) >= 1 << 16:
                 conn.sendall(bytes(chunk))

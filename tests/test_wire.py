@@ -1279,13 +1279,13 @@ def test_malformed_typed_param_errors_and_recovers(server):
         c.close()
 
 
-def test_binary_result_format_refused(server):
-    """A Bind requesting BINARY result columns gets a clean refusal —
-    previously the result-format codes were ignored and text bytes
-    went out under a binary contract the client would misparse."""
+def test_binary_result_format_honored(server):
+    """A Bind requesting BINARY result columns gets real binary cells
+    (r10 — r8 refused them; the codes were never silently ignored:
+    text bytes must not go out under a binary contract)."""
     c = _connect_raw(server.port)
     try:
-        q = b"SELECT 1 AS x"
+        q = b"SELECT CAST(1 AS INT) AS x"
         bind = (
             b"\x00\x00"
             + _struct.pack("!h", 0)              # no param formats
@@ -1299,8 +1299,10 @@ def test_binary_result_format_refused(server):
             + _frame(b"S", b"")
         )
         msgs = _drain_until_ready(c)
-        kinds = [k for k, _ in msgs]
-        assert b"E" in kinds and b"D" not in kinds
+        row = next(p for k, p in msgs if k == b"D")
+        n, ln = _struct.unpack_from("!hi", row, 0)
+        assert (n, ln) == (1, 4)
+        assert _struct.unpack_from("!i", row, 6)[0] == 1
     finally:
         c.close()
 
@@ -3136,3 +3138,128 @@ def test_notify_rolls_back_with_savepoint(server):
     finally:
         a.close()
         b.close()
+
+
+# -- binary result format (r10) ---------------------------------------
+
+
+def _ext_select(c, query: bytes, rfmts: list[int]):
+    """Parse/Bind(result formats)/Describe(P)/Execute/Sync; returns
+    (rowdesc_payload, [datarow_payloads])."""
+    bind = b"\x00\x00" + _struct.pack("!hh", 0, 0)
+    bind += _struct.pack("!h", len(rfmts))
+    for f in rfmts:
+        bind += _struct.pack("!h", f)
+    c.sendall(
+        _frame(b"P", b"\x00" + query + b"\x00" + _struct.pack("!h", 0))
+        + _frame(b"B", bind)
+        + _frame(b"D", b"P\x00")
+        + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+        + _frame(b"S", b"")
+    )
+    msgs = _drain_until_ready(c)
+    rowdesc = next(p for k, p in msgs if k == b"T")
+    rows = [p for k, p in msgs if k == b"D"]
+    return rowdesc, rows
+
+
+def _parse_datarow(payload: bytes):
+    n = _struct.unpack_from("!h", payload, 0)[0]
+    pos, out = 2, []
+    for _ in range(n):
+        ln = _struct.unpack_from("!i", payload, pos)[0]
+        pos += 4
+        if ln == -1:
+            out.append(None)
+        else:
+            out.append(payload[pos : pos + ln])
+            pos += ln
+    return out
+
+
+def test_extended_binary_result_format(server):
+    """Bind result-format 1: cells arrive in the PG binary encodings
+    and RowDescription reports format code 1 per column."""
+    c = _connect_raw(server.port)
+    try:
+        rowdesc, rows = _ext_select(
+            c,
+            b"SELECT CAST(7 AS BIGINT) AS a, "
+            b"CAST(2.5 AS DOUBLE) AS b, true AS c, "
+            b"CAST(NULL AS INT) AS d, 'txt' AS e",
+            [1],  # one code applies to every column
+        )
+        cells = _parse_datarow(rows[0])
+        assert _struct.unpack("!q", cells[0])[0] == 7
+        assert _struct.unpack("!d", cells[1])[0] == 2.5
+        assert cells[2] == b"\x01"
+        assert cells[3] is None
+        assert cells[4] == b"txt"
+        # RowDescription format codes all 1 (last int16 of each field)
+        nf = _struct.unpack_from("!h", rowdesc, 0)[0]
+        pos, codes = 2, []
+        for _ in range(nf):
+            end = rowdesc.index(b"\x00", pos)
+            codes.append(_struct.unpack_from("!h", rowdesc, end + 17)[0])
+            pos = end + 19
+        assert codes == [1] * 5
+    finally:
+        c.close()
+
+
+def test_extended_mixed_result_formats(server):
+    """Per-column codes: text for col 1, binary for col 2."""
+    c = _connect_raw(server.port)
+    try:
+        _rowdesc, rows = _ext_select(
+            c,
+            b"SELECT CAST(42 AS INT) AS a, CAST(9 AS BIGINT) AS b",
+            [0, 1],
+        )
+        cells = _parse_datarow(rows[0])
+        assert cells[0] == b"42"  # text
+        assert _struct.unpack("!q", cells[1])[0] == 9  # binary
+    finally:
+        c.close()
+
+
+def test_extended_binary_array_and_date(server):
+    c = _connect_raw(server.port)
+    try:
+        _rd, rows = _ext_select(
+            c,
+            b"SELECT array(cast(1.5 as double)) AS v, "
+            b"DATE'2000-01-02' AS d",
+            [1],
+        )
+        cells = _parse_datarow(rows[0])
+        ndim, hasnull, oid = _struct.unpack_from("!iii", cells[0], 0)
+        assert (ndim, hasnull, oid) == (1, 0, 701)
+        # date = days since 2000-01-01
+        assert _struct.unpack("!i", cells[1])[0] == 1
+    finally:
+        c.close()
+
+
+def test_extended_bad_result_format_counts(server):
+    """An explicit per-column list with the wrong arity errors and
+    the session survives after Sync."""
+    c = _connect_raw(server.port)
+    try:
+        bind = b"\x00\x00" + _struct.pack("!hh", 0, 0)
+        bind += _struct.pack("!hhhh", 3, 1, 1, 1)  # 3 codes, 2 cols
+        c.sendall(
+            _frame(b"P", b"\x00SELECT 1 AS a, 2 AS b\x00"
+                   + _struct.pack("!h", 0))
+            + _frame(b"B", bind)
+            + _frame(b"D", b"P\x00")
+            + _frame(b"E", b"\x00" + _struct.pack("!i", 0))
+            + _frame(b"S", b"")
+        )
+        msgs = _drain_until_ready(c)
+        assert any(k == b"E" for k, _p in msgs)
+        c.sendall(_frame(b"Q", b"SELECT 3 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        assert any(k == b"D" and b"3" in p for k, p in msgs)
+    finally:
+        c.close()
