@@ -768,3 +768,25 @@ def test_line_dedup_boilerplate_drop_pattern(spark):
     assert rows[2]["n_boiler"] == 1 and rows[3]["n_boiler"] == 1
     assert rows[1]["n_boiler"] == 0 and rows[5]["n_boiler"] == 0
     assert rows[6]["n_lines"] - rows[6]["n_boiler"] >= 1
+
+
+def test_basket_similarity_single_exchange_pair_stream(spark):
+    """customer_similarity_topk (r10 rewrite): basket sizes attach at
+    the ITEM level and ride the pair join as group-by columns, so the
+    candidate-pair stream — the only corpus-growing term — crosses
+    exactly ONE exchange (its aggregation). Regressing to post-agg
+    size joins re-shuffles the pair stream and melts the 4× probe
+    (44 s median → 7.3 s measured)."""
+    plan = plan_string(_df(spark, "customer_similarity_topk"))
+    # top-k stays a per-partition heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # no join consumes the aggregated pair stream: between the top-k
+    # and the FIRST (topmost = final) HashAggregate there must be no
+    # join operator — a post-agg size join would sit exactly there
+    take_pos = plan.find("TakeOrderedAndProject")
+    agg_pos = plan.find("HashAggregate")
+    assert 0 <= take_pos < agg_pos
+    between = plan[take_pos:agg_pos]
+    for join in ("SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastHashJoin"):
+        assert join not in between
