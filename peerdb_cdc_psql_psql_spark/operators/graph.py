@@ -419,7 +419,13 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_visited.count()  # materialize before dropping the parent
         visited.unpersist()
         visited = new_visited
-        frontier = nxt.select("node")
+        # next frontier reads the PERSISTED level set — deriving it
+        # from `nxt` (unpersisted lineage) made round i+1 recompute
+        # every earlier round's join, turning the level-capped walk
+        # quadratic in rounds (measured: this one-line fix is the
+        # difference between each round costing O(frontier·degree)
+        # and O(all-previous-rounds))
+        frontier = new_visited.filter(F.col("lvl") == i).select("node")
     out = visited.groupBy("lvl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum("node").cast("bigint").alias("sum_nodes"),
