@@ -24,10 +24,11 @@ from peerdb_cdc_psql_psql_spark.registry import REGISTRY  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# local[32] shares ONE JVM heap across driver + all 32 task slots;
-# the engine's 4g test default is ~128 MB/slot — the r6 scale probe
-# (4× triangle census) OOMed its hash-agg spill there. 16g on the
-# 128 GiB bench host is still conservative.
+# local[32] shares ONE JVM heap across driver + all 32 task slots.
+# 16g is now also the engine default (session.py, r10 — the old 4g
+# starved at probe scale: TaskMemoryManager allocation failures +
+# GCLocker retry storms); kept here so a stale environment can't
+# shrink the bench heap back down.
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 # Round-2 additions, timed separately so the headline total stays
@@ -630,8 +631,18 @@ def scale_probe(
     # RATIO reads the medians (min still recorded for comparability
     # with r6/r7). Caches/shared index dropped per pass so each pass
     # still pays full work.
-    for kk, d in dirs.items():
-        for _pass in range(3):
+    #
+    # Scales INTERLEAVE within each pass (r10): the old
+    # all-1×-then-all-4× order measured every 4× wall in a session
+    # 10+ minutes older than its 1× counterpart — heap fragmentation
+    # and JIT-state drift landed entirely on the numerator, a
+    # systematic bias AGAINST the k× side of the very ratio being
+    # gated (observed: 4× medians 18→22 s across otherwise-identical
+    # runs late in a bench session). Interleaving measures both
+    # scales of a pass under comparable session age; per-query
+    # hygiene (cache clear + GC) is unchanged.
+    for _pass in range(3):
+        for kk, d in dirs.items():
             for name in queries:
                 # Hygiene PER QUERY, not per pass: several probed
                 # operators persist() query-scoped intermediates
@@ -860,7 +871,8 @@ def main() -> None:
          "now auto-coalesces, r9) and stay comparable with r6-r8"},
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
          "record_only": sorted(SCALE_PROBE_RECORD_ONLY),
-         "passes": 3, "agg": "ratio of medians per (scale, query); "
+         "passes": 3, "scales_interleaved_per_pass": True,
+         "agg": "ratio of medians per (scale, query); "
          "min also recorded (r6/r7 comparability); gated max excludes "
          "record_only fixed-band forms (r8 #4)",
          "corpus": "documents ×k disjoint vocab; lineitem/orders ×k "
