@@ -1843,8 +1843,8 @@ class WireServer:
                         except Exception:  # noqa: BLE001 — cancel is
                             pass  # best-effort; never crash the server
                 return None
-            if code != _PROTOCOL_V3:
-                return None
+            if code >> 16 != _PROTOCOL_V3 >> 16:
+                return None  # major versions other than 3: drop
             # parameter list: key\0value\0 ... \0 (terminator)
             params: dict[str, str] = {}
             rest = payload[4:]
@@ -1857,6 +1857,20 @@ class WireServer:
                 params[k.decode("utf-8", "replace")] = v.decode(
                     "utf-8", "replace"
                 )
+            # Forward compatibility (r10): a client requesting a NEWER
+            # 3.x minor (libpq 18+ asks for 3.2) or sending _pq_.*
+            # protocol-extension options gets NegotiateProtocolVersion
+            # — "newest version I speak is 3.0, these extensions are
+            # unsupported" — and then proceeds at 3.0 (the protocol's
+            # downgrade handshake); dropping the connection, the old
+            # behavior, locks future clients out entirely.
+            ext = [k for k in params if k.startswith("_pq_.")]
+            if code != _PROTOCOL_V3 or ext:
+                body = struct.pack("!ii", _PROTOCOL_V3, len(ext))
+                for k in ext:
+                    body += _cstr(k)
+                    params.pop(k, None)
+                conn.sendall(_msg(b"v", body))
             return conn, params
 
     @staticmethod

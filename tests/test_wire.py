@@ -3263,3 +3263,46 @@ def test_extended_bad_result_format_counts(server):
         assert any(k == b"D" and b"3" in p for k, p in msgs)
     finally:
         c.close()
+
+
+# -- protocol version negotiation (r10) -------------------------------
+
+
+def test_negotiate_newer_minor_protocol(server):
+    """A 3.2 startup (future libpq) gets NegotiateProtocolVersion
+    (newest supported = 3.0, unsupported _pq_ options listed) and the
+    session proceeds instead of being dropped."""
+    c = _sk.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        params = (
+            b"user\x00u\x00database\x00d\x00"
+            b"_pq_.report_parameters\x00x\x00\x00"
+        )
+        c.sendall(
+            _struct.pack("!ii", 8 + len(params), (3 << 16) | 2) + params
+        )
+        msgs = _drain_until_ready(c)
+        kinds = [k for k, _ in msgs]
+        assert kinds[0] == b"v"
+        ver, nopt = _struct.unpack_from("!ii", msgs[0][1], 0)
+        assert ver == 196608 and nopt == 1
+        assert b"_pq_.report_parameters" in msgs[0][1]
+        assert b"R" in kinds  # auth proceeded
+        c.sendall(_frame(b"Q", b"SELECT 6 AS ok\x00"))
+        msgs = _drain_until_ready(c)
+        assert any(k == b"D" and b"6" in p for k, p in msgs)
+    finally:
+        c.close()
+
+
+def test_major_version_mismatch_still_dropped(server):
+    c = _sk.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        params = b"user\x00u\x00\x00"
+        c.sendall(
+            _struct.pack("!ii", 8 + len(params), (2 << 16)) + params
+        )
+        c.settimeout(10)
+        assert c.recv(64) == b""  # clean drop
+    finally:
+        c.close()
