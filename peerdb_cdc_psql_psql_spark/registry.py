@@ -232,15 +232,25 @@ def _ordered() -> list[tuple[str, Query]]:
         for i in range(len(window) - 1, -1, -1):
             evict = window[i]
             # never evict a forced-in (failed/required/needed) name.
-            # REQUIRED_NAMES outside recent_green are already in pulls,
-            # so any required name reachable here is recent-green and
-            # safe to defer one round.
-            if evict in latest_failed or evict in pulls:
+            # A REQUIRED name sitting in the window is only safe to
+            # defer if it is recent-green (it keeps its signal via the
+            # window ∪ recent_green union); evicting one that entered
+            # via the least-recently-green fill would drop its signal
+            # entirely — the r10 bug (VERDICT r10 "What's wrong" #1).
+            if (
+                evict in latest_failed
+                or evict in pulls
+                or (evict in REQUIRED_NAMES and evict not in recent_green)
+            ):
                 continue
             trial = window[:i] + [p] + window[i + 1 :]
-            # the eviction must not itself uncover a required tag the
-            # evicted name was the sole window∪recent_green provider of
-            still = covered_tags(set(trial) | (recent_green & set(REGISTRY)))
+            # the eviction must not itself uncover a required tag OR
+            # name the evicted entry was the sole window∪recent_green
+            # provider of.
+            union = set(trial) | (recent_green & set(REGISTRY))
+            if evict in REQUIRED_NAMES and evict not in union:
+                continue
+            still = covered_tags(union)
             if all(t in still for t in REGISTRY[evict].tags if t in REQUIRED_TAGS):
                 window = trial
                 break
