@@ -679,6 +679,45 @@ def scale_probe(
     return out
 
 
+def calibrate(spark, rows: int = 10_000_000, passes: int = 3) -> float:
+    """Host-speed calibration (VERDICT r10 next-round #2).
+
+    Fixed-size, seeded, testdata-independent CPU+shuffle microbench:
+    10M synthetic rows -> xxhash64 key derivation -> hash aggregate
+    over 100k groups -> global sort -> top-100 collect. Median of
+    ``passes``. Deliberately uses NO engine code and NO testdata: the
+    number measures the HOST (JVM + CPU + shuffle fabric) so engine
+    deltas can be separated from host-speed changes across rounds
+    (the r10 mid-round host swap made raw wall-clock incomparable —
+    README r10 log). ``headline_per_calib`` = headline total divided
+    by this figure is the cross-round comparable form.
+    """
+    from pyspark.sql import functions as F
+
+    samples: list[float] = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, rows, 1, CPUS)
+            .select(
+                (F.xxhash64("id") % 100_000).alias("k"),
+                (F.xxhash64("id", F.lit(1)) % 1_000_000).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("s"),
+                F.avg("v").alias("a"),
+            )
+            .orderBy(F.desc("s"))
+            .limit(100)
+            .collect()
+        )
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 3)
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -697,6 +736,11 @@ def main() -> None:
     # session GC state, not the engine) and again LAST so the
     # session-state offset is itself on record each round.
     from peerdb_cdc_psql_psql_spark.streaming.workload import run_insert_stress
+
+    # Host-speed calibration BEFORE any engine workload (canonical
+    # position) and again at end-of-bench; both recorded so a
+    # mid-bench host-speed shift is itself visible.
+    calib = calibrate(spark)
 
     with tempfile.TemporaryDirectory() as tmp:
         stress = run_insert_stress(
@@ -826,6 +870,8 @@ def main() -> None:
             spark, f"{tmp}/wal", record_count=5000, batch_size=500
         )
 
+    calib_end = calibrate(spark)
+
     total = round(sum(times.values()), 3)
     # Pinned manifest (VERDICT r3 #8): which workloads ran, in what
     # order, with what aggregation — keeps cross-round numbers
@@ -835,6 +881,12 @@ def main() -> None:
     # leaving the round with parsed=null (VERDICT r4 "What's wrong"
     # #1). Detail lines first, compact metrics line LAST.
     manifest = [
+        {"name": "calibration", "rows": 10_000_000, "passes": 3,
+         "agg": "median", "order": "first (pre-stress) + last as *_end",
+         "shape": "seeded xxhash64 -> 100k-group hash agg -> sort "
+         "-> top-100; no engine code, no testdata — measures the "
+         "HOST so cross-round engine deltas separate from host "
+         "swaps (r10 reboot lesson)"},
         {"name": "insert_stress", "records": 5000, "batch_size": 500,
          "order": "first (fresh session) + repeated last as *_end"},
         {"name": "headline_suite", "queries": HEADLINE, "passes": 3,
@@ -918,6 +970,11 @@ def main() -> None:
         "insert_stress_avg_batch_ms": stress["avg_batch_ms"],
         "insert_stress_end_ops_per_sec": stress_end["ops_per_sec"],
         "insert_stress_end_median_ops_per_sec": stress_end["median_ops_per_sec"],
+        "calib_seconds": calib,
+        "calib_seconds_end": calib_end,
+        # dimensionless, host-independent headline: raw total divided
+        # by the host calibration — the cross-round comparable figure
+        "headline_per_calib": round(total / calib, 3) if calib else None,
         "cpus": CPUS,
     }
     line = json.dumps(out)
