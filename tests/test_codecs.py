@@ -1405,6 +1405,7 @@ def test_decode_any_never_raises_on_corrupt_payloads():
         "jpeg": b"\xff\xd8\xff\xe0",
         "tiff": b"II*\x00",
         "avi": b"RIFF\x24\x00\x00\x00AVI ",
+        "webp": b"RIFF\x24\x00\x00\x00WEBP",
         "mp4": b"\x00\x00\x00\x18ftypisom",
     }
     rng = random.Random(0xC0DEC)
@@ -1432,6 +1433,12 @@ def test_decode_any_never_raises_on_truncated_real_media():
         encode_png(px),
         encode_tiff(px, compression="lzw"),
         encode_gif(np.zeros((2, 4), np.uint8), pal),
+        __import__(
+            'peerdb_cdc_psql_psql_spark.functions.codecs',
+            fromlist=['encode_webp_vp8l'],
+        ).encode_webp_vp8l(
+            np.arange(32, dtype=np.uint8).reshape(2, 4, 4), cache_bits=2
+        ),
     ]
     for whole in wholes:
         for cut in range(len(whole)):
@@ -2673,3 +2680,149 @@ def test_tiff_float_predictor_validation():
         encode_tiff_ext(f, predictor=2)
     with _pytest.raises(ValueError, match="predictor 3"):
         encode_tiff_ext(g, predictor=3)
+
+
+# -- lossless WebP / VP8L (r11) ------------------------------------------
+
+
+def _webp_rt(px, **kw):
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp_pixels,
+        encode_webp_vp8l,
+    )
+
+    payload = encode_webp_vp8l(px, **kw)
+    out = decode_webp_pixels(payload)
+    assert out.shape == px.shape
+    assert (out == px).all(), kw
+    return payload
+
+
+def test_webp_vp8l_roundtrip_every_lever():
+    """Bit-exact decode(encode(px)) across the full VP8L surface:
+    plain LZ77, color cache, subtract-green, palette bundling at all
+    four index widths, every one of the 14 predictors, cross-color,
+    meta prefix groups, and the combined stack."""
+    rng = np.random.default_rng(7)
+    px = np.zeros((16, 20, 4), np.uint8)
+    px[:, :10] = [200, 10, 30, 255]
+    px[:, 10:] = [5, 99, 7, 128]
+    _webp_rt(px)
+    _webp_rt(px, use_lz77=False)
+    _webp_rt(px, cache_bits=4)
+    _webp_rt(px, subtract_green=True)
+    _webp_rt(px, palette=True)
+    for mode in range(14):
+        _webp_rt(px, predictor_mode=mode)
+    _webp_rt(px, color_transform=(40, 200, 17))
+    _webp_rt(px, meta_bits=2)
+    _webp_rt(
+        px, subtract_green=True, color_transform=(3, 250, 99),
+        predictor_mode=11, cache_bits=5, meta_bits=3,
+    )
+    # palette bundling widths: 8/4/2/1 pixels per packed byte
+    for ncol in (2, 4, 16, 17, 200):
+        vals = rng.integers(0, 256, (ncol, 4), dtype=np.uint8)
+        _webp_rt(vals[rng.integers(0, ncol, (11, 13))], palette=True)
+    # dense random (no useful LZ77 runs) + 1x1 degenerate
+    _webp_rt(rng.integers(0, 256, (9, 5, 4), dtype=np.uint8))
+    _webp_rt(np.array([[[1, 2, 3, 4]]], np.uint8))
+
+
+def test_webp_vp8l_roundtrip_property():
+    """Randomized lever sweep: any (pattern, transform combo) must
+    reconstruct exactly — the LZ77 window, cache hashing, canonical
+    code assignment and transform inverses all in one oracle."""
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        # low-entropy palette-ish data exercises runs AND literals
+        vals = rng.integers(0, 256, (int(rng.integers(2, 20)), 4),
+                            dtype=np.uint8)
+        px = vals[rng.integers(0, len(vals), (h, w))]
+        kw = {}
+        if rng.random() < 0.4:
+            kw["cache_bits"] = int(rng.integers(1, 9))
+        if rng.random() < 0.3:
+            kw["subtract_green"] = True
+        if rng.random() < 0.3:
+            kw["predictor_mode"] = int(rng.integers(0, 14))
+        if rng.random() < 0.3:
+            kw["color_transform"] = tuple(
+                int(v) for v in rng.integers(0, 256, 3)
+            )
+        if rng.random() < 0.25 and w >= 8:
+            kw["meta_bits"] = int(rng.integers(2, 5))
+        _webp_rt(px, **kw)
+
+
+def test_webp_distance_map_head_pins_spec_order():
+    """The first entries of the 120-code neighborhood map, straight
+    from the spec's table: (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),
+    (1,2),(-1,2),(2,1),(-2,1) — a wrong proximity sort breaks real-
+    file interop even though round-trips would still pass."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _VP8L_PLANE,
+        _vp8l_plane_to_dist,
+    )
+
+    assert _VP8L_PLANE[:10] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+        (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    ]
+    assert len(_VP8L_PLANE) == 120
+    assert len(set(_VP8L_PLANE)) == 120
+    # code 1 = pixel above, code 2 = previous pixel, >120 literal
+    assert _vp8l_plane_to_dist(1, 50) == 50
+    assert _vp8l_plane_to_dist(2, 50) == 1
+    assert _vp8l_plane_to_dist(121, 50) == 1
+    assert _vp8l_plane_to_dist(320, 50) == 200
+    # dy*w + dx clamps to >= 1 on narrow images
+    assert _vp8l_plane_to_dist(4, 1) == 1  # (-1,1) at width 1
+
+
+def test_webp_prefix_value_coding_is_involutive():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _Vp8lBitReader,
+        _Vp8lBitWriter,
+        _vp8l_prefix_decode,
+        _vp8l_prefix_encode,
+    )
+
+    for value in [*range(1, 300), 4096, 65535, 1 << 20]:
+        code, nbits, extra = _vp8l_prefix_encode(value)
+        assert 0 <= code < 40 or value > (1 << 19)
+        bw = _Vp8lBitWriter()
+        bw.put(extra, nbits)
+        br = _Vp8lBitReader(bw.flush() or b"\x00")
+        assert _vp8l_prefix_decode(code, br) == value
+
+
+def test_webp_sniff_decode_any_and_sanctions():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_any,
+        decode_webp_pixels,
+        encode_webp_vp8l,
+        sniff_format,
+    )
+
+    px = np.zeros((4, 6, 4), np.uint8)
+    px[..., 1] = 77
+    px[..., 3] = 255
+    payload = encode_webp_vp8l(px)
+    assert sniff_format(payload) == "webp"
+    d = decode_any(payload)
+    assert d["ok"] and d["kind"] == "image"
+    assert (d["width"], d["height"], d["n_channels"]) == (6, 4, 4)
+    # lossy VP8 chunk: the SANCTIONED NotImplementedError, not a parse
+    lossy = (
+        b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp_pixels(lossy)
+    assert decode_any(lossy)["ok"] is False  # degrades at corpus scale
+    # truncation is a typed error
+    with pytest.raises(ValueError):
+        decode_webp_pixels(payload[:20])
