@@ -739,3 +739,160 @@ def crawl_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema=_CHARSET_SCHEMA)
         .select(*[f.name for f in _CHARSET_SCHEMA.fields])
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl media census: WARC responses routed by content type → real codec
+# ---------------------------------------------------------------------------
+
+_MEDIA_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_responses", T.LongType()),
+        T.StructField("html_bytes", T.LongType()),
+        T.StructField("http_image_type", T.StringType()),
+        T.StructField("sniffed_fmt", T.StringType()),
+        T.StructField("img_w", T.LongType()),
+        T.StructField("img_h", T.LongType()),
+        T.StructField("img_transforms", T.StringType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+@register(
+    "crawl_media_census",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS m,
+         (doc_id % 5) * 2 + 4 AS w,
+         (doc_id % 3) * 2 + 3 AS h,
+         (doc_id * 19) % 256 AS r, (doc_id * 7) % 256 AS g,
+         (doc_id * 11) % 256 AS b,
+         doc_id % 3 AS v
+  FROM documents WHERE doc_id < 120
+)
+SELECT m AS doc_id,
+       CAST(3 AS BIGINT) AS n_records,
+       CAST(2 AS BIGINT) AS n_responses,
+       LENGTH('<html><head><title>doc ' || m
+              || '</title></head><body><p>body of ' || m
+              || '</p></body></html>') AS html_bytes,
+       'image/webp' AS http_image_type,
+       'webp' AS sniffed_fmt,
+       w AS img_w, h AS img_h,
+       CASE v WHEN 2 THEN 'palette' ELSE 'none' END AS img_transforms,
+       w * h * r AS sum_r, w * h * g AS sum_g, w * h * b AS sum_b
+FROM p
+""",
+    tags=("X4", "X5", "web", "codec", "multimodal"),
+)
+def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl→codec chain (r11 — the stated reason WebP was
+    implemented: real crawls are full of image/webp): each fixture
+    `.warc.gz` carries a text/html response AND an image/webp
+    response; ingest parses the WARC grammar, routes responses by the
+    HTTP Content-Type, sniffs the image container magic, and runs the
+    REAL VP8L decode — the oracle re-derives the HTML byte length,
+    the record census, and the decoded image's dimensions + solid-
+    color channel sums in closed form. WebP variants rotate plain /
+    color-cache / palette so the routed decode exercises more than
+    one stream shape.
+
+    100 TB: identical posture to the other crawl queries — per-doc
+    work in Arrow batches, no shuffle at all (the plan is scan →
+    mapInPandas), media payloads never leave their partition."""
+    from ..functions.codecs import decode_webp, encode_webp_vp8l, sniff_format
+    from ..functions.warc import (
+        CRAWL_HOST,
+        WARCINFO_PAYLOAD,
+        build_http_response,
+        build_warc_record,
+        encode_warc_gz,
+        parse_warc,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                m = int(did)
+                w, h = (m % 5) * 2 + 4, (m % 3) * 2 + 3
+                color = ((m * 19) % 256, (m * 7) % 256, (m * 11) % 256, 255)
+                px = np.zeros((h, w, 4), np.uint8)
+                px[:] = color
+                v = m % 3
+                kw = (
+                    {} if v == 0
+                    else {"cache_bits": 3} if v == 1
+                    else {"palette": True}
+                )
+                webp = encode_webp_vp8l(px, **kw)
+                html = (
+                    f"<html><head><title>doc {m}</title></head>"
+                    f"<body><p>body of {m}</p></body></html>"
+                ).encode()
+                uri = f"http://{CRAWL_HOST}/doc/{m}"
+                blob = encode_warc_gz([
+                    build_warc_record(
+                        "warcinfo", WARCINFO_PAYLOAD,
+                        content_type="application/warc-fields",
+                    ),
+                    build_warc_record(
+                        "response",
+                        build_http_response(
+                            html, content_type="text/html; charset=utf-8"
+                        ),
+                        target_uri=uri,
+                    ),
+                    build_warc_record(
+                        "response",
+                        build_http_response(
+                            webp, content_type="image/webp"
+                        ),
+                        target_uri=uri + "/img.webp",
+                    ),
+                ])
+                # ingest side: parse the grammar, route by content type
+                records = parse_warc(blob)
+                html_bytes = 0
+                img_type = sniffed = transforms = None
+                img_w = img_h = sr = sg = sb = 0
+                n_resp = 0
+                for rec in records:
+                    if rec["warc_type"] != "response":
+                        continue
+                    n_resp += 1
+                    ctype = rec.get("http_headers", {}).get(
+                        "content-type", ""
+                    )
+                    body = rec.get("body", b"")
+                    if ctype.startswith("text/"):
+                        html_bytes = len(body)
+                    else:
+                        img_type = ctype
+                        sniffed = sniff_format(body)
+                        d = decode_webp(body)
+                        img_w, img_h = d["width"], d["height"]
+                        transforms = d["transforms"]
+                        sr, sg, sb = d["sum_r"], d["sum_g"], d["sum_b"]
+                rows.append((
+                    m, len(records), n_resp, html_bytes, img_type,
+                    sniffed, img_w, img_h, transforms, sr, sg, sb,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _MEDIA_CENSUS_SCHEMA.fields],
+            )
+
+    return docs.mapInPandas(gen, schema=_MEDIA_CENSUS_SCHEMA)

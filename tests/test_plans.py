@@ -161,6 +161,14 @@ def test_repetition_stats_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_crawl_media_census_zero_shuffle(spark):
+    """r11 crawl→codec chain: scan → mapInPandas, per-doc work only —
+    NO Exchange (media payloads never leave their partition; at
+    100 TB the census is embarrassingly parallel)."""
+    plan = plan_string(_df(spark, "crawl_media_census"))
+    assert "Exchange" not in plan
+
+
 def test_pii_pseudonymize_broadcasts_hierarchy(spark):
     """Curation: the nation→region generalization climbs via broadcast
     joins; the customer scan is never shuffled for the join."""
