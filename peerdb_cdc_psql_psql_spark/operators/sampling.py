@@ -710,3 +710,80 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("utilization_bp"),
         )
     )
+
+
+# -- sequence-length bucketing / padding-waste report (r11) --------------
+
+_PAD_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _pad_bucket_sql(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {expr} <= {c} THEN {c}" for c in _PAD_BUCKETS[:-1]
+    )
+    return f"CASE {arms} ELSE {_PAD_BUCKETS[-1]} END"
+
+
+@register(
+    "length_bucket_padding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT {_pad_bucket_sql('n_tokens')} AS bucket_cap,
+         LEAST(n_tokens, {_PAD_BUCKETS[-1]}) AS eff_tokens
+  FROM toks
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       COUNT(*) AS n_docs,
+       CAST(SUM(eff_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket_cap - SUM(eff_tokens) AS BIGINT)
+         AS padded_tokens,
+       CAST((COUNT(*) * bucket_cap - SUM(eff_tokens)) * 10000
+            // (COUNT(*) * bucket_cap) AS BIGINT) AS waste_bp
+FROM b
+GROUP BY bucket_cap
+""",
+    tags=("sampling", "packing", "X4"),
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report (r11): assign every document
+    to the smallest power-of-two context bucket that fits it (32 …
+    8192; longer docs truncate to the top bucket) and report the
+    padding waste a bucketed training batcher would pay per bucket —
+    the standard decision input for choosing bucket boundaries vs
+    packing (`sequence_packing`). The bucket ladder is an exact
+    integer CASE in BOTH engines (a float log2 at a boundary value
+    would misbucket).
+
+    100 TB: one pass — tokenize-count projection (no explode; `size
+    (split(...))` never materializes the token array in a shuffle)
+    into a 9-group hash aggregate; partial aggregation map-side, the
+    exchange carries 9 rows per task."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    cap = F.lit(_PAD_BUCKETS[-1])
+    for c in reversed(_PAD_BUCKETS[:-1]):
+        cap = F.when(n <= c, F.lit(c)).otherwise(cap)
+    eff = F.least(n, F.lit(_PAD_BUCKETS[-1]))
+    return (
+        docs.select(cap.alias("bucket_cap"), eff.alias("eff_tokens"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eff_tokens").alias("sum_tokens"),
+        )
+        .select(
+            F.col("bucket_cap").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("sum_tokens").cast("bigint"),
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.expr(
+                "CAST((n_docs * bucket_cap - sum_tokens) * 10000 div "
+                "(n_docs * bucket_cap) AS BIGINT)"
+            ).alias("waste_bp"),
+        )
+    )
