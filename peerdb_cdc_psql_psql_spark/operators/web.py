@@ -882,10 +882,19 @@ def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else:
                         img_type = ctype
                         sniffed = sniff_format(body)
-                        d = decode_webp(body)
-                        img_w, img_h = d["width"], d["height"]
-                        transforms = d["transforms"]
-                        sr, sg, sb = d["sum_r"], d["sum_g"], d["sum_b"]
+                        # corpus-scale discipline: a foreign or corrupt
+                        # image payload degrades to a zero row, never a
+                        # task failure (same contract as decode_any)
+                        if sniffed == "webp":
+                            try:
+                                d = decode_webp(body)
+                            except (ValueError, NotImplementedError):
+                                continue
+                            img_w, img_h = d["width"], d["height"]
+                            transforms = d["transforms"]
+                            sr, sg, sb = (
+                                d["sum_r"], d["sum_g"], d["sum_b"],
+                            )
                 rows.append((
                     m, len(records), n_resp, html_bytes, img_type,
                     sniffed, img_w, img_h, transforms, sr, sg, sb,

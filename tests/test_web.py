@@ -97,3 +97,38 @@ def test_parse_crawl_files_skips_corrupt_payloads(spark):
     recs = parse_crawl_files(good.unionByName(bad)).collect()
     assert all(r["crawl_id"] != 999 for r in recs)
     assert len(recs) == 3
+
+
+def test_crawl_media_census_matches_oracle_and_degrades(spark, sf_dir):
+    """r11 crawl→codec chain: WARC responses route by Content-Type
+    into the REAL VP8L decode; a foreign image payload (wrong magic)
+    degrades to a zero row instead of killing the task."""
+    import duckdb
+
+    from peerdb_cdc_psql_psql_spark.registry import REGISTRY
+
+    q = REGISTRY["crawl_media_census"]
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in q.fn(spark, sf_dir)
+        .select(*sorted(q.fn(spark, sf_dir).columns))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cur = con.execute(q.oracle)
+    cols = [c[0] for c in cur.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    exp = sorted(
+        tuple(str(r[i]) for i in idx) for r in cur.fetchall()
+    )
+    assert got == exp
+
+    # degradation: a response declaring image/* but carrying junk
+    # bytes must not raise inside the routing closure
+    from peerdb_cdc_psql_psql_spark.functions.codecs import sniff_format
+
+    assert sniff_format(b"\x00junk not an image") == "unknown"
