@@ -679,6 +679,14 @@ def scale_probe(
     return out
 
 
+# Reference host speed for calibration-normalized SECONDS: the r11
+# quiet-host calibration figure. headline_normalized_seconds =
+# raw_headline * (REF / measured_calib) — "what this run's headline
+# would read on the r11 reference host". Dimensionless
+# headline_per_calib is also recorded (no anchoring constant).
+_CALIB_REF_SECONDS = 1.30
+
+
 def calibrate(spark, rows: int = 10_000_000, passes: int = 3) -> float:
     """Host-speed calibration (VERDICT r10 next-round #2).
 
@@ -975,6 +983,10 @@ def main() -> None:
         # dimensionless, host-independent headline: raw total divided
         # by the host calibration — the cross-round comparable figure
         "headline_per_calib": round(total / calib, 3) if calib else None,
+        # same signal anchored in SECONDS on the r11 reference host
+        "headline_normalized_seconds": (
+            round(total * _CALIB_REF_SECONDS / calib, 3) if calib else None
+        ),
         "cpus": CPUS,
     }
     line = json.dumps(out)
