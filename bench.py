@@ -197,6 +197,10 @@ EXTRA = [
     "doc_priority_sample",              # weighted sample w/o replacement
     "hard_negative_mining",             # contrastive-training pair mine
     "token_budget_mixture",             # budgeted mixture fill
+    # Round-11 additions
+    "multimodal_webp_decode",           # REAL lossless WebP/VP8L
+    "crawl_media_census",               # WARC content-type → codec route
+    "length_bucket_padding",            # power-of-2 bucket padding waste
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).
