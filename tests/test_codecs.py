@@ -2826,3 +2826,108 @@ def test_webp_sniff_decode_any_and_sanctions():
     # truncation is a typed error
     with pytest.raises(ValueError):
         decode_webp_pixels(payload[:20])
+
+
+def test_webp_vp8l_hand_built_simple_code_stream():
+    """Encoder-INDEPENDENT spec validation: a VP8L stream written bit
+    by bit from the spec text (simple prefix codes, 1-bit and 8-bit
+    first-symbol forms) must decode to the stated pixels — pins the
+    header layout, simple-code wire format, green→red→blue→alpha
+    channel read order, and raster order without touching
+    encode_webp_vp8l."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _Vp8lBitWriter,
+        decode_webp_pixels,
+    )
+
+    bw = _Vp8lBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(2, 14)          # width-1 = 2
+    bw.put(0, 14)          # height-1 = 0
+    bw.put(0, 1)           # alpha hint
+    bw.put(0, 3)           # version
+    bw.put(0, 1)           # no transforms
+    bw.put(0, 1)           # no color cache
+    bw.put(0, 1)           # no meta prefix codes
+    # green: simple, 2 symbols, 8-bit first: [10, 20]
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(10, 8); bw.put(20, 8)
+    # red: simple, 2 symbols: [1, 2]
+    bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(1, 8); bw.put(2, 8)
+    # blue: simple, 1 symbol: [7]
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(7, 8)
+    # alpha: simple, 1 symbol: [255]
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(255, 8)
+    # distance: simple, 1 symbol via the 1-BIT first-symbol form: [0]
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    # data: literals (10,1) (20,2) (10,1); blue/alpha codes are 0-bit
+    bw.put(0, 1); bw.put(0, 1)   # P0: green sym0, red sym0
+    bw.put(1, 1); bw.put(1, 1)   # P1: green sym1, red sym1
+    bw.put(0, 1); bw.put(0, 1)   # P2
+    body = bw.flush()
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    out = decode_webp_pixels(payload)
+    assert out.shape == (1, 3, 4)
+    assert out.tolist() == [[[1, 10, 7, 255], [2, 20, 7, 255], [1, 10, 7, 255]]]
+
+
+def test_webp_vp8l_hand_built_normal_code_lz77_stream():
+    """Encoder-independent spec validation of the NORMAL prefix-code
+    form and LZ77: hand-written code-length code (lengths in the spec
+    order 17,18,0,1,2), a 17 zero-run, two max-range 18 runs, the
+    max-symbol early stop, canonical code assignment read MSB-first,
+    length-prefix symbols 258/259 (lengths 3 and 4), and BOTH special
+    distance codes — 2 = previous pixel, 1 = pixel above. A 4×2 image
+    built from one literal + three backrefs must decode to eight
+    copies of that literal."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        _Vp8lBitWriter,
+        decode_webp_pixels,
+    )
+
+    bw = _Vp8lBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(3, 14)          # width-1 = 3
+    bw.put(1, 14)          # height-1 = 1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)           # no transforms
+    bw.put(0, 1)           # no cache
+    bw.put(0, 1)           # no meta
+    # GREEN: normal form. Target lengths: sym5→1, sym258→2, sym259→2.
+    bw.put(0, 1)
+    bw.put(1, 4)           # num_code_lengths = 5 → order 17,18,0,1,2
+    for ln in (2, 2, 3, 2, 3):   # cl lengths for syms 17,18,0,1,2
+        bw.put(ln, 3)
+    # canonical cl codes: len2: 1→00, 17→01, 18→10; len3: 0→110, 2→111
+    bw.put(1, 1)           # use max-symbol
+    bw.put(1, 3)           # length_nbits = 2 + 2*1 = 4
+    bw.put(4, 4)           # max_symbol = 2 + 4 = 6 cl reads
+    bw.put_code(0b01, 2); bw.put(2, 3)     # 17: 3+2 = 5 zeros (syms 0-4)
+    bw.put_code(0b00, 2)                   # 1: sym5 len 1
+    bw.put_code(0b10, 2); bw.put(127, 7)   # 18: 138 zeros
+    bw.put_code(0b10, 2); bw.put(103, 7)   # 18: 114 zeros (through 257)
+    bw.put_code(0b111, 3)                  # 2: sym258 len 2
+    bw.put_code(0b111, 3)                  # 2: sym259 len 2
+    # red / blue / alpha: simple 1-symbol codes [9], [3], [255]
+    for v in (9, 3, 255):
+        bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(v, 8)
+    # distance: simple 2 symbols [0, 1] (prefix codes for dist codes
+    # 1 = (0,1) above and 2 = (1,0) previous)
+    bw.put(1, 1); bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(1, 8)
+    # data — green canonical: sym5→'0' (len1), sym258→'10', sym259→'11'
+    bw.put_code(0b0, 1)                    # literal green=5 (r/b/a 0-bit)
+    bw.put_code(0b10, 2)                   # sym258 → length code 2 → len 3
+    bw.put(1, 1)                           # dist sym1 → prefix 1 → code 2 → dist 1
+    bw.put_code(0b11, 2)                   # sym259 → length code 3 → len 4
+    bw.put(0, 1)                           # dist sym0 → prefix 0 → code 1 → dist w=4
+    body = bw.flush()
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    out = decode_webp_pixels(payload)
+    assert out.shape == (2, 4, 4)
+    assert (out == [9, 5, 3, 255]).all()
