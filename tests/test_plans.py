@@ -161,6 +161,16 @@ def test_repetition_stats_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_length_bucket_padding_single_exchange_no_explode(spark):
+    """r11 bucketing report: size(split(...)) never materializes the
+    token array into a Generate/explode, partial aggregation runs
+    map-side, and exactly ONE exchange carries 9 rows per task."""
+    plan = plan_string(_df(spark, "length_bucket_padding"))
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
 def test_crawl_media_census_zero_shuffle(spark):
     """r11 crawl→codec chain: scan → mapInPandas, per-doc work only —
     NO Exchange (media payloads never leave their partition; at
