@@ -166,9 +166,11 @@ def test_length_bucket_padding_single_exchange_no_explode(spark):
     token array into a Generate/explode, partial aggregation runs
     map-side, and exactly ONE exchange carries 9 rows per task."""
     plan = plan_string(_df(spark, "length_bucket_padding"))
-    assert plan.count("Exchange") == 1
+    # formatted plans list each node once in the tree ("Exchange (4)")
+    # and once in the details ("(4) Exchange") — count the tree form
+    assert plan.count("Exchange (") == 1
     assert "Generate" not in plan
-    assert plan.count("HashAggregate") == 2  # partial + final
+    assert plan.count("HashAggregate (") == 2  # partial + final
 
 
 def test_crawl_media_census_zero_shuffle(spark):
