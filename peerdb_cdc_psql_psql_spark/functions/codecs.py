@@ -5342,6 +5342,80 @@ def _vp8l_color_transform(
     return out
 
 
+def _vp8l_forward_predict(
+    pixels: list[int], w: int, h: int, tile_bits: int, modes: list[int]
+) -> list[int]:
+    """Forward predictor transform: per-channel (pixel - pred) & 0xff
+    with the decoder's exact edge rules. Predictions always read
+    ORIGINAL neighbor values (the decoder reconstructs them exactly),
+    so heterogeneous tile modes have no inter-tile dependency."""
+    tw = _vp8l_sub_size(w, tile_bits)
+    res = [0] * (w * h)
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = pixels[pos - 1]
+        elif x == 0:
+            pred = pixels[pos - w]
+        else:
+            m = modes[(y >> tile_bits) * tw + (x >> tile_bits)]
+            pred = _vp8l_predict(
+                m,
+                pixels[pos - 1],
+                pixels[pos - w],
+                pixels[pos - w - 1],
+                pixels[pos - w + 1],
+            )
+        res[pos] = _vp8l_sub_px(pixels[pos], pred)
+    return res
+
+
+def _vp8l_pick_predictors(
+    pixels: list[int], w: int, h: int, tile_bits: int
+) -> list[int]:
+    """Per-tile predictor selection: argmin over the 14 modes of the
+    wrap-distance residual cost min(b, 256-b) summed over the tile's
+    channels (the cheap stand-in for libwebp's entropy estimate;
+    residuals near 0 or 255 both code cheaply after prediction).
+    Ties break toward the lower mode number — deterministic."""
+    tw = _vp8l_sub_size(w, tile_bits)
+    th = _vp8l_sub_size(h, tile_bits)
+    side = 1 << tile_bits
+    modes: list[int] = []
+    for ty in range(th):
+        for tx in range(tw):
+            best_cost, best_mode = 1 << 60, 0
+            for m in range(14):
+                cost = 0
+                for y in range(ty * side, min((ty + 1) * side, h)):
+                    for x in range(tx * side, min((tx + 1) * side, w)):
+                        pos = y * w + x
+                        if pos == 0:
+                            pred = 0xFF000000
+                        elif y == 0:
+                            pred = pixels[pos - 1]
+                        elif x == 0:
+                            pred = pixels[pos - w]
+                        else:
+                            pred = _vp8l_predict(
+                                m,
+                                pixels[pos - 1],
+                                pixels[pos - w],
+                                pixels[pos - w - 1],
+                                pixels[pos - w + 1],
+                            )
+                        r = _vp8l_sub_px(pixels[pos], pred)
+                        for shift in (0, 8, 16, 24):
+                            b = (r >> shift) & 0xFF
+                            cost += b if b <= 128 else 256 - b
+                if cost < best_cost:
+                    best_cost, best_mode = cost, m
+            modes.append(best_mode)
+    return modes
+
+
 def _vp8l_palette_width_bits(n_colors: int) -> int:
     if n_colors <= 2:
         return 3
@@ -5368,7 +5442,8 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, bool, list[int], dict]:
     transforms: list[tuple] = []   # (type, data...) in stream order
     seen: set[int] = set()
     eff_w = w                      # color-indexing bundling shrinks it
-    info: dict = {"transforms": [], "cache_bits": 0, "n_colors": 0}
+    info: dict = {"transforms": [], "cache_bits": 0, "n_colors": 0,
+              "n_predictor_modes": 0}
     while br.read(1):
         ttype = br.read(2)
         if ttype in seen:
@@ -5382,6 +5457,9 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, bool, list[int], dict]:
             )
             transforms.append(("predictor", bits, tiles))
             info["transforms"].append("predictor")
+            info["n_predictor_modes"] = len(
+                {(t >> 8) & 0xFF for t in tiles}
+            )
         elif ttype == 1:           # CROSS-COLOR
             bits = 2 + br.read(3)
             tiles = _vp8l_decode_image(
@@ -5503,6 +5581,7 @@ def decode_webp(payload: bytes) -> dict:
                 "transforms": ",".join(info["transforms"]) or "none",
                 "cache_bits": info["cache_bits"],
                 "n_colors": info["n_colors"],
+                "n_predictor_modes": info["n_predictor_modes"],
                 "sum_r": int(r.sum()),
                 "sum_g": int(((flat >> 8) & 0xFF).astype(np.int64).sum()),
                 "sum_b": int((flat & 0xFF).astype(np.int64).sum()),
@@ -5763,34 +5842,21 @@ def encode_webp_vp8l(
             _vp8l_encode_image(bw, tiles, tw, th)
             pixels = _vp8l_color_transform(pixels, w, h, bits, tiles)
         if predictor_mode is not None:
-            if not 0 <= predictor_mode <= 13:
-                raise ValueError("predictor mode must be 0..13")
+            auto = predictor_mode == "auto"
+            if not auto and not 0 <= predictor_mode <= 13:
+                raise ValueError("predictor mode must be 0..13 or 'auto'")
             bw.put(1, 1)
             bw.put(0, 2)             # PREDICTOR
-            bits = 4
+            bits = 3 if auto else 4  # auto: smaller tiles → real choice
             bw.put(bits - 2, 3)
             tw, th = _vp8l_sub_size(w, bits), _vp8l_sub_size(h, bits)
-            tiles = [0xFF000000 | (predictor_mode << 8)] * (tw * th)
+            if auto:
+                modes = _vp8l_pick_predictors(pixels, w, h, bits)
+            else:
+                modes = [predictor_mode] * (tw * th)
+            tiles = [0xFF000000 | (m << 8) for m in modes]
             _vp8l_encode_image(bw, tiles, tw, th)
-            res = [0] * (w * h)
-            for pos in range(w * h):
-                y, x = divmod(pos, w)
-                if pos == 0:
-                    pred = 0xFF000000
-                elif y == 0:
-                    pred = pixels[pos - 1]
-                elif x == 0:
-                    pred = pixels[pos - w]
-                else:
-                    pred = _vp8l_predict(
-                        predictor_mode,
-                        pixels[pos - 1],
-                        pixels[pos - w],
-                        pixels[pos - w - 1],
-                        pixels[pos - w + 1],
-                    )
-                res[pos] = _vp8l_sub_px(pixels[pos], pred)
-            pixels = res
+            pixels = _vp8l_forward_predict(pixels, w, h, bits, modes)
     bw.put(0, 1)                     # end of transforms
     _vp8l_encode_image(
         bw, pixels, eff_w, h, cache_bits, use_lz77,

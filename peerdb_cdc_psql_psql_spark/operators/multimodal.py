@@ -3648,7 +3648,13 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif v == 3:
                     kw = {"palette": True}
                 elif v == 4:
-                    kw = {"predictor_mode": (m // 18) % 14}
+                    # alternate explicit single-mode and per-tile AUTO
+                    # selection (heterogeneous predictor tiles, r11)
+                    kw = {
+                        "predictor_mode": (
+                            "auto" if (m // 6) % 2 else (m // 18) % 14
+                        )
+                    }
                 elif v == 5:
                     kw = {
                         "color_transform": (

@@ -2931,3 +2931,35 @@ def test_webp_vp8l_hand_built_normal_code_lz77_stream():
     out = decode_webp_pixels(payload)
     assert out.shape == (2, 4, 4)
     assert (out == [9, 5, 3, 255]).all()
+
+
+def test_webp_vp8l_auto_predictor_heterogeneous_tiles():
+    """Per-tile predictor selection (r11): a structured image whose
+    halves favor different predictors must produce a predictor tile
+    image with >= 2 distinct modes, and decode bit-exactly — the
+    heterogeneous-tile decode path (mode looked up per pixel from the
+    subresolution image) that constant-mode fixtures never exercise."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp,
+        decode_webp_pixels,
+        encode_webp_vp8l,
+    )
+
+    h, w = 24, 32
+    px = np.zeros((h, w, 4), np.uint8)
+    for x in range(16):          # left: horizontal gradient (left-pred)
+        px[:, x] = [x * 8, x * 8, x * 8, 255]
+    for y in range(h):           # right: vertical gradient (top-pred)
+        px[y, 16:] = [y * 9 % 256, 50, y * 3 % 256, 255]
+    payload = encode_webp_vp8l(px, predictor_mode="auto")
+    assert (decode_webp_pixels(payload) == px).all()
+    d = decode_webp(payload)
+    assert d["transforms"] == "predictor"
+    assert d["n_predictor_modes"] >= 2
+    # composes with the other levers
+    p2 = encode_webp_vp8l(
+        px, predictor_mode="auto", subtract_green=True, cache_bits=4
+    )
+    assert (decode_webp_pixels(p2) == px).all()
+    with pytest.raises(ValueError, match="0..13 or 'auto'"):
+        encode_webp_vp8l(px, predictor_mode=14)
