@@ -2963,3 +2963,32 @@ def test_webp_vp8l_auto_predictor_heterogeneous_tiles():
     assert (decode_webp_pixels(p2) == px).all()
     with pytest.raises(ValueError, match="0..13 or 'auto'"):
         encode_webp_vp8l(px, predictor_mode=14)
+
+
+def test_webp_vp8l_compression_actually_happens():
+    """The FLAC-style pin: on predictable (photo-gradient) data the
+    VP8L coder must COMPRESS, not just round-trip — auto predictors
+    collapse a 64×64 gradient to ~1% of raw RGBA; incompressible
+    noise must stay near raw (no pathological blow-up)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp_pixels,
+        encode_webp_vp8l,
+    )
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 4), np.uint8)
+    px[..., 0] = (xx * 2 + yy) % 256
+    px[..., 1] = (xx + yy * 2) % 256
+    px[..., 2] = (xx // 2 + 30) % 256
+    px[..., 3] = 255
+    raw = h * w * 4
+    payload = encode_webp_vp8l(px, predictor_mode="auto")
+    assert (decode_webp_pixels(payload) == px).all()
+    assert len(payload) < raw * 0.05, (len(payload), raw)
+    noise = np.random.default_rng(3).integers(
+        0, 256, (h, w, 4), dtype=np.uint8
+    )
+    p2 = encode_webp_vp8l(noise)
+    assert (decode_webp_pixels(p2) == noise).all()
+    assert len(p2) < raw * 1.10
