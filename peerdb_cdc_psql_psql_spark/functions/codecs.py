@@ -5416,6 +5416,67 @@ def _vp8l_pick_predictors(
     return modes
 
 
+def _vp8l_pick_color_transforms(
+    pixels: list[int], w: int, h: int, tile_bits: int
+) -> list[int]:
+    """Per-tile cross-color element search: coordinate descent over
+    (green_to_red, green_to_blue, red_to_blue), each parameter scanned
+    on a coarse int8 lattice (step 8) then refined ±7, minimizing the
+    wrap-distance residual cost. Deterministic (ties → lower value).
+    Returns packed transform pixels (0xff<<24 | r2b<<16 | g2b<<8 | g2r).
+    """
+    tw = _vp8l_sub_size(w, tile_bits)
+    th = _vp8l_sub_size(h, tile_bits)
+    side = 1 << tile_bits
+
+    def wrapdist(b: int) -> int:
+        return b if b <= 128 else 256 - b
+
+    def cost_g2r(tile_px, t):
+        c = 0
+        for a, r, g, b in tile_px:
+            c += wrapdist((r - _vp8l_ct_delta(t & 0xFF, g)) & 0xFF)
+        return c
+
+    def cost_blue(tile_px, g2b, r2b):
+        c = 0
+        for a, r, g, b in tile_px:
+            c += wrapdist(
+                (b - _vp8l_ct_delta(g2b & 0xFF, g)
+                 - _vp8l_ct_delta(r2b & 0xFF, r)) & 0xFF
+            )
+        return c
+
+    def search(costfn) -> int:
+        best_t, best_c = 0, costfn(0)
+        for t in range(-128, 121, 8):
+            c = costfn(t)
+            if c < best_c or (c == best_c and t < best_t):
+                best_t, best_c = t, c
+        for t in range(max(-128, best_t - 7), min(128, best_t + 8)):
+            c = costfn(t)
+            if c < best_c or (c == best_c and t < best_t):
+                best_t, best_c = t, c
+        return best_t
+
+    tiles: list[int] = []
+    for ty in range(th):
+        for tx in range(tw):
+            tile_px = [
+                _vp8l_channels(pixels[y * w + x])
+                for y in range(ty * side, min((ty + 1) * side, h))
+                for x in range(tx * side, min((tx + 1) * side, w))
+            ]
+            g2r = search(lambda t: cost_g2r(tile_px, t))
+            g2b = search(lambda t: cost_blue(tile_px, t, 0))
+            r2b = search(lambda t: cost_blue(tile_px, g2b, t))
+            tiles.append(
+                0xFF000000
+                | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+            )
+    return tiles
+
+
 def _vp8l_palette_width_bits(n_colors: int) -> int:
     if n_colors <= 2:
         return 3
@@ -5443,7 +5504,7 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, bool, list[int], dict]:
     seen: set[int] = set()
     eff_w = w                      # color-indexing bundling shrinks it
     info: dict = {"transforms": [], "cache_bits": 0, "n_colors": 0,
-              "n_predictor_modes": 0}
+              "n_predictor_modes": 0, "n_color_transforms": 0}
     while br.read(1):
         ttype = br.read(2)
         if ttype in seen:
@@ -5468,6 +5529,9 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, bool, list[int], dict]:
             )
             transforms.append(("color", bits, tiles))
             info["transforms"].append("color")
+            info["n_color_transforms"] = len(
+                {t & 0xFFFFFF for t in tiles}
+            )
         elif ttype == 2:           # SUBTRACT-GREEN
             transforms.append(("subtract_green",))
             info["transforms"].append("subtract_green")
@@ -5582,6 +5646,7 @@ def decode_webp(payload: bytes) -> dict:
                 "cache_bits": info["cache_bits"],
                 "n_colors": info["n_colors"],
                 "n_predictor_modes": info["n_predictor_modes"],
+                "n_color_transforms": info["n_color_transforms"],
                 "sum_r": int(r.sum()),
                 "sum_g": int(((flat >> 8) & 0xFF).astype(np.int64).sum()),
                 "sum_b": int((flat & 0xFF).astype(np.int64).sum()),
@@ -5832,13 +5897,19 @@ def encode_webp_vp8l(
                 out.append(_vp8l_pack(a, (r - g) & 0xFF, g, (b - g) & 0xFF))
             pixels = out
         if color_transform is not None:
-            g2r, g2b, r2b = (c & 0xFF for c in color_transform)
             bw.put(1, 1)
             bw.put(1, 2)             # CROSS_COLOR
-            bits = 4
+            auto_ct = color_transform == "auto"
+            bits = 3 if auto_ct else 4
             bw.put(bits - 2, 3)
             tw, th = _vp8l_sub_size(w, bits), _vp8l_sub_size(h, bits)
-            tiles = [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r] * (tw * th)
+            if auto_ct:
+                tiles = _vp8l_pick_color_transforms(pixels, w, h, bits)
+            else:
+                g2r, g2b, r2b = (c & 0xFF for c in color_transform)
+                tiles = [
+                    0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+                ] * (tw * th)
             _vp8l_encode_image(bw, tiles, tw, th)
             pixels = _vp8l_color_transform(pixels, w, h, bits, tiles)
         if predictor_mode is not None:

@@ -3656,9 +3656,13 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     }
                 elif v == 5:
+                    # alternate explicit constant elements and per-tile
+                    # AUTO search (heterogeneous color tiles, r11)
                     kw = {
                         "color_transform": (
-                            (m * 3) % 256, (m * 5) % 256, (m * 7) % 256,
+                            "auto" if (m // 6) % 2 else (
+                                (m * 3) % 256, (m * 5) % 256, (m * 7) % 256,
+                            )
                         ),
                         "cache_bits": 3,
                         "meta_bits": 2,

@@ -2992,3 +2992,41 @@ def test_webp_vp8l_compression_actually_happens():
     p2 = encode_webp_vp8l(noise)
     assert (decode_webp_pixels(p2) == noise).all()
     assert len(p2) < raw * 1.10
+
+
+def test_webp_vp8l_auto_color_transform_heterogeneous_tiles():
+    """Per-tile cross-color element search (r11): channel-correlated
+    halves must yield >= 2 distinct ColorTransformElements, decode
+    bit-exactly (the heterogeneous color-tile path constant elements
+    never exercise), and compose with every other lever."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp,
+        decode_webp_pixels,
+        encode_webp_vp8l,
+    )
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 4), np.uint8)
+    g = (xx * 5 + yy * 3) % 200
+    px[..., 1] = g
+    px[..., 0] = np.where(xx < 16, (g + 7) % 256, (yy * 11) % 256)
+    px[..., 2] = np.where(xx < 16, (yy * 13) % 256, (px[..., 0] + 3) % 256)
+    px[..., 3] = 255
+    payload = encode_webp_vp8l(px, color_transform="auto")
+    assert (decode_webp_pixels(payload) == px).all()
+    d = decode_webp(payload)
+    assert d["transforms"] == "color"
+    assert d["n_color_transforms"] >= 2
+    p_all = encode_webp_vp8l(
+        px, color_transform="auto", predictor_mode="auto",
+        subtract_green=True, cache_bits=4,
+    )
+    assert (decode_webp_pixels(p_all) == px).all()
+    noise = np.random.default_rng(9).integers(
+        0, 256, (9, 7, 4), dtype=np.uint8
+    )
+    assert (
+        decode_webp_pixels(encode_webp_vp8l(noise, color_transform="auto"))
+        == noise
+    ).all()
