@@ -199,6 +199,7 @@ EXTRA = [
     "token_budget_mixture",             # budgeted mixture fill
     # Round-11 additions
     "multimodal_webp_decode",           # REAL lossless WebP/VP8L
+    "multimodal_webp_anim_decode",      # ANIMATED WebP compositing
     "crawl_media_census",               # WARC content-type → codec route
     "length_bucket_padding",            # power-of-2 bucket padding waste
 ]

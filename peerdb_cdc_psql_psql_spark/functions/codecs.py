@@ -4709,15 +4709,25 @@ def decode_any(payload: bytes) -> dict:
                 n_samples=d["n_samples"], sample_rate=d["sample_rate"],
             )
         elif fmt in ("bmp", "png", "gif", "jpeg", "tiff", "webp"):
-            d = {
-                "bmp": decode_bmp, "png": decode_png, "gif": decode_gif,
-                "jpeg": decode_jpeg, "tiff": decode_tiff,
-                "webp": decode_webp,
-            }[fmt](payload)
-            # animated GIFs report their real frame count (r8)
-            nf = (
-                len(_decode_gif_frames(payload)[0]) if fmt == "gif" else 1
-            )
+            nf = 1
+            if fmt == "webp":
+                try:
+                    d = decode_webp(payload)
+                except ValueError:
+                    # extended container: animated WebP (r11)
+                    a = decode_webp_anim(payload)
+                    d = {"width": a["canvas_w"], "height": a["canvas_h"],
+                         "n_channels": 4}
+                    nf = a["n_frames"]
+            else:
+                d = {
+                    "bmp": decode_bmp, "png": decode_png,
+                    "gif": decode_gif, "jpeg": decode_jpeg,
+                    "tiff": decode_tiff,
+                }[fmt](payload)
+                # animated GIFs report their real frame count (r8)
+                if fmt == "gif":
+                    nf = len(_decode_gif_frames(payload)[0])
             base.update(
                 kind="image", ok=True, width=d["width"], height=d["height"],
                 n_channels=int(d.get("n_channels", 3)), n_frames=nf,
@@ -5613,12 +5623,16 @@ def decode_webp_pixels(payload: bytes) -> "np.ndarray":
             arr[..., 2] = flat & 0xFF           # B
             arr[..., 3] = (flat >> 24) & 0xFF   # A
             return arr
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
                 "lossy VP8 bitstream (boolean arithmetic coder + DCT/WHT "
                 "intra codec) — sanctioned exclusion, same class as "
                 "H.264/HEVC; see section header"
             )
+        # VP8X (extended features) is just skipped: a still VP8L may
+        # follow at top level; an ANIMATION has no top-level VP8L and
+        # falls through to the typed no-chunk error (decode_any then
+        # routes to decode_webp_anim)
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP container")
 
@@ -5654,7 +5668,7 @@ def decode_webp(payload: bytes) -> dict:
                 "col_weighted_r": int((xs * r).sum()),
                 "row_weighted_r": int((ys * r).sum()),
             }
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
                 "lossy VP8 bitstream — sanctioned exclusion"
             )
@@ -5938,3 +5952,189 @@ def encode_webp_vp8l(
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+# -- animated WebP (VP8X + ANIM/ANMF container) --------------------------
+#
+# The animation layer is a struct walk over the extended-format
+# container (exactly the class animated GIF sits in): VP8X feature
+# flags + 24-bit canvas dims, ANIM background/loop, per-frame ANMF
+# headers (even-pixel offsets stored /2, 24-bit fields, dispose +
+# blend bits) wrapping ordinary VP8L frame bitstreams, composited
+# viewer-exactly (alpha blending per the spec formula — the oracle
+# fixtures use binary alpha so the census is integer-exact; dispose
+# method 1 fills the frame rect with the ANIM background).
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    return (
+        fourcc + len(payload).to_bytes(4, "little") + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+
+
+def encode_webp_anim(
+    frames: list[dict],
+    canvas_w: int,
+    canvas_h: int,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Animated WebP writer. Each frame dict: ``px`` (H, W, 4 RGBA
+    uint8), ``x``/``y`` (EVEN canvas offsets — the format stores
+    them /2), ``duration_ms``, ``blend`` (True = alpha blend, the
+    format's B=0), ``dispose_bg`` (True = dispose to background),
+    optional ``enc`` kwargs forwarded to the VP8L encoder."""
+    flags = 0x02 | 0x10                      # animation + alpha
+    vp8x = (
+        bytes([flags, 0, 0, 0])
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    r, g, b, a = bg_rgba
+    anim = bytes([b, g, r, a]) + loop.to_bytes(2, "little")   # BGRA
+    out = [_riff_chunk(b"VP8X", vp8x), _riff_chunk(b"ANIM", anim)]
+    for f in frames:
+        px = f["px"]
+        if f["x"] % 2 or f["y"] % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        h_, w_ = px.shape[:2]
+        if f["x"] + w_ > canvas_w or f["y"] + h_ > canvas_h:
+            raise ValueError("frame rect exceeds the canvas")
+        sub = encode_webp_vp8l(px, **f.get("enc", {}))
+        vp8l_chunk = sub[12:]                # keep the chunk framing
+        hdr = (
+            (f["x"] // 2).to_bytes(3, "little")
+            + (f["y"] // 2).to_bytes(3, "little")
+            + (w_ - 1).to_bytes(3, "little")
+            + (h_ - 1).to_bytes(3, "little")
+            + int(f.get("duration_ms", 100)).to_bytes(3, "little")
+            + bytes([
+                (0x00 if f.get("blend", True) else 0x02)
+                | (0x01 if f.get("dispose_bg") else 0x00)
+            ])
+        )
+        out.append(_riff_chunk(b"ANMF", hdr + vp8l_chunk))
+    body = b"WEBP" + b"".join(out)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _webp_blend(dst: "np.ndarray", src: "np.ndarray") -> "np.ndarray":
+    """Spec alpha blending (B=0). Exact for binary src alpha; general
+    alpha follows the spec's formula with round-half-up."""
+    sa = src[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    oa = sa + (da * (255 - sa) + 127) // 255
+    out = np.zeros_like(dst)
+    num = (
+        src[..., :3].astype(np.int64) * sa[..., None] * 255
+        + dst[..., :3].astype(np.int64) * (da * (255 - sa))[..., None]
+    )
+    den = oa[..., None] * 255
+    safe = np.maximum(den, 1)
+    out[..., :3] = ((num + safe // 2) // safe).astype(np.uint8)
+    out[..., 3] = oa.astype(np.uint8)
+    out[oa == 0] = 0
+    return out
+
+
+def decode_webp_anim(payload: bytes) -> dict:
+    """Animated-WebP decode + viewer-exact compositing: canvas starts
+    as the ANIM background color; each ANMF renders (copy or alpha
+    blend) into its rect; dispose-to-background refills the rect with
+    the background AFTER the frame displays (the final canvas is the
+    state after the LAST frame renders). Returns the frame directory
+    plus final/first canvas channel sums."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos = 12
+    canvas = None
+    bg = (255, 255, 255, 255)
+    loop = 0
+    cw = ch = 0
+    frames: list[dict] = []
+    first_sums = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            if not body[0] & 0x02:
+                raise ValueError("VP8X without the animation flag")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+        elif fourcc == b"ANIM":
+            bg = (body[2], body[1], body[0], body[3])   # BGRA → RGBA
+            loop = int.from_bytes(body[4:6], "little")
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+            canvas[:] = bg
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before ANIM")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            fl = body[15]
+            blend = not (fl & 0x02)
+            dispose = bool(fl & 0x01)
+            # frame data: sub-chunk walk (skip ALPH etc., find VP8L)
+            sp = 16
+            px = None
+            while sp + 8 <= len(body):
+                sub4 = body[sp : sp + 4]
+                ssz = int.from_bytes(body[sp + 4 : sp + 8], "little")
+                if sub4 == b"VP8L":
+                    w_, h_, _hint, flat, _info = _vp8l_decode_argb(
+                        body[sp + 8 : sp + 8 + ssz]
+                    )
+                    if (w_, h_) != (fw, fh):
+                        raise ValueError("ANMF/VP8L dimension mismatch")
+                    arr = np.zeros((h_, w_, 4), np.uint8)
+                    f32 = np.array(flat, dtype=np.uint32).reshape(h_, w_)
+                    arr[..., 0] = (f32 >> 16) & 0xFF
+                    arr[..., 1] = (f32 >> 8) & 0xFF
+                    arr[..., 2] = f32 & 0xFF
+                    arr[..., 3] = (f32 >> 24) & 0xFF
+                    px = arr
+                elif sub4 == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frame — sanctioned exclusion"
+                    )
+                sp += 8 + ssz + (ssz & 1)
+            if px is None:
+                raise ValueError("ANMF frame without image data")
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF rect exceeds the canvas")
+            # dispose of the PREVIOUS frame happens before this render
+            if frames and frames[-1]["dispose_bg"]:
+                p = frames[-1]
+                canvas[p["y"] : p["y"] + p["h"], p["x"] : p["x"] + p["w"]] = bg
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            canvas[fy : fy + fh, fx : fx + fw] = (
+                _webp_blend(rect, px) if blend else px
+            )
+            frames.append({
+                "x": fx, "y": fy, "w": fw, "h": fh,
+                "duration_ms": dur, "blend": blend, "dispose_bg": dispose,
+            })
+            if first_sums is None:
+                first_sums = [
+                    int(canvas[..., c].astype(np.int64).sum())
+                    for c in range(3)
+                ]
+        pos += 8 + size + (size & 1)
+    if canvas is None or not frames:
+        raise ValueError("no animation frames in WebP container")
+    return {
+        "canvas_w": cw, "canvas_h": ch, "n_frames": len(frames),
+        "loop_count": loop,
+        "total_duration_ms": sum(f["duration_ms"] for f in frames),
+        "disposed_frames": sum(1 for f in frames if f["dispose_bg"]),
+        "frames": frames,
+        "final_sum_r": int(canvas[..., 0].astype(np.int64).sum()),
+        "final_sum_g": int(canvas[..., 1].astype(np.int64).sum()),
+        "final_sum_b": int(canvas[..., 2].astype(np.int64).sum()),
+        "first_sum_r": first_sums[0],
+    }

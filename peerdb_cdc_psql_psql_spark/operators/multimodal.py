@@ -3679,3 +3679,128 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ids.select("media_id").mapInPandas(gen, schema=_WEBP_DECODE_SCHEMA)
+
+
+# -- ANIMATED WebP (VP8X/ANIM/ANMF) decode (X5, r11) ---------------------
+
+_WEBP_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("canvas_w", T.LongType()),
+        T.StructField("canvas_h", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("loop_count", T.LongType()),
+        T.StructField("total_duration_ms", T.LongType()),
+        T.StructField("disposed_frames", T.LongType()),
+        T.StructField("final_sum_r", T.LongType()),
+        T.StructField("final_sum_g", T.LongType()),
+        T.StructField("final_sum_b", T.LongType()),
+        T.StructField("first_sum_r", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_webp_anim_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS m,
+         (doc_id % 6) * 2 + 8 AS w, (doc_id % 4) * 2 + 6 AS h,
+         (doc_id * 17) % 256 AS ra, (doc_id * 23) % 256 AS ga,
+         (doc_id * 29) % 256 AS ba,
+         (doc_id * 31) % 256 AS rb, (doc_id * 37) % 256 AS gb,
+         (doc_id * 41) % 256 AS bb,
+         (doc_id * 43) % 256 AS rc, (doc_id * 47) % 256 AS gcc,
+         (doc_id * 53) % 256 AS bc,
+         (doc_id * 59) % 256 AS rg, (doc_id * 61) % 256 AS gg,
+         (doc_id * 67) % 256 AS bgc,
+         (doc_id // 3) % 2 AS disp,
+         doc_id % 7 + 10 + doc_id % 5 + 20 + doc_id % 3 + 30 AS total_dur,
+         doc_id % 5 AS loopc
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 350 AND doc_id < 500
+)
+SELECT m AS media_id, w AS canvas_w, h AS canvas_h,
+       CAST(3 AS BIGINT) AS n_frames,
+       loopc AS loop_count,
+       total_dur AS total_duration_ms,
+       CAST(disp AS BIGINT) AS disposed_frames,
+       (w + 1) // 2 * rc + w // 2 * ra
+         + (w - 4) * (h - 4) * (CASE WHEN disp = 1 THEN rg ELSE rb END)
+         + (w * h - w - (w - 4) * (h - 4)) * ra AS final_sum_r,
+       (w + 1) // 2 * gcc + w // 2 * ga
+         + (w - 4) * (h - 4) * (CASE WHEN disp = 1 THEN gg ELSE gb END)
+         + (w * h - w - (w - 4) * (h - 4)) * ga AS final_sum_g,
+       (w + 1) // 2 * bc + w // 2 * ba
+         + (w - 4) * (h - 4) * (CASE WHEN disp = 1 THEN bgc ELSE bb END)
+         + (w * h - w - (w - 4) * (h - 4)) * ba AS final_sum_b,
+       w * h * ra AS first_sum_r
+FROM p
+""",
+    tags=("X5", "multimodal", "codec"),
+)
+def multimodal_webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WebP decode + viewer-exact compositing (X5, r11 —
+    the WebP analog of the animated-GIF closure; the dominant modern
+    replacement for animated GIF in web corpora): VP8X feature flags
+    + 24-bit canvas dims, ANIM background/loop, per-frame ANMF
+    headers (even offsets stored /2, dispose-to-background + blend
+    bits) wrapping real VP8L frame bitstreams. 3-frame fixtures:
+    full-canvas base (no-blend), an inner rect (alpha-blended,
+    disposal rotated by id — its region reads background vs frame
+    color in the final canvas), and a top-row checkerboard whose odd
+    cells are TRANSPARENT under alpha blending (the base must show
+    through) — final-canvas channel census, duration totals, loop
+    count and disposal accounting all closed-form in the oracle.
+    Frame 2 rotates the per-tile auto predictor under the animation
+    for cross-surface composition."""
+    from ..functions.codecs import decode_webp_anim, encode_webp_anim
+
+    ids = media_manifest(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.col("media_id") >= 350)
+        & (F.col("media_id") < 500)
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = (m % 6) * 2 + 8, (m % 4) * 2 + 6
+                cA = ((m * 17) % 256, (m * 23) % 256, (m * 29) % 256, 255)
+                cB = ((m * 31) % 256, (m * 37) % 256, (m * 41) % 256, 255)
+                cC = ((m * 43) % 256, (m * 47) % 256, (m * 53) % 256, 255)
+                bg = ((m * 59) % 256, (m * 61) % 256, (m * 67) % 256, 255)
+                f0 = np.zeros((h, w, 4), np.uint8)
+                f0[:] = cA
+                f1 = np.zeros((h - 4, w - 4, 4), np.uint8)
+                f1[:] = cB
+                row = np.zeros((1, w, 4), np.uint8)
+                row[0, 0::2] = cC
+                frames = [
+                    {"px": f0, "x": 0, "y": 0,
+                     "duration_ms": m % 7 + 10, "blend": False},
+                    {"px": f1, "x": 2, "y": 2,
+                     "duration_ms": m % 5 + 20, "blend": True,
+                     "dispose_bg": (m // 3) % 2 == 1,
+                     "enc": {"predictor_mode": "auto"} if m % 2 else {}},
+                    {"px": row, "x": 0, "y": 0,
+                     "duration_ms": m % 3 + 30, "blend": True},
+                ]
+                d = decode_webp_anim(
+                    encode_webp_anim(frames, w, h, bg_rgba=bg, loop=m % 5)
+                )
+                rows.append((
+                    m, d["canvas_w"], d["canvas_h"], d["n_frames"],
+                    d["loop_count"], d["total_duration_ms"],
+                    d["disposed_frames"], d["final_sum_r"],
+                    d["final_sum_g"], d["final_sum_b"], d["first_sum_r"],
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WEBP_ANIM_SCHEMA.fields]
+            )
+
+    return ids.select("media_id").mapInPandas(gen, schema=_WEBP_ANIM_SCHEMA)

@@ -3030,3 +3030,84 @@ def test_webp_vp8l_auto_color_transform_heterogeneous_tiles():
         decode_webp_pixels(encode_webp_vp8l(noise, color_transform="auto"))
         == noise
     ).all()
+
+
+def test_webp_anim_compositing_vs_reference_model():
+    """Animated WebP vs an independent numpy compositor: random
+    binary-alpha frame stacks with random rects, blend modes and
+    disposal must produce identical final canvases (the decoder's
+    compositing is the thing under test — frame pixel decode is
+    already pinned by the VP8L suite)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp_anim,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(21)
+    for _trial in range(8):
+        cw, ch = int(rng.integers(4, 13)) * 2, int(rng.integers(3, 9)) * 2
+        bg = tuple(int(v) for v in rng.integers(0, 256, 3)) + (255,)
+        frames = []
+        # reference model
+        canvas = np.zeros((ch, cw, 4), np.uint8)
+        canvas[:] = bg
+        prev = None
+        for _f in range(int(rng.integers(1, 5))):
+            fw = int(rng.integers(1, cw // 2 + 1))
+            fh = int(rng.integers(1, ch // 2 + 1))
+            fx = int(rng.integers(0, (cw - fw) // 2 + 1)) * 2
+            fy = int(rng.integers(0, (ch - fh) // 2 + 1)) * 2
+            px = rng.integers(0, 256, (fh, fw, 4), dtype=np.uint8)
+            px[..., 3] = rng.choice([0, 255], (fh, fw))  # binary alpha
+            blend = bool(rng.integers(0, 2))
+            dispose = bool(rng.integers(0, 2))
+            frames.append({
+                "px": px, "x": fx, "y": fy, "blend": blend,
+                "dispose_bg": dispose,
+                "duration_ms": int(rng.integers(1, 200)),
+            })
+            if prev is not None and prev["dispose_bg"]:
+                p = prev
+                canvas[p["y"]:p["y"]+p["px"].shape[0],
+                       p["x"]:p["x"]+p["px"].shape[1]] = bg
+            rect = canvas[fy:fy+fh, fx:fx+fw]
+            if blend:
+                mask = px[..., 3] == 255
+                rect[mask] = px[mask]        # binary alpha: src or dst
+            else:
+                rect[:] = px
+            prev = frames[-1]
+        d = decode_webp_anim(encode_webp_anim(frames, cw, ch, bg_rgba=bg))
+        assert d["n_frames"] == len(frames)
+        assert d["final_sum_r"] == int(canvas[..., 0].astype(np.int64).sum())
+        assert d["final_sum_g"] == int(canvas[..., 1].astype(np.int64).sum())
+        assert d["final_sum_b"] == int(canvas[..., 2].astype(np.int64).sum())
+
+
+def test_webp_anim_validation_and_decode_any():
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_any,
+        decode_webp_anim,
+        encode_webp_anim,
+        sniff_format,
+    )
+
+    px = np.zeros((4, 6, 4), np.uint8)
+    px[..., 3] = 255
+    base = {"px": px, "x": 0, "y": 0}
+    payload = encode_webp_anim(
+        [dict(base), dict(base, x=2, y=0)], 8, 4, loop=3
+    )
+    assert sniff_format(payload) == "webp"
+    d = decode_any(payload)
+    assert d["ok"] and d["kind"] == "image"
+    assert (d["width"], d["height"], d["n_frames"]) == (8, 4, 2)
+    a = decode_webp_anim(payload)
+    assert a["loop_count"] == 3 and a["n_frames"] == 2
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim([dict(base, x=1)], 8, 4)
+    with pytest.raises(ValueError, match="canvas"):
+        encode_webp_anim([dict(base, x=4)], 8, 4)
+    # truncation degrades through decode_any, raises typed directly
+    for cut in range(0, len(payload), 7):
+        assert isinstance(decode_any(payload[:cut])["ok"], bool)
