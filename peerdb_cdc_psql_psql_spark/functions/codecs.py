@@ -5595,9 +5595,16 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, bool, list[int], dict]:
                 for x in range(w):
                     packed = pixels[y * eff_w + (x >> wb)]
                     idx = ((packed >> 8) >> (ibits * (x & (per - 1)))) & imask
-                    full[y * w + x] = (
-                        palette[idx] if idx < len(palette) else 0
-                    )
+                    if idx >= len(palette):
+                        # libwebp treats an out-of-range palette index as
+                        # a corrupt stream; raising (instead of yielding a
+                        # fabricated pixel 0) lets decode_any's degrade
+                        # contract return ok=False for foreign payloads.
+                        raise ValueError(
+                            f"palette index {idx} out of range "
+                            f"({len(palette)} colors): corrupt VP8L stream"
+                        )
+                    full[y * w + x] = palette[idx]
             pixels = full
             eff_w = w
     return w, h, alpha_hint, pixels, info
@@ -5695,7 +5702,15 @@ def _vp8l_tokenize(
             for dist in (1, w):
                 if dist <= pos:
                     ln = 0
-                    while pos + ln < n and pix[pos + ln] == pix[pos + ln - dist]:
+                    # VP8L's length alphabet has 24 prefix codes, so the
+                    # longest encodable copy is 4096 pixels; a longer run
+                    # must split into multiple copy tokens (the loop
+                    # re-enters at pos+4096 and matches again).
+                    while (
+                        pos + ln < n
+                        and ln < 4096
+                        and pix[pos + ln] == pix[pos + ln - dist]
+                    ):
                         ln += 1
                     if ln > best_len:
                         best_len, best_dist = ln, dist

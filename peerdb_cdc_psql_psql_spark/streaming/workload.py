@@ -271,6 +271,38 @@ def _reserve_from_counter(key: str, n: int, floor: int) -> int:
                 _fcntl.flock(lf.fileno(), _fcntl.LOCK_UN)
 
 
+def _advance_counter(key: str, floor: int) -> None:
+    """Monotonically raise the cross-process counter to ``floor``
+    (no reservation). Engine writers call this after landing events so
+    cooperating ``spark=None`` allocators can never mint under LSNs
+    the engine itself has already written — closes the cold-counter
+    race where a fast-path allocator boots before any full allocator
+    has seeded the counter above the on-disk MAX."""
+    os.makedirs(key, exist_ok=True)
+    lock_path = os.path.join(key, ".lsn.lock")
+    ctr_path = os.path.join(key, ".lsn.next")
+    with open(lock_path, "a+") as lf:
+        if _fcntl is not None:
+            _fcntl.flock(lf.fileno(), _fcntl.LOCK_EX)
+        try:
+            try:
+                with open(ctr_path) as cf:
+                    persisted = int(cf.read().strip() or "1")
+            except (FileNotFoundError, ValueError):
+                persisted = 1
+            if floor <= persisted:
+                return
+            tmp = ctr_path + ".tmp"
+            with open(tmp, "w") as cf:
+                cf.write(str(floor))
+                cf.flush()
+                os.fsync(cf.fileno())
+            os.replace(tmp, ctr_path)
+        finally:
+            if _fcntl is not None:
+                _fcntl.flock(lf.fileno(), _fcntl.LOCK_UN)
+
+
 def allocate_lsns(spark: SparkSession, event_dir: str, n: int) -> int:
     """Reserve ``n`` consecutive LSNs for the WAL at ``event_dir``;
     returns the first. Serialized in-process by ``_LSN_LOCK`` and
@@ -290,7 +322,15 @@ def allocate_lsns(spark: SparkSession, event_dir: str, n: int) -> int:
     key = event_dir.rstrip("/")
     with _LSN_LOCK:
         disk = 0
-        if spark is not None:
+        # Classify "empty WAL" by checking the path BEFORE the scan
+        # (ADVICE r11: substring-matching Spark's error text —
+        # 'PATH_NOT_FOUND' — is version-fragile; an error-format change
+        # would turn every cold start into a raise). Local-path check
+        # is exact for this engine's file:// WALs; for a remote URI the
+        # message match remains as fallback.
+        if spark is not None and (
+            "://" in key or os.path.exists(key)
+        ):
             try:
                 row = (
                     spark.read.schema(CDC_EVENT_SCHEMA)
@@ -321,6 +361,10 @@ def append_events(spark: SparkSession, events: list[tuple], event_dir: str) -> N
     events_df(spark, events).repartition(n_files).write.mode("append").parquet(
         event_dir
     )
+    if events:
+        # keep the cross-process counter ahead of everything the
+        # engine has written (see _advance_counter)
+        _advance_counter(event_dir.rstrip("/"), max(e[0] for e in events) + 1)
 
 
 def synthesize_orders_distributed(

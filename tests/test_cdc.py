@@ -1206,3 +1206,27 @@ def test_allocate_lsns_read_failure_raises_not_restarts(spark, tmp_path):
     # missing path is still the benign empty-WAL case
     fresh = str(tmp_path / "fresh_wal")
     assert _wl.allocate_lsns(spark, fresh, 2) == 1
+
+
+def test_allocate_lsns_cold_start_does_not_parse_error_text(tmp_path):
+    """ADVICE r11: 'empty WAL' used to be classified by substring-
+    matching the exception text ('PATH_NOT_FOUND'), so a Spark error-
+    format change would turn every cold start into a raise. The
+    missing-path case is now decided by os.path.exists BEFORE any
+    scan — a reader that raises an unrecognizable error must never
+    even be consulted on a cold start."""
+    from peerdb_cdc_psql_psql_spark.streaming import workload as _wl
+
+    wal = str(tmp_path / "never_written_wal")
+
+    class _WeirdErrorReader:
+        def schema(self, _schema):
+            raise RuntimeError("SOME_FUTURE_SPARK_ERROR_CLASS: opaque")
+
+    class _WeirdSpark:
+        read = _WeirdErrorReader()
+
+    _wl._LSN_NEXT.pop(wal, None)
+    assert _wl.allocate_lsns(_WeirdSpark(), wal, 4) == 1
+    # once the dir exists the counter carries state forward
+    assert _wl.allocate_lsns(None, wal, 1) == 5

@@ -3111,3 +3111,65 @@ def test_webp_anim_validation_and_decode_any():
     # truncation degrades through decode_any, raises typed directly
     for cut in range(0, len(payload), 7):
         assert isinstance(decode_any(payload[:cut])["ok"], bool)
+
+
+def test_webp_vp8l_run_longer_than_4096_round_trips():
+    """ADVICE r11 (medium): the LZ77 tokenizer must cap copy length at
+    VP8L's 4096 maximum (24 length prefix codes) and split longer runs
+    into multiple copy tokens. A 70x70 solid image (4900-px run) used
+    to emit length code 24 / symbol 280 — desyncing the literal
+    alphabet (and, with cache_bits set, aliasing a color-cache hit)."""
+    from peerdb_cdc_psql_psql_spark.functions.codecs import (
+        decode_webp_pixels,
+        encode_webp_vp8l,
+    )
+
+    solid = np.zeros((70, 70, 4), np.uint8)
+    solid[:] = (10, 200, 30, 255)
+    for cache_bits in (0, 4, 8):
+        payload = encode_webp_vp8l(solid, cache_bits=cache_bits)
+        assert (decode_webp_pixels(payload) == solid).all()
+    # >4096 run entirely inside one row (distance-1 shape) and the
+    # vertical-copy shape on a tall solid column
+    wide = np.full((2, 5000, 4), 77, np.uint8)
+    assert (decode_webp_pixels(encode_webp_vp8l(wide)) == wide).all()
+    tall = np.full((5000, 2, 4), 93, np.uint8)
+    assert (decode_webp_pixels(encode_webp_vp8l(tall)) == tall).all()
+
+
+def test_webp_vp8l_out_of_range_palette_index_is_corrupt():
+    """ADVICE r11 (low): an index beyond the palette is a corrupt
+    stream per the spec/libwebp — the typed decoder must raise (not
+    fabricate pixel 0) so decode_any degrades it to ok=False."""
+    from peerdb_cdc_psql_psql_spark.functions import codecs as C
+
+    # Hand-build a 1x1 COLOR_INDEXING stream with a 3-color palette
+    # (width_bits=2, so 2-bit indices can store 0..3) whose only index
+    # is 3 — one past the palette end.
+    bw = C._Vp8lBitWriter()
+    bw.put(0x2F, 8)
+    bw.put(0, 14)            # w-1
+    bw.put(0, 14)            # h-1
+    bw.put(0, 1)             # alpha hint
+    bw.put(0, 3)             # version
+    bw.put(1, 1)
+    bw.put(3, 2)             # COLOR_INDEXING
+    colors = [0xFF000000, 0xFF0000FF, 0xFF00FF00]
+    bw.put(len(colors) - 1, 8)
+    deltas, prev = [], 0
+    for c in colors:
+        deltas.append(C._vp8l_sub_px(c, prev))
+        prev = c
+    C._vp8l_encode_image(bw, deltas, len(colors), 1)
+    bw.put(0, 1)             # end of transforms
+    C._vp8l_encode_image(bw, [0xFF000000 | (3 << 8)], 1, 1, level0=True)
+    body = bw.flush()
+    with pytest.raises(ValueError, match="palette index"):
+        C._vp8l_decode_argb(body)
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = (
+        b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    )
+    assert C.decode_any(riff)["ok"] is False
