@@ -614,12 +614,27 @@ SCALE_PROBE_RECORD_ONLY = {"simhash_md5_pairs"}
 
 def scale_probe(
     spark, sf_dir: str, k: int, workdir: str, queries: list[str] | None = None
-) -> dict:
+) -> tuple[dict, dict]:
     """Timed weak-scaling point (VERDICT r4 next-round #6): run the
     blocked/bucketed doc-pack queries on a 1× and a k× disjoint-
     vocabulary corpus and report per-query wall ratios. Linear paths
     show ratio ≈ k (plus fixed overhead); an accidental all-pairs
-    regression would show ≈ k²."""
+    regression would show ≈ k².
+
+    LEG CALIBRATION (r12, VERDICT r11 next-round #1): r11's driver
+    recorded part_triangle_stats at ratio 6.69 where two clean
+    same-code runs read 1.57-3.13 — the probe's 4× legs land in
+    whatever host phase the session happens to be in, and a ~30%
+    within-session host drift multiplies straight into the gated
+    ratio. Each (pass, scale, query) measurement is now immediately
+    preceded by a 1-pass host-speed microbench (same seeded
+    hash-agg shape as calibrate()), and every sample is recorded both
+    raw and divided by its adjacent calibration. ``ratio_calibrated``
+    — the gated form — is the ratio of calibrated medians, so a host
+    phase that slows BOTH the query and its adjacent microbench
+    cancels out instead of masquerading as super-linear scaling.
+
+    Returns (per-query table, leg-calibration summary)."""
     from peerdb_cdc_psql_psql_spark.operators import dedup as _dedup
 
     queries = queries or SCALE_PROBE_QUERIES
@@ -629,6 +644,8 @@ def scale_probe(
         k: build_replicated_corpus(spark, sf_dir, k, f"{workdir}/x{k}"),
     }
     samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
+    cal_samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
+    legcals: list[float] = []
     # Median-of-3 per (scale, query) (VERDICT r7 #9): r7 proved the
     # probe swings ~2× on byte-identical code
     # (customer_similarity_topk t4 29.1 → 15.4 s), which made the ≤4
@@ -667,21 +684,41 @@ def scale_probe(
                 # session re-measurement of the worst r6 ratio:
                 # 5.3 → 2.7).
                 spark._jvm.System.gc()
+                # adjacent host-speed sample: one calibrate() pass
+                # right before the measurement (leg calibration)
+                leg = calibrate(spark, passes=1)
+                legcals.append(leg)
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).collect()
                 dt = round(time.perf_counter() - t0, 3)
                 samples[kk].setdefault(name, []).append(dt)
+                cal_samples[kk].setdefault(name, []).append(
+                    dt / leg if leg else dt
+                )
     import statistics as _stats
 
     for name in queries:
         m1 = round(_stats.median(samples[1][name]), 3)
         mk = round(_stats.median(samples[k][name]), 3)
+        c1 = _stats.median(cal_samples[1][name])
+        ck = _stats.median(cal_samples[k][name])
         out[name] = {
             "t1": min(samples[1][name]), f"t{k}": min(samples[k][name]),
             "t1_median": m1, f"t{k}_median": mk,
             "ratio": round(mk / m1, 2),
+            # host-drift-cancelled form (the gated one from r12 on)
+            "t1_cal_median": round(c1, 3),
+            f"t{k}_cal_median": round(ck, 3),
+            "ratio_calibrated": round(ck / c1, 2) if c1 else None,
         }
-    return out
+    legcal = {
+        "samples": len(legcals),
+        "min": round(min(legcals), 3),
+        "median": round(_stats.median(legcals), 3),
+        "max": round(max(legcals), 3),
+        "drift_max_over_min": round(max(legcals) / min(legcals), 2),
+    }
+    return out, legcal
 
 
 # Reference host speed for calibration-normalized SECONDS: the r11
@@ -802,9 +839,57 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             extra_times[name] = min(extra_times.get(name, dt), dt)
 
+    # Scale probe MOVED to directly after the suites (r12, VERDICT r11
+    # next-round #1 "or move the probe to session start"): it used to
+    # run LAST in a ~30-minute session, placing every gated 4× leg in
+    # the slowest host phase. Combined with per-leg calibration it now
+    # both runs earlier AND carries its own host-drift correction.
+    # Evidence-loss guard (the r4 lesson): a failure here must cost
+    # only the probe's fields, never the round's metrics line.
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            probe, probe_legcal = scale_probe(spark, SF_DIR, 4, tmp)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
+        probe, probe_legcal = {}, {}
+
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
     )
+    # Interleaved same-boot A/B of the narrow-start merge exemption
+    # (VERDICT r11 next-round #6): 3 pairs, alternating arms, each arm
+    # with an adjacent 1-pass calibration so the r11 cdc_apply_4x
+    # 57k→44.5k swing can be attributed host-vs-engine next time it
+    # moves. Detail-line only — the canonical cdc_apply figures above
+    # keep their cross-round basis.
+    try:
+        from peerdb_cdc_psql_psql_spark.streaming import cdc as _cdc_mod
+
+        ab: dict[str, list[float]] = {"exempt_on": [], "exempt_off": []}
+        ab_cal: dict[str, list[float]] = {"exempt_on": [], "exempt_off": []}
+        for _ in range(3):
+            for arm, flag in (("exempt_on", True), ("exempt_off", False)):
+                _cdc_mod.NARROW_START_EXEMPTION = flag
+                leg = calibrate(spark, passes=1)
+                s, n = bench_cdc_apply(spark)
+                ab[arm].append(round(n / s, 1))
+                ab_cal[arm].append(round(n / s * leg, 1))
+        _cdc_mod.NARROW_START_EXEMPTION = True
+        import statistics as _st
+
+        print(json.dumps({
+            "detail": "cdc_apply_exemption_ab",
+            "events_per_sec": {a: v for a, v in ab.items()},
+            "median": {a: _st.median(v) for a, v in ab.items()},
+            "median_leg_calibrated": {
+                a: round(_st.median(v), 1) for a, v in ab_cal.items()
+            },
+            "note": "3 interleaved pairs on one boot; calibrated = "
+            "rate x adjacent host-calib seconds (dimensionless-ish "
+            "twin that cancels host phase)",
+        }))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "cdc_ab_error", "err": str(e)[:300]}))
     # CDC weak-scaling point: one 4x-backlog drain — events/s should
     # hold (the merge is O(batch + target) per micro-batch); a
     # superlinear apply path would show throughput collapsing here.
@@ -868,16 +953,6 @@ def main() -> None:
         print(json.dumps({"detail": "neardup_bigbatch_error", "err": str(e)[:300]}))
         ndb_sec, ndb_docs = float("inf"), 0
 
-    # Evidence-loss guard (the r4 lesson, applied forward): a failure
-    # in the auxiliary probes must cost only that probe's fields,
-    # never the round's metrics line.
-    try:
-        with tempfile.TemporaryDirectory() as tmp:
-            probe = scale_probe(spark, SF_DIR, 4, tmp)
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
-        probe = {}
-
     # insert stress again at end-of-bench: the first-position figure
     # above is canonical; this one quantifies the session-state offset.
     with tempfile.TemporaryDirectory() as tmp:
@@ -939,15 +1014,22 @@ def main() -> None:
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
          "record_only": sorted(SCALE_PROBE_RECORD_ONLY),
          "passes": 3, "scales_interleaved_per_pass": True,
-         "agg": "ratio of medians per (scale, query); "
-         "min also recorded (r6/r7 comparability); gated max excludes "
-         "record_only fixed-band forms (r8 #4)",
+         "order": "MOVED r12: directly after the suites (was last); "
+         "each measurement is preceded by a 1-pass host calibration "
+         "and the GATED form is ratio_calibrated (r11 #1)",
+         "agg": "ratio of medians per (scale, query), raw AND "
+         "leg-calibrated; min also recorded (r6/r7 comparability); "
+         "gated max excludes record_only fixed-band forms (r8 #4)",
          "corpus": "documents ×k disjoint vocab; lineitem/orders ×k "
          "disjoint keys; embeddings ×k sign-flip decorrelated"},
+        {"name": "cdc_apply_exemption_ab", "pairs": 3,
+         "arms": ["exempt_on", "exempt_off"],
+         "order": "interleaved after canonical cdc_apply (r11 #6)"},
     ]
     print(json.dumps({"detail": "workloads", "workloads": manifest}))
     print(json.dumps({"detail": "extra_queries", "extra_queries": extra_times}))
-    print(json.dumps({"detail": "scale_probe", "scale_probe": probe}))
+    print(json.dumps({"detail": "scale_probe", "scale_probe": probe,
+                      "leg_calibration": probe_legcal}))
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -968,10 +1050,16 @@ def main() -> None:
         "scale_probe_k": 4,
         # gated max = production forms only (record-only fixed-band
         # forms stay in the probe detail table above but can't fail
-        # the gate — VERDICT r8 #4)
+        # the gate — VERDICT r8 #4). From r12 the GATED form is the
+        # leg-CALIBRATED ratio (r11 #1); raw stays for comparability.
         "scale_probe_max_ratio": max(
             (v["ratio"] for q, v in probe.items()
              if q not in SCALE_PROBE_RECORD_ONLY), default=None
+        ),
+        "scale_probe_max_ratio_calibrated": max(
+            (v["ratio_calibrated"] for q, v in probe.items()
+             if q not in SCALE_PROBE_RECORD_ONLY
+             and v.get("ratio_calibrated") is not None), default=None
         ),
         "scale_probe_max_ratio_all": max(
             (v["ratio"] for v in probe.values()), default=None
@@ -987,6 +1075,10 @@ def main() -> None:
         "insert_stress_end_median_ops_per_sec": stress_end["median_ops_per_sec"],
         "calib_seconds": calib,
         "calib_seconds_end": calib_end,
+        # the anchoring constant, PINNED IN THE JSON (VERDICT r11
+        # wrong #3: it lived only in prose, so future rounds could
+        # silently re-anchor) — the r11 clean-run session-mean calib
+        "calib_anchor": _CALIB_REF_SECONDS,
         # dimensionless, host-independent headline: raw total divided
         # by the host calibration — the cross-round comparable figure
         "headline_per_calib": round(total / calib, 3) if calib else None,
@@ -999,6 +1091,26 @@ def main() -> None:
         ),
         "cpus": CPUS,
     }
+    # Calibration-normalized THROUGHPUT twins (VERDICT r11 next-round
+    # #3): every rate scaled to the r11 reference host — a slower host
+    # (calib mean > anchor) raises the normalized rate. Same
+    # session-mean basis as headline_normalized_seconds.
+    if calib and calib_end:
+        _norm = ((calib + calib_end) / 2) / _CALIB_REF_SECONDS
+        for _f in (
+            "cdc_apply_events_per_sec",
+            "cdc_apply_4x_events_per_sec",
+            "cdc_apply_multi_events_per_sec",
+            "stream_dedup_docs_per_sec",
+            "stream_neardup_docs_per_sec",
+            "stream_neardup_big_batch_docs_per_sec",
+            "stream_crawl_docs_per_sec",
+            "insert_stress_ops_per_sec",
+            "insert_stress_median_ops_per_sec",
+            "insert_stress_end_ops_per_sec",
+            "insert_stress_end_median_ops_per_sec",
+        ):
+            out[f"{_f}_normalized"] = round(out[_f] * _norm, 1)
     line = json.dumps(out)
     if len(line) >= 1900:
         # the final line must survive a ~2000-char tail capture; if it
@@ -1006,6 +1118,14 @@ def main() -> None:
         # rather than losing the whole round's metrics again
         print(json.dumps({"detail": "headline_queries", "queries": times}))
         out["queries"] = {}
+        line = json.dumps(out)
+    if len(line) >= 1900:
+        # still too big (r12 added the *_normalized twins): spill those
+        # to their own detail line next
+        norm = {k: v for k, v in out.items() if k.endswith("_normalized")}
+        print(json.dumps({"detail": "normalized_throughputs", **norm}))
+        for k in norm:
+            del out[k]
         line = json.dumps(out)
     print(line)
 

@@ -299,6 +299,11 @@ def recorded_snapshot_lsn(
     return min(vals) if vals else -1
 
 
+# A/B lever for bench.py's interleaved exemption measurement (VERDICT
+# r11 #6); production value is True. Captured per merge call, so
+# flipping it mid-merge can't unbalance enter/exit.
+NARROW_START_EXEMPTION = True
+
 _AQE_NARROW_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 _AQE_NARROW_LOCK = __import__("threading").Lock()
 # session identity -> [refcount, saved session value | None]
@@ -391,7 +396,9 @@ def _merge_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     spark = batch_df.sparkSession
-    _enter_narrow_start(spark)
+    _exempt = NARROW_START_EXEMPTION
+    if _exempt:
+        _enter_narrow_start(spark)
 
     batch_df = batch_df.persist()
     try:
@@ -447,7 +454,8 @@ def _merge_batch(
                     f.result()  # propagate the first failure
     finally:
         batch_df.unpersist()
-        _exit_narrow_start(spark)
+        if _exempt:
+            _exit_narrow_start(spark)
 
 
 def start_mirror(
