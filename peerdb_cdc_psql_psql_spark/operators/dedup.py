@@ -1882,3 +1882,90 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({' + '.join(f'CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END' for i in range(_MINHASH_MD5_K))}) * 10000 div {_MINHASH_MD5_K} AS BIGINT)"
         ).alias("est_jaccard_bp"),
     )
+
+
+@register(
+    "dedup_survivor_bias",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, sha256(text) AS sha FROM documents
+),
+per_sha AS (
+  SELECT sha, arg_min(source, doc_id) AS source FROM fp GROUP BY sha
+),
+surv AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_survivors
+  FROM per_sha GROUP BY source
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM fp GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       COALESCE(s.n_survivors, 0) AS n_survivors,
+       (t.n_docs - COALESCE(s.n_survivors, 0)) * 10000 // t.n_docs
+         AS drop_bp,
+       t.n_docs * 10000 // SUM(t.n_docs) OVER () AS share_before_bp,
+       COALESCE(s.n_survivors, 0) * 10000
+         // SUM(COALESCE(s.n_survivors, 0)) OVER () AS share_after_bp
+FROM tot t LEFT JOIN surv s USING (source)
+""",
+    tags=("X1", "dedup", "curation"),
+)
+def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture shift under global exact dedup (r12): which
+    sources lose mass when the corpus is deduplicated first-seen-wins
+    (keeper = MIN doc_id per sha256(text), the dedup_exact_survivors
+    rule) — per source: doc count, survivor count, drop rate, and the
+    corpus share BEFORE vs AFTER dedup, all in exact integer basis
+    points. The standard curation question ("did dedup silently
+    reweight my mixture toward low-duplication sources?") as one
+    oracle-checked report.
+
+    100 TB: the wide shuffle carries (sha 32 B, source, doc_id) —
+    never text; keeper attribution is a min_by AGGREGATE on the sha
+    hash-shuffle (no window over the raw corpus), survivor counts then
+    aggregate source-wise to |sources| rows, and the before/after
+    totals are window functions over that tiny aggregated frame (the
+    single-partition window warning applies to a 5-row frame, not the
+    corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    per_sha = fp.groupBy("sha").agg(
+        F.min_by("source", "doc_id").alias("source")
+    )
+    surv = per_sha.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )
+    tot = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    j = (
+        tot.join(F.broadcast(surv), "source", "left")
+        .withColumn(
+            "n_survivors", F.coalesce("n_survivors", F.lit(0).cast("bigint"))
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        j.withColumn("tot_docs", F.sum("n_docs").over(w))
+        .withColumn("tot_surv", F.sum("n_survivors").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_survivors",
+            F.expr(
+                "CAST((n_docs - n_survivors) * 10000 div n_docs AS BIGINT)"
+            ).alias("drop_bp"),
+            # integer div in BOTH engines — a float quotient cast at a
+            # boundary value would truncate differently than floor
+            F.expr(
+                "CAST(n_docs * 10000 div tot_docs AS BIGINT)"
+            ).alias("share_before_bp"),
+            F.expr(
+                "CAST(n_survivors * 10000 div tot_surv AS BIGINT)"
+            ).alias("share_after_bp"),
+        )
+    )

@@ -787,3 +787,85 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_bp"),
         )
     )
+
+
+# -- packing-efficiency curve across context lengths (r12) ----------------
+
+_PACK_CTXS = (512, 1024, 2048, 4096, 8192)
+
+
+@register(
+    "packing_efficiency_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT len(string_split(text, ' ')) AS n FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         {", ".join(f"CAST(SUM(LEAST(n, {c})) AS BIGINT) AS eff_{c}" for c in _PACK_CTXS)}
+  FROM toks
+),
+curve AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({c} AS BIGINT) AS ctx, n_docs, total_tokens, "
+      f"eff_{c} AS eff_tokens FROM agg" for c in _PACK_CTXS
+  )}
+)
+SELECT ctx, n_docs, eff_tokens,
+       total_tokens - eff_tokens AS tokens_truncated,
+       (eff_tokens + ctx - 1) // ctx AS packed_seqs_lb,
+       eff_tokens * 10000 // (((eff_tokens + ctx - 1) // ctx) * ctx)
+         AS packed_util_bp,
+       eff_tokens * 10000 // (n_docs * ctx) AS padded_util_bp
+FROM curve
+""",
+    tags=("sampling", "packing", "X4"),
+)
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length decision curve (r12): for each candidate context
+    window, the idealized packed-sequence count (the bin-packing lower
+    bound ceil(Σ min(len, ctx) / ctx)), the utilization it would
+    achieve, the utilization one-doc-per-sequence padding achieves,
+    and the tokens truncation would discard — the three numbers a
+    training-data team weighs when picking ctx and choosing packing
+    vs padding vs bucketing (`sequence_packing` /
+    `length_bucket_padding` are the per-doc companions).
+
+    100 TB: ONE pass, no explode and no per-ctx re-scan — the five
+    conditional sums fold into a single map-side-partial aggregate
+    producing one row, and the curve unpivots that row with stack()
+    (5 rows, driver-scale). The exchange carries one row per task."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    one = docs.select(n.alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(F.least(F.col("n"), F.lit(c))).cast("bigint").alias(f"eff_{c}")
+            for c in _PACK_CTXS
+        ],
+    )
+    stacked = one.selectExpr(
+        "n_docs",
+        "total_tokens",
+        f"stack({len(_PACK_CTXS)}, "
+        + ", ".join(f"CAST({c} AS BIGINT), eff_{c}" for c in _PACK_CTXS)
+        + ") AS (ctx, eff_tokens)",
+    )
+    return stacked.select(
+        "ctx",
+        "n_docs",
+        "eff_tokens",
+        (F.col("total_tokens") - F.col("eff_tokens")).alias("tokens_truncated"),
+        F.expr("CAST((eff_tokens + ctx - 1) div ctx AS BIGINT)").alias(
+            "packed_seqs_lb"
+        ),
+        F.expr(
+            "CAST(eff_tokens * 10000 div "
+            "(((eff_tokens + ctx - 1) div ctx) * ctx) AS BIGINT)"
+        ).alias("packed_util_bp"),
+        F.expr(
+            "CAST(eff_tokens * 10000 div (n_docs * ctx) AS BIGINT)"
+        ).alias("padded_util_bp"),
+    )
