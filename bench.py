@@ -611,6 +611,11 @@ SCALE_PROBE_QUERIES = [
 # the round's gate.
 SCALE_PROBE_RECORD_ONLY = {"simhash_md5_pairs"}
 
+# Leg-calibration microbench size: half the session anchor's rows —
+# only RATIOS consume leg calibrations, so the absolute scale cancels
+# and the smaller bench keeps the 66-leg overhead near a minute.
+_LEG_CALIB_ROWS = 5_000_000
+
 
 def scale_probe(
     spark, sf_dir: str, k: int, workdir: str, queries: list[str] | None = None
@@ -646,6 +651,11 @@ def scale_probe(
     samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     cal_samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     legcals: list[float] = []
+    # Warm the microbench's codegen path before the first measured leg
+    # (a standalone probe session otherwise pays whole-stage-codegen
+    # compilation entirely on leg 1's calibration — observed as a
+    # 5.9 s first sample against a 0.6 s warm floor). Discarded.
+    calibrate(spark, rows=_LEG_CALIB_ROWS, passes=1)
     # Median-of-3 per (scale, query) (VERDICT r7 #9): r7 proved the
     # probe swings ~2× on byte-identical code
     # (customer_similarity_topk t4 29.1 → 15.4 s), which made the ≤4
@@ -684,9 +694,14 @@ def scale_probe(
                 # session re-measurement of the worst r6 ratio:
                 # 5.3 → 2.7).
                 spark._jvm.System.gc()
-                # adjacent host-speed sample: one calibrate() pass
-                # right before the measurement (leg calibration)
-                leg = calibrate(spark, passes=1)
+                # adjacent host-speed sample right before the
+                # measurement (leg calibration). Median-of-3 half-size
+                # passes: a single 1-pass sample proved steal-fragile
+                # (one transient CPU steal lands entirely on a ~1 s
+                # window and poisons that leg's calibrated sample);
+                # the absolute scale cancels in the ratio, so the leg
+                # microbench can be smaller than the session anchor's.
+                leg = calibrate(spark, rows=_LEG_CALIB_ROWS, passes=3)
                 legcals.append(leg)
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).collect()
@@ -867,14 +882,20 @@ def main() -> None:
 
         ab: dict[str, list[float]] = {"exempt_on": [], "exempt_off": []}
         ab_cal: dict[str, list[float]] = {"exempt_on": [], "exempt_off": []}
-        for _ in range(3):
-            for arm, flag in (("exempt_on", True), ("exempt_off", False)):
-                _cdc_mod.NARROW_START_EXEMPTION = flag
-                leg = calibrate(spark, passes=1)
-                s, n = bench_cdc_apply(spark)
-                ab[arm].append(round(n / s, 1))
-                ab_cal[arm].append(round(n / s * leg, 1))
-        _cdc_mod.NARROW_START_EXEMPTION = True
+        try:
+            for _ in range(3):
+                for arm, flag in (
+                    ("exempt_on", True), ("exempt_off", False)
+                ):
+                    _cdc_mod.NARROW_START_EXEMPTION = flag
+                    leg = calibrate(spark, passes=1)
+                    s, n = bench_cdc_apply(spark)
+                    ab[arm].append(round(n / s, 1))
+                    ab_cal[arm].append(round(n / s * leg, 1))
+        finally:
+            # a mid-A/B failure must not leave the production flag off
+            # for the stream benches that follow
+            _cdc_mod.NARROW_START_EXEMPTION = True
         import statistics as _st
 
         print(json.dumps({
