@@ -810,3 +810,28 @@ def test_basket_similarity_single_exchange_pair_stream(spark):
     for join in ("SortMergeJoin", "ShuffledHashJoin",
                  "BroadcastHashJoin"):
         assert join not in between
+
+
+def test_packing_efficiency_curve_single_pass(spark):
+    """r12: the 5-ctx curve folds into ONE aggregation pass — a single
+    Exchange carrying the 1-row partial aggregate; stack() unpivots a
+    one-row frame (its Generate is driver-scale, not an explode over
+    the corpus), and the scan reads only the text column."""
+    plan = plan_string(_df(spark, "packing_efficiency_curve"))
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_dedup_survivor_bias_digest_shuffle_only(spark):
+    """r12: keeper attribution rides the sha256-digest shuffle (text
+    never crosses an exchange) and the survivor→total attach is a
+    broadcast join — no sort-merge join anywhere."""
+    plan = plan_string(_df(spark, "dedup_survivor_bias"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # text is consumed scan-side into the digest; no Exchange row
+    # carries the raw text column
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange[^(]*\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), m.group(0)

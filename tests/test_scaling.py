@@ -61,7 +61,7 @@ def test_scale_probe_wall_time_bound(spark, tmp_path):
     (which push the ratio DOWN toward 1) never flake it."""
     import bench
 
-    probe = bench.scale_probe(
+    probe, legcal = bench.scale_probe(
         spark,
         "/root/testdata/sf0.01",
         4,
@@ -70,6 +70,10 @@ def test_scale_probe_wall_time_bound(spark, tmp_path):
     )
     bad = {n: v for n, v in probe.items() if v["ratio"] > 6.0}
     assert not bad, f"superlinear wall-time growth at 4x data: {bad}"
+    # r12 leg calibration: every measurement carries an adjacent host
+    # sample and the calibrated ratio rides beside the raw one
+    assert legcal["samples"] == 2 * 3 * 3  # scales x passes x queries
+    assert all("ratio_calibrated" in v for v in probe.values())
 
 
 def test_jaccard_blocking_scales_linearly(spark):
