@@ -651,6 +651,11 @@ def scale_probe(
     samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     cal_samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     legcals: list[float] = []
+    # output volume per scale (deterministic): lets an output-bound
+    # query's wall ratio be read against its RESULT growth — the r11
+    # simhash attribution (pairs ×4.14 while wall ×2.08) needed this
+    # measured by hand; now it's on every probe record
+    out_rows: dict[int, dict[str, int]] = {}
     # Warm the microbench's codegen path before the first measured leg
     # (a standalone probe session otherwise pays whole-stage-codegen
     # compilation entirely on leg 1's calibration — observed as a
@@ -704,12 +709,13 @@ def scale_probe(
                 leg = calibrate(spark, rows=_LEG_CALIB_ROWS, passes=3)
                 legcals.append(leg)
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, d).collect()
+                n_rows = len(REGISTRY[name].fn(spark, d).collect())
                 dt = round(time.perf_counter() - t0, 3)
                 samples[kk].setdefault(name, []).append(dt)
                 cal_samples[kk].setdefault(name, []).append(
                     dt / leg if leg else dt
                 )
+                out_rows.setdefault(kk, {})[name] = n_rows
     import statistics as _stats
 
     for name in queries:
@@ -717,6 +723,8 @@ def scale_probe(
         mk = round(_stats.median(samples[k][name]), 3)
         c1 = _stats.median(cal_samples[1][name])
         ck = _stats.median(cal_samples[k][name])
+        r1 = out_rows.get(1, {}).get(name, 0)
+        rk = out_rows.get(k, {}).get(name, 0)
         out[name] = {
             "t1": min(samples[1][name]), f"t{k}": min(samples[k][name]),
             "t1_median": m1, f"t{k}_median": mk,
@@ -725,6 +733,9 @@ def scale_probe(
             "t1_cal_median": round(c1, 3),
             f"t{k}_cal_median": round(ck, 3),
             "ratio_calibrated": round(ck / c1, 2) if c1 else None,
+            # output-volume attribution for result-bound queries
+            "rows1": r1, f"rows{k}": rk,
+            "rows_ratio": round(rk / r1, 2) if r1 else None,
         }
     legcal = {
         "samples": len(legcals),
