@@ -1905,9 +1905,11 @@ SELECT t.source,
        COALESCE(s.n_survivors, 0) AS n_survivors,
        (t.n_docs - COALESCE(s.n_survivors, 0)) * 10000 // t.n_docs
          AS drop_bp,
-       t.n_docs * 10000 // SUM(t.n_docs) OVER () AS share_before_bp,
+       t.n_docs * 10000 // CAST(SUM(t.n_docs) OVER () AS BIGINT)
+         AS share_before_bp,
        COALESCE(s.n_survivors, 0) * 10000
-         // SUM(COALESCE(s.n_survivors, 0)) OVER () AS share_after_bp
+         // CAST(SUM(COALESCE(s.n_survivors, 0)) OVER () AS BIGINT)
+         AS share_after_bp
 FROM tot t LEFT JOIN surv s USING (source)
 """,
     tags=("X1", "dedup", "curation"),
