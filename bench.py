@@ -825,6 +825,27 @@ def main() -> None:
             spark, f"{tmp}/wal", record_count=5000, batch_size=500
         )
 
+    # Scale probe at SESSION START (r12 final position; VERDICT r11
+    # next-round #1 offered "move the probe to session start" as the
+    # alternate fix and the first r12 placement — after the suites —
+    # proved it necessary: customer_similarity_topk read 8.35 raw /
+    # 5.04 calibrated after ~470 suite executions had aged the shared
+    # local-mode heap, while the SAME code on a fresh session read
+    # 2.17 / 2.56. Local[32] shares ONE heap across all task slots, so
+    # late-session GC debt lands on exactly the big-working-set 4×
+    # legs the gate watches — a local-mode artifact, not plan scaling
+    # (cluster executors have independent, continuously-collected
+    # heaps). The probe now measures plan scaling on a quiet heap, and
+    # leg calibration still corrects the residual host phase.
+    # Evidence-loss guard (the r4 lesson): a failure here must cost
+    # only the probe's fields, never the round's metrics line.
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            probe, probe_legcal = scale_probe(spark, SF_DIR, 4, tmp)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
+        probe, probe_legcal = {}, {}
+
     # Multiple passes, report per-query min: the host shows transient
     # ~60 s external CPU steals that would otherwise land on one
     # arbitrary query; min-of-N measures the engine, not the noise.
@@ -864,20 +885,6 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
             extra_times[name] = min(extra_times.get(name, dt), dt)
-
-    # Scale probe MOVED to directly after the suites (r12, VERDICT r11
-    # next-round #1 "or move the probe to session start"): it used to
-    # run LAST in a ~30-minute session, placing every gated 4× leg in
-    # the slowest host phase. Combined with per-leg calibration it now
-    # both runs earlier AND carries its own host-drift correction.
-    # Evidence-loss guard (the r4 lesson): a failure here must cost
-    # only the probe's fields, never the round's metrics line.
-    try:
-        with tempfile.TemporaryDirectory() as tmp:
-            probe, probe_legcal = scale_probe(spark, SF_DIR, 4, tmp)
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
-        probe, probe_legcal = {}, {}
 
     cdc_sec, cdc_events = min(
         (bench_cdc_apply(spark) for _ in range(2)), key=lambda t: t[0]
@@ -1046,9 +1053,11 @@ def main() -> None:
         {"name": "scale_probe", "k": 4, "queries": SCALE_PROBE_QUERIES,
          "record_only": sorted(SCALE_PROBE_RECORD_ONLY),
          "passes": 3, "scales_interleaved_per_pass": True,
-         "order": "MOVED r12: directly after the suites (was last); "
-         "each measurement is preceded by a 1-pass host calibration "
-         "and the GATED form is ratio_calibrated (r11 #1)",
+         "order": "MOVED r12: SESSION START (after insert-stress, "
+         "before the suites — an aged shared local heap landed its GC "
+         "debt on the big-working-set 4x legs); each measurement is "
+         "preceded by a median-of-3 host calibration and the GATED "
+         "form is ratio_calibrated (r11 #1)",
          "agg": "ratio of medians per (scale, query), raw AND "
          "leg-calibrated; min also recorded (r6/r7 comparability); "
          "gated max excludes record_only fixed-band forms (r8 #4)",
