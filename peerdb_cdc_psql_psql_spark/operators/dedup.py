@@ -1971,3 +1971,93 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_after_bp"),
         )
     )
+
+
+@register(
+    "dedup_cluster_savings",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_JACCARD_PAIRS_SQL})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, cc.label
+  FROM cc JOIN edges e ON e.src = cc.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id
+),
+per_cluster AS (
+  SELECT l.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS size,
+         CAST(SUM(CASE WHEN d.doc_id <> l.cluster_id
+                       THEN d.n_chars ELSE 0 END) AS BIGINT)
+           AS chars_dropped
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+  GROUP BY l.cluster_id
+)
+SELECT CASE WHEN size = 2 THEN '2'
+            WHEN size = 3 THEN '3'
+            ELSE '4+' END AS size_band,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size - 1) AS BIGINT) AS docs_dropped,
+       CAST(SUM(chars_dropped) AS BIGINT) AS chars_dropped
+FROM per_cluster
+GROUP BY 1
+""",
+    tags=("X2", "dedup", "curation", "iterative"),
+    eager_build=True,  # calls dedup_clusters' driver-side loop
+)
+def dedup_cluster_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup SAVINGS report (r12): the number every dedup
+    run ships to its owners — per cluster-size band (pairs, triples,
+    4+), how many clusters formed, how many documents drop when only
+    the representative (min doc_id = the cluster_id) is kept, and the
+    character volume those drops reclaim. Composes the oracle-checked
+    `dedup_clusters` transitive closure with a metadata join —
+    transitive savings (A~B, B~C drops BOTH B and C) are exactly what
+    per-pair accounting under-counts.
+
+    100 TB: the labels frame holds only docs that appear in the pair
+    graph (near-dup members, a small fraction of the corpus), so the
+    metadata join broadcasts the labels; the wide work all lives in
+    the shared shingle-index pair join + O(diameter) label rounds
+    that `dedup_clusters` already bounds. Text never shuffles —
+    n_chars is the only payload column read."""
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per_cluster = (
+        docs.join(F.broadcast(labels), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("chars_dropped"),
+        )
+    )
+    return (
+        per_cluster.select(
+            F.when(F.col("size") == 2, F.lit("2"))
+            .when(F.col("size") == 3, F.lit("3"))
+            .otherwise(F.lit("4+"))
+            .alias("size_band"),
+            "size",
+            "chars_dropped",
+        )
+        .groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(F.col("size") - 1).cast("bigint").alias("docs_dropped"),
+            F.sum("chars_dropped").cast("bigint").alias("chars_dropped"),
+        )
+    )
