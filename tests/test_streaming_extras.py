@@ -37,8 +37,15 @@ def _event_stream(spark, event_dir):
 
 
 def _drain(q):
-    q.awaitTermination(timeout=120)
-    assert not q.isActive
+    # stop-on-timeout (r12): if a host hiccup pushes the availableNow
+    # drain past the timeout, stop the query BEFORE asserting so the
+    # failure stays contained to this test instead of leaving an
+    # active same-named query that poisons every later start
+    done = q.awaitTermination(timeout=240)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(timeout=60)
+    assert done and not q.isActive
 
 
 def test_windowed_change_counts_with_watermark(spark, tmp_path):
