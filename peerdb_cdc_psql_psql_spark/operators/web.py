@@ -774,7 +774,8 @@ WITH p AS (
          (doc_id % 3) * 2 + 3 AS h,
          (doc_id * 19) % 256 AS r, (doc_id * 7) % 256 AS g,
          (doc_id * 11) % 256 AS b,
-         doc_id % 7 AS v
+         2 * (doc_id % 127) AS ve,
+         doc_id % 8 AS v
   FROM documents WHERE doc_id < 140
 )
 SELECT m AS doc_id,
@@ -787,39 +788,47 @@ SELECT m AS doc_id,
             WHEN v = 3 THEN 'image/png'
             WHEN v = 4 THEN 'image/gif'
             WHEN v = 5 THEN 'image/tiff'
-            ELSE 'image/bmp' END AS http_image_type,
+            WHEN v = 6 THEN 'image/bmp'
+            ELSE 'image/jpeg' END AS http_image_type,
        CASE WHEN v <= 2 THEN 'webp'
             WHEN v = 3 THEN 'png'
             WHEN v = 4 THEN 'gif'
             WHEN v = 5 THEN 'tiff'
-            ELSE 'bmp' END AS sniffed_fmt,
+            WHEN v = 6 THEN 'bmp'
+            ELSE 'jpeg' END AS sniffed_fmt,
        TRUE AS img_ok,
        w AS img_w, h AS img_h,
        CAST(CASE WHEN v <= 2 THEN 4 ELSE 3 END AS BIGINT) AS img_channels,
        CASE WHEN v = 2 THEN 'palette'
             WHEN v <= 1 THEN 'none'
             ELSE 'n/a' END AS img_transforms,
-       w * h * r AS sum_r, w * h * g AS sum_g, w * h * b AS sum_b
+       CASE WHEN v = 7 THEN w * h * ve ELSE w * h * r END AS sum_r,
+       CASE WHEN v = 7 THEN w * h * ve ELSE w * h * g END AS sum_g,
+       CASE WHEN v = 7 THEN w * h * ve ELSE w * h * b END AS sum_b
 FROM p
 """,
     tags=("X4", "X5", "web", "codec", "multimodal"),
 )
 def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl→codec chain (r11; widened r12 per VERDICT r11
-    missing #3): each fixture `.warc.gz` carries a text/html response
-    AND an image response whose format ROTATES across every
-    implemented still-image decoder — WebP/VP8L (plain, color-cache,
-    palette variants), PNG, GIF, TIFF, and BMP. Ingest parses the
-    WARC grammar, routes responses by the HTTP Content-Type, sniffs
-    the container magic, dispatches through decode_any for the
-    normalized census row (fmt/ok/dims/channels), and runs the
-    format's REAL pixel decode for channel sums — the oracle
-    re-derives the HTML byte length, the record census, and every
-    format's dimensions + solid-color channel sums in closed form
-    (all five formats are lossless, so the sums are exact; JPEG is
-    deliberately NOT in this oracle row — its quantizer shifts solid
-    colors by ±2, which has no closed SQL form — but carries its own
-    10+ oracle rows in the multimodal pack).
+    missing #3; JPEG added r13 per VERDICT r12 missing #3): each
+    fixture `.warc.gz` carries a text/html response AND an image
+    response whose format ROTATES across every implemented
+    still-image decoder — WebP/VP8L (plain, color-cache, palette
+    variants), PNG, GIF, TIFF, BMP, and JPEG. Ingest parses the WARC
+    grammar, routes responses by the HTTP Content-Type, sniffs the
+    container magic, dispatches through decode_any for the normalized
+    census row (fmt/ok/dims/channels), and runs the format's REAL
+    pixel decode for channel sums — the oracle re-derives the HTML
+    byte length, the record census, and every format's dimensions +
+    solid-color channel sums in closed form. Five formats are
+    lossless; the JPEG fixtures are EVEN-gray RGB solids, the exact
+    fixed points of the whole DCT+quantize+entropy pipeline (8·v
+    divisible by the DC quantizer 16 ⟺ v even; Y=v, Cb=Cr=128 is the
+    color transform's fixed line — the same discipline
+    multimodal_jpeg_color_decode's oracle pins), so its sums are
+    exact too and the census now covers the single most common
+    real-crawl image format.
 
     A genuinely foreign or corrupt image payload degrades to an
     ok=False zero row, never a task failure. AVIF and JPEG XL — the
@@ -834,11 +843,13 @@ def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_any,
         decode_bmp,
         decode_gif_pixels,
+        decode_jpeg,
         decode_png_pixels,
         decode_tiff_pixels,
         decode_webp,
         encode_bmp24,
         encode_gif,
+        encode_jpeg_rgb,
         encode_png,
         encode_tiff,
         encode_webp_vp8l,
@@ -862,10 +873,13 @@ def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def make_image(m: int) -> tuple[bytes, str]:
             """Solid-color fixture payload for doc m, format rotated
-            by m % 7 across every implemented still-image codec."""
+            by m % 8 across every implemented still-image codec.
+            The JPEG slot uses an EVEN-gray solid — the lossless
+            fixed point of the lossy pipeline — so its channel sums
+            stay closed-form like the lossless formats'."""
             w, h = (m % 5) * 2 + 4, (m % 3) * 2 + 3
             r, g, b = (m * 19) % 256, (m * 7) % 256, (m * 11) % 256
-            v = m % 7
+            v = m % 8
             if v <= 2:
                 px = np.zeros((h, w, 4), np.uint8)
                 px[:] = (r, g, b, 255)
@@ -875,6 +889,10 @@ def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else {"palette": True}
                 )
                 return encode_webp_vp8l(px, **kw), "image/webp"
+            if v == 7:
+                ve = 2 * (m % 127)
+                gray = np.full((h, w, 3), ve, np.uint8)
+                return encode_jpeg_rgb(gray), "image/jpeg"
             rgb = np.zeros((h, w, 3), np.uint8)
             rgb[:] = (r, g, b)
             if v == 3:
@@ -895,6 +913,9 @@ def crawl_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return (
                     d["transforms"], d["sum_r"], d["sum_g"], d["sum_b"],
                 )
+            if fmt == "jpeg":
+                d = decode_jpeg(body)
+                return ("n/a", d["sum_r"], d["sum_g"], d["sum_b"])
             if fmt == "png":
                 px = decode_png_pixels(body)
             elif fmt == "gif":
