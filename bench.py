@@ -406,10 +406,21 @@ def bench_stream_neardup(
         )
         q.awaitTermination(timeout=600)
         labels = read_labels(spark, out)
-        n_labeled = labels.count()
-        n_clusters = (
-            labels.groupBy("cluster_id").count().filter("count > 1").count()
+        # ONE verification job (r13): docs + multi-member clusters in
+        # a single two-level aggregate — the previous two count()
+        # actions paid two scheduling floors inside the timed window
+        row = (
+            labels.groupBy("cluster_id")
+            .count()
+            .agg(
+                F.sum("count").alias("docs"),
+                F.sum(
+                    F.when(F.col("count") > 1, 1).otherwise(0)
+                ).alias("multi"),
+            )
+            .collect()[0]
         )
+        n_labeled, n_clusters = int(row["docs"]), int(row["multi"])
         dt = time.perf_counter() - t0
     return dt, n_labeled, n_clusters
 
@@ -856,12 +867,40 @@ def main() -> None:
         print(json.dumps({"detail": "scale_probe_error", "err": str(e)[:300]}))
         probe, probe_legcal = {}, {}
 
+    # ADJACENT calibration legs (r12, extended to the headline suite in
+    # r13 — VERDICT r12 wrong #1): a min-of-3 host sample taken
+    # immediately before each block feeds an `*_adjacent_normalized`
+    # twin (value × leg ÷ anchor = "this figure on the reference
+    # host", phase-local). The session-MEAN `*_normalized` twins stay
+    # for continuity, but when start/end calib diverge 2×+ the mean
+    # misattributes — the adjacent form is the authoritative one.
+    adj: dict[str, float] = {}
+
+    def _leg(name: str) -> float:
+        # min-of-3 (steal-robust, same estimator as the probe's leg
+        # calibration) at FULL anchor size: these legs divide by
+        # calib_anchor, so they must be measured in the anchor's
+        # units (the probe/A/B legs only feed ratios, where the
+        # microbench scale cancels)
+        v = calibrate(spark, passes=3, agg="min")
+        adj[name] = v
+        return v
+
     # Multiple passes, report per-query min: the host shows transient
     # ~60 s external CPU steals that would otherwise land on one
     # arbitrary query; min-of-N measures the engine, not the noise.
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     from peerdb_cdc_psql_psql_spark.operators import dedup as _dedup
+
+    # Bracket the suites phase (headline + extra interleave in one
+    # loop, so the bracket spans both — phase-local host correction is
+    # the goal, not per-query correction) with the same min-of-3
+    # anchor legs the throughput blocks got in r12. Their mean feeds
+    # headline_adjacent_normalized (VERDICT r12 wrong #1: run B's
+    # session-mean calib 1.073→2.533 drift overstated the normalized
+    # headline ~2×; adjacent legs make the field drift-robust).
+    _leg("headline_pre")
 
     # Headline: min-of-3 (pass 1 is dominated by whole-stage-codegen
     # compilation — observed ~30-40% inflation on repeat probes — and
@@ -896,24 +935,8 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             extra_times[name] = min(extra_times.get(name, dt), dt)
 
-    # ADJACENT calibration per throughput block (r12, the refinement
-    # the probe/A/B legs already have): a 1-pass host sample taken
-    # immediately before each block feeds an `*_adjacent_normalized`
-    # twin (rate × leg ÷ anchor = "this rate on the reference host",
-    # phase-local). The session-MEAN `*_normalized` twins stay for
-    # continuity, but when start/end calib diverge 2×+ the mean
-    # misattributes — the adjacent form is the authoritative one.
-    adj: dict[str, float] = {}
-
-    def _leg(name: str) -> float:
-        # min-of-3 (steal-robust, same estimator as the probe's leg
-        # calibration) at FULL anchor size: these legs divide by
-        # calib_anchor, so they must be measured in the anchor's
-        # units (the probe/A/B legs only feed ratios, where the
-        # microbench scale cancels)
-        v = calibrate(spark, passes=3, agg="min")
-        adj[name] = v
-        return v
+    # closing bracket of the suites phase (see headline_pre above)
+    _leg("headline_post")
 
     _leg("cdc_apply")
     cdc_sec, cdc_events = min(
@@ -1000,8 +1023,10 @@ def main() -> None:
     print(json.dumps({
         "detail": "stream_neardup_stage_profile",
         "stage_seconds_over_all_passes": nd_stages,
-        "note": "build_plans/read/contract/write/appends — the "
-        "scheduler-bound floor; per-doc work is the small remainder",
+        "note": "build_plans/read/contract/state_writes — the "
+        "scheduler-bound floor; per-doc work is the small remainder "
+        "(r13: the three state writes submit concurrently, so the "
+        "former write+appends stages are one overlapped stage)",
     }))
 
     # Chained crawl→dedup metric (VERDICT r7 #7): the composed two-
@@ -1057,7 +1082,9 @@ def main() -> None:
         {"name": "insert_stress", "records": 5000, "batch_size": 500,
          "order": "first (fresh session) + repeated last as *_end"},
         {"name": "headline_suite", "queries": HEADLINE, "passes": 3,
-         "agg": "min", "timed": "collect wall-clock"},
+         "agg": "min", "timed": "collect wall-clock",
+         "bracket_legs": "min-of-3 host anchor legs pre/post the "
+         "suites phase (r13) -> headline_adjacent_normalized"},
         {"name": "extra_suite", "queries": EXTRA, "passes": 2, "agg": "min"},
         {"name": "cdc_apply", "events": 20000, "passes": 2, "agg": "min"},
         {"name": "cdc_apply_4x", "events": 80000, "passes": 1},
@@ -1109,11 +1136,22 @@ def main() -> None:
     print(json.dumps({"detail": "extra_queries", "extra_queries": extra_times}))
     print(json.dumps({"detail": "scale_probe", "scale_probe": probe,
                       "leg_calibration": probe_legcal}))
+    # Per-query headline timings in the PARSED record (VERDICT r12
+    # next-round #1: r12's spill tier moved the map to a detail line
+    # the driver's 2000-char tail capture dropped, losing the
+    # round-over-round per-query regression signal). Compact form:
+    # top-8 by time, 0.01 s rounding — fits the 1900-char budget; the
+    # full-precision 15-query map always rides its own detail line.
+    print(json.dumps({"detail": "headline_queries", "queries": times}))
+    times_compact = {
+        k: round(v, 2)
+        for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:8]
+    }
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": times_compact,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "extra_suite_seconds": round(sum(extra_times.values()), 3),
         "extra_suite_count": len(extra_times),
@@ -1168,6 +1206,25 @@ def main() -> None:
             round(total * _CALIB_REF_SECONDS / ((calib + calib_end) / 2), 3)
             if calib and calib_end else None
         ),
+        # drift-robust twin (VERDICT r12 wrong #1): same anchoring,
+        # but the basis is the mean of the two min-of-3 legs that
+        # BRACKET the suites phase — a 2.4× intra-session calib drift
+        # (run B) no longer lands on the headline figure
+        "headline_adjacent_normalized": (
+            round(
+                total * _CALIB_REF_SECONDS
+                / ((adj["headline_pre"] + adj["headline_post"]) / 2),
+                3,
+            )
+            if adj.get("headline_pre") and adj.get("headline_post")
+            else None
+        ),
+        # ordering-basis marker (ADVICE r12 #3): the probe moved to
+        # session start at the r12 boundary, changing the heap state
+        # the headline suite runs on; pin the basis in the parsed
+        # record so cross-round headline deltas aren't attributed to
+        # the engine
+        "probe_position": "session_start",
         "cpus": CPUS,
     }
     # Calibration-normalized THROUGHPUT twins (VERDICT r11 next-round
@@ -1216,29 +1273,37 @@ def main() -> None:
     line = json.dumps(out)
     if len(line) >= 1900:
         # the final line must survive a 2000-char tail capture (the
-        # driver records tail + last parsed JSON line); if it ever
-        # outgrows that, spill the per-query map to a detail line
-        # rather than losing the whole round's metrics again
-        print(json.dumps({"detail": "headline_queries", "queries": times}))
-        out["queries"] = {}
-        line = json.dumps(out)
-    if len(line) >= 1900:
-        # next spill tier: the ADJACENT twins (their per-block legs
-        # already rode the adjacent_calibrations detail; the
-        # session-mean twins are the VERDICT r11 #3 record fields and
-        # stay in the parsed line)
+        # driver records tail + last parsed JSON line). Spill order
+        # REORDERED r13 (VERDICT r12 next-round #1: the queries map is
+        # the per-query regression signal and spills LAST, not first).
+        # Tier 1: the throughput ADJACENT twins (their per-block legs
+        # already rode the adjacent_calibrations detail; the headline
+        # adjacent twin is a r13 record field and stays).
         adjn = {k: v for k, v in out.items()
-                if k.endswith("_adjacent_normalized")}
+                if k.endswith("_adjacent_normalized")
+                and k != "headline_adjacent_normalized"}
         print(json.dumps({"detail": "adjacent_normalized", **adjn}))
         for k in adjn:
             del out[k]
         line = json.dumps(out)
     if len(line) >= 1900:
-        # last resort: the session-mean twins too
-        norm = {k: v for k, v in out.items() if k.endswith("_normalized")}
+        # Tier 2: shrink (not drop) the per-query map to top-5 —
+        # cheaper than losing the session-mean twins (r11 #3 fields)
+        out["queries"] = dict(list(times_compact.items())[:5])
+        line = json.dumps(out)
+    if len(line) >= 1900:
+        # Tier 3: the session-mean throughput twins
+        norm = {k: v for k, v in out.items()
+                if k.endswith("_normalized")
+                and k not in ("headline_normalized_seconds",
+                              "headline_adjacent_normalized")}
         print(json.dumps({"detail": "normalized_throughputs", **norm}))
         for k in norm:
             del out[k]
+        line = json.dumps(out)
+    if len(line) >= 1900:
+        # last resort — the full map already rode its detail line
+        out["queries"] = {}
         line = json.dumps(out)
     # Compact calibrated probe table IMMEDIATELY before the final line:
     # the driver tail is 2000 chars, so whatever prints here shares it
@@ -1247,9 +1312,23 @@ def main() -> None:
     # VERDICT r11 #1 record: "the r12 BENCH probe table carries
     # calibrated ratios") do.
     if probe:
+        # record_only marker (VERDICT r12 next-round #6): without it
+        # an auditor reading only the JSON could call simhash_md5_pairs
+        # 4.12 a gate breach — it is the fixed-band record form,
+        # excluded from the gate BY CONSTRUCTION with its adaptive
+        # replacement (simhash_adaptive_bands) beside it. Gated
+        # entries print first so a tail truncation cuts record-only
+        # rows before gated ones.
         print(json.dumps({
             "detail": "probe_cal",
-            "r": {q: v["ratio_calibrated"] for q, v in probe.items()},
+            "r": {
+                q: v["ratio_calibrated"]
+                for q, v in sorted(
+                    probe.items(),
+                    key=lambda kv: kv[0] in SCALE_PROBE_RECORD_ONLY,
+                )
+            },
+            "record_only": sorted(SCALE_PROBE_RECORD_ONLY),
         }))
     print(line)
 

@@ -1884,6 +1884,137 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_audit_oracle() -> str:
+    """DuckDB twin of `minhash_estimate_audit`, generated from the
+    same constants as `_minhash_md5_oracle`: LSH candidates → exact
+    shingle-intersection Jaccard per candidate pair → integer-bp
+    error distribution of the signature estimate."""
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    mins = ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5('{_MINHASH_MD5_SEED}{i}:' || shingle), 1, 12)) AS BIGINT)) AS m{i}"
+        for i in range(_MINHASH_MD5_K)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {} AS band, concat({}) AS band_key FROM sigs".format(
+            j,
+            ", ':', ".join(
+                f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_MD5_K)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         ({matches}) * 10000 // {_MINHASH_MD5_K} AS est_bp
+  FROM cand p
+  JOIN sigs sa ON p.doc_a = sa.doc_id
+  JOIN sigs sb ON p.doc_b = sb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS shared
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+err AS (
+  SELECT ABS(e.est_bp
+             - COALESCE(s.shared, 0) * 10000
+               // (za.n + zb.n - COALESCE(s.shared, 0))) AS abs_err_bp
+  FROM est e
+  LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(abs_err_bp) AS BIGINT) AS sum_abs_err_bp,
+       CAST(MAX(abs_err_bp) AS BIGINT) AS max_abs_err_bp,
+       CAST(SUM(abs_err_bp) // COUNT(*) AS BIGINT) AS mean_abs_err_bp
+FROM err
+"""
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle=_minhash_audit_oracle(),
+    tags=("X2", "dedup", "minhash"),
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-error audit (r13, X2): the classic
+    LSH-then-verify pipeline turned into an instrument — for every
+    LSH candidate pair, the signature's Jaccard estimate
+    (matching-component fraction, 16 components) is compared against
+    the EXACT shingle-intersection Jaccard, and the error
+    distribution is reported in integer basis points (pair count,
+    sum/mean/max absolute error). This is the number that sizes a
+    signature at 100 TB: if mean error at k=16 is already inside the
+    clustering threshold's slack, longer signatures buy nothing.
+
+    100 TB: the exact-verify side is restricted BEFORE any shuffle to
+    the docs that appear in a candidate pair (broadcast semijoin on
+    candidate ids) — the corpus-side index never self-joins
+    unrestricted; candidate volume is LSH-band-bounded exactly like
+    the production near-dup path. Integer bp arithmetic end-to-end,
+    so the DuckDB twin is bit-equal."""
+    pairs = minhash_md5_pairs(spark, sf_dir)
+    sh = shingle_index(spark, sf_dir)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    err = (
+        pairs.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            F.abs(
+                F.col("est_jaccard_bp")
+                - F.expr(
+                    "CAST(coalesce(shared, 0) * 10000 div "
+                    "(n_a + n_b - coalesce(shared, 0)) AS BIGINT)"
+                )
+            ).alias("abs_err_bp")
+        )
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("abs_err_bp").cast("bigint").alias("sum_abs_err_bp"),
+        F.max("abs_err_bp").cast("bigint").alias("max_abs_err_bp"),
+        F.expr(
+            "CAST(sum(abs_err_bp) div count(*) AS BIGINT)"
+        ).alias("mean_abs_err_bp"),
+    )
+
+
 @register(
     "dedup_survivor_bias",
     oracle="""

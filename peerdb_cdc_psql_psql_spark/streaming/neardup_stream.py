@@ -125,26 +125,32 @@ _SMALL_BATCH_ROWS = 200_000
 _SMALL_BATCH_SHUFFLE = "8"
 
 
-def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
+def _cluster_batch(
+    batch_df: DataFrame, out_root: str, batch_id: int,
+    n_rows: int | None = None,
+) -> None:
     """foreachBatch body: size-gated tuning wrapper around
     ``_cluster_batch_impl`` (the conf flip is scoped to the batch and
     restored — foreachBatch runs on the driver, serialized per
     stream, so the temporary session-conf change cannot race another
-    plan of this stream)."""
+    plan of this stream). ``n_rows`` skips the gate's count job when
+    the caller already knows the batch size (the spool flush carries
+    doc counts in its dir names — r13, one fewer action per flush)."""
     spark = batch_df.sparkSession
     overrides = (
         {
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": _SMALL_BATCH_SHUFFLE,
         }
-        if batch_df.count() <= _SMALL_BATCH_ROWS
+        if (batch_df.count() if n_rows is None else n_rows)
+        <= _SMALL_BATCH_ROWS
         else {}
     )
     saved = {k: spark.conf.get(k) for k in overrides}
     for k, v in overrides.items():
         spark.conf.set(k, v)
     try:
-        _cluster_batch_impl(batch_df, out_root, batch_id)
+        _cluster_batch_impl(batch_df, out_root, batch_id, small=bool(overrides))
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -156,13 +162,26 @@ def _cluster_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
 # (VERDICT r7 #8). None (default) costs two perf_counter calls/stage.
 PROFILE: list | None = None
 
+# A/B lever for the small-batch broadcast of the Jaccard denominator
+# sides (see _cluster_batch_impl's ``small``); production value True.
+BROADCAST_SMALL_SIZES = True
+
 
 def _cluster_batch_impl(
-    batch_df: DataFrame, out_root: str, batch_id: int
+    batch_df: DataFrame, out_root: str, batch_id: int,
+    small: bool = False,
 ) -> None:
     """Candidate pairs = batch docs sharing a (DF-capped) shingle with
     the batch itself or with the existing postings; exact Jaccard over
-    persisted sizes; labels folded via component contraction."""
+    persisted sizes; labels folded via component contraction.
+
+    ``small`` (set by the wrapper's size gate): the Jaccard
+    denominator sides broadcast — they are O(candidate docs), bounded
+    by the batch size, so a sub-operating-point batch trades two
+    shuffle joins for two broadcasts (r13, shaving exchange rounds
+    off the per-batch fixed cost). Backfill-sized batches keep the
+    shuffle joins (a 200k+-doc denominator side should not be
+    driver-collected)."""
     import time as _time
 
     _t = _time.perf_counter()
@@ -273,6 +292,8 @@ def _cluster_batch_impl(
         if have_store
         else sizes_new
     )
+    if small and BROADCAST_SMALL_SIZES:
+        sizes_all = F.broadcast(sizes_all)
     sa = sizes_all.select(F.col("doc_id").alias("src"), F.col("n").alias("n_a"))
     sb = sizes_all.select(F.col("doc_id").alias("dst"), F.col("n").alias("n_b"))
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
@@ -319,17 +340,13 @@ def _cluster_batch_impl(
         # recomputing a delta against the already-merged state would
         # come back empty and overwriting would ERASE the original
         # delta's rows.
-        snap = None
+        snap, lab_out, lab_files = None, None, 0
         _mark("edges_and_contract")
-        _mark("labels_write")
     elif chain is None or len(chain) > _LABELS_COMPACT_EVERY:
         # first batch, or the chain hit its cap: write a fresh BASE
         labels = merge_new_edges(prev.unionByName(fresh_nodes), edges)
         _mark("edges_and_contract")
-        snap = f"v_{batch_id:08d}b"
-        labels.coalesce(8).write.mode("overwrite").parquet(
-            f"{out_root}/labels/{snap}"
-        )
+        snap, lab_out, lab_files = f"v_{batch_id:08d}b", labels, 8
     else:
         # DELTA: only the rows whose label this batch changes — the
         # members of remapped components (one broadcast join against
@@ -357,24 +374,44 @@ def _cluster_batch_impl(
             else fresh_nodes
         )
         snap = f"v_{batch_id:08d}d"
-        changed.unionByName(fresh_lab).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{out_root}/labels/{snap}")
-    _mark("labels_write")
-    # state appends land BEFORE the pointer swap: a crash between them
-    # replays the batch against duplicated appends, which the
-    # compact-on-read guards above neutralize; the snapshot rewrite
-    # is idempotent.
-    # O(1) files per state append (the cached frames carry the full
-    # shuffle partition count — uncoalesced appends grew the store by
-    # 32 tiny files per batch, and every later batch paid the footer
-    # reads; compact_postings folds generations, this keeps the
-    # between-compaction growth flat)
-    sh_new.coalesce(4).write.mode("append").parquet(post_dir)
-    sizes_new.coalesce(1).write.mode("append").parquet(size_dir)
+        lab_out, lab_files = changed.unionByName(fresh_lab), 1
+    # The three state writes (label segment, postings append, sizes
+    # append) are INDEPENDENT output jobs over already-materialized
+    # caches (the contract collect forced sh_new/pairs/edges; the
+    # remap is a driver-built broadcast), so they submit CONCURRENTLY
+    # (r13, VERDICT r12 next-round #5): serialized they paid three
+    # full job-scheduling floors per batch — the dominant share of
+    # the ~4.5 s/batch fixed cost after the contract collect. Job
+    # submission is thread-safe; all three still land BEFORE the
+    # pointer swap, preserving the crash-replay contract (duplicated
+    # appends neutralized by compact-on-read; the segment rewrite is
+    # idempotent). coalesce keeps O(1) files per append (uncoalesced
+    # appends grew the store by 32 tiny files per batch and every
+    # later batch paid the footer reads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_labels() -> None:
+        if lab_out is not None:
+            lab_out.coalesce(lab_files).write.mode("overwrite").parquet(
+                f"{out_root}/labels/{snap}"
+            )
+
+    def _write_postings() -> None:
+        sh_new.coalesce(4).write.mode("append").parquet(post_dir)
+
+    def _write_sizes() -> None:
+        sizes_new.coalesce(1).write.mode("append").parquet(size_dir)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [
+            pool.submit(_write_labels),
+            pool.submit(_write_postings),
+            pool.submit(_write_sizes),
+        ]:
+            fut.result()
     if snap is not None:
         fs.write_text_atomic(spark, _labels_pointer(out_root), snap)
-    _mark("state_appends")
+    _mark("state_writes")
     sh_new.unpersist()
     pairs.unpersist()
     edges.unpersist()
@@ -516,7 +553,9 @@ def _flush_spool_locked(spark: SparkSession, out_root: str) -> int:
         for m in (_re.match(r"v_(\d{8})[bd]?$", s) for s in segs)
         if m
     ]
-    _cluster_batch(df, out_root, (max(seg_ids) + 1) if seg_ids else 0)
+    _cluster_batch(
+        df, out_root, (max(seg_ids) + 1) if seg_ids else 0, n_rows=total
+    )
     for d in dirs:
         fs.delete(spark, f"{root}/{d}")
     return total
