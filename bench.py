@@ -662,6 +662,7 @@ def scale_probe(
     samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     cal_samples: dict[int, dict[str, list[float]]] = {1: {}, k: {}}
     legcals: list[float] = []
+    retries: list[str] = []
     # output volume per scale (deterministic): lets an output-bound
     # query's wall ratio be read against its RESULT growth — the r11
     # simhash attribution (pairs ×4.14 while wall ×2.08) needed this
@@ -726,7 +727,28 @@ def scale_probe(
                 )
                 legcals.append(leg)
                 t0 = time.perf_counter()
-                n_rows = len(REGISTRY[name].fn(spark, d).collect())
+                try:
+                    n_rows = len(REGISTRY[name].fn(spark, d).collect())
+                except Exception as e:  # noqa: BLE001
+                    # Evidence-loss guard at QUERY granularity (r13):
+                    # one transient task failure (observed once:
+                    # FAILED_READ_FILE on a just-recreated shingle
+                    # index table — a stale cached file listing) used
+                    # to abort the WHOLE probe and cost the round its
+                    # scaling record. Re-run the hygiene and retry
+                    # ONCE, on the record; a second failure still
+                    # propagates.
+                    print(json.dumps({
+                        "detail": "probe_query_retry", "query": name,
+                        "scale": kk, "err": str(e)[:200],
+                    }))
+                    retries.append(f"{name}@{kk}x")
+                    spark.catalog.clearCache()
+                    for t in list(_dedup._INDEX_MEMO):
+                        spark.sql(f"DROP TABLE IF EXISTS {t}")
+                    _dedup._INDEX_MEMO.clear()
+                    t0 = time.perf_counter()
+                    n_rows = len(REGISTRY[name].fn(spark, d).collect())
                 dt = round(time.perf_counter() - t0, 3)
                 samples[kk].setdefault(name, []).append(dt)
                 cal_samples[kk].setdefault(name, []).append(
@@ -760,6 +782,9 @@ def scale_probe(
         "median": round(_stats.median(legcals), 3),
         "max": round(max(legcals), 3),
         "drift_max_over_min": round(max(legcals) / min(legcals), 2),
+        # transparency: which (query, scale) legs needed the one
+        # permitted transient-failure retry (empty = clean probe)
+        "retried": retries,
     }
     return out, legcal
 

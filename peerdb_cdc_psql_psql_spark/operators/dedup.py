@@ -149,6 +149,13 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosth = hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
     table = f"shingle_index_{h}_p{os.getpid()}_h{hosth}"
     if table in _INDEX_MEMO and spark.catalog.tableExists(table):
+        # refresh before returning: the bench/probe drop-and-rederive
+        # cycle recreates this NAME dozens of times per session, and a
+        # stale cached file listing for a prior incarnation surfaced
+        # once as FAILED_READ_FILE.FILE_NOT_EXIST mid-probe (r13). A
+        # refresh relists ~n_buckets files — microseconds against the
+        # scan it protects.
+        spark.catalog.refreshTable(table)
         return spark.table(table)
     try:
         from .. import fs as _fs
