@@ -2022,6 +2022,125 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_recall_oracle() -> str:
+    """DuckDB twin of `minhash_lsh_recall`: blocked-exact truth pairs
+    (integer-arithmetic τ=0.8 predicate) vs the LSH candidate set."""
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    mins = ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5('{_MINHASH_MD5_SEED}{i}:' || shingle), 1, 12)) AS BIGINT)) AS m{i}"
+        for i in range(_MINHASH_MD5_K)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {} AS band, concat({}) AS band_key FROM sigs".format(
+            j,
+            ", ':', ".join(
+                f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN sizes s1 ON doc_a = s1.doc_id
+  JOIN sizes s2 ON doc_b = s2.doc_id
+  WHERE shared * 10 >= 8 * (s1.n + s2.n - shared)
+),
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT t.doc_a, t.doc_b,
+         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_caught,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE SUM(hit) * 10000 // COUNT(*) END AS BIGINT)
+         AS recall_bp
+FROM hits
+"""
+
+
+@register(
+    "minhash_lsh_recall",
+    oracle=_minhash_recall_oracle(),
+    tags=("X2", "dedup", "minhash"),
+)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit (r13, X2): what fraction of TRUE near-dup
+    pairs (blocked-exact Jaccard ≥ 0.8 — same DF-capped generation as
+    `dedup_ngram_jaccard`, threshold stated in pure integer
+    arithmetic `shared·10 ≥ 8·union` so no float boundary exists in
+    either engine) does the 16-component 4×4-banded MinHash candidate
+    set catch. THE banding-parameter metric at 100 TB: recall here
+    and candidate volume in `minhash_md5_pairs` together price any
+    (bands, rows) choice; `minhash_estimate_audit` prices the
+    estimate quality of the survivors.
+
+    100 TB: truth pairs come from the shared bucketed shingle index
+    (DF-capped self-join, the production blocking path); the
+    candidate set is band-bounded; the recall join is candidate-side
+    semi-sized. Nothing all-pairs."""
+    sh = shingle_index(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh2 = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    p = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    truth = (
+        p.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared") * 10
+            >= 8 * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_md5_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("hit").cast("bigint").alias("n_caught"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 0 "
+            "ELSE sum(hit) * 10000 div count(*) END AS BIGINT)"
+        ).alias("recall_bp"),
+    )
+
+
 @register(
     "dedup_survivor_bias",
     oracle="""
