@@ -561,28 +561,66 @@ def _flush_spool_locked(spark: SparkSession, out_root: str) -> int:
     return total
 
 
+def _spool_rows(spark: SparkSession, d: str) -> int:
+    """Row count of a just-written spool dir from its parquet FOOTERS —
+    driver-side when the path is local (no Spark job: milliseconds for
+    the spool's handful of files), one count job otherwise (r13: the
+    per-trigger count job was a third of the spool path's cost)."""
+    files = fs.list_files(spark, d, suffix=".parquet")
+    if not files:
+        return 0
+    locals_ = []
+    for f in files:
+        if f.startswith("file:"):
+            locals_.append(f[len("file:"):])
+        elif "://" not in f:
+            locals_.append(f)
+        else:
+            locals_ = None
+            break
+    if locals_ is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(p).metadata.num_rows for p in locals_
+            )
+        except Exception:  # noqa: BLE001 — fall through to the job
+            pass
+    return spark.read.parquet(d).count()
+
+
 def _coalescing_batch(
     batch_df: DataFrame, out_root: str, batch_id: int,
     min_docs: int, max_wait_sec: float,
 ) -> None:
     """foreachBatch body with spooling: small batches append to the
-    spool (two cheap jobs: count + parquet write) instead of paying
-    the full ~15-job clustering pipeline; the spool flushes when it
-    reaches ``min_docs`` or its oldest batch exceeds ``max_wait_sec``.
+    spool (ONE cheap job: the parquet write — the doc count comes from
+    the written files' footers, driver-side) instead of paying the
+    full clustering pipeline; the spool flushes when it reaches
+    ``min_docs`` or its oldest batch exceeds ``max_wait_sec``.
     Idempotent under checkpoint replay: a replayed batch overwrites
-    its OWN spool dir (keyed by batch_id) before re-deciding."""
+    its OWN spool dirs (keyed by batch_id — including a crashed
+    attempt's ``_pending`` dir, invisible to the flush listing)
+    before re-deciding."""
     import time as _time
 
     spark = batch_df.sparkSession
-    n = batch_df.count()
     root = _spool_root(out_root)
     with _spool_lock(out_root):
         for d in fs.list_dirs(spark, root, prefix=f"b{batch_id}_"):
             fs.delete(spark, f"{root}/{d}")  # replay leftover of this id
+        # write-first: land under a _pending name the flush listing
+        # ignores, count the FOOTERS, then rename into the
+        # count-carrying live name (a crash in between leaves only a
+        # _pending dir the replay cleanup above removes)
+        pending = f"{root}/b{batch_id}_pending"
+        batch_df.write.mode("overwrite").parquet(pending)
+        n = _spool_rows(spark, pending)
         if n:
-            batch_df.write.mode("overwrite").parquet(
-                f"{root}/b{batch_id}_n{n}"
-            )
+            fs.rename(spark, pending, f"{root}/b{batch_id}_n{n}")
+        else:
+            fs.delete(spark, pending)
         _, total, oldest = _spool_pending(spark, out_root)
         aged = (
             oldest is not None
