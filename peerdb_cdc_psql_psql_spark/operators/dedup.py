@@ -1891,6 +1891,268 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_occupancy_oracle() -> str:
+    """DuckDB twin of `minhash_band_occupancy` from the same
+    constants: per band — buckets, max occupancy, collided buckets,
+    and the candidate-pair volume Σ o·(o−1)/2 the band contributes."""
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    mins = ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5('{_MINHASH_MD5_SEED}{i}:' || shingle), 1, 12)) AS BIGINT)) AS m{i}"
+        for i in range(_MINHASH_MD5_K)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {} AS band, concat({}) AS band_key FROM sigs".format(
+            j,
+            ", ':', ".join(
+                f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+occ AS (
+  SELECT band, band_key, COUNT(*) AS o
+  FROM bands GROUP BY band, band_key
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(o) AS BIGINT) AS max_occupancy,
+       CAST(SUM(CASE WHEN o >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS collided_buckets,
+       CAST(SUM(o * (o - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM occ
+GROUP BY band
+"""
+
+
+@register(
+    "minhash_band_occupancy",
+    oracle=_minhash_occupancy_oracle(),
+    tags=("X2", "dedup", "minhash"),
+)
+def minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-occupancy histogram (r13, X2): per band — bucket
+    count, MAX bucket occupancy, collided buckets, and the
+    candidate-pair volume Σ o·(o−1)/2 each band contributes. THE skew
+    predictor at 100 TB: the band join's work is exactly the
+    candidate-pair sum, and one hot bucket (occupancy o) costs o²
+    rows — this histogram is what says "re-band" BEFORE the join
+    does. Complements `minhash_lsh_recall` (quality) and
+    `minhash_estimate_audit` (estimate error): volume, recall, error
+    — the full banding trade-off, all oracle-checked.
+
+    100 TB: one groupBy on (band, band_key) over the signature frame
+    (16 longs per doc), one partial-agg rollup per band. Nothing
+    joins; text never leaves the shared shingle index."""
+    sh = shingle_index(spark, sf_dir)
+    rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
+    hashes = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_MINHASH_MD5_SEED}{i}:"), F.col("shingle")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for i in range(_MINHASH_MD5_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(hashes[i]).alias(f"m{i}") for i in range(_MINHASH_MD5_K)]
+    )
+    bands = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{j * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for j in range(_MINHASH_MD5_BANDS)
+                ]
+            )
+        ).alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    occ = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    return occ.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("o").cast("bigint").alias("max_occupancy"),
+        F.sum(F.when(F.col("o") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("collided_buckets"),
+        F.sum(
+            F.expr("CAST(o * (o - 1) div 2 AS BIGINT)")
+        ).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+def _simhash_audit_oracle() -> str:
+    """DuckDB twin of `simhash_estimate_audit`: simhash candidates
+    grouped by hamming distance, each band of the proxy scored
+    against the exact shingle-intersection Jaccard."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * 12}) & 4095 AS band_val FROM sigs"
+        for i in range(_SIMHASH_MD5_BANDS)
+    )
+    return f"""
+WITH {_simhash_md5_sig_ctes()},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MD5_MAXHAM}
+),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS shared
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.hamming,
+         COALESCE(s.shared, 0) * 10000
+           // (za.n + zb.n - COALESCE(s.shared, 0)) AS exact_bp
+  FROM cand c
+  LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS mean_exact_bp,
+       CAST(MIN(exact_bp) AS BIGINT) AS min_exact_bp,
+       CAST(MAX(exact_bp) AS BIGINT) AS max_exact_bp
+FROM scored
+GROUP BY hamming
+"""
+
+
+@register(
+    "simhash_estimate_audit",
+    oracle=_simhash_audit_oracle(),
+    tags=("X2", "dedup", "simhash"),
+)
+def simhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash proxy-quality audit (r13, X2): the hamming→similarity
+    calibration curve — every banded SimHash candidate pair grouped
+    by hamming distance, each hamming band scored against the EXACT
+    shingle-intersection Jaccard (count, mean/min/max in integer bp).
+    This is what turns a hamming cutoff into a similarity guarantee
+    at 100 TB: if hamming ≤ 6 maps to ≥ 9,000 bp exact Jaccard on a
+    sample, the cheap bit_count filter can front the expensive exact
+    verify — and if the bands overlap, it can't.
+
+    100 TB: candidates are band-bounded (the production SimHash
+    path); the exact-verify side is restricted BEFORE any shuffle to
+    candidate doc ids (broadcast semijoin), same discipline as
+    `minhash_estimate_audit`."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = _simhash_md5_sigs(docs)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 12)
+                        .bitwiseAND(F.lit(4095))
+                        .alias("band_val"),
+                    )
+                    for i in range(_SIMHASH_MD5_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_val",
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (ham <= _SIMHASH_MD5_MAXHAM)
+        )
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+    )
+    sh = shingle_index(spark, sf_dir)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sa = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    scored = (
+        cand.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "hamming",
+            F.expr(
+                "CAST(coalesce(shared, 0) * 10000 div "
+                "(n_a + n_b - coalesce(shared, 0)) AS BIGINT)"
+            ).alias("exact_bp"),
+        )
+    )
+    return scored.groupBy(
+        F.col("hamming").cast("bigint").alias("hamming")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(exact_bp) div count(*) AS BIGINT)"
+        ).alias("mean_exact_bp"),
+        F.min("exact_bp").cast("bigint").alias("min_exact_bp"),
+        F.max("exact_bp").cast("bigint").alias("max_exact_bp"),
+    )
+
+
 def _minhash_audit_oracle() -> str:
     """DuckDB twin of `minhash_estimate_audit`, generated from the
     same constants as `_minhash_md5_oracle`: LSH candidates → exact
