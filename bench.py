@@ -202,6 +202,11 @@ EXTRA = [
     "multimodal_webp_anim_decode",      # ANIMATED WebP compositing
     "crawl_media_census",               # WARC content-type → codec route
     "length_bucket_padding",            # power-of-2 bucket padding waste
+    # Round-13 additions (the LSH trade-off instruments)
+    "minhash_estimate_audit",           # signature vs exact error dist
+    "minhash_lsh_recall",               # banded-candidate recall
+    "minhash_band_occupancy",           # per-band skew/volume histogram
+    "simhash_estimate_audit",           # hamming→Jaccard calibration
 ]
 
 # Headline set: one per capability family (SURVEY.md §7 M6).

@@ -835,3 +835,26 @@ def test_dedup_survivor_bias_digest_shuffle_only(spark):
 
     for m in re.finditer(r"\(\d+\) Exchange[^(]*\nInput \[\d+\]: \[([^\]]*)\]", plan):
         assert "text#" not in m.group(1), m.group(0)
+
+
+def test_minhash_band_occupancy_no_joins(spark):
+    """r13 skew instrument: the occupancy histogram is two grouped
+    aggregations over the signature frame — NO join of any kind in
+    the plan (the whole point is predicting the band join's cost
+    without running it)."""
+    plan = plan_string(_df(spark, "minhash_band_occupancy"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_audit_verify_side_broadcast_restricted(spark):
+    """r13 LSH-then-verify audits: the exact-verify side is
+    restricted to candidate doc ids via BROADCAST (semi) joins before
+    any shuffle — the corpus index must never self-join
+    unrestricted, so no cartesian products and at least one broadcast
+    join in the plan."""
+    for name in ("minhash_estimate_audit", "minhash_lsh_recall",
+                 "simhash_estimate_audit"):
+        plan = plan_string(_df(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
