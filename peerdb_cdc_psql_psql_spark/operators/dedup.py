@@ -2108,6 +2108,13 @@ def simhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .distinct()
+        # the candidate set feeds THREE plan branches (cand_ids twice
+        # via the union, the final score join once); unpersisted,
+        # Spark re-runs the banded self-join per branch — persist
+        # halves the query's dominant stage (r13, guide §5: reuse
+        # beats recompute here because the pair set is band-bounded
+        # and tiny next to the corpus)
+        .persist()
     )
     sh = shingle_index(spark, sf_dir)
     cand_ids = (
@@ -2239,7 +2246,11 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrestricted; candidate volume is LSH-band-bounded exactly like
     the production near-dup path. Integer bp arithmetic end-to-end,
     so the DuckDB twin is bit-equal."""
-    pairs = minhash_md5_pairs(spark, sf_dir)
+    # THREE plan branches read the candidate pairs (cand_ids twice via
+    # the union, the error join once) — persist so the 16-component
+    # MinHash signature derivation and banded join run once, not three
+    # times (r13, guide §5; same fix as simhash_estimate_audit)
+    pairs = minhash_md5_pairs(spark, sf_dir).persist()
     sh = shingle_index(spark, sf_dir)
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))

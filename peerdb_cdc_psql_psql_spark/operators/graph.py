@@ -237,7 +237,9 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes| rows; the basket cap bounds pathological baskets upstream.
     Clustering coefficient = 3·triangles / wedges in basis points,
     NULLIF-guarded for the degenerate no-wedge graph."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # no caller-side distinct: basket_pairs dedups on its own window
+    # partitioning — one corpus exchange instead of two (r13)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     from .joins import basket_pairs
 
     n_part = spark.sparkContext.defaultParallelism
@@ -384,15 +386,19 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontiers persist per round and unpersist after the next round
     materializes; the visited set stays (node, lvl) pairs — two
     BIGINTs — through every shuffle."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # no caller-side distinct (basket_pairs dedups internally) and no
+    # explicit cache repartition (r13): the pair agg's own
+    # HashPartitioning(part_a, part_b) already keys the cache, and
+    # with cached-plan AQE sizing (session.py) the persist coalesces
+    # by DATA SIZE instead of freezing at the wide-start width — the
+    # per-round task waves over this cache shrink to match the edge
+    # volume at any scale.
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     from .joins import basket_pairs
 
     edges = (
         basket_pairs(li, cap=_TRI_CAP)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism, "u", "v")
         .persist()
     )
     sym = edges.unionAll(

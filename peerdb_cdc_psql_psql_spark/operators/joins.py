@@ -235,11 +235,12 @@ _MAX_BASKET = 64  # items-per-order cap: bounds self-join fan-out at cap²
 
 
 def basket_pairs(d: DataFrame, cap: int = _MAX_BASKET) -> DataFrame:
-    """Capped 2-itemset generation from distinct (l_orderkey,
-    l_partkey) rows: per order, only the ``cap`` lowest part keys form
-    pairs (deterministic row_number cut, the basket analog of
-    ``jaccard_pairs``' shingle-DF cap), so one pathological basket of
-    k items fans out at most cap² rows instead of k².
+    """Capped 2-itemset generation from (l_orderkey, l_partkey) rows
+    (duplicates welcome — deduped internally): per order, only the
+    ``cap`` lowest part keys form pairs (deterministic row_number cut,
+    the basket analog of ``jaccard_pairs``' shingle-DF cap), so one
+    pathological basket of k items fans out at most cap² rows instead
+    of k².
 
     Shape: rank-cut (a spill-safe sort window — a bare collect_set
     would hold a degenerate basket wholly in one task's memory BEFORE
@@ -249,10 +250,22 @@ def basket_pairs(d: DataFrame, cap: int = _MAX_BASKET) -> DataFrame:
     window's own partitioning — no new Exchange — and replaces the
     previous self-join formulation, which computed the capped
     projection on both join branches (Spark shares no duplicate
-    DataFrame subplans: the corpus was scanned and ranked twice)."""
+    DataFrame subplans: the corpus was scanned and ranked twice).
+
+    ONE exchange for the whole dedup→rank→gather chain (r13, guide
+    §2.4): the input repartitions straight onto the window key, and
+    because HashPartitioning(l_orderkey) satisfies the (l_orderkey,
+    l_partkey) distinct's clustered distribution (partition key ⊆
+    group keys — the same rule the bucketed shingle-index build
+    rides), dropDuplicates adds NO second Exchange and neither do the
+    window or the basket gather. Callers used to pre-``distinct()``
+    (own exchange) and the window then re-shuffled on l_orderkey —
+    two corpus shuffles where one suffices."""
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
     capped = (
-        d.select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rn"))
+        d.repartition(F.col("l_orderkey"))
+        .dropDuplicates()
+        .select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= cap)
     )
     baskets = (
@@ -311,11 +324,9 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     far above the TPC-H max (~7), so fixture results are unchanged,
     while a degenerate 10k-item basket is bounded at cap² pairs
     (tests/test_llm_pack.py::test_basket_cap_bounds_fanout)."""
-    d = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    d = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # no caller-side distinct: basket_pairs dedups on its own window
+    # partitioning, so the whole chain rides ONE exchange (r13)
     return basket_pairs(d).orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(32)

@@ -58,6 +58,28 @@ def get_spark(
             str(8 * sp),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE size CACHED plan output too (r13, guide §2.2/§2.4):
+        # by default (false) a persist() materializes at the pre-AQE
+        # width — under the wide-start default above that is 8×cores
+        # partitions — and, because a cache's output partitioning is
+        # then frozen, EVERY downstream stage over it runs that many
+        # tasks. The iterative operators (BFS rounds, PageRank's 6
+        # unrolled rounds, connected-components folds, BPE merge
+        # rounds) re-scan their small persisted state dozens of times,
+        # so the frozen 256-task width turned each tiny round into a
+        # full task wave: measured at sf0.1/local[32], graph_bfs_levels
+        # 18-29 s → 10-12 s, pagerank_bipartite 6.5-8.6 → 4.7,
+        # dedup_clusters 5-9 → 2.7-3.6, bpe_train −30%, with the
+        # non-iterative heavies unchanged. Scale-correct by
+        # construction: AQE coalesces cache partitions BY SIZE, so a
+        # 4× corpus keeps proportionally more partitions (the probe's
+        # weak-scaling story is preserved, not gamed), and explicit
+        # repartition(n, cols) pins (part_triangle_stats) are
+        # user-specified and never coalesced.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Runtime bloom-filter pushdown: for selective joins the build
         # side's keys prune the probe-side SCAN before the shuffle —
         # at 100 TB this is the difference between shuffling the whole
