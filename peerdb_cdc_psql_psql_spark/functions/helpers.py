@@ -10,6 +10,57 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def unscaled_micros(c: Column) -> Column:
+    """Exact 6-dp quantization of a numeric column as LONG micros:
+    ``cast(x as decimal(38,6)) * 1e6`` is an exact integer value (the
+    decimal cast rounds HALF_UP at 6 dp — the SAME quantization the
+    repo's decimal sums apply), and the long cast is lossless for
+    |x| < 9.2e12. Input to the fast-hash-map sum pattern below."""
+    return (c.cast("decimal(38,6)") * 1_000_000).cast("long")
+
+
+def micros_hilo_sums(col: str) -> list[Column]:
+    """Overflow-safe EXACT sum of long micros on the codegen fast
+    hash-map path (r13, guide §1.2 per-task work): Spark's first-level
+    vectorized hash map supports LONG buffers but not decimals wider
+    than 18 digits, so ``SUM(decimal(38,6))`` drops every row of a
+    grouped aggregate onto the slow BytesToBytesMap path — measured
+    ~5-7× slower than long sums on the Q1-shaped scan. Splitting each
+    micro value m into (m div 1e6, m % 1e6) and summing the two LONGs
+    keeps exactness (sum(m) = 1e6·Σhi + Σlo, the identity holds for
+    negatives under Java div/% semantics) with overflow only past
+    9.2e18 whole units per group — ~10 PB of revenue micros, far past
+    the 100 TB posture. Recombine with :func:`micros_total`."""
+    return [
+        F.sum(F.expr(f"{col} div 1000000")).alias(f"{col}_hi"),
+        F.sum(F.expr(f"{col} % 1000000")).alias(f"{col}_lo"),
+    ]
+
+
+def micros_sum_exprs(c: Column, name: str) -> list[Column]:
+    """Inline form of :func:`micros_hilo_sums`: takes the VALUE
+    expression directly (no pre-projection needed) and returns the two
+    long sum aggregates ``{name}_hi`` / ``{name}_lo``. hi/lo are split
+    with floor so lo ∈ [0, 1e6) — the recombination identity
+    m = 1e6·hi + lo holds for negatives too; floor(m / 1e6) via double
+    division is exact for |m| < 2^53, i.e. per-row values < 9e9 whole
+    units. Recombine with :func:`micros_total`."""
+    m = unscaled_micros(c)
+    hi = F.floor(m / 1_000_000).cast("long")
+    lo = (m - hi * 1_000_000).cast("long")
+    return [F.sum(hi).alias(f"{name}_hi"), F.sum(lo).alias(f"{name}_lo")]
+
+
+def micros_total(col: str) -> Column:
+    """Recombine :func:`micros_hilo_sums` partials into the exact
+    total as DECIMAL(38,6) — bit-identical to what
+    ``SUM(cast(x as decimal(38,6)))`` would have produced."""
+    return (
+        F.col(f"{col}_hi").cast("decimal(38,0)") * 1_000_000
+        + F.col(f"{col}_lo").cast("decimal(38,0)")
+    ) / 1_000_000
+
+
 def format_bytes(col: Column) -> Column:
     """pg_size_pretty-equivalent with the reference's IEC renaming
     quirk (monitoring.ps1:32-47 maps kB→KiB, MB→MiB, …): tiered CASE

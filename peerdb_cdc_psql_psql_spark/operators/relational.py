@@ -274,27 +274,46 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 6 aggregates over ~4 B rows at 100 TB — all partial-agg'd
     map-side into 6 cells × |groups| (6 groups), so the shuffle is
-    bytes, not rows. Decimal sums: exact & combine-order-independent.
+    bytes, not rows. Exactness unchanged (r13): sums run as the hi/lo
+    long-micros split (functions/helpers.micros_hilo_sums) — the
+    identical 6-dp quantization and exact integer total the old
+    ``SUM(decimal(38,6))`` produced, but on the codegen fast hash-map
+    path, which excludes >18-digit decimal buffers (measured: the
+    grouped decimal form paid ~5-7× per row; this form ~1.6× faster
+    end-to-end on the full scan). Overflow bound ~10 PB per group,
+    documented on the helper.
     """
+    from ..functions.helpers import micros_hilo_sums, micros_total, unscaled_micros
+
     li = load(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias(
-                "avg_qty"
-            ),
-            (F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias(
-                "avg_disc"
-            ),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        unscaled_micros(F.col("l_quantity")).alias("mq"),
+        unscaled_micros(F.col("l_extendedprice")).alias("mp"),
+        unscaled_micros(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("md"),
+        unscaled_micros(F.col("l_discount")).alias("mdisc"),
+    )
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        *micros_hilo_sums("mq"),
+        *micros_hilo_sums("mp"),
+        *micros_hilo_sums("md"),
+        *micros_hilo_sums("mdisc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        micros_total("mq").cast("double").alias("sum_qty"),
+        micros_total("mp").cast("double").alias("sum_base_price"),
+        micros_total("md").cast("double").alias("sum_disc_price"),
+        (micros_total("mq").cast("double") / F.col("n")).alias("avg_qty"),
+        (micros_total("mdisc").cast("double") / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
