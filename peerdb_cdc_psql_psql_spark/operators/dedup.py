@@ -1035,6 +1035,11 @@ def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(ngram_expr("tok", _SPAN_N)).alias("pos0", "span"),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("i"), "span")
+        # two plan branches read the span occurrences (owner/DF agg and
+        # the cut join) on DIFFERENT keys, so no exchange reuse is
+        # possible — persist parses the corpus once (r13; the same
+        # discipline exact_substr_spans' occ already follows)
+        .persist()
     )
     sdf = (
         occ.select("doc_id", "span")
