@@ -410,10 +410,16 @@ def bench_stream_neardup(
             spark, src, out, ckpt, max_files_per_trigger=4, **kwargs
         )
         q.awaitTermination(timeout=600)
+        # r14 (VERDICT r13 #2): the timed window now ends when the
+        # stream drains — verification below is bookkeeping, not
+        # engine throughput, and keeping it inside the window made
+        # harness edits (the r13 two-counts→one-aggregate fold) leak
+        # into the docs/s record. This re-bases stream_neardup and
+        # stream_neardup_big_batch; r13 record (verify-in-window):
+        # 344.1 / 289.7 docs/s. Other stream metrics untouched for
+        # comparability.
+        dt = time.perf_counter() - t0
         labels = read_labels(spark, out)
-        # ONE verification job (r13): docs + multi-member clusters in
-        # a single two-level aggregate — the previous two count()
-        # actions paid two scheduling floors inside the timed window
         row = (
             labels.groupBy("cluster_id")
             .count()
@@ -426,7 +432,6 @@ def bench_stream_neardup(
             .collect()[0]
         )
         n_labeled, n_clusters = int(row["docs"]), int(row["multi"])
-        dt = time.perf_counter() - t0
     return dt, n_labeled, n_clusters
 
 

@@ -139,15 +139,46 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid-checks only SAME-HOST owners; foreign-host leftovers are
     reclaimed only past an age lease (mtime older than
     ``_SWEEP_LEASE_MS`` — long enough that any scan referencing the
-    files has finished or failed for other reasons)."""
+    files has finished or failed for other reasons).
+
+    r14: the memo/sweep/fallback lifecycle is factored into
+    ``_memoized_bucketed_index`` so the capped basket edge set
+    (``joins.basket_edge_index`` — three consumers re-derived it from
+    lineitem every pass, VERDICT r13 next-round #3) shares the exact
+    machinery instead of duplicating it."""
+    return _memoized_bucketed_index(
+        spark,
+        sf_dir,
+        "shingle_index",
+        lambda table: materialize_shingle_index(spark, sf_dir, table=table),
+        lambda: _shingles(spark, sf_dir),
+    )
+
+
+def _memoized_bucketed_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    materialize,
+    fallback,
+    key_extra: str = "",
+) -> DataFrame:
+    """Generic lifecycle for a process-memoized bucketed on-disk
+    index: name = ``{prefix}_{md5(sf_dir|key_extra)[:8]}_p{pid}_h{hosthash}``,
+    same-host dead-owner sweep + foreign-host age lease at build time,
+    and a fall back to ``fallback()`` (the in-memory derivation) when
+    the warehouse is unwritable. ``materialize(table)`` must build and
+    write the bucketed table and return the bucketed read. See
+    ``shingle_index`` for why every piece exists."""
     import hashlib
     import os
     import socket
     import time as _time
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(f"{sf_dir}|{key_extra}".encode()).hexdigest()[:8] \
+        if key_extra else hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     hosth = hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
-    table = f"shingle_index_{h}_p{os.getpid()}_h{hosth}"
+    table = f"{prefix}_{h}_p{os.getpid()}_h{hosth}"
     if table in _INDEX_MEMO and spark.catalog.tableExists(table):
         # refresh before returning: the bench/probe drop-and-rederive
         # cycle recreates this NAME dozens of times per session, and a
@@ -167,13 +198,14 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (same-host pid check) or lease-expired (foreign host) —
         # never a LIVE process's table (that is the race this fixes)
         now_ms = int(_time.time() * 1000)
+        pfx = re.escape(prefix)
         for d in _fs.list_dirs(spark, wh):
-            if re.match(r"shingle_index_[0-9a-f]{8}$", d):
+            if re.match(rf"{pfx}_[0-9a-f]{{8}}$", d):
                 # pre-r8 shared-name leftover: no owner to check
                 _fs.delete(spark, f"{wh}/{d}")
                 continue
             m = re.match(
-                r"shingle_index_[0-9a-f]{8}_p(\d+)(?:_h([0-9a-f]{8}))?$", d
+                rf"{pfx}_[0-9a-f]{{8}}_p(\d+)(?:_h([0-9a-f]{{8}}))?$", d
             )
             if not m:
                 continue
@@ -198,9 +230,9 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a crashed earlier build of THIS process's name may have
             # left the LOCATION behind (saveAsTable would refuse)
             _fs.delete(spark, f"{wh}/{table}")
-        materialize_shingle_index(spark, sf_dir, table=table)
+        materialize(table)
     except Exception:
-        return _shingles(spark, sf_dir)
+        return fallback()
     _INDEX_MEMO.add(table)
     return spark.table(table)
 

@@ -213,6 +213,7 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            // NULLIF((SELECT n FROM wedges), 0) AS clustering_bp
 """,
     tags=("graph", "J2", "analytics"),
+    eager_build=True,  # basket_edge_index writes the bucketed table on first build
 )
 def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (edges = part
@@ -237,10 +238,10 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes| rows; the basket cap bounds pathological baskets upstream.
     Clustering coefficient = 3·triangles / wedges in basis points,
     NULLIF-guarded for the degenerate no-wedge graph."""
-    # no caller-side distinct: basket_pairs dedups on its own window
-    # partitioning — one corpus exchange instead of two (r13)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    from .joins import basket_pairs
+    # r14: reads the shared bucketed edge index (one capped-basket
+    # derivation per corpus shared with part_cooccurrence and
+    # graph_bfs_levels — VERDICT r13 #3)
+    from .joins import basket_edge_index
 
     n_part = spark.sparkContext.defaultParallelism
     # Pin the cached edge set to core-count partitioning on the
@@ -250,7 +251,7 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.5× wall on the 4× probe); (u,v) partitioning also feeds the
     # closure join's build side directly.
     edges = (
-        basket_pairs(li, cap=_TRI_CAP)
+        basket_edge_index(spark, sf_dir, cap=_TRI_CAP)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .repartition(n_part, "u", "v")
         .persist()
@@ -388,18 +389,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontiers persist per round and unpersist after the next round
     materializes; the visited set stays (node, lvl) pairs — two
     BIGINTs — through every shuffle."""
-    # no caller-side distinct (basket_pairs dedups internally) and no
-    # explicit cache repartition (r13): the pair agg's own
-    # HashPartitioning(part_a, part_b) already keys the cache, and
-    # with cached-plan AQE sizing (session.py) the persist coalesces
-    # by DATA SIZE instead of freezing at the wide-start width — the
-    # per-round task waves over this cache shrink to match the edge
-    # volume at any scale.
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    from .joins import basket_pairs
+    # r14: reads the shared bucketed edge index (one capped-basket
+    # derivation per corpus — VERDICT r13 #3). With cached-plan AQE
+    # sizing (session.py, r13) the persist coalesces by DATA SIZE, so
+    # the per-round task waves over this cache match the edge volume
+    # at any scale.
+    from .joins import basket_edge_index
 
     edges = (
-        basket_pairs(li, cap=_TRI_CAP)
+        basket_edge_index(spark, sf_dir, cap=_TRI_CAP)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .persist()
     )

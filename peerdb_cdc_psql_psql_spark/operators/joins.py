@@ -262,9 +262,13 @@ def basket_pairs(d: DataFrame, cap: int = _MAX_BASKET) -> DataFrame:
     (own exchange) and the window then re-shuffled on l_orderkey —
     two corpus shuffles where one suffices."""
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    # dedup contract stated explicitly (ADVICE r13): per (l_orderkey,
+    # l_partkey) regardless of input width — dropDuplicates() on ALL
+    # columns was only correct while every caller passed exactly two
     capped = (
-        d.repartition(F.col("l_orderkey"))
-        .dropDuplicates()
+        d.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
         .select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= cap)
     )
@@ -289,6 +293,70 @@ def basket_pairs(d: DataFrame, cap: int = _MAX_BASKET) -> DataFrame:
     )
 
 
+_EDGE_BUCKETS = 32
+
+
+def materialize_basket_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cap: int = _MAX_BASKET,
+    n_buckets: int = _EDGE_BUCKETS,
+) -> DataFrame:
+    """Write the capped basket edge set (part_a, part_b, n_orders) as
+    a parquet table bucketed by ``part_a`` and return the bucketed
+    read. The bucketing repartition runs over the AGGREGATED edge set
+    (|edges| rows, two keys + a count), so map-side combine on the
+    pair agg is preserved and the extra exchange carries the small
+    output, never the raw pair stream (guide §2.3: aggregate before
+    you shuffle)."""
+    from ..sources.bucketing import write_bucketed
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    write_bucketed(
+        basket_pairs(li, cap=cap),
+        table,
+        "part_a",
+        n_buckets=n_buckets,
+        sorted_by="part_a",
+    )
+    return spark.table(table)
+
+
+def basket_edge_index(
+    spark: SparkSession, sf_dir: str, cap: int = _MAX_BASKET
+) -> DataFrame:
+    """Process-memoized bucketed basket edge set — the shared on-disk
+    intermediate of the part co-purchase graph (VERDICT r13 next-round
+    #3). ``part_cooccurrence``, ``part_triangle_stats`` and
+    ``graph_bfs_levels`` all consume the SAME capped (part_a, part_b,
+    n_orders) derivation from lineitem (identical cap, identical
+    window rank-cut), but each re-derived it per execution — two
+    redundant corpus passes per bench pass. This is the
+    ``shingle_index`` discipline applied to the edge set: the first
+    consumer pays one derivation plus a small bucketed write
+    (|edges| rows), every later consumer reads the table; lifecycle
+    (pid+host-keyed name, dead-owner sweep, per-pass drop in bench
+    hygiene via ``dedup._INDEX_MEMO``, unwritable-warehouse fallback
+    to the direct derivation) is shared with the shingle index
+    (``dedup._memoized_bucketed_index``). The table name is keyed by
+    (sf_dir, cap), so mixed scale factors or caps in one session can
+    never cross-read."""
+    from .dedup import _memoized_bucketed_index
+
+    return _memoized_bucketed_index(
+        spark,
+        sf_dir,
+        "basket_edges",
+        lambda table: materialize_basket_edges(spark, sf_dir, table, cap=cap),
+        lambda: basket_pairs(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            cap=cap,
+        ),
+        key_extra=f"c{cap}",
+    )
+
+
 @register(
     "part_cooccurrence",
     oracle=f"""
@@ -308,6 +376,7 @@ ORDER BY n_orders DESC, part_a, part_b
 LIMIT 32
 """,
     tags=("J1", "basket", "analytics"),
+    eager_build=True,  # basket_edge_index writes the bucketed table on first build
 )
 def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top part pairs appearing in
@@ -324,10 +393,10 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     far above the TPC-H max (~7), so fixture results are unchanged,
     while a degenerate 10k-item basket is bounded at cap² pairs
     (tests/test_llm_pack.py::test_basket_cap_bounds_fanout)."""
-    d = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # no caller-side distinct: basket_pairs dedups on its own window
-    # partitioning, so the whole chain rides ONE exchange (r13)
-    return basket_pairs(d).orderBy(
+    # r14: reads the shared bucketed edge index (one capped-basket
+    # derivation per corpus, not one per consumer — VERDICT r13 #3);
+    # the top-32 is TakeOrderedAndProject over the |edges|-row table
+    return basket_edge_index(spark, sf_dir).orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(32)
 
