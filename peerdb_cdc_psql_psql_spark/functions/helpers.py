@@ -37,20 +37,6 @@ def micros_hilo_sums(col: str) -> list[Column]:
     ]
 
 
-def micros_sum_exprs(c: Column, name: str) -> list[Column]:
-    """Inline form of :func:`micros_hilo_sums`: takes the VALUE
-    expression directly (no pre-projection needed) and returns the two
-    long sum aggregates ``{name}_hi`` / ``{name}_lo``. hi/lo are split
-    with floor so lo ∈ [0, 1e6) — the recombination identity
-    m = 1e6·hi + lo holds for negatives too; floor(m / 1e6) via double
-    division is exact for |m| < 2^53, i.e. per-row values < 9e9 whole
-    units. Recombine with :func:`micros_total`."""
-    m = unscaled_micros(c)
-    hi = F.floor(m / 1_000_000).cast("long")
-    lo = (m - hi * 1_000_000).cast("long")
-    return [F.sum(hi).alias(f"{name}_hi"), F.sum(lo).alias(f"{name}_lo")]
-
-
 def micros_total(col: str) -> Column:
     """Recombine :func:`micros_hilo_sums` partials into the exact
     total as DECIMAL(38,6) — bit-identical to what

@@ -440,9 +440,18 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recompute every earlier round's join, turning the
         # level-capped walk quadratic in rounds
         frontier = new_visited.filter(F.col("lvl") == i).select("node")
-    out = visited.groupBy("lvl").agg(
+    # Materialize the tiny per-level rollup (≤ _BFS_MAX_LEVEL+1 rows)
+    # and release every round cache before returning (persist
+    # discipline, VERDICT r13 #8): the fn is already eager_build (the
+    # fixpoint loop runs jobs at construction), so collecting the
+    # 4-row result here adds nothing, and a long-lived session no
+    # longer accumulates one leaked level-set cache per execution.
+    rows = visited.groupBy("lvl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum("node").cast("bigint").alias("sum_nodes"),
-    )
+    ).collect()
+    visited.unpersist()
     edges.unpersist()
-    return out
+    return spark.createDataFrame(
+        rows, "lvl bigint, n_nodes bigint, sum_nodes bigint"
+    )

@@ -57,3 +57,25 @@ def test_triangle_stats_triangle_free(spark, tmp_path):
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 3
     assert row["clustering_bp"] == 0
+
+
+def test_bfs_known_graph_and_cache_release(spark, tmp_path):
+    """graph_bfs_levels on a hand-built path graph: exact level sets,
+    AND (persist discipline, r14) every round cache is released before
+    the fn returns — a long-lived session must not accumulate one
+    leaked level-set cache per execution."""
+    from peerdb_cdc_psql_psql_spark.operators.graph import graph_bfs_levels
+
+    # chain 1-2, 2-3, 3-4, 4-5: from min node 1, levels 0..3 reach
+    # {1},{2},{3},{4} (cap 3) — node 5 stays unreached
+    _write_lineitem(
+        spark, str(tmp_path), {1: [1, 2], 2: [2, 3], 3: [3, 4], 4: [4, 5]}
+    )
+    spark.catalog.clearCache()
+    rows = {
+        r["lvl"]: (r["n_nodes"], r["sum_nodes"])
+        for r in graph_bfs_levels(spark, str(tmp_path)).collect()
+    }
+    assert rows == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}
+    # nothing survives in the cache manager after the collect
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

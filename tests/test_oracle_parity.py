@@ -1,7 +1,24 @@
 """Differential test: every registered oracle-checkable query must
-match DuckDB exactly at sf0.01 (the driver's correctness gate scale)."""
+match DuckDB exactly at sf0.01 (the driver's correctness gate scale).
+
+r14 (VERDICT r13 next-round #1): the 243-query sweep used to run
+serially — each sf0.01 query is a handful of tiny Spark jobs whose
+wall time is dominated by the per-job scheduling floor, so the suite
+took ~30 min and blew the driver's pytest capture budget (VERIFY_r13
+``tests_ok: false`` was a TIMEOUT, not a failure). The comparisons now
+run once through a small driver thread pool (guide §2.6: Spark happily
+overlaps independent jobs; the next query's tasks back-fill slots the
+current one's tail leaves idle) inside a module fixture, and the
+parametrized tests assert the precomputed per-query results — same
+granularity, same -x behavior on genuine mismatches, ~4x less wall.
+Each worker thread gets its own DuckDB connection (a connection is not
+thread-safe); the Spark session is shared (job submission is
+thread-safe, and the shared index builders serialize via
+``dedup._INDEX_BUILD_LOCK``)."""
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -11,6 +28,7 @@ from peerdb_cdc_psql_psql_spark.registry import REGISTRY
 from .oracle_harness import compare_query, duckdb_connection
 
 _ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+_POOL_WORKERS = 4
 
 
 @pytest.fixture(scope="module")
@@ -20,10 +38,33 @@ def duck(oracle_sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def parity_results(spark, oracle_sf_dir) -> dict[str, list[str]]:
+    """name → problems for every oracle query, computed concurrently."""
+    import threading
+
+    local = threading.local()
+
+    def check(name: str) -> tuple[str, list[str]]:
+        con = getattr(local, "con", None)
+        if con is None:
+            con = local.con = duckdb_connection(oracle_sf_dir)
+        spark.sparkContext.setJobDescription(f"parity:{name}")
+        q = REGISTRY[name]
+        try:
+            return name, compare_query(
+                spark, con, name, q.fn, q.oracle, oracle_sf_dir
+            )
+        except Exception as e:  # surface as a per-query problem
+            return name, [f"exception: {e!r}"]
+
+    with ThreadPoolExecutor(max_workers=_POOL_WORKERS) as pool:
+        return dict(pool.map(check, _ORACLE_QUERIES))
+
+
 @pytest.mark.parametrize("name", _ORACLE_QUERIES)
-def test_oracle_parity(spark, duck, oracle_sf_dir, name):
-    q = REGISTRY[name]
-    problems = compare_query(spark, duck, name, q.fn, q.oracle, oracle_sf_dir)
+def test_oracle_parity(parity_results, name):
+    problems = parity_results[name]
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
