@@ -181,6 +181,22 @@ def _pin_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# Per-process memo of the ARRIVED parquet schema per (sf_dir, table):
+# plain ``spark.read.parquet`` re-reads the file footer to infer the
+# schema on EVERY load call — measured ~0.08 s per call at sf0.1,
+# which multiplied across ~140 small bench queries × 1-4 loads each
+# was the single largest slice of the per-query floor (VERDICT r13
+# next-round #6). The schema is metadata derived once per process
+# from the file itself (NOT a hand-declared schema — the events.ts
+# nanos/µs generation drift keeps dispatching on what actually
+# arrived), so later loads pass it explicitly and skip the footer
+# read. Never caches data; results always compute from the files.
+# Staleness bound: a process that overwrites a fixture path with a
+# DIFFERENT schema mid-run would read wrong — the fixtures are
+# deterministic per directory, and tests write to fresh tmp dirs.
+_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a typed DataFrame (columnar scan;
     filters/projections placed on top push down into the parquet
@@ -188,7 +204,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown fixture table: {name}")
     _pin_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema  # one footer read
+        _SCHEMA_MEMO[key] = sch
+    df = spark.read.schema(sch).parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
