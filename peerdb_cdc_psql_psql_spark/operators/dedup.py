@@ -1593,27 +1593,24 @@ def _simhash_md5_sigs(docs: DataFrame) -> DataFrame:
             ).cast("long"),
         )
     )
+    # F.expr strings (r14): the Column-API form built ~400 py4j calls
+    # per construction (48 sums of whens + 48 sign-bit whens) — ~1 s
+    # of driver time per execution; the SQL text parses to the same
+    # expressions in ~50 calls (guide §7.3 plan-construction cost).
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"b{b}")
             for b in range(_SIMHASH_MD5_BITS)
         ]
     )
-    return votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(_SIMHASH_MD5_BITS)
-            ]
-        ).alias("simhash"),
+    sig_sql = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(_SIMHASH_MD5_BITS)
     )
+    return votes.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 @register(
@@ -1886,24 +1883,18 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying (band_key, doc_id) — never shingle text."""
     sh = shingle_index(spark, sf_dir)
     rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
-    hashes = [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{_MINHASH_MD5_SEED}{i}:"), F.col("shingle")
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        for i in range(_MINHASH_MD5_K)
-    ]
+    # F.expr per component (r14): one py4j call each instead of ~8
+    # Column-API calls (conv/substring/md5/concat/lit/cast) — parses
+    # to the identical expression (guide §7.3 construction cost)
     sigs = sh.groupBy("doc_id").agg(
-        *[F.min(hashes[i]).alias(f"m{i}") for i in range(_MINHASH_MD5_K)]
+        *[
+            F.expr(
+                "min(CAST(conv(substring(md5(concat("
+                f"'{_MINHASH_MD5_SEED}{i}:', shingle)), 1, 12), 16, 10)"
+                " AS BIGINT))"
+            ).alias(f"m{i}")
+            for i in range(_MINHASH_MD5_K)
+        ]
     )
     bands = sigs.select(
         "doc_id",
@@ -2023,24 +2014,18 @@ def minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; text never leaves the shared shingle index."""
     sh = shingle_index(spark, sf_dir)
     rows = _MINHASH_MD5_K // _MINHASH_MD5_BANDS
-    hashes = [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{_MINHASH_MD5_SEED}{i}:"), F.col("shingle")
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        for i in range(_MINHASH_MD5_K)
-    ]
+    # F.expr per component (r14): one py4j call each instead of ~8
+    # Column-API calls (conv/substring/md5/concat/lit/cast) — parses
+    # to the identical expression (guide §7.3 construction cost)
     sigs = sh.groupBy("doc_id").agg(
-        *[F.min(hashes[i]).alias(f"m{i}") for i in range(_MINHASH_MD5_K)]
+        *[
+            F.expr(
+                "min(CAST(conv(substring(md5(concat("
+                f"'{_MINHASH_MD5_SEED}{i}:', shingle)), 1, 12), 16, 10)"
+                " AS BIGINT))"
+            ).alias(f"m{i}")
+            for i in range(_MINHASH_MD5_K)
+        ]
     )
     bands = sigs.select(
         F.explode(

@@ -42,6 +42,20 @@ def _cosine(a: Column, b: Column) -> Column:
 _COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
+def _dot_fold_sql(vec_col: str, signs: list[int]) -> str:
+    """Spark-SQL text of the exact integer sign-projection fold:
+    ``aggregate(zip_with(vec, array(±1L…), (x, y) -> x * y), 0L,
+    (s, v) -> s + v)``. Parses to the same expression the Column-API
+    form built, in ONE py4j call instead of ~2 per sign element (the
+    per-literal construction measured seconds of driver time per
+    query build — guide §7.3)."""
+    csv = ",".join(f"{s}L" for s in signs)
+    return (
+        f"aggregate(zip_with({vec_col}, array({csv}), (x, y) -> x * y), "
+        "0L, (s, v) -> s + v)"
+    )
+
+
 def _norm(c: Column) -> Column:
     """sqrt(Σx²) — one side of _cosine's denominator, split out so
     join-shaped scorers can evaluate it once per ROW instead of once
@@ -1043,21 +1057,19 @@ def cosine_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x * 1000000 + 0.5).cast("long"),
     )
     docs = emb.select("vec_id", "embedding", qv.alias("q"))
-    dot_cols = []
-    for t in range(_CLSH_TABLES):
-        for p in range(_CLSH_PLANES):
-            signs = F.array(
-                *[
-                    F.lit(s).cast("long")
-                    for s in _CLSH_SIGN_ROWS[t * _CLSH_PLANES + p]
-                ]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda s, v: s + v,
-            )
-            dot_cols.append(dot.alias(f"dot_{t}_{p}"))
+    # One F.expr string per dot (r14): the old form built each signs
+    # array from 64 F.lit().cast() Column objects — ~2 py4j round
+    # trips per element, >2,000 per construction, measured seconds of
+    # DRIVER time per execution (guide §7.3: plan-construction cost).
+    # The SQL string parses to the IDENTICAL expression (same integer
+    # fold, same literal types via the L suffix) in one call.
+    dot_cols = [
+        F.expr(_dot_fold_sql("q", _CLSH_SIGN_ROWS[t * _CLSH_PLANES + p])).alias(
+            f"dot_{t}_{p}"
+        )
+        for t in range(_CLSH_TABLES)
+        for p in range(_CLSH_PLANES)
+    ]
     dots = docs.select("vec_id", *dot_cols)
     buckets = dots.select(
         "vec_id",
@@ -1246,23 +1258,18 @@ def cosine_lsh_adaptive_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", qv.alias("q"))
         .crossJoin(F.broadcast(params))
     )
-    dot_cols = []
-    for t in range(_CLSH_TABLES):
-        for p in range(_CLSH_ADAPT_MAX_PLANES):
-            signs = F.array(
-                *[
-                    F.lit(s).cast("long")
-                    for s in _CLSH_ADAPT_SIGN_ROWS[
-                        t * _CLSH_ADAPT_MAX_PLANES + p
-                    ]
-                ]
+    # one F.expr per dot — see _dot_fold_sql (the 32×64 per-literal
+    # Column build dominated this query's wall time: measured ~8-12 s
+    # of driver-side construction per execution, r14)
+    dot_cols = [
+        F.expr(
+            _dot_fold_sql(
+                "q", _CLSH_ADAPT_SIGN_ROWS[t * _CLSH_ADAPT_MAX_PLANES + p]
             )
-            dot = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda s, v: s + v,
-            )
-            dot_cols.append(dot.alias(f"dot_{t}_{p}"))
+        ).alias(f"dot_{t}_{p}")
+        for t in range(_CLSH_TABLES)
+        for p in range(_CLSH_ADAPT_MAX_PLANES)
+    ]
     dots = docs.select("vec_id", "np", *dot_cols)
     buckets = dots.select(
         "vec_id",
