@@ -1636,23 +1636,18 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan itself)."""
     docs = load(spark, sf_dir, "documents")
     sigs = _simhash_md5_sigs(docs)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 12)
-                        .bitwiseAND(F.lit(4095))
-                        .alias("band_val"),
-                    )
-                    for i in range(_SIMHASH_MD5_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    # selectExpr band explode (r14, guide §7.3 construction cost —
+    # same expressions, a handful of py4j calls instead of ~50)
+    band_structs = ",".join(
+        f"struct({i} AS band,"
+        f" shiftright(simhash, {i * 12}) & 4095 AS band_val)"
+        for i in range(_SIMHASH_MD5_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", "simhash", f"explode(array({band_structs})) AS bb"
+    ).selectExpr(
+        "doc_id", "simhash", "bb.band AS band", "bb.band_val AS band_val"
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
         "band", "band_val",
@@ -1896,41 +1891,32 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MINHASH_MD5_K)
         ]
     )
-    bands = sigs.select(
-        "doc_id",
-        *[F.col(f"m{i}") for i in range(_MINHASH_MD5_K)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"m{j * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for j in range(_MINHASH_MD5_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id",
-        *[F.col(f"m{i}") for i in range(_MINHASH_MD5_K)],
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
+    # selectExpr throughout (r14): the band explode + a/b renames +
+    # match sum used to build ~250 Column objects per construction
+    # (~0.5 s of py4j round trips); the string forms parse to the
+    # identical expressions in a handful of calls (guide §7.3)
+    band_structs = ",".join(
+        "struct({j} AS band, concat_ws(':', {ks}) AS band_key)".format(
+            j=j,
+            ks=", ".join(
+                f"CAST(m{j * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MINHASH_MD5_K)],
+    ms = [f"m{i}" for i in range(_MINHASH_MD5_K)]
+    bands = sigs.selectExpr(
+        "doc_id", *ms, f"explode(array({band_structs})) AS bb"
+    ).selectExpr("doc_id", *ms, "bb.band AS band", "bb.band_key AS band_key")
+    a = bands.selectExpr(
+        "doc_id AS doc_a",
+        *[f"m{i} AS a{i}" for i in range(_MINHASH_MD5_K)],
         "band",
         "band_key",
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MINHASH_MD5_K)],
+    b = bands.selectExpr(
+        "doc_id AS doc_b",
+        *[f"m{i} AS b{i}" for i in range(_MINHASH_MD5_K)],
         "band",
         "band_key",
     )
@@ -1940,19 +1926,16 @@ def minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("band", "band_key")
         .distinct()
     )
-    matching = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(_MINHASH_MD5_K)
-        ]
+    match_sql = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)"
+        for i in range(_MINHASH_MD5_K)
     )
-    return pairs.select(
+    return pairs.selectExpr(
         "doc_a",
         "doc_b",
-        matching.cast("bigint").alias("n_matching"),
-        F.expr(
-            f"CAST(({' + '.join(f'CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END' for i in range(_MINHASH_MD5_K))}) * 10000 div {_MINHASH_MD5_K} AS BIGINT)"
-        ).alias("est_jaccard_bp"),
+        f"CAST({match_sql} AS BIGINT) AS n_matching",
+        f"CAST(({match_sql}) * 10000 div {_MINHASH_MD5_K} AS BIGINT)"
+        " AS est_jaccard_bp",
     )
 
 
@@ -2027,25 +2010,18 @@ def minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MINHASH_MD5_K)
         ]
     )
-    bands = sigs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"m{j * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for j in range(_MINHASH_MD5_BANDS)
-                ]
-            )
-        ).alias("bb")
-    ).select(F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    band_structs = ",".join(
+        "struct({j} AS band, concat_ws(':', {ks}) AS band_key)".format(
+            j=j,
+            ks=", ".join(
+                f"CAST(m{j * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for j in range(_MINHASH_MD5_BANDS)
+    )
+    bands = sigs.selectExpr(
+        f"explode(array({band_structs})) AS bb"
+    ).selectExpr("bb.band AS band", "bb.band_key AS band_key")
     occ = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("o")
     )
