@@ -286,3 +286,41 @@ def test_shingle_index_sweep_is_cross_host_safe(spark, monkeypatch):
     assert not _fs.exists(spark, foreign), (
         "lease-expired foreign-host leftover not reclaimed"
     )
+
+
+def test_basket_edge_index_shared_and_dropped_per_pass(spark):
+    """r14: the capped basket edge set is a process-memoized bucketed
+    table shared by part_cooccurrence / part_triangle_stats /
+    graph_bfs_levels — one derivation per hygiene window, identical
+    rows to the direct derivation, and registered in the SAME memo the
+    bench drops per pass."""
+    from peerdb_cdc_psql_psql_spark.catalog import load
+    from peerdb_cdc_psql_psql_spark.operators import dedup
+    from peerdb_cdc_psql_psql_spark.operators.joins import (
+        basket_edge_index,
+        basket_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    for t in list(dedup._INDEX_MEMO):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup._INDEX_MEMO.clear()
+
+    idx = basket_edge_index(spark, sf)
+    edge_tables = [t for t in dedup._INDEX_MEMO if t.startswith("basket_edges_")]
+    assert len(edge_tables) == 1  # memoized in the bench-dropped memo
+    # second consumer reuses the SAME table (no second derivation)
+    idx2 = basket_edge_index(spark, sf)
+    assert [t for t in dedup._INDEX_MEMO if t.startswith("basket_edges_")] == edge_tables
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    direct = sorted(map(tuple, basket_pairs(li).collect()))
+    shared = sorted(map(tuple, idx.select("part_a", "part_b", "n_orders").collect()))
+    assert direct == shared
+
+    # the per-pass hygiene (DROP every memoized table) really removes it
+    for t in edge_tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup._INDEX_MEMO.clear()
+    assert not spark.catalog.tableExists(edge_tables[0])
