@@ -167,8 +167,20 @@ DEMO_SCHEMAS: dict[str, T.StructType] = {
 DEMO_PRIMARY_KEYS = {"customers": "id", "products": "id", "orders": "id"}
 
 
+# Sessions already pinned (weak refs — an entry dies with its session,
+# so a recycled id can never skip a NEW session's pin). Re-pinning on
+# every load cost 3 py4j conf.set round trips ≈ 5.5 ms per call,
+# ~4 s per bench run across ~700 loads (r14). Nothing in the engine
+# unsets these confs mid-session; a caller that does must use a fresh
+# session (or clear this set) before loading again.
+import weakref
+
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def _pin_session(spark: SparkSession) -> None:
-    """Pin runtime-settable confs that correctness depends on.
+    """Pin runtime-settable confs that correctness depends on — once
+    per session object.
 
     The driver may hand us a session it built itself; timestamp
     comparisons against the DuckDB oracle require a fixed timezone.
@@ -176,9 +188,12 @@ def _pin_session(spark: SparkSession) -> None:
     TIMESTAMP(NANOS), which Spark's reader otherwise rejects
     (PARQUET_TYPE_ILLEGAL); we read it as long and convert below.
     """
+    if spark in _PINNED_SESSIONS:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _PINNED_SESSIONS.add(spark)
 
 
 # Per-process memo of the ARRIVED parquet schema per (sf_dir, table):
